@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by modules (one per SURVEY.md §2 area); each
+  * entry pairs the Spark plan with its DuckDB oracle SQL (Registry.Q).
+  */
 object SparkEntry {
+
+  private val modules: Seq[QueryModule] = Seq(
+    analytics.EventAnalytics,
+    analytics.Relational,
+    ext.TextAnalytics,
+    ext.Dedup,
+    ext.Similarity,
+    ext.Multimodal,
+  )
+
+  private lazy val all: Seq[(String, Q)] = modules.flatMap(_.defs)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    all.head._2.fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, Q(_, Some(sql), _)) => n -> sql }.toMap
 }

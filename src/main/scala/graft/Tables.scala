@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Central table loaders + the fixed time anchor used by every
+  * time-relative query.
+  *
+  * The reference anchors its period predicates on `CURRENT_DATE` / `NOW()`
+  * (/root/reference/src/analytics.rs:272,292,335) — the #1 nondeterminism
+  * trap for differential testing (SURVEY.md §7.4). We re-anchor every
+  * relative predicate to a fixed literal instant inside the testdata's
+  * time range so Spark and the DuckDB oracle agree bit-for-bit.
+  */
+object Tables {
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark rejects by
+    * default. With `spark.sql.legacy.parquet.nanosAsLong=true` it reads as
+    * bigint epoch-nanos; DuckDB reads the same column as TIMESTAMP_NS.
+    * Convention (FIXTURES.md §1): all comparisons happen on int64
+    * epoch-nanos, all bucketing on micros (`ts div 1000`), identically
+    * truncated on both engines.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  // ---- fixed time anchor (UTC). Testdata events span 2024-01-01..-30. ----
+  private val NanosPerDay = 86400L * 1000000000L
+  /** 2024-01-16T00:00:00Z in epoch-nanos — plays the role of CURRENT_DATE. */
+  val AnchorNs: Long = 1705363200L * 1000000000L
+  val AnchorNextDayNs: Long = AnchorNs + NanosPerDay        // 2024-01-17
+  val WeekAgoNs: Long = AnchorNs - 7 * NanosPerDay          // 2024-01-09
+  val MonthAgoNs: Long = AnchorNs - 30 * NanosPerDay        // 2023-12-17
+  val DayBeforeAnchorNs: Long = AnchorNs - NanosPerDay      // 2024-01-15 (24h window start)
+
+  // ---- shared column helpers over the nanos `ts` ----
+  /** ts (epoch nanos, bigint) → TimestampType at micros precision; `div`
+    * is exact integral division (a double roundtrip would lose nanos at
+    * 2^60 magnitudes). */
+  def tsTimestamp(): Column = expr("timestamp_micros(ts div 1000)")
+  /** Day bucket as 'yyyy-MM-dd' string (string output avoids parquet
+    * date/timestamp physical-type skew between Spark and DuckDB results). */
+  def tsDay(): Column = date_format(tsTimestamp(), "yyyy-MM-dd")
+  def tsHour(): Column = hour(tsTimestamp())
+
+  /** JSON prop `k` extracted as int — the stand-in for the reference's
+    * `raw_payload->>'…'` JSONB path queries (analytics.rs:367,461,538). */
+  def propK(): Column = get_json_object(col("props"), "$.k").cast("int")
+}

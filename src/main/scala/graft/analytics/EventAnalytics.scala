@@ -1,0 +1,276 @@
+package graft.analytics
+
+import graft.{Q, QueryModule, Tables}
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's six analytics families (10 result tables,
+  * /root/reference/src/analytics.rs:7-32) re-expressed as single-pass Spark
+  * plans over the `events` stand-in table (FIXTURES.md §2 column mapping).
+  *
+  * Deliberate strictly-better deviations (SURVEY.md §7.5):
+  *  - the per-program trend loop (analytics.rs:674-709) becomes one
+  *    semi-join + grouped plan;
+  *  - the three separate distinct-count queries (analytics.rs:413-438)
+  *    become one multi-distinct aggregate;
+  *  - today/week/month scalar queries (analytics.rs:251-316) become one
+  *    conditional aggregation — one scan instead of four.
+  *
+  * Every relative-time predicate is re-anchored to the fixed literal
+  * anchor in [[graft.Tables]] (epoch-nanos) so the DuckDB oracle is
+  * deterministic; comparisons happen on the raw int64 nanos column on
+  * both engines (no timestamp-precision skew possible).
+  */
+object EventAnalytics extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  // DuckDB-side fragments mirroring Tables' column helpers.
+  private val dNs = "epoch_ns(ts)"
+  private val dDay = "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')"
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // A1: transaction volume — total/today/week/month in ONE pass
+    // (vs 4 sequential scalar queries, analytics.rs:251-316).
+    "evt_volume_summary" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("event_type") === "purchase")
+          .agg(
+            count(lit(1)).as("total_events"),
+            count(when(col("ts") >= AnchorNs && col("ts") < AnchorNextDayNs, 1)).as("today_events"),
+            count(when(col("ts") >= WeekAgoNs, 1)).as("week_events"),
+            count(when(col("ts") >= MonthAgoNs, 1)).as("month_events")),
+      Some(s"""SELECT count(*) AS total_events,
+              | count(*) FILTER (WHERE $dNs >= $AnchorNs AND $dNs < $AnchorNextDayNs) AS today_events,
+              | count(*) FILTER (WHERE $dNs >= $WeekAgoNs) AS week_events,
+              | count(*) FILTER (WHERE $dNs >= $MonthAgoNs) AS month_events
+              |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      doc = "ref analytics.rs:243-326 (transaction volume, conditional agg)"),
+
+    // A2: hourly volume over the fixed 24h window before the anchor
+    // (analytics.rs:329-337: GROUP BY DATE, EXTRACT(HOUR)).
+    "evt_hourly_volume" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("event_type") === "purchase" &&
+            col("ts") >= DayBeforeAnchorNs && col("ts") < AnchorNs)
+          .groupBy(tsDay().as("day"), tsHour().as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("day"), col("hour")),
+      Some(s"""SELECT $dDay AS day,
+              | CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour, count(*) AS cnt
+              |FROM events
+              |WHERE event_type = 'purchase' AND $dNs >= $DayBeforeAnchorNs AND $dNs < $AnchorNs
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "ref analytics.rs:329-357 (hourly volume)"),
+
+    // A3: active programs — count, exact distinct wallets, last_seen
+    // (analytics.rs:363-374); event_type plays program_id.
+    "evt_active_programs" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("tx_count"),
+            countDistinct(col("user_id")).as("uniq_wallets"),
+            expr("max(ts) div 1000").as("last_seen_us"))
+          .orderBy(col("tx_count").desc, col("event_type"))
+          .limit(50),
+      Some(s"""SELECT event_type, count(*) AS tx_count,
+              | count(DISTINCT user_id) AS uniq_wallets,
+              | max($dNs) // 1000 AS last_seen_us
+              |FROM events GROUP BY 1
+              |ORDER BY tx_count DESC, event_type LIMIT 50""".stripMargin),
+      doc = "ref analytics.rs:360-404 (active programs, COUNT DISTINCT + MAX)"),
+
+    // A4: exact multi-distinct in ONE aggregate
+    // (vs 3 separate queries, analytics.rs:413-438).
+    "evt_distinct_counts" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("event_type") === "purchase")
+          .agg(
+            count(lit(1)).as("transfer_count"),
+            countDistinct(propK()).as("uniq_mints"),
+            countDistinct(col("user_id")).as("uniq_wallets")),
+      Some("""SELECT count(*) AS transfer_count,
+             | count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS uniq_mints,
+             | count(DISTINCT user_id) AS uniq_wallets
+             |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      doc = "ref analytics.rs:407-456 (token transfer multi-distinct)"),
+
+    // A5: top tokens — per-mint count + distinct receivers, top-k with
+    // total-order tie-break (analytics.rs:459-473).
+    "evt_top_tokens" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("event_type") === "purchase" && propK().isNotNull)
+          .groupBy(propK().as("mint_k"))
+          .agg(
+            count(lit(1)).as("transfer_count"),
+            countDistinct(col("user_id")).as("uniq_receivers"))
+          .orderBy(col("transfer_count").desc, col("mint_k"))
+          .limit(20),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS mint_k,
+             | count(*) AS transfer_count, count(DISTINCT user_id) AS uniq_receivers
+             |FROM events
+             |WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+             |GROUP BY 1 ORDER BY transfer_count DESC, mint_k LIMIT 20""".stripMargin),
+      doc = "ref analytics.rs:459-495 (top tokens)"),
+
+    // A10: failure rate — ratio of conditional aggregates, one pass
+    // (analytics.rs:499-519 computes it in Rust with a div-by-zero guard).
+    "evt_failed_summary" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .agg(
+            count(lit(1)).as("total_tx"),
+            count(when(col("event_type") === "error", 1)).as("failed_tx"))
+          .select(
+            col("total_tx"), col("failed_tx"),
+            when(col("total_tx") > 0,
+              col("failed_tx").cast("double") * 100.0 / col("total_tx").cast("double"))
+              .otherwise(0.0).as("failure_rate")),
+      Some("""SELECT total_tx, failed_tx,
+             | CASE WHEN total_tx > 0
+             |   THEN CAST(failed_tx AS DOUBLE) * 100.0 / CAST(total_tx AS DOUBLE)
+             |   ELSE 0.0 END AS failure_rate
+             |FROM (SELECT count(*) AS total_tx,
+             |        count(*) FILTER (WHERE event_type = 'error') AS failed_tx
+             |      FROM events)""".stripMargin),
+      doc = "ref analytics.rs:499-533 (failed transactions ratio)"),
+
+    // A6: top error types — the JSONB err->>'type' grouping
+    // (analytics.rs:536-549), with COALESCE default (P9).
+    "evt_top_errors" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("event_type") === "error")
+          .groupBy(coalesce(propK(), lit(-1)).as("error_k"))
+          .agg(count(lit(1)).as("error_count"))
+          .orderBy(col("error_count").desc, col("error_k"))
+          .limit(10),
+      Some("""SELECT coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS error_k,
+             | count(*) AS error_count
+             |FROM events WHERE event_type = 'error'
+             |GROUP BY 1 ORDER BY error_count DESC, error_k LIMIT 10""".stripMargin),
+      doc = "ref analytics.rs:536-569 (top errors)"),
+
+    // A8: wallet activity — three filtered exact-distincts in one pass
+    // (vs 3 queries, analytics.rs:573-600).
+    "evt_wallet_activity" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .agg(
+            countDistinct(col("user_id")).as("active_total"),
+            countDistinct(when(col("ts") >= AnchorNs && col("ts") < AnchorNextDayNs,
+              col("user_id"))).as("active_today"),
+            countDistinct(when(col("ts") >= WeekAgoNs, col("user_id"))).as("active_week")),
+      Some(s"""SELECT count(DISTINCT user_id) AS active_total,
+              | count(DISTINCT user_id) FILTER (WHERE $dNs >= $AnchorNs AND $dNs < $AnchorNextDayNs) AS active_today,
+              | count(DISTINCT user_id) FILTER (WHERE $dNs >= $WeekAgoNs) AS active_week
+              |FROM events""".stripMargin),
+      doc = "ref analytics.rs:573-615 (wallet activity)"),
+
+    // A7: top wallets — count + MIN/MAX first/last seen
+    // (analytics.rs:619-633).
+    "evt_top_wallets" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("tx_count"),
+            expr("min(ts) div 1000").as("first_seen_us"),
+            expr("max(ts) div 1000").as("last_seen_us"))
+          .orderBy(col("tx_count").desc, col("user_id"))
+          .limit(20),
+      Some(s"""SELECT user_id, count(*) AS tx_count,
+              | min($dNs) // 1000 AS first_seen_us, max($dNs) // 1000 AS last_seen_us
+              |FROM events GROUP BY 1
+              |ORDER BY tx_count DESC, user_id LIMIT 20""".stripMargin),
+      doc = "ref analytics.rs:619-654 (top wallets MIN/MAX)"),
+
+    // A9 + J2: per-program daily trends — the reference's top-10-then-
+    // loop-per-program (analytics.rs:657-712) as ONE broadcast semi-join
+    // + grouped plan. At 100 TB the loop would be k full scans; this is
+    // one scan + one tiny broadcast.
+    "evt_program_trends" -> Q(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val top = e.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("event_type")).limit(3)
+          .select(col("event_type"))
+        e.filter(col("ts") >= MonthAgoNs)
+          .join(broadcast(top), Seq("event_type"), "left_semi")
+          .groupBy(col("event_type"), tsDay().as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some(s"""WITH top3 AS (
+              |  SELECT event_type FROM events GROUP BY 1
+              |  ORDER BY count(*) DESC, event_type LIMIT 3)
+              |SELECT e.event_type, $dDay AS day, count(*) AS cnt
+              |FROM events e JOIN top3 USING (event_type)
+              |WHERE $dNs >= $MonthAgoNs
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "ref analytics.rs:657-712 (program trends; loop → semi-join)"),
+
+    // J4: pre/post netting the reference only sketches
+    // (parsers.rs:179-182) — full-outer join of two aggregates with
+    // COALESCE-0 diff semantics.
+    "evt_user_net_activity" -> Q(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val p = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("purchases"))
+        val r = e.filter(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("errors"))
+        p.join(r, Seq("user_id"), "full_outer")
+          .select(
+            col("user_id"),
+            coalesce(col("purchases"), lit(0L)).as("purchases"),
+            coalesce(col("errors"), lit(0L)).as("errors"),
+            (coalesce(col("purchases"), lit(0L)) - coalesce(col("errors"), lit(0L))).as("net"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             | coalesce(p.purchases, 0) AS purchases, coalesce(r.errors, 0) AS errors,
+             | coalesce(p.purchases, 0) - coalesce(r.errors, 0) AS net
+             |FROM (SELECT user_id, count(*) AS purchases FROM events
+             |      WHERE event_type = 'purchase' GROUP BY 1) p
+             |FULL JOIN (SELECT user_id, count(*) AS errors FROM events
+             |           WHERE event_type = 'error' GROUP BY 1) r USING (user_id)
+             |ORDER BY user_id""".stripMargin),
+      doc = "ref parsers.rs:179-182 (pre/post balance netting, full-outer)"),
+
+    // F1 + §2.10 fan-out shape: canonical-event projection with the
+    // deterministic sha256 event id (events.rs:76-86) — exact hex parity.
+    "evt_canonical_events" -> Q(
+      (s, dir) => {
+        val sig = md5(col("event_id").cast("string"))
+        ev(s, dir)
+          .select(
+            sha2(concat_ws(":",
+              col("event_id").cast("string"), sig,
+              propK().cast("string"), col("event_type")), 256).as("event_hash"),
+            col("event_id").as("slot"),
+            expr("ts div 1000").as("block_time_us"),
+            sig.as("tx_signature"),
+            col("event_type").as("program_id"),
+            propK().as("instruction_index"))
+          .orderBy(col("slot"))
+      },
+      Some(s"""SELECT
+              | sha256(concat(CAST(event_id AS VARCHAR), ':', md5(CAST(event_id AS VARCHAR)), ':',
+              |   CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS VARCHAR), ':', event_type)) AS event_hash,
+              | event_id AS slot, $dNs // 1000 AS block_time_us,
+              | md5(CAST(event_id AS VARCHAR)) AS tx_signature,
+              | event_type AS program_id,
+              | CAST(json_extract_string(props, '$$.k') AS INTEGER) AS instruction_index
+              |FROM events ORDER BY slot""".stripMargin),
+      doc = "ref events.rs:76-86 (deterministic sha256 event_id)"),
+  )
+}

@@ -1,0 +1,284 @@
+package graft.analytics
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational breadth beyond the reference's deliberately join-free surface
+  * (SURVEY.md §2.3 — joins exist only in latent forms; §2.5 — zero window
+  * functions). The documented dim-join pattern (/root/reference/docs/
+  * SCHEMA.md:361-371) plus the generalizations SURVEY.md §2.5/§7.2 slice 5
+  * call for, exercised on the TPC-H-ish tables.
+  *
+  * Scale posture: every dim side of a join (region/nation/customer/
+  * supplier/part at these SFs) is explicitly `broadcast()`; the one
+  * genuinely large-large join (orders ⋈ lineitem) shuffles on its key and
+  * is AQE-coalesced. Top-k always plans as TakeOrderedAndProject (never a
+  * global sort). Money aggregates go through DecimalType so both engines
+  * agree exactly, then surface as double.
+  */
+object Relational extends QueryModule {
+
+  import Tables._
+
+  /** double money column → exact decimal for order-independent sums. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def day(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd")
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // TPC-H Q1 shape: scan → filter → wide aggregate. Exact decimal sums,
+    // conditional-free single pass; pushdown of the shipdate filter to
+    // parquet is load-bearing at 100 TB.
+    "rel_pricing_summary" -> Q(
+      (s, dir) =>
+        lineitem(s, dir)
+          .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '2000-01-01 00:00:00'"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+             | count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "TPC-H Q1 shape; generalizes ref A1 wide aggregation"),
+
+    // TPC-H Q3 shape: 3-way join (broadcast the filtered customer dim into
+    // the orders ⋈ lineitem shuffle join), group, top-10.
+    "rel_shipping_priority" -> Q(
+      (s, dir) => {
+        val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, dir)
+          .filter(col("o_orderdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        val l = lineitem(s, dir)
+          .filter(col("l_shipdate") > expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), day(col("o_orderdate")).as("order_day"),
+            col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("revenue"), col("order_day"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderkey,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             | strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_orderpriority
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY o_orderkey, order_day, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      doc = "TPC-H Q3 shape; docs/SCHEMA.md:361-371 dim-join pattern"),
+
+    // TPC-H Q5 shape: 5-way star join — all dims broadcast, single shuffle
+    // join on the fact keys.
+    "rel_regional_revenue" -> Q(
+      (s, dir) => {
+        val r = region(s, dir)
+        val n = nation(s, dir)
+        val c = customer(s, dir)
+        val o = orders(s, dir)
+          .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+            col("o_orderdate") < expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+        val l = lineitem(s, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             | count(*) AS n_items
+             |FROM region, nation, customer, orders, lineitem
+             |WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+             |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "TPC-H Q5 shape; broadcast star join"),
+
+    // Semi + anti join (J3's left_anti is the idempotent-reload primitive,
+    // warehouse.rs:287-299): customers with vs without open orders.
+    "rel_semi_anti_customers" -> Q(
+      (s, dir) => {
+        val c = customer(s, dir)
+        val openOrders = orders(s, dir).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))
+        val withOpen = c.join(openOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_open"))
+        val without = c.join(openOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("without_open"))
+        withOpen.join(without, Seq("c_nationkey"), "full_outer")
+          .select(col("c_nationkey"),
+            coalesce(col("with_open"), lit(0L)).as("with_open"),
+            coalesce(col("without_open"), lit(0L)).as("without_open"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH oo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |SELECT c_nationkey,
+             | count(*) FILTER (WHERE c_custkey IN (SELECT o_custkey FROM oo)) AS with_open,
+             | count(*) FILTER (WHERE c_custkey NOT IN (SELECT o_custkey FROM oo)) AS without_open
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "ref warehouse.rs:287-299 (J3 anti-join) generalized"),
+
+    // Window: rank rows within groups — top-3 orders per customer via
+    // row_number with a total-order tie-break.
+    "rel_top_orders_per_cust" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      doc = "SURVEY §2.5 ranking window (top-k per group)"),
+
+    // Window: lag/lead day-over-day delta on a monthly revenue series.
+    "rel_monthly_revenue_delta" -> Q(
+      (s, dir) => {
+        val monthly = orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        val w = Window.orderBy(col("month"))
+        monthly
+          .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+          .select(col("month"), col("rev").cast("double").as("revenue"),
+            (col("rev") - coalesce(col("prev_rev"), col("rev"))).cast("double").as("delta"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY 1)
+             |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+             | CAST(rev - coalesce(lag(rev) OVER (ORDER BY month), rev) AS DOUBLE) AS delta
+             |FROM m ORDER BY month""".stripMargin),
+      doc = "SURVEY §2.5 lag/lead frame analytics"),
+
+    // Window: running cumulative sum (rows-unbounded-preceding frame).
+    "rel_cumulative_orders" -> Q(
+      (s, dir) => {
+        val daily = orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.withColumn("cum_orders", sum(col("n")).over(w))
+          .select(col("month"), col("n"), col("cum_orders"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+             |          FROM orders GROUP BY 1)
+             |SELECT month, n,
+             | CAST(sum(n) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders
+             |FROM m ORDER BY month""".stripMargin),
+      doc = "SURVEY §2.5 running-total frame"),
+
+    // ROLLUP hierarchy totals (grouping-set coverage beyond the ref).
+    "rel_rollup_returns" -> Q(
+      (s, dir) =>
+        lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      doc = "grouping sets / rollup coverage"),
+
+    // Set ops: customers active in 1996 ∩ 1997, ∖, counts (SURVEY §2.7).
+    "rel_set_ops" -> Q(
+      (s, dir) => {
+        val o = orders(s, dir)
+        def yr(y: String) = o
+          .filter(date_format(col("o_orderdate"), "yyyy") === y)
+          .select(col("o_custkey")).distinct()
+        val both = yr("1996").intersect(yr("1997"))
+        val only96 = yr("1996").except(yr("1997"))
+        val either = yr("1996").union(yr("1997")).distinct()
+        both.agg(count(lit(1)).as("in_both"))
+          .crossJoin(only96.agg(count(lit(1)).as("only_1996")))
+          .crossJoin(either.agg(count(lit(1)).as("in_either")))
+      },
+      Some("""WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE strftime(o_orderdate,'%Y')='1996'),
+             |     y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE strftime(o_orderdate,'%Y')='1997')
+             |SELECT
+             | (SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) AS in_both,
+             | (SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)) AS only_1996,
+             | (SELECT count(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)) AS in_either""".stripMargin),
+      doc = "SURVEY §2.7 set operations"),
+
+    // Exact multi-distinct on the orders fact (A4 generalized).
+    "rel_order_distincts" -> Q(
+      (s, dir) =>
+        orders(s, dir).agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("uniq_custs"),
+          countDistinct(col("o_orderstatus")).as("uniq_status"),
+          countDistinct(col("o_orderpriority")).as("uniq_prio")),
+      Some("""SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS uniq_custs,
+             | count(DISTINCT o_orderstatus) AS uniq_status,
+             | count(DISTINCT o_orderpriority) AS uniq_prio
+             |FROM orders""".stripMargin),
+      doc = "ref analytics.rs:413-438 (multi-distinct) on orders"),
+
+    // Global top-k — plans as TakeOrderedAndProject, not a full sort.
+    "rel_top_orders" -> Q(
+      (s, dir) =>
+        orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            day(col("o_orderdate")).as("order_day")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             | strftime(o_orderdate, '%Y-%m-%d') AS order_day
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+      doc = "SURVEY §2.6 top-k (TakeOrderedAndProject)"),
+
+    // Part/supplier join with LIKE + IN predicates (P-family breadth).
+    "rel_brand_volume" -> Q(
+      (s, dir) => {
+        val p = part(s, dir)
+          .filter(col("p_type").like("%M%") &&
+            col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#10", "Brand#12"))
+        lineitem(s, dir)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_type LIKE '%M%'
+             |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#10','Brand#12')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "LIKE/IN predicate + broadcast dim join"),
+  )
+}

@@ -1,0 +1,194 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star).
+  *
+  * Scale design: every variant is expressed as explode → hash → grouped
+  * aggregation → key-equi self-join, i.e. pure shuffle-parallel relational
+  * algebra — no pairwise O(n²) driver loops. The MinHash/LSH path is the
+  * 100 TB strategy (candidate generation via band buckets bounds the join
+  * fan-out); the exact n-gram Jaccard pass is the verifier that runs only
+  * on candidates.
+  *
+  * The shared 60-bit hash is `md5`-derived so the DuckDB oracle reproduces
+  * it bit-for-bit (`conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+  * `('0x' || substr(md5(x),1,15))::BIGINT`).
+  */
+object Dedup extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** Word 3-gram shingles of the lowercase alnum token stream. Guarded:
+    * Spark's `sequence(1, n)` with n < 1 counts DOWN (unlike DuckDB's
+    * empty generate_series), so short docs must return an empty array
+    * explicitly. */
+  private val shinglesExpr =
+    """CASE WHEN size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) >= 3
+      |THEN transform(sequence(1, size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - 2),
+      |  i -> concat_ws(' ',
+      |    element_at(regexp_extract_all(lower(text), '[a-z0-9]+', 0), i),
+      |    element_at(regexp_extract_all(lower(text), '[a-z0-9]+', 0), i + 1),
+      |    element_at(regexp_extract_all(lower(text), '[a-z0-9]+', 0), i + 2)))
+      |ELSE array() END""".stripMargin.replace("\n", " ")
+
+  private val dShingles =
+    """list_transform(generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+      |  i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
+      |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
+      |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])""".stripMargin.replace("\n", " ")
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+      .distinct()
+
+  private val dShingleRows =
+    s"SELECT DISTINCT doc_id, sh AS shingle FROM documents, UNNEST($dShingles) AS u(sh)"
+
+  /** Shared 60-bit md5-derived hash (DuckDB-reproducible). */
+  private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def dH60(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Exact dedup: hash-groupBy on normalized text (whitespace-collapsed
+    // lowercase). One shuffle on the 128-bit digest; at 100 TB this is the
+    // standard first pass (hash, not raw text, as the shuffle key).
+    "dedup_exact_summary" -> Q(
+      (s, dir) => {
+        val norm = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        val groups = docs(s, dir)
+          .groupBy(norm.as("text_hash"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical_doc"))
+        groups.agg(
+          count(lit(1)).as("n_unique_texts"),
+          count(when(col("n") > 1, 1)).as("n_dup_groups"),
+          sum(col("n") - 1).as("n_redundant_docs"))
+      },
+      Some("""WITH g AS (
+             |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+             |    count(*) AS n, min(doc_id) AS canonical_doc
+             |  FROM documents GROUP BY 1)
+             |SELECT count(*) AS n_unique_texts,
+             | count(*) FILTER (WHERE n > 1) AS n_dup_groups,
+             | CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs
+             |FROM g""".stripMargin),
+      doc = "exact dedup via normalized-text hash groupBy"),
+
+    // Exact n-gram Jaccard near-dup pairs: shingle-inverted-index
+    // self-join generates candidates (only docs sharing ≥1 shingle meet),
+    // then |A∩B| / |A∪B| ≥ 0.5. This is the verifier stage of the
+    // MinHash pipeline, runnable standalone at moderate scale.
+    "dedup_jaccard_pairs" -> Q(
+      (s, dir) => {
+        val sh = shingleRows(s, dir).cache()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("d1"), col("shingle"))
+        val b = sh.select(col("doc_id").as("d2"), col("shingle"))
+        val common = a.join(b, Seq("shingle"))
+          .filter(col("d1") < col("d2"))
+          .groupBy(col("d1"), col("d2"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+          .withColumn("jaccard",
+            col("common").cast("double") /
+              (col("n1") + col("n2") - col("common")).cast("double"))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH sh AS ($dShingleRows),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |common AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT d1, d2, common,
+              | CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+              |FROM common
+              |JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+              |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+              |ORDER BY d1, d2""".stripMargin),
+      doc = "n-gram Jaccard near-dup (inverted-index candidate join)"),
+
+    // MinHash + LSH: 8 min-hashes per doc, banded 4×2; docs sharing any
+    // band bucket are candidate near-dups. The banding join is the piece
+    // that survives 100 TB — candidates are found by equi-join on the
+    // band key, never by pairwise comparison.
+    "dedup_minhash_candidates" -> Q(
+      (s, dir) => {
+        val sh = shingleRows(s, dir)
+        val minCols = (0 until 8).map(i =>
+          min(h60(concat(col("shingle"), lit(s"#$i")))).as(s"m$i"))
+        val mins = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        val bands = mins.select(col("doc_id"), explode(map(
+          lit(0), concat_ws(":", col("m0"), col("m1")),
+          lit(1), concat_ws(":", col("m2"), col("m3")),
+          lit(2), concat_ws(":", col("m4"), col("m5")),
+          lit(3), concat_ws(":", col("m6"), col("m7"))
+        )).as(Seq("band_idx", "band_key")))
+        bands.as("x").join(bands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_key") === col("y.band_key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH sh AS ($dShingleRows),
+              |mins AS (
+              |  SELECT doc_id,
+              |   ${(0 until 8).map(i => s"min(${dH60(s"shingle || '#$i'")}) AS m$i").mkString(", ")}
+              |  FROM sh GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, b.band_idx, b.band_key FROM mins,
+              |  LATERAL (VALUES (0, m0::VARCHAR || ':' || m1::VARCHAR),
+              |                  (1, m2::VARCHAR || ':' || m3::VARCHAR),
+              |                  (2, m4::VARCHAR || ':' || m5::VARCHAR),
+              |                  (3, m6::VARCHAR || ':' || m7::VARCHAR)) AS b(band_idx, band_key))
+              |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+              |FROM bands x JOIN bands y
+              |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |  AND x.doc_id < y.doc_id
+              |ORDER BY d1, d2""".stripMargin),
+      doc = "MinHash(8) + LSH banding (4×2) candidate generation"),
+
+    // SimHash: 16-bit signature from per-token 60-bit hashes; exact
+    // signature collisions are near-dup groups. Integer-only → exact
+    // cross-engine parity.
+    "dedup_simhash" -> Q(
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+          .withColumn("h", h60(col("token")))
+        val bitCols = (0 until 16).map(b =>
+          sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+            .as(s"s$b"))
+        val bitSums = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        bitSums
+          .select(col("doc_id"),
+            (0 until 16).map(b =>
+              when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+              .reduce(_ + _).as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${dH60("t")} AS h
+              |  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t)),
+              |sums AS (
+              |  SELECT doc_id,
+              |   ${(0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
+              |  FROM toks GROUP BY doc_id)
+              |SELECT doc_id,
+              | CAST(${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+              |FROM sums ORDER BY doc_id""".stripMargin),
+      doc = "SimHash(16-bit) signatures (integer-exact)"),
+  )
+}

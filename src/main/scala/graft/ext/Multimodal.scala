@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star): media as opaque `binary`
+  * columns with typed metadata structs, plus a partition-parallel decode /
+  * feature-extract stage.
+  *
+  * The actual codecs (image/audio libs) are not in this container, so the
+  * decode step is a clearly-marked deterministic fake
+  * ([[Multimodal.fakeDecode]]); the Spark-side contract — schema, batch
+  * shape, per-partition execution, metadata propagation — is real and
+  * tested (MultimodalSpec). Swap `fakeDecode` for a real codec and
+  * nothing else changes.
+  */
+object Multimodal extends QueryModule {
+
+  /** A decoded media record: what a real image/audio decoder would emit. */
+  final case class MediaFeature(
+      doc_id: Long, mime: String, payload_len: Long,
+      width: Int, height: Int, feature_hash: String)
+
+  /** STUB: deterministic fake decode standing in for a real codec.
+    * A production decoder would parse `payload` (e.g. PNG/WAV bytes) and
+    * emit real dimensions/features; this derives them deterministically
+    * from the bytes so the pipeline is testable end-to-end. */
+  def fakeDecode(docId: Long, mime: String, payload: Array[Byte]): MediaFeature = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val hex = sha.map("%02x".format(_)).mkString
+    MediaFeature(docId, mime, payload.length.toLong,
+      width = 16 + (Math.floorMod(docId, 64L) * 16).toInt,
+      height = 16 + (Math.floorMod(docId, 48L) * 16).toInt,
+      feature_hash = hex)
+  }
+
+  /** The partition-parallel decode stage: binary column in, typed feature
+    * rows out. `mapPartitions` keeps per-partition batching (the shape a
+    * vectorized/Pandas-style decode UDF needs) without any driver
+    * collect. */
+  def decodeMedia(media: DataFrame): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mime, payload) => fakeDecode(id, mime, payload) })
+  }
+
+  /** documents → opaque media table: payload = utf-8 bytes as the binary
+    * stand-in, mime assigned deterministically. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Binary-column metadata extraction — expression-only path (byte
+    // length + content digest + mime classification), oracle-checkable.
+    "mm_binary_meta" -> Q(
+      (s, dir) =>
+        mediaTable(s, dir)
+          .select(
+            col("doc_id"), col("mime"),
+            octet_length(col("payload")).cast("long").as("payload_len"),
+            sha2(col("payload"), 256).as("payload_sha"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             | CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             |      WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             |      ELSE 'video/mp4' END AS mime,
+             | octet_length(text::BLOB) AS payload_len,
+             | sha256(text) AS payload_sha
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "multimodal binary column + typed metadata (north-star)"),
+
+    // Decode / feature-extract over partitions (fake codec, real
+    // plumbing), aggregated per mime so the output is compact.
+    "mm_decode_features" -> Q(
+      (s, dir) =>
+        decodeMedia(mediaTable(s, dir)).toDF()
+          .groupBy(col("mime"))
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum(col("payload_len")).as("total_bytes"),
+            countDistinct(col("feature_hash")).as("uniq_features"),
+            max(col("width")).cast("long").as("max_width"),
+            max(col("height")).cast("long").as("max_height"))
+          .orderBy(col("mime")),
+      Some("""SELECT
+             | CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+             |      WHEN doc_id % 3 = 1 THEN 'audio/wav'
+             |      ELSE 'video/mp4' END AS mime,
+             | count(*) AS n_media,
+             | CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+             | count(DISTINCT sha256(text)) AS uniq_features,
+             | CAST(max(16 + (doc_id % 64) * 16) AS BIGINT) AS max_width,
+             | CAST(max(16 + (doc_id % 48) * 16) AS BIGINT) AS max_height
+             |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin),
+      doc = "partition-parallel media decode stage (stubbed codec)"),
+  )
+}

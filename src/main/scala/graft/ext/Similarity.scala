@@ -1,0 +1,135 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (`embedding array<float>`, 64-dim) — north-star ops.
+  *
+  * Float discipline for oracle parity: every dot product is an ORDERED
+  * left-to-right fold over the array in DOUBLE (`aggregate`/`zip_with` on
+  * the Spark side ≡ DuckDB `list_dot_product` on `DOUBLE[]`) — identical
+  * IEEE operation sequences, so the doubles match bit-for-bit; results
+  * additionally round to 4 decimals and tie-break on vec_id.
+  *
+  * Scale path: brute force is the correctness baseline (a broadcast
+  * nested-loop of Q queries × N vectors — linear in N, embarrassingly
+  * parallel). The LSH variant bounds the candidate set via sign-sketch
+  * bucket equi-join, the strategy that survives 100 TB where brute force
+  * cannot.
+  */
+object Similarity extends QueryModule {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  /** embedding float[] → double[] (exact widening on both engines). */
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // DuckDB mirror: list_dot_product on DOUBLE[] folds pairwise products
+  // left-to-right, same as the Spark aggregate above.
+  private def dCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** 16 deterministic ±1 hyperplanes derived from md5 parity — the Scala
+    * and SQL generators produce identical signs (shared md5). */
+  private[ext] def planeSign(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8"))
+    if (((md(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Brute-force cosine top-k: 8 query vectors × all vectors, ranked per
+    // query. Query side is tiny → broadcast; the big side streams once.
+    "sim_knn_brute" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(cosine(col("qv"), col("v")), 4).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT query_id, e.vec_id AS neighbor_id,
+              |    round(${dCos("qv", "e.v")}, 4) AS sim
+              |  FROM e JOIN q ON e.vec_id <> q.query_id)
+              |SELECT query_id, rank, neighbor_id, sim FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS rank
+              |  FROM scored) WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "brute-force cosine top-k (correctness baseline for ANN)"),
+
+    // Embedding near-dup pairs: all pairs above a cosine threshold.
+    // Exact-checkable at these SFs; the LSH query below is the scale path.
+    "sim_neardup_pairs" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(cosine(col("va"), col("vb")), 4).as("sim"))
+          .filter(col("sim") >= 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              | round(${dCos("a.v", "b.v")}, 4) AS sim
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE round(${dCos("a.v", "b.v")}, 4) >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin),
+      doc = "embedding-cosine near-dup pairs (threshold 0.4)"),
+
+    // LSH-bucketed ANN: 8-bit random-hyperplane sign sketch → bucket
+    // equi-join between queries and candidates (probing the exact bucket)
+    // → exact cosine re-rank of candidates only. No oracle (the recall
+    // contract is probabilistic); SimilaritySpec checks recall vs brute.
+    "sim_ann_lsh" -> Q(
+      (s, dir) => {
+        val planes = 8
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        // sig bit p = sign(w_p · v), w_p a deterministic ±1 hyperplane;
+        // ordered fold keeps the sum reproducible.
+        def sig(v: Column): Column = (0 until planes).map { p =>
+          val w = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
+          when(dot(w, v) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sk = e.withColumn("bucket", sig(col("v")))
+        val q = sk.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+        val cand = sk.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(cosine(col("qv"), col("v")), 4).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None,
+      doc = "random-hyperplane LSH ANN (bucket join; recall-tested vs brute)"),
+  )
+}

@@ -1,0 +1,140 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (builder prompt north-star; no counterpart in the reference, which
+  * never inspects payload text). All run over the `documents` table.
+  *
+  * Everything here is pure codegen-friendly expression work (regexp +
+  * higher-order array functions) — no UDFs — so it whole-stage-codegens
+  * and scales linearly with input splits; nothing shuffles except the
+  * final small aggregations.
+  */
+object TextAnalytics extends QueryModule {
+
+  /** Tokenizer shared by every operator: lowercase alnum runs. */
+  private val tokExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  private val dTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
+  private val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Per-document stats: token count (BPE-ish regex tokenizer), byte/char
+    // lengths, stopword count, average token length.
+    "text_doc_stats" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            expr(s"size($tokExpr)").cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars_calc"),
+            expr(s"regexp_count(lower(text), '$stopPattern')").cast("long").as("n_stopwords"),
+            expr(s"aggregate($tokExpr, 0L, (a, t) -> a + length(t))").as("alpha_len"))
+          .withColumn("avg_token_len",
+            when(col("n_tokens") > 0,
+              col("alpha_len").cast("double") / col("n_tokens").cast("double"))
+              .otherwise(0.0))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              | len($dTok) AS n_tokens,
+              | length(text) AS n_chars_calc,
+              | len(regexp_extract_all(lower(text), '$dStop')) AS n_stopwords,
+              | list_reduce(list_prepend(0, list_transform($dTok, t -> length(t))),
+              |     (a, t) -> a + t) AS alpha_len,
+              | CASE WHEN len($dTok) > 0
+              |   THEN CAST(list_reduce(list_prepend(0, list_transform($dTok, t -> length(t))), (a, t) -> a + t) AS DOUBLE)
+              |        / CAST(len($dTok) AS DOUBLE)
+              |   ELSE 0.0 END AS avg_token_len
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "token counting + doc stats (north-star text analysis)"),
+
+    // Corpus-level token top-k: explode → count → TakeOrderedAndProject.
+    // Map-side partial aggregation absorbs the token skew before shuffle.
+    "text_token_topk" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(explode(expr(tokExpr)).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20),
+      Some(s"""SELECT t AS token, count(*) AS cnt
+              |FROM documents, UNNEST($dTok) AS u(t)
+              |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin),
+      doc = "vocabulary top-k (explode + partial agg)"),
+
+    // Quality scoring rolled up per (lang, source): doc counts, length
+    // moments, share of "high-quality" docs (length/stopword heuristics).
+    "text_quality_by_lang" -> Q(
+      (s, dir) => {
+        val nTok = expr(s"size($tokExpr)")
+        val nStop = expr(s"regexp_count(lower(text), '$stopPattern')")
+        val hq = nTok >= lit(20) && nTok <= lit(500) && nStop > lit(0)
+        docs(s, dir)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            count(when(hq, 1)).as("n_high_quality"))
+          .withColumn("pct_high_quality",
+            col("n_high_quality").cast("double") * 100.0 / col("n_docs").cast("double"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              | count(*) FILTER (WHERE len($dTok) BETWEEN 20 AND 500
+              |   AND len(regexp_extract_all(lower(text), '$dStop')) > 0) AS n_high_quality,
+              | CAST(count(*) FILTER (WHERE len($dTok) BETWEEN 20 AND 500
+              |   AND len(regexp_extract_all(lower(text), '$dStop')) > 0) AS DOUBLE) * 100.0
+              |   / CAST(count(*) AS DOUBLE) AS pct_high_quality
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "quality scoring (length/stopword heuristics) per lang"),
+
+    // Language-ID heuristic (n-gram/stopword marker ratio) vs the labeled
+    // lang — a confusion matrix. The marker CASE is identical SQL on both
+    // engines, so this is exact-checkable despite being a heuristic.
+    "text_langid_confusion" -> Q(
+      (s, dir) => {
+        val nTok = expr(s"size($tokExpr)")
+        val nStop = expr(s"regexp_count(lower(text), '$stopPattern')")
+        val ratio = when(nTok > 0, nStop.cast("double") / nTok.cast("double")).otherwise(0.0)
+        docs(s, dir)
+          .withColumn("predicted_lang",
+            when(ratio >= 0.05, "en").otherwise("other"))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("predicted_lang"))
+      },
+      Some(s"""SELECT lang,
+              | CASE WHEN (CASE WHEN len($dTok) > 0
+              |   THEN CAST(len(regexp_extract_all(lower(text), '$dStop')) AS DOUBLE)
+              |        / CAST(len($dTok) AS DOUBLE) ELSE 0.0 END) >= 0.05
+              |   THEN 'en' ELSE 'other' END AS predicted_lang,
+              | count(*) AS cnt
+              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "language-ID heuristic confusion matrix"),
+
+    // Document fingerprint: deterministic polynomial rolling hash over the
+    // character stream (ordered fold — identical sequential evaluation on
+    // both engines; no float, no order nondeterminism).
+    "text_fingerprint" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            expr("aggregate(regexp_extract_all(text, '.', 0), 0L, " +
+              "(h, c) -> pmod(h * 31 + ascii(c), 1000000007L))").as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             | list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |     list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+             |   (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "rolling-hash document fingerprinting"),
+  )
+}
