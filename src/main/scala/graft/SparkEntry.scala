@@ -16,6 +16,7 @@ object SparkEntry {
     ext.Dedup,
     ext.Similarity,
     ext.Multimodal,
+    ingest.IngestQueries,
   )
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.defs)

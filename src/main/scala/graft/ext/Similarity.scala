@@ -100,25 +100,36 @@ object Similarity extends QueryModule {
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "embedding-cosine near-dup pairs (threshold 0.4)"),
 
-    // LSH-bucketed ANN: 8-bit random-hyperplane sign sketch → bucket
-    // equi-join between queries and candidates (probing the exact bucket)
-    // → exact cosine re-rank of candidates only. No oracle (the recall
-    // contract is probabilistic); SimilaritySpec checks recall vs brute.
+    // LSH-bucketed ANN: L independent random-hyperplane sign sketches
+    // (hash tables) of k bits each; a query probes, per table, its own
+    // bucket plus every 1-bit-flip neighbor — all candidates arrive via
+    // ONE equi-join on (table, bucket), then exact cosine re-ranks just
+    // the candidates. k trades bucket size vs recall and would grow with
+    // corpus size (k ≈ log2(n/target_bucket)); L and the probe radius
+    // buy recall at linear cost. No oracle (the recall contract is
+    // probabilistic); ExtSpec checks recall vs the brute-force baseline.
     "sim_ann_lsh" -> Q(
       (s, dir) => {
-        val planes = 8
+        val tables = 4; val k = 6
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-        // sig bit p = sign(w_p · v), w_p a deterministic ±1 hyperplane;
-        // ordered fold keeps the sum reproducible.
-        def sig(v: Column): Column = (0 until planes).map { p =>
-          val w = array((0 until 64).map(d => lit(planeSign(p, d))): _*)
+        // sig bit p of table t = sign(w_{t,k+p} · v), w a deterministic
+        // ±1 hyperplane; ordered fold keeps the sum reproducible.
+        def sig(t: Int, v: Column): Column = (0 until k).map { p =>
+          val w = array((0 until 64).map(d => lit(planeSign(t * k + p, d))): _*)
           when(dot(w, v) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
-        val sk = e.withColumn("bucket", sig(col("v")))
-        val q = sk.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-        val cand = sk.join(broadcast(q), Seq("bucket"))
+        val sk = e.select(col("vec_id"), col("v"),
+          explode(map((0 until tables).flatMap(t =>
+            Seq(lit(t), sig(t, col("v")))): _*)).as(Seq("table_id", "bucket")))
+        val probes = sk.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("table_id"),
+            explode(array(col("bucket") +:
+              (0 until k).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+              .as("bucket"))
+        val cand = sk.join(broadcast(probes), Seq("table_id", "bucket"))
           .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
+          .dropDuplicates("query_id", "vec_id")
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(cosine(col("qv"), col("v")), 4).as("sim"))
         val w = org.apache.spark.sql.expressions.Window

@@ -1,0 +1,87 @@
+package graft.ingest
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parallel historical range loader — the reference's `backfill`
+  * (/root/reference/src/backfill.rs:11-138) Spark-first.
+  *
+  * The reference chunks the slot range, caps concurrency with a tokio
+  * semaphore, and upserts per-chunk batches. Here the whole shape is
+  * `spark.range(start, end)` → repartition(workers) → per-partition fetch
+  * + parse → dedup on the deterministic id → date-partitioned parquet
+  * write (SURVEY.md §3.2): chunking/concurrency = partitioning, semaphore
+  * = executor cores, per-chunk connections = per-partition writers, and
+  * the per-event upsert becomes dropDuplicates + idempotent overwrite of
+  * the touched date partitions.
+  *
+  * At cluster scale the fetcher partition count bounds concurrent RPC
+  * load exactly like the reference's `--workers` (rate limiting is a
+  * source property, S7); the write is append-only with dynamic partition
+  * overwrite so replays converge instead of duplicating.
+  */
+object Backfill {
+
+  /** Pluggable block fetcher: slot → block JSON (None ⇒ missing slot,
+    * warn-and-skip semantics, backfill.rs:111-113). The live RPC client
+    * would implement this; tests use [[syntheticBlock]]. */
+  type BlockFetcher = Long => Option[String]
+
+  /** Deterministic synthetic block standing in for the RPC source at
+    * test scale: 2 transactions per slot, one with a token instruction +
+    * post balance, one failed — exercising every parse branch. */
+  def syntheticBlock(slot: Long): Option[String] = {
+    if (slot % 97 == 0) return None // simulate missing slots
+    val t = 1704067200L + slot * 60
+    def sig(i: Int) = s"sig_${slot}_$i"
+    Some(
+      s"""{"blockTime":$t,"blockhash":"bh_$slot","parentSlot":${slot - 1},"transactions":[
+         |{"transaction":{"signatures":["${sig(0)}"],"message":{
+         |  "accountKeys":["wallet_${slot % 50}","TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"],
+         |  "instructions":[{"programId":"TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA","accounts":["a1"],"data":"d1"},
+         |                  {"programId":"prog_${slot % 7}","accounts":["a2"],"data":"d2"}]}},
+         | "meta":{"err":null,"fee":5000,
+         |  "preTokenBalances":[{"accountIndex":1,"mint":"mint_${slot % 11}","owner":"wallet_${slot % 50}","uiTokenAmount":{"amount":"100","decimals":6,"uiAmountString":"0.0001"}}],
+         |  "postTokenBalances":[{"accountIndex":1,"mint":"mint_${slot % 11}","owner":"wallet_${slot % 50}","uiTokenAmount":{"amount":"250","decimals":6,"uiAmountString":"0.00025"}}],
+         |  "logMessages":["ok"]}},
+         |{"transaction":{"signatures":["${sig(1)}"],"message":{
+         |  "accountKeys":[{"pubkey":"wallet_${(slot + 1) % 50}"}],
+         |  "instructions":[{"programId":"prog_${slot % 5}","accounts":[],"data":"d3"}]}},
+         | "meta":{"err":"{\\"InstructionError\\":[0,\\"Custom\\"]}","fee":5000,
+         |  "preTokenBalances":[],"postTokenBalances":[],"logMessages":["fail"]}}
+         |]}""".stripMargin.replace("\n", ""))
+  }
+
+  /** Fetch a slot range as raw (slot, block_json) rows, `workers`-way
+    * parallel (backfill.rs:22-60). */
+  def fetchRange(spark: SparkSession, startSlot: Long, endSlot: Long,
+      workers: Int, fetcher: BlockFetcher = syntheticBlock): DataFrame = {
+    import spark.implicits._
+    spark.range(startSlot, endSlot)
+      .repartition(workers)
+      .as[Long]
+      .mapPartitions(slots => slots.flatMap(s => fetcher(s).map(j => (s, j))))
+      .toDF("slot", "block_json")
+  }
+
+  /** Full backfill: fetch → parse → dedup → date-partitioned write.
+    * Dynamic partition overwrite keeps replays idempotent (only the
+    * re-ingested dates rewrite; SURVEY.md §7.4 risk 8). */
+  def run(spark: SparkSession, startSlot: Long, endSlot: Long, workers: Int,
+      outPath: String, fetcher: BlockFetcher = syntheticBlock): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Parse.parse(fetchRange(spark, startSlot, endSlot, workers, fetcher))
+      .withColumn("block_date", to_date(col("block_time")))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("block_date")
+      .parquet(outPath)
+  }
+
+  /** Idempotent reload guard (S11/J3, warehouse.rs:287-299): drop slots
+    * already present in the sink via a left-anti join — one distributed
+    * pass instead of the reference's per-slot COUNT(*) probe. */
+  def filterProcessed(incoming: DataFrame, existing: DataFrame): DataFrame =
+    incoming.join(existing.select(col("slot")).distinct(), Seq("slot"), "left_anti")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-query invariants on sf0.001 (SURVEY.md §5.2: property-style
+  * checks complementing the DuckDB differential gate). */
+class QueriesSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+  }
+
+  test("period counts are monotone: today ≤ week ≤ month ≤ total") {
+    val r = run("evt_volume_summary").collect()(0)
+    val (total, today, week, month) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(today <= week && week <= month && month <= total)
+  }
+
+  test("failure_rate ∈ [0,100]") {
+    val rate = run("evt_failed_summary").select("failure_rate").collect()(0).getDouble(0)
+    assert(rate >= 0.0 && rate <= 100.0)
+  }
+
+  test("wallet activity distincts are monotone") {
+    val r = run("evt_wallet_activity").collect()(0)
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(0))
+  }
+
+  test("top-k outputs respect their limits and orderings") {
+    val tw = run("evt_top_wallets").select("tx_count").collect().map(_.getLong(0))
+    assert(tw.length <= 20 && tw.sameElements(tw.sortBy(-_)))
+    val tt = run("evt_top_tokens").select("transfer_count").collect().map(_.getLong(0))
+    assert(tt.length <= 20 && tt.sameElements(tt.sortBy(-_)))
+  }
+
+  test("canonical event ids are unique (idempotency key)") {
+    val df = run("evt_canonical_events")
+    assert(df.count() == df.select("event_hash").distinct().count())
+  }
+}

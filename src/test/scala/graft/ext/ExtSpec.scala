@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** North-star operator properties that the SQL oracle can't express:
+  * LSH recall vs brute force, MinHash candidate containment, hash
+  * parity, multimodal decode plumbing. */
+class ExtSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("60-bit md5 hash parity with the DuckDB formula") {
+    // DuckDB: SELECT ('0x'||substr(md5('abc'),1,15))::BIGINT = 648541476951500027
+    import spark.implicits._
+    val got = Seq("abc").toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .as[Long].head()
+    assert(got == 648541476951500027L)
+  }
+
+  test("MinHash/LSH candidates contain every very-high-jaccard pair") {
+    // With 8 hashes in 4 bands of 2, P(candidate) = 1-(1-j²)⁴ ≈ 0.9996
+    // for j ≥ 0.9 — every planted near-dup pair must surface.
+    import spark.implicits._
+    val trueDups = run("dedup_jaccard_pairs")
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val cands = run("dedup_minhash_candidates")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(trueDups.nonEmpty, "testdata should contain planted near-dups")
+    val missed = trueDups -- cands
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("simhash: near-identical docs collide, hamming reflects similarity") {
+    import spark.implicits._
+    val sims = run("dedup_simhash").as[(Long, Long)].collect().toMap
+    val dupPairs = run("dedup_jaccard_pairs")
+      .filter(col("jaccard") >= 0.95).select("d1", "d2")
+      .as[(Long, Long)].collect()
+    assert(dupPairs.nonEmpty)
+    val hammings = dupPairs.map { case (a, b) =>
+      java.lang.Long.bitCount(sims(a) ^ sims(b))
+    }
+    // 16-bit simhash of ~99% similar docs: expect tiny hamming distance
+    assert(hammings.forall(_ <= 4), s"hammings too large: ${hammings.toSeq}")
+  }
+
+  test("ANN LSH recall vs brute-force top-5 is usable") {
+    import spark.implicits._
+    val brute = run("sim_knn_brute")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = run("sim_ann_lsh")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    // 4 tables × 6 planes with 1-bit multi-probe on weakly-clustered
+    // vectors (top-5 cosines ≈ 0.3-0.5): expect well over half
+    assert(recall >= 0.4, s"recall $recall too low")
+    assert(ann.nonEmpty)
+  }
+
+  test("multimodal decode: partition-parallel stub emits typed features") {
+    val media = Multimodal.mediaTable(spark, Sf)
+    val feats = Multimodal.decodeMedia(media)
+    assert(feats.count() == media.count())
+    val f = feats.filter(col("doc_id") === 7).collect()(0)
+    assert(f.mime == "audio/wav") // 7 % 3 == 1
+    assert(f.payload_len > 0 && f.feature_hash.length == 64)
+    // deterministic: same input → same features
+    val again = Multimodal.decodeMedia(media).filter(col("doc_id") === 7).collect()(0)
+    assert(again == f)
+  }
+}

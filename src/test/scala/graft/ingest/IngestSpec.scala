@@ -1,0 +1,69 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Backfill + incremental pipelines end-to-end on the synthetic RPC
+  * stand-in (backfill.rs / incremental.rs semantics). */
+class IngestSpec extends SparkSpec {
+
+  test("backfill writes date-partitioned events; replay is idempotent") {
+    val out = Files.createTempDirectory("graft_backfill").toString + "/events"
+    Backfill.run(spark, 1L, 101L, workers = 4, out)
+    val first = spark.read.parquet(out)
+    val n1 = first.count()
+    assert(n1 > 0)
+    assert(first.columns.contains("block_date"))
+    // missing slots (every 97th) skipped, not failed
+    assert(first.select("slot").distinct().count() < 100)
+    // distinct event ids == rows (upsert key holds)
+    assert(first.select("event_id").distinct().count() == n1)
+    // replay the same range → same content (dynamic partition overwrite);
+    // fresh read — the old DF's file listing is stale after overwrite
+    Backfill.run(spark, 1L, 101L, workers = 4, out)
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
+  test("filterProcessed drops already-loaded slots (anti-join guard)") {
+    import spark.implicits._
+    val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("slot", "payload")
+    val existing = Seq(2L).toDF("slot")
+    val kept = Backfill.filterProcessed(incoming, existing)
+      .select("slot").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("incremental: AvailableNow drains files; restart picks up new slots only") {
+    val base = Files.createTempDirectory("graft_inc").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+
+    def dropBlocks(name: String, slots: Range): Unit = {
+      val lines = slots.flatMap { s =>
+        Backfill.syntheticBlock(s).map { j =>
+          val esc = j.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""{"slot":$s,"block_json":"$esc"}"""
+        }
+      }
+      Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+
+    dropBlocks("batch1", 1 to 50)
+    val q1 = Incremental.start(spark, src, sink, ckpt)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(sink).count()
+    assert(n1 > 0)
+
+    // second trigger with new + REPLAYED blocks: only new events land
+    dropBlocks("batch2", 40 to 80)
+    val q2 = Incremental.start(spark, src, sink, ckpt)
+    q2.awaitTermination()
+    val after = spark.read.parquet(sink)
+    assert(after.count() == after.select("event_id").distinct().count())
+    assert(after.agg(max(col("slot"))).collect()(0).getLong(0) == 80L)
+
+    assert(Incremental.slotLag(spark, sink, chainTip = 90L) == 10L)
+  }
+}

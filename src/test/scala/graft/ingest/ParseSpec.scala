@@ -1,0 +1,109 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.model.Schemas._
+import org.apache.spark.sql.functions._
+
+/** Parse-layer fixtures per FIXTURES.md §3: tiny literal block JSONs
+  * shaped like the reference's inputs (parsers.rs:10-30). */
+class ParseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rawDF(rows: (Long, String)*) =
+    rows.toDF("slot", "block_json")
+
+  private val basicBlock =
+    """{"blockTime":1704067200,"blockhash":"bh1","parentSlot":9,"transactions":[
+      |{"transaction":{"signatures":["sigA"],"message":{
+      |  "accountKeys":["walletA","progX"],
+      |  "instructions":[{"programId":"progX","accounts":["a"],"data":"d"},
+      |                  {"programId":"TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA","accounts":[],"data":"e"}]}},
+      | "meta":{"err":null,"fee":5000,"preTokenBalances":[],
+      |  "postTokenBalances":[{"accountIndex":1,"mint":"mintM","owner":"walletB",
+      |    "uiTokenAmount":{"amount":"42","decimals":6,"uiAmountString":"0.000042"}}],
+      |  "logMessages":["ok"]}},
+      |{"transaction":{"signatures":["sigB"],"message":{
+      |  "accountKeys":[{"pubkey":"walletObj"}],
+      |  "instructions":[]}},
+      | "meta":{"err":"oops","fee":1,"preTokenBalances":[],"postTokenBalances":[],
+      |  "logMessages":[]}}
+      |]}""".stripMargin.replace("\n", "")
+
+  test("fan-out: 1 block → tx + instruction + transfer events") {
+    val ev = Parse.parse(rawDF(10L -> basicBlock))
+    val byType = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType(EvTransaction) == 2)          // sigA + sigB
+    assert(byType(EvProgramInstruction) == 1)   // progX
+    assert(byType(EvTokenInstruction) == 1)     // Tokenkeg...
+    assert(byType(EvTokenTransfer) == 1)        // mintM post balance
+  }
+
+  test("event_id matches the reference sha256 golden vector") {
+    // sha256("10:sigA:-1:transaction") — events.rs:76-86 format
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("10:sigA:-1:transaction".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = Parse.parse(rawDF(10L -> basicBlock))
+      .filter($"tx_signature" === "sigA" && $"event_type" === EvTransaction)
+      .select("event_id").as[String].head()
+    assert(got == expected)
+  }
+
+  test("dual-shape accountKeys: string and {pubkey:…} both resolve") {
+    val ev = Parse.parse(rawDF(10L -> basicBlock))
+      .filter($"event_type" === EvTransaction)
+      .select($"tx_signature", get_json_object($"raw_payload", "$.wallet").as("w"))
+      .as[(String, String)].collect().toMap
+    assert(ev("sigA") == "walletA")
+    assert(ev("sigB") == "walletObj")
+  }
+
+  test("err/success complement (parsers.rs:59-62)") {
+    val ev = Parse.parse(rawDF(10L -> basicBlock))
+      .filter($"event_type" === EvTransaction)
+      .select($"tx_signature", get_json_object($"raw_payload", "$.success").as("s"))
+      .as[(String, String)].collect().toMap
+    assert(ev("sigA") == "true")
+    assert(ev("sigB") == "false")
+  }
+
+  test("malformed tx skipped, block survives (parsers.rs:22-26)") {
+    val block =
+      """{"blockTime":1704067200,"transactions":[
+        |{"transaction":{"signatures":[],"message":{"accountKeys":[],"instructions":[]}},"meta":{"err":null}},
+        |{"transaction":{"signatures":["ok1"],"message":{"accountKeys":["w"],"instructions":[]}},"meta":{"err":null}}
+        |]}""".stripMargin.replace("\n", "")
+    val ev = Parse.parse(rawDF(5L -> block))
+    assert(ev.count() == 1) // only the signed tx
+  }
+
+  test("block missing blockTime dropped (parsers.rs:33-41)") {
+    val bad = """{"transactions":[]}"""
+    assert(Parse.parse(rawDF(5L -> bad)).count() == 0)
+    assert(Parse.parse(rawDF(5L -> "not json at all")).count() == 0)
+  }
+
+  test("idempotency: parsing twice ≡ once (event_id dedup)") {
+    val once = Parse.parse(rawDF(10L -> basicBlock))
+    val twice = Parse.parse(rawDF(10L -> basicBlock, 10L -> basicBlock))
+    assert(once.count() == twice.count())
+  }
+
+  test("netTokenTransfers computes post - pre per (account, mint)") {
+    val block =
+      """{"blockTime":1704067200,"transactions":[
+        |{"transaction":{"signatures":["s1"],"message":{"accountKeys":["w"],"instructions":[]}},
+        | "meta":{"err":null,
+        |  "preTokenBalances":[{"accountIndex":1,"mint":"m1","owner":"w","uiTokenAmount":{"amount":"100","decimals":6,"uiAmountString":"x"}}],
+        |  "postTokenBalances":[{"accountIndex":1,"mint":"m1","owner":"w","uiTokenAmount":{"amount":"175","decimals":6,"uiAmountString":"x"}},
+        |                       {"accountIndex":2,"mint":"m2","owner":"v","uiTokenAmount":{"amount":"9","decimals":0,"uiAmountString":"9"}}]}}
+        |]}""".stripMargin.replace("\n", "")
+    val net = Parse.netTokenTransfers(Parse.parseBlocks(rawDF(3L -> block)))
+      .select($"mint", $"net_amount".cast("long")).as[(String, Long)]
+      .collect().toMap
+    assert(net("m1") == 75L)   // 175 - 100
+    assert(net("m2") == 9L)    // appeared only post
+  }
+}
