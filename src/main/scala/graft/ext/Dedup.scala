@@ -21,29 +21,28 @@ object Dedup extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  /** Word 3-gram shingles of the lowercase alnum token stream. Guarded:
-    * Spark's `sequence(1, n)` with n < 1 counts DOWN (unlike DuckDB's
-    * empty generate_series), so short docs must return an empty array
-    * explicitly. */
-  private val shinglesExpr =
-    """CASE WHEN size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) >= 3
-      |THEN transform(sequence(1, size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - 2),
-      |  i -> concat_ws(' ',
-      |    element_at(regexp_extract_all(lower(text), '[a-z0-9]+', 0), i),
-      |    element_at(regexp_extract_all(lower(text), '[a-z0-9]+', 0), i + 1),
-      |    element_at(regexp_extract_all(lower(text), '[a-z0-9]+', 0), i + 2)))
-      |ELSE array() END""".stripMargin.replace("\n", " ")
-
+  // Word 3-gram shingles; the CASE guard matters — Spark's
+  // `sequence(1, n)` with n < 1 counts DOWN (unlike DuckDB's empty
+  // generate_series), so short docs must yield an empty array explicitly.
   private val dShingles =
     """list_transform(generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
       |  i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
       |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
       |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])""".stripMargin.replace("\n", " ")
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs. Tokenizes ONCE into a column
+    * before shingling — inlining the regexp into every element_at would
+    * re-run it 4× per row (no CSE across higher-order-function lambdas).
+    */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ts) >= 3
+          |THEN transform(sequence(1, size(ts) - 2),
+          |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
+          |ELSE array() END""".stripMargin.replace("\n", " "))).as("shingle"))
       .distinct()
 
   private val dShingleRows =
