@@ -246,6 +246,35 @@ object EventAnalytics extends QueryModule {
              |ORDER BY user_id""".stripMargin),
       doc = "ref parsers.rs:179-182 (pre/post balance netting, full-outer)"),
 
+    // S3: single-record point lookup by key — the predicate reaches the
+    // parquet scan as a pushed filter (rpc.rs:139-160's get_transaction
+    // as a pushed-down scan instead of an RPC roundtrip).
+    "evt_point_lookup" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("event_id") === 4242L)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("ts_us"), col("value")),
+      Some(s"""SELECT event_id, user_id, event_type, $dNs // 1000 AS ts_us, value
+              |FROM events WHERE event_id = 4242""".stripMargin),
+      doc = "ref rpc.rs:139-160 (S3 point lookup, pushed-down predicate)"),
+
+    // S4: address-history scan with keyset pagination — predicate + sort
+    // + limit, the Spark form of limit/before/until paging
+    // (rpc.rs:162-187).
+    "evt_address_history" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("user_id") === 7L && col("ts") < AnchorNs)
+          .orderBy(col("ts").desc, col("event_id"))
+          .limit(25)
+          .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+            col("event_type"), col("value")),
+      Some(s"""SELECT event_id, $dNs // 1000 AS ts_us, event_type, value
+              |FROM events WHERE user_id = 7 AND $dNs < $AnchorNs
+              |ORDER BY $dNs DESC, event_id LIMIT 25""".stripMargin),
+      doc = "ref rpc.rs:162-187 (S4 keyset pagination → filter+sort+limit)"),
+
     // F1 + §2.10 fan-out shape: canonical-event projection with the
     // deterministic sha256 event id (events.rs:76-86) — exact hex parity.
     "evt_canonical_events" -> Q(

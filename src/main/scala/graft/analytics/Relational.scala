@@ -211,6 +211,22 @@ object Relational extends QueryModule {
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       doc = "grouping sets / rollup coverage"),
 
+    // CUBE: all grouping-set combinations over two dims (completes the
+    // rollup/cube/grouping-sets family).
+    "rel_cube_status_prio" -> Q(
+      (s, dir) =>
+        orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+      doc = "grouping-sets CUBE coverage"),
+
     // Set ops: customers active in 1996 ∩ 1997, ∖, counts (SURVEY §2.7).
     "rel_set_ops" -> Q(
       (s, dir) => {

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming analytics surface beyond the reference's poll-loop (which
+  * has no event-time semantics at all — SURVEY.md §2.9): event-time
+  * tumbling/sliding windows with watermarking, and watermarked streaming
+  * dedup. These are the operators a continuous deployment of the
+  * analytics families needs (hourly volume as a live query instead of a
+  * batch recompute).
+  *
+  * All transforms are expressed on an unbounded DataFrame, so the same
+  * code runs batch (tests drive it with file sources + AvailableNow) and
+  * continuous (ProcessingTime trigger) — the Spark contract the
+  * reference's hand-rolled loop cannot offer.
+  */
+object StreamAnalytics {
+
+  /** Live per-(event_type, hour-window) counts with a watermark bounding
+    * state: the streaming form of evt_hourly_volume (analytics.rs:
+    * 329-337). `slide` < `width` gives overlapping (sliding) windows. */
+  def windowedVolume(events: DataFrame, width: String = "1 hour",
+      slide: Option[String] = None, watermark: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    val win = slide match {
+      case Some(sl) => window(col("ts"), width, sl)
+      case None     => window(col("ts"), width)
+    }
+    wm.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("cnt"), col("total_value"))
+  }
+
+  /** Watermarked streaming dedup on the idempotency key — the streaming
+    * form of the reference's replay absorption (ST7, warehouse.rs:
+    * 227-229): duplicates arriving within the watermark horizon are
+    * dropped with bounded state. */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Start a windowed-volume query into an in-memory sink (smoke/test
+    * harness; production would writeStream to parquet/Kafka). */
+  def startToMemory(agg: DataFrame, name: String): StreamingQuery =
+    agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan quality gates (the 100 TB posture, SURVEY.md §4):
+  * filters and projections must reach the parquet scan, small dims must
+  * broadcast, global top-k must plan as TakeOrderedAndProject — asserted
+  * on the actual executed plans so regressions fail loudly. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf)
+    df.collect() // materialize so AQE finalizes join strategies
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("point lookup pushes the key predicate into the parquet scan") {
+    val p = planOf("evt_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id,4242)]"), p)
+  }
+
+  test("pricing summary pushes the date filter and prunes columns") {
+    val p = planOf("rel_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // pruned scan: the 11-column table reads only the 5 touched columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && read.contains("l_quantity"), read)
+  }
+
+  test("regional revenue broadcasts every dimension side") {
+    val p = planOf("rel_regional_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, plan:\n$p")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("rel_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("program trends semi-join stays broadcast (no shuffled fact)") {
+    val p = planOf("evt_program_trends")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("whole-stage codegen covers the aggregation pipelines") {
+    // codegen stages render as "*(n) " prefixes in the executed plan
+    val p = planOf("evt_volume_summary")
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(2) HashAggregate"), p)
+    // and the aggregation is partial/final split (map-side combine)
+    assert(p.contains("partial_count"), p)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Event-time streaming semantics: windowed aggregation under a
+  * watermark, and watermarked dedup — driven by file sources with
+  * AvailableNow so the tests are synchronous and deterministic. */
+class StreamSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def writeEvents(dir: String, name: String, rows: Seq[(Long, String, String, Double)]): Unit = {
+    val lines = rows.map { case (id, ts, et, v) =>
+      s"""{"event_id":$id,"ts":"$ts","event_type":"$et","value":$v}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$dir/$name.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("tumbling window counts complete when the watermark passes") {
+    val src = Files.createTempDirectory("graft_stream").toString
+    writeEvents(src, "b1", Seq(
+      (1L, "2024-01-01T10:05:00Z", "purchase", 10.0),
+      (2L, "2024-01-01T10:40:00Z", "purchase", 5.0),
+      (3L, "2024-01-01T11:10:00Z", "view", 1.0),
+      // late straggler within watermark for the 10:00 window
+      (4L, "2024-01-01T10:55:00Z", "purchase", 2.0),
+      // watermark pusher: advances event time far past 11:00
+      (5L, "2024-01-01T14:00:00Z", "view", 1.0)))
+
+    val stream = spark.readStream.schema(schema).json(src)
+    val q = StreamAnalytics.startToMemory(
+      StreamAnalytics.windowedVolume(stream, watermark = "1 hour"), "win_out")
+    q.awaitTermination()
+
+    val out = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // windows sealed once watermark (14:00 - 1h = 13:00) passed their end
+    assert(out.contains(("2024-01-01 10:00:00.0", "purchase", 3L, 17.0)), out)
+    assert(out.contains(("2024-01-01 11:00:00.0", "view", 1L, 1.0)), out)
+  }
+
+  test("dropDuplicatesWithinWatermark absorbs replayed event ids") {
+    val src = Files.createTempDirectory("graft_dedup").toString
+    writeEvents(src, "b1", Seq(
+      (1L, "2024-01-01T10:00:00Z", "purchase", 1.0),
+      (1L, "2024-01-01T10:00:30Z", "purchase", 1.0),  // replay, same id
+      (2L, "2024-01-01T10:01:00Z", "view", 2.0),
+      (1L, "2024-01-01T10:02:00Z", "purchase", 1.0))) // replay again
+
+    val stream = spark.readStream.schema(schema).json(src)
+    val q = StreamAnalytics.startToMemory(
+      StreamAnalytics.dedupedStream(stream), "dedup_out")
+    q.awaitTermination()
+
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+}
