@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI mirroring the reference's four subcommands
+  * (/root/reference/src/main.rs:13-37) so a reference user can switch:
+  *
+  * {{{
+  *   graft.Main backfill <start_slot> <end_slot> <workers> <out>
+  *   graft.Main incremental <src_dir> <sink> <checkpoint> [intervalSec]
+  *   graft.Main analytics <fact_path> <out_dir> [anchor e.g. 2024-01-16T00:00:00]
+  *   graft.Main health <fact_path>
+  * }}}
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "backfill" :: start :: end :: workers :: out :: Nil =>
+      val spark = session()
+      ingest.Backfill.run(spark, start.toLong, end.toLong, workers.toInt, out)
+      println(s"backfill complete: ${spark.read.parquet(out).count()} events")
+      spark.stop()
+
+    case "incremental" :: src :: sink :: ckpt :: rest =>
+      val spark = session()
+      val trigger = rest.headOption match {
+        case Some(sec) => org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(s"$sec seconds") // the reference's poll interval
+        case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      }
+      val q = ingest.Incremental.start(spark, src, sink, ckpt, trigger)
+      q.awaitTermination()
+      spark.stop()
+
+    case "analytics" :: fact :: out :: rest =>
+      val spark = session()
+      val anchor = java.sql.Timestamp.valueOf(
+        rest.headOption.getOrElse("2024-01-16T00:00:00").replace('T', ' '))
+      val counts = analytics.AnalyticsRunner.runAll(
+        spark, spark.read.parquet(fact), anchor, out)
+      counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
+      spark.stop()
+
+    case "health" :: fact :: Nil =>
+      // RPC reachability + warehouse SELECT-1 (health.rs:7-58) →
+      // source readability + sink tip probe.
+      val spark = session()
+      val tip = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0).getLong(0)
+      println(s"""{"status":"ok","sink_tip_slot":$tip}""")
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: backfill <start> <end> <workers> <out>
+           |       incremental <src_dir> <sink> <ckpt> [intervalSec]
+           |       analytics <fact_path> <out_dir> [anchorTimestamp]
+           |       health <fact_path>""".stripMargin)
+      sys.exit(2)
+  }
+}

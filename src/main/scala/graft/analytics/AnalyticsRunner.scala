@@ -1,0 +1,157 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `analytics` subcommand as a library call: computes the
+  * ten summary tables (/root/reference/src/analytics.rs:7-32,41-198) from
+  * a canonical-events fact table and materializes each with
+  * `mode("overwrite")` — the atomic replacement for the reference's
+  * DELETE-then-row-at-a-time-INSERT loops (SURVEY.md §3.1).
+  *
+  * Pure functions of (fact, anchor): the anchor instant replaces
+  * `CURRENT_DATE`/`NOW()` so runs are reproducible and testable
+  * (SURVEY.md §7.1). Column names/types mirror the reference DDLs.
+  *
+  * The fact schema is the ingest layer's output
+  * ([[graft.ingest.Parse.toEvents]]): event_id, slot, block_time,
+  * tx_signature, program_id, instruction_index, event_type, raw_payload.
+  */
+object AnalyticsRunner {
+
+  /** wallet = first signer, promoted at parse time into the payload
+    * (docs/SCHEMA.md:56-66 declares the column the reference never
+    * fills — promoting it avoids re-parsing JSON in every query). */
+  private def wallet = get_json_object(col("raw_payload"), "$.wallet")
+  private def errType = get_json_object(col("raw_payload"), "$.err")
+  private def mint = get_json_object(col("raw_payload"), "$.token_mint")
+  private def toWallet = get_json_object(col("raw_payload"), "$.to_wallet")
+
+  /** analytics_transaction_volume (analytics.rs:41-48,243-326). */
+  def transactionVolume(fact: DataFrame, anchor: java.sql.Timestamp): DataFrame = {
+    val a = lit(anchor)
+    fact.filter(col("event_type") === "transaction").agg(
+      count(lit(1)).as("total_transactions"),
+      count(when(to_date(col("block_time")) === to_date(a), 1)).as("transactions_today"),
+      count(when(col("block_time") >= date_sub(a, 7), 1)).as("transactions_week"),
+      count(when(col("block_time") >= date_sub(a, 30), 1)).as("transactions_month"))
+  }
+
+  /** analytics_hourly_volume (analytics.rs:57-64,329-357): 24h window. */
+  def hourlyVolume(fact: DataFrame, anchor: java.sql.Timestamp): DataFrame =
+    fact.filter(col("event_type") === "transaction" &&
+        col("block_time") >= lit(anchor) - expr("INTERVAL 24 HOURS") &&
+        col("block_time") < lit(anchor))
+      .groupBy(to_date(col("block_time")).as("date"),
+        hour(col("block_time")).as("hour"))
+      .agg(count(lit(1)).as("transaction_count"))
+      .orderBy(col("date"), col("hour"))
+
+  /** analytics_active_programs (analytics.rs:74-82,360-404). */
+  def activePrograms(fact: DataFrame): DataFrame =
+    fact.filter(col("program_id").isNotNull)
+      .groupBy(col("program_id"))
+      .agg(count(lit(1)).as("transaction_count"),
+        countDistinct(wallet).as("unique_wallets"),
+        max(col("block_time")).as("last_seen"))
+      .orderBy(col("transaction_count").desc, col("program_id"))
+      .limit(50)
+
+  /** analytics_token_transfers (analytics.rs:92-99,407-456): one
+    * multi-distinct pass replaces three scalar queries (SURVEY §7.5). */
+  def tokenTransfers(fact: DataFrame): DataFrame =
+    fact.filter(col("event_type") === "token_transfer").agg(
+      count(lit(1)).as("total_transfers"),
+      countDistinct(mint).as("unique_tokens"),
+      countDistinct(toWallet).as("unique_receivers"))
+
+  /** analytics_top_tokens (analytics.rs:109-116,459-495). */
+  def topTokens(fact: DataFrame): DataFrame =
+    fact.filter(col("event_type") === "token_transfer" && mint.isNotNull)
+      .groupBy(mint.as("token_mint"))
+      .agg(count(lit(1)).as("transfer_count"),
+        countDistinct(toWallet).as("unique_wallets"))
+      .orderBy(col("transfer_count").desc, col("token_mint"))
+      .limit(20)
+
+  /** analytics_failed_transactions (analytics.rs:126-131,499-533). */
+  def failedTransactions(fact: DataFrame): DataFrame = {
+    val tx = fact.filter(col("event_type") === "transaction")
+    tx.agg(
+      count(lit(1)).as("total"),
+      count(when(get_json_object(col("raw_payload"), "$.success") === "false", 1))
+        .as("failed_transactions"))
+      .select(col("failed_transactions"),
+        when(col("total") > 0,
+          round(col("failed_transactions").cast("double") * 100.0 /
+            col("total").cast("double"), 2))
+          .otherwise(0.0).cast("decimal(5,2)").as("failure_rate"))
+  }
+
+  /** analytics_top_errors (analytics.rs:141-147,536-569). */
+  def topErrors(fact: DataFrame): DataFrame =
+    fact.filter(col("event_type") === "transaction" &&
+        get_json_object(col("raw_payload"), "$.success") === "false")
+      .groupBy(coalesce(errType, lit("unknown")).as("error_type"))
+      .agg(count(lit(1)).as("error_count"))
+      .orderBy(col("error_count").desc, col("error_type"))
+      .limit(10)
+
+  /** analytics_wallet_activity (analytics.rs:157-163,573-615). */
+  def walletActivity(fact: DataFrame, anchor: java.sql.Timestamp): DataFrame = {
+    val a = lit(anchor)
+    val tx = fact.filter(col("event_type") === "transaction" && wallet.isNotNull)
+    tx.agg(
+      countDistinct(wallet).as("active_wallets_total"),
+      countDistinct(when(to_date(col("block_time")) === to_date(a), wallet))
+        .as("active_wallets_today"),
+      countDistinct(when(col("block_time") >= date_sub(a, 7), wallet))
+        .as("active_wallets_week"))
+  }
+
+  /** analytics_top_wallets (analytics.rs:173-181,619-654). */
+  def topWallets(fact: DataFrame): DataFrame =
+    fact.filter(col("event_type") === "transaction" && wallet.isNotNull)
+      .groupBy(wallet.as("wallet"))
+      .agg(count(lit(1)).as("transaction_count"),
+        min(col("block_time")).as("first_seen"),
+        max(col("block_time")).as("last_seen"))
+      .orderBy(col("transaction_count").desc, col("wallet"))
+      .limit(20)
+
+  /** analytics_program_trends (analytics.rs:191-198,657-712): the top-10
+    * programs' daily series — ONE semi-join plan, not a per-program query
+    * loop (SURVEY §7.5). */
+  def programTrends(fact: DataFrame, anchor: java.sql.Timestamp): DataFrame = {
+    val top10 = fact.filter(col("program_id").isNotNull)
+      .groupBy(col("program_id")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("program_id")).limit(10)
+      .select(col("program_id"))
+    fact.filter(col("block_time") >= date_sub(lit(anchor), 30))
+      .join(broadcast(top10), Seq("program_id"), "left_semi")
+      .groupBy(col("program_id"), to_date(col("block_time")).as("date"))
+      .agg(count(lit(1)).as("transaction_count"))
+      .orderBy(col("program_id"), col("date"))
+  }
+
+  /** Run all ten families and materialize them under `outDir` — the full
+    * `analytics` subcommand (analytics.rs:7-32). */
+  def runAll(spark: SparkSession, fact: DataFrame, anchor: java.sql.Timestamp,
+      outDir: String): Map[String, Long] = {
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "analytics_transaction_volume" -> transactionVolume(fact, anchor),
+      "analytics_hourly_volume" -> hourlyVolume(fact, anchor),
+      "analytics_active_programs" -> activePrograms(fact),
+      "analytics_token_transfers" -> tokenTransfers(fact),
+      "analytics_top_tokens" -> topTokens(fact),
+      "analytics_failed_transactions" -> failedTransactions(fact),
+      "analytics_top_errors" -> topErrors(fact),
+      "analytics_wallet_activity" -> walletActivity(fact, anchor),
+      "analytics_top_wallets" -> topWallets(fact),
+      "analytics_program_trends" -> programTrends(fact, anchor))
+    tables.map { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }.toMap
+  }
+}

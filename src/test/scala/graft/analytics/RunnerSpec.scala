@@ -1,0 +1,39 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.ingest.{Backfill, Parse}
+import java.nio.file.Files
+
+/** End-to-end reference-parity pipeline: backfill → fact table → the ten
+  * analytics result tables (the `analytics` subcommand). */
+class RunnerSpec extends SparkSpec {
+
+  test("runAll materializes all ten reference result tables") {
+    val base = Files.createTempDirectory("graft_runner").toString
+    Backfill.run(spark, 1L, 101L, workers = 4, s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    // anchor inside the synthetic block time range (slots → minutes past
+    // 2024-01-01)
+    val anchor = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val counts = AnalyticsRunner.runAll(spark, fact, anchor, s"$base/analytics")
+
+    assert(counts.size == 10)
+    assert(counts("analytics_transaction_volume") == 1L)
+    assert(counts("analytics_active_programs") > 0)
+    assert(counts("analytics_top_tokens") > 0)
+    assert(counts("analytics_failed_transactions") == 1L)
+    assert(counts("analytics_top_errors") > 0)     // every slot has 1 failed tx
+    assert(counts("analytics_wallet_activity") == 1L)
+    assert(counts("analytics_top_wallets") > 0)
+    assert(counts("analytics_program_trends") > 0)
+
+    // failure-rate semantics: synthetic blocks have 1 failed of 2 txs
+    val fr = spark.read.parquet(s"$base/analytics/analytics_failed_transactions")
+      .collect()(0)
+    assert(fr.getDecimal(1).doubleValue() == 50.0)
+
+    // trends are bounded by the top-10 semi-join
+    val trends = spark.read.parquet(s"$base/analytics/analytics_program_trends")
+    assert(trends.select("program_id").distinct().count() <= 10)
+  }
+}
