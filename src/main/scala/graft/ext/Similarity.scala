@@ -26,21 +26,11 @@ object Similarity extends QueryModule {
   /** embedding float[] → double[] (exact widening on both engines). */
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** HOF fold — used only for the tiny LSH plane projections; the pair
+    * hot paths use the native codegen'd
+    * [[graft.functions.VectorExpressions.vector_cosine]]. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Pair-scoring hot path: fixed-width dot product unrolled into a flat
-    * left-to-right addition chain — whole-stage-codegen'd straight-line
-    * arithmetic, ~10× cheaper per pair than the interpreted
-    * higher-order-function fold, with the IDENTICAL summation order (so
-    * DuckDB's list_dot_product reproduces it bit-for-bit). */
-  private val Dim = 64
-  private def dotUnrolled(a: Column, b: Column): Column =
-    (0 until Dim).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
 
 
   // DuckDB mirror: list_dot_product on DOUBLE[] folds pairwise products
@@ -75,12 +65,12 @@ object Similarity extends QueryModule {
     "sim_knn_brute" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-          .withColumn("nrm", norm(col("v")))
-        val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qnrm")).filter(col("query_id") < 8)
+        val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+          .filter(col("query_id") < 8)
         val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotUnrolled(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("sim"))
+            round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
+              .as("sim"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))
@@ -175,8 +165,7 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("vec_id"), col("qv"), col("v"))
           .dropDuplicates("query_id", "vec_id")
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dotUnrolled(col("qv"), col("v")) /
-              (sqrt(dotUnrolled(col("qv"), col("qv"))) * sqrt(dotUnrolled(col("v"), col("v")))), 4)
+            round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
               .as("sim"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
