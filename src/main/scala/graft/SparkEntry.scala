@@ -12,6 +12,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     analytics.EventAnalytics,
     analytics.Relational,
+    analytics.SqlSurface,
+    analytics.ScaleOps,
     ext.TextAnalytics,
     ext.Dedup,
     ext.Similarity,

@@ -1,0 +1,68 @@
+package graft.analytics
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL entry point (`spark.sql`) plus the subquery operator family the
+  * DataFrame modules don't exercise: scalar subqueries, correlated
+  * EXISTS/NOT EXISTS, IN-subqueries, CTEs. Each query here is ONE ANSI
+  * SQL text executed verbatim by BOTH engines (Spark over temp views,
+  * DuckDB over the same parquet) — zero-drift differential testing of the
+  * SQL surface itself.
+  */
+object SqlSurface extends QueryModule {
+
+  /** Register the testdata tables as temp views once per (session, dir). */
+  private def views(s: SparkSession, dir: String): Unit =
+    Seq("customer", "orders", "nation", "lineitem").foreach { t =>
+      Tables.load(s, dir, t).createOrReplaceTempView(t)
+    }
+
+  private def sqlQ(sql: String, doc: String): Q =
+    Q((s, dir) => { views(s, dir); s.sql(sql) }, Some(sql), doc)
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Scalar subquery: orders above the global mean price (exact decimal
+    // sum / count keeps the threshold deterministic on both engines).
+    "sql_above_avg_orders" -> sqlQ(
+      """SELECT o_orderstatus, count(*) AS n_above
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      doc = "scalar subquery (SQL surface)"),
+
+    // Correlated EXISTS: customers holding at least one big order.
+    "sql_exists_big_order" -> sqlQ(
+      """SELECT c.c_nationkey, count(*) AS n_custs
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
+      doc = "correlated EXISTS subquery"),
+
+    // NOT EXISTS: never-ordered customers per market segment.
+    "sql_never_ordered" -> sqlQ(
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      doc = "NOT EXISTS anti-semi subquery"),
+
+    // IN-subquery + CTE: nations of the customers with the most orders.
+    "sql_cte_top_order_nations" -> sqlQ(
+      """WITH busy AS (
+        |  SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 15)
+        |SELECT n.n_name, count(*) AS n_busy_custs
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey IN (SELECT o_custkey FROM busy)
+        |GROUP BY n.n_name ORDER BY n_busy_custs DESC, n.n_name""".stripMargin,
+      doc = "CTE + IN-subquery + HAVING"),
+  )
+}
