@@ -40,12 +40,20 @@ object Parse {
 
   /** Parsed blocks → canonical event rows (all three event families,
     * deduplicated on the deterministic id — replay-safe by construction,
-    * warehouse.rs:227-229). */
+    * warehouse.rs:227-229).
+    *
+    * SINGLE-PASS fan-out: each transaction builds its tx-event +
+    * instruction-events + transfer-events as one concatenated array,
+    * exploded once — one scan of the source, where a three-branch union
+    * would scan (and for a live RPC-backed source, re-FETCH) it three
+    * times (SURVEY.md §2.10's "single-pass fan-out" option, done with
+    * array higher-order functions instead of a custom Generator).
+    */
   def toEvents(blocks: DataFrame): DataFrame = {
     val base = blocks.select(
       col("slot"),
       timestamp_seconds(col("b.blockTime")).as("block_time"),
-      posexplode(col("b.transactions")).as(Seq("tx_index", "tx")))
+      explode(col("b.transactions")).as("tx"))
       // malformed tx tolerance: must carry a signature (parsers.rs:50-52);
       // try_element_at, not element_at — ANSI mode (Spark 4 default)
       // throws on out-of-bounds access of an empty signatures array.
@@ -57,52 +65,56 @@ object Parse {
         walletFromKey(try_element_at(col("tx.transaction.message.accountKeys"), lit(1)))
           .as("wallet"))
 
-    // 1 tx event per transaction (parsers.rs:44-79)
-    val txEvents = base.select(
-      col("slot"), col("block_time"), col("sig"),
-      lit(null).cast("string").as("program_id"),
-      lit(-1).as("instruction_index"),
-      lit(EvTransaction).as("event_type"),
-      to_json(struct(
-        col("wallet"), col("success"), col("tx.meta.fee").as("fee"),
-        col("tx.meta.err").as("err"))).as("raw_payload"))
+    val tokenList = TokenPrograms.map(p => s"'$p'").mkString(", ")
+    // tx event (parsers.rs:44-79) + instruction events classified by the
+    // token-program allow-list (parsers.rs:126-161) + one event per
+    // post-token-balance with a mint, index offset 10000 as the
+    // transfer-id namespace (parsers.rs:163-203). Null guards mirror the
+    // per-record tolerance of the branch form; indices are pre-filter
+    // positions so event ids are stable.
+    val eventsArray = expr(
+      s"""concat(
+         |  array(named_struct(
+         |    'program_id', CAST(NULL AS STRING),
+         |    'instruction_index', -1,
+         |    'event_type', '$EvTransaction',
+         |    'raw_payload', to_json(named_struct(
+         |      'wallet', wallet, 'success', success,
+         |      'fee', tx.meta.fee, 'err', tx.meta.err)))),
+         |  coalesce(filter(
+         |    transform(tx.transaction.message.instructions, (ins, i) -> named_struct(
+         |      'program_id', ins.programId,
+         |      'instruction_index', i,
+         |      'event_type', CASE WHEN ins.programId IN ($tokenList)
+         |        THEN '$EvTokenInstruction' ELSE '$EvProgramInstruction' END,
+         |      'raw_payload', to_json(named_struct(
+         |        'wallet', wallet, 'success', success,
+         |        'accounts', ins.accounts, 'data', ins.data)))),
+         |    x -> x.program_id IS NOT NULL), array()),
+         |  coalesce(transform(filter(
+         |    transform(tx.meta.postTokenBalances, (bal, i) -> named_struct(
+         |      'program_id', CAST(NULL AS STRING),
+         |      'instruction_index', i + 10000,
+         |      'event_type', '$EvTokenTransfer',
+         |      'raw_payload', to_json(named_struct(
+         |        'token_mint', bal.mint, 'to_wallet', bal.owner,
+         |        'token_amount', bal.uiTokenAmount.amount,
+         |        'decimals', bal.uiTokenAmount.decimals)),
+         |      'mint', bal.mint)),
+         |    x -> x.mint IS NOT NULL),
+         |    x -> named_struct(
+         |      'program_id', x.program_id, 'instruction_index', x.instruction_index,
+         |      'event_type', x.event_type, 'raw_payload', x.raw_payload)), array())
+         |)""".stripMargin)
 
-    // 1 event per instruction, classified by the token-program allow-list
-    // (parsers.rs:126-161): pure expression, no UDF (SURVEY.md §2.10).
-    val instrEvents = base.select(
-      col("slot"), col("block_time"), col("sig"), col("wallet"), col("success"),
-      posexplode(col("tx.transaction.message.instructions"))
-        .as(Seq("instruction_index", "ins")))
-      .filter(col("ins").isNotNull && col("ins.programId").isNotNull)
-      .select(
-        col("slot"), col("block_time"), col("sig"),
-        col("ins.programId").as("program_id"),
-        col("instruction_index"),
-        when(col("ins.programId").isin(TokenPrograms: _*), EvTokenInstruction)
-          .otherwise(EvProgramInstruction).as("event_type"),
-        to_json(struct(col("wallet"), col("success"),
-          col("ins.accounts").as("accounts"), col("ins.data").as("data")))
-          .as("raw_payload"))
-
-    // 1 event per post-token-balance with a mint (parsers.rs:163-203);
-    // index offset 10000 mirrors the reference's transfer-id namespace
-    // separation from instruction indexes.
-    val transferEvents = base.select(
-      col("slot"), col("block_time"), col("sig"), col("wallet"),
-      posexplode(col("tx.meta.postTokenBalances")).as(Seq("bal_index", "bal")))
-      .filter(col("bal").isNotNull && col("bal.mint").isNotNull)
-      .select(
-        col("slot"), col("block_time"), col("sig"),
-        lit(null).cast("string").as("program_id"),
-        (col("bal_index") + 10000).as("instruction_index"),
-        lit(EvTokenTransfer).as("event_type"),
-        to_json(struct(
-          col("bal.mint").as("token_mint"),
-          col("bal.owner").as("to_wallet"),
-          col("bal.uiTokenAmount.amount").as("token_amount"),   // string-precision
-          col("bal.uiTokenAmount.decimals").as("decimals"))).as("raw_payload"))
-
-    txEvents.unionByName(instrEvents).unionByName(transferEvents)
+    base
+      .select(col("slot"), col("block_time"), col("sig"),
+        explode(eventsArray).as("ev"))
+      .select(col("slot"), col("block_time"), col("sig"),
+        col("ev.program_id").as("program_id"),
+        col("ev.instruction_index").as("instruction_index"),
+        col("ev.event_type").as("event_type"),
+        col("ev.raw_payload").as("raw_payload"))
       .select(
         eventId(col("slot"), col("sig"), col("instruction_index"), col("event_type"))
           .as("event_id"),
