@@ -246,6 +246,23 @@ object EventAnalytics extends QueryModule {
              |ORDER BY user_id""".stripMargin),
       doc = "ref parsers.rs:179-182 (pre/post balance netting, full-outer)"),
 
+    // §1.3 VariantType path: the reference's JSONB column as Spark 4
+    // variant — parse once, typed extraction after (the schema-on-read
+    // contract of raw_payload without per-query string re-parsing).
+    "evt_variant_props" -> Q(
+      (s, dir) =>
+        ev(s, dir)
+          .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+            col("value"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("k"))
+          .limit(15),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             | count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY cnt DESC, k LIMIT 15""".stripMargin),
+      doc = "Spark 4 VariantType for the JSONB payload (SURVEY §1.3)"),
+
     // S3: single-record point lookup by key — the predicate reaches the
     // parquet scan as a pushed filter (rpc.rs:139-160's get_transaction
     // as a pushed-down scan instead of an RPC roundtrip).
