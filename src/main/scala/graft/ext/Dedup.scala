@@ -123,9 +123,16 @@ object Dedup extends QueryModule {
     "dedup_minhash_candidates" -> Q(
       (s, dir) => {
         val sh = shingleRows(s, dir)
-        val minCols = (0 until 8).map(i =>
-          min(h60(concat(col("shingle"), lit(s"#$i")))).as(s"m$i"))
-        val mins = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        // two independent 60-bit hashes per md5 digest (chars 1-15 and
+        // 17-31) — 4 digest computations for 8 min-hashes, not 8
+        val digests = (0 until 4).map(s0 =>
+          md5(concat(col("shingle"), lit(s"#$s0"))).as(s"d$s0"))
+        val hashed = sh.select(col("doc_id") +: digests: _*)
+        val minCols = (0 until 8).map { i =>
+          val off = if (i % 2 == 0) 1 else 17
+          min(conv(substring(col(s"d${i / 2}"), off, 15), 16, 10).cast("long")).as(s"m$i")
+        }
+        val mins = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
         val bands = mins.select(col("doc_id"), explode(map(
           lit(0), concat_ws(":", col("m0"), col("m1")),
           lit(1), concat_ws(":", col("m2"), col("m3")),
@@ -143,7 +150,10 @@ object Dedup extends QueryModule {
       Some(s"""WITH sh AS ($dShingleRows),
               |mins AS (
               |  SELECT doc_id,
-              |   ${(0 until 8).map(i => s"min(${dH60(s"shingle || '#$i'")}) AS m$i").mkString(", ")}
+              |   ${(0 until 8).map { i =>
+                    val off = if (i % 2 == 0) 1 else 17
+                    s"min(('0x' || substr(md5(shingle || '#${i / 2}'), $off, 15))::BIGINT) AS m$i"
+                  }.mkString(", ")}
               |  FROM sh GROUP BY doc_id),
               |bands AS (
               |  SELECT doc_id, b.band_idx, b.band_key FROM mins,

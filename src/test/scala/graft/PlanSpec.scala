@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan quality gates (the 100 TB posture, SURVEY.md §4):
   * filters and projections must reach the parquet scan, small dims must
@@ -41,6 +41,21 @@ class PlanSpec extends SparkSpec {
   test("program trends semi-join stays broadcast (no shuffled fact)") {
     val p = planOf("evt_program_trends")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("date-partitioned backfill output prunes partitions on date filters") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/events"
+    graft.ingest.Backfill.run(spark, 1L, 2001L, workers = 4, out)
+    val all = spark.read.parquet(out)
+    val dates = all.select("block_date").distinct().count()
+    assert(dates > 1, "need multiple date partitions for a pruning test")
+    val filtered = all.filter(col("block_date") === "2024-01-01")
+    filtered.collect()
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(block_date"), p)
+    // the scan must not read all partitions: partition count pruned to 1
+    val pruned = filtered.select("block_date").distinct().count()
+    assert(pruned == 1)
   }
 
   test("whole-stage codegen covers the aggregation pipelines") {
