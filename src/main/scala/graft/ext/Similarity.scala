@@ -134,6 +134,52 @@ object Similarity extends QueryModule {
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "embedding-cosine near-dup pairs (threshold 0.4)"),
 
+    // IVF ANN: coarse quantizer cells (here the corpus' label column as
+    // the cell assignment — a k-means step would produce the same shape),
+    // per-cell centroids from a grouped mean, queries probe the nprobe
+    // closest cells and re-rank exactly within them. The cell equi-join
+    // is the scale story: a query touches nprobe/k of the corpus.
+    "sim_ann_ivf" -> Q(
+      (s, dir) => {
+        val nprobe = 3
+        val e = emb(s, dir).select(col("vec_id"), col("label"),
+          vecD(col("embedding")).as("v"))
+        // centroid per (cell, dim) by grouped mean, reassembled to arrays
+        val cents = e
+          .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("label"), col("d")).agg(avg(col("x")).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+          .select(col("label").as("cell"),
+            expr("transform(dc, p -> p.c)").as("centroid"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        // rank cells per query, keep nprobe
+        val probed = q.join(broadcast(cents), lit(true))
+          .withColumn("cell_sim",
+            graft.functions.VectorExpressions.vector_cosine(col("qv"), col("centroid")))
+          .withColumn("cell_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+              .orderBy(col("cell_sim").desc, col("cell"))))
+          .filter(col("cell_rank") <= nprobe)
+          .select(col("query_id"), col("qv"), col("cell"))
+        // exact re-rank inside the probed cells only
+        val cand = e.join(broadcast(probed), col("label") === col("cell") &&
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
+              .as("sim"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None,
+      doc = "IVF ANN (centroid cells + nprobe=3 probing; recall-tested)"),
+
     // LSH-bucketed ANN: L independent random-hyperplane sign sketches
     // (hash tables) of k bits each; a query probes, per table, its own
     // bucket plus every 1-bit-flip neighbor — all candidates arrive via

@@ -60,6 +60,20 @@ class ExtSpec extends SparkSpec {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN with nprobe=3 finds a usable share of true neighbors") {
+    import spark.implicits._
+    val brute = run("sim_knn_brute")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = run("sim_ann_ivf")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // 10 cells, probing 3 → candidates ≈ 30% of corpus; weakly-clustered
+    // vectors put some true neighbors in unprobed cells
+    assert(recall >= 0.35, s"recall $recall too low")
+    // every query returns a full (or capped) top-5 from its probed cells
+    assert(ivf.nonEmpty && ivf.size <= 40)
+  }
+
   test("multimodal decode: partition-parallel stub emits typed features") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.decodeMedia(media)
