@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upsert semantics on an append-only store (SURVEY.md §7.4 risk 8).
+  *
+  * The reference's `INSERT … ON CONFLICT (event_id) DO UPDATE SET
+  * raw_payload, updated_at` (warehouse.rs:220-231) is last-write-wins per
+  * key. Plain `dropDuplicates(key)` keeps an ARBITRARY row — correct only
+  * while replays are byte-identical. When a replay can carry a changed
+  * payload, resolve each key to its latest version explicitly before the
+  * partition overwrite.
+  */
+object Upsert {
+
+  /** Keep exactly the newest row per key (`versionCol` descending, with
+    * the remaining columns as a deterministic tiebreak via row_number's
+    * stable ordering requirement). One shuffle on the key — the same
+    * cost dropDuplicates pays, but with defined semantics. */
+  def lastWriteWins(df: DataFrame, key: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Merge a batch into an existing snapshot: rows whose key exists take
+    * the newer version; new keys append — the full ON CONFLICT DO UPDATE
+    * contract as one plan over `existing ∪ incoming`. */
+  def merge(existing: DataFrame, incoming: DataFrame, key: String,
+      versionCol: String): DataFrame =
+    lastWriteWins(existing.unionByName(incoming), key, versionCol)
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class UpsertSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("lastWriteWins keeps exactly the newest row per key") {
+    val df = Seq(
+      ("e1", 1L, "old"), ("e1", 3L, "newest"), ("e1", 2L, "mid"),
+      ("e2", 5L, "only")).toDF("event_id", "updated_at", "payload")
+    val got = Upsert.lastWriteWins(df, "event_id", "updated_at")
+      .select("event_id", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("e1" -> "newest", "e2" -> "only"))
+  }
+
+  test("merge implements ON CONFLICT DO UPDATE over a snapshot") {
+    val existing = Seq(
+      ("e1", 1L, "v1"), ("e2", 1L, "v1")).toDF("event_id", "updated_at", "payload")
+    val incoming = Seq(
+      ("e2", 2L, "v2"),      // conflict → update
+      ("e3", 1L, "v1"))      // new key → insert
+      .toDF("event_id", "updated_at", "payload")
+    val got = Upsert.merge(existing, incoming, "event_id", "updated_at")
+      .select("event_id", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("e1" -> "v1", "e2" -> "v2", "e3" -> "v1"))
+  }
+
+  test("replay of identical batch is a no-op under merge") {
+    val batch = Seq(("e1", 1L, "a"), ("e2", 2L, "b")).toDF("event_id", "updated_at", "payload")
+    val once = Upsert.merge(batch, batch, "event_id", "updated_at")
+    assert(once.count() == 2)
+  }
+}
