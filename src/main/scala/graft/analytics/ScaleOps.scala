@@ -35,5 +35,18 @@ object ScaleOps extends QueryModule {
           .orderBy(col("cnt").desc, col("event_type")),
       None,
       doc = "per-group HLL distinct (scale path of A3)"),
+
+    // Same shape through the engine's OWN TypedImperativeAggregate HLL
+    // sketch (graft.functions.HllAggregate) — constant-size mergeable
+    // buffers per group.
+    "evt_hll_program_reach" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            graft.functions.HllAggregate.hll_distinct(col("user_id")).as("hll_wallets"))
+          .orderBy(col("cnt").desc, col("event_type")),
+      None,
+      doc = "custom TypedImperativeAggregate HLL sketch (SURVEY §7.3)"),
   )
 }
