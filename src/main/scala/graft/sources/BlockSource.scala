@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util
+import graft.ingest.Backfill
+import graft.model.Schemas
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 block source — S1's cluster-scale form (SURVEY.md §2.1:
+  * "at scale a custom DataSource V2 `TableProvider` wrapping the RPC").
+  *
+  * The slot range is the partitioning axis: `workers` input partitions
+  * each own a contiguous slot sub-range (the reference's chunk×semaphore
+  * scheme, backfill.rs:22-60, expressed as Spark partition planning), and
+  * slot predicates push INTO the source so `WHERE slot >= X` narrows the
+  * fetch range instead of filtering post-fetch — the difference between
+  * fetching and skipping a million blocks.
+  *
+  * The per-partition reader calls the block fetcher (here the
+  * deterministic synthetic RPC stand-in; a live impl constructs its HTTP
+  * client per partition, giving the reference's connection-per-worker).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.BlockSource")
+  *     .option("startSlot", 1).option("endSlot", 1001).option("workers", 8)
+  *     .load()                       // → (slot BIGINT, block_json STRING)
+  * }}}
+  */
+class BlockSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.rawBlockSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BlockTable(properties)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[sources] class BlockTable(props: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "graft_blocks"
+  override def schema(): StructType = Schemas.rawBlockSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BlockScanBuilder(
+      options.getLong("startSlot", 0L),
+      options.getLong("endSlot", 0L),
+      options.getInt("workers", 4))
+}
+
+private[sources] class BlockScanBuilder(var start: Long, var end: Long, workers: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Slot range predicates narrow [start, end) at the source. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("slot", v: Long) => start = math.max(start, v); true
+      case GreaterThan("slot", v: Long) => start = math.max(start, v + 1); true
+      case LessThan("slot", v: Long) => end = math.min(end, v); true
+      case LessThanOrEqual("slot", v: Long) => end = math.min(end, v + 1); true
+      case EqualTo("slot", v: Long) => start = math.max(start, v); end = math.min(end, v + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BlockScan(start, end, workers)
+}
+
+private[sources] class BlockScan(start: Long, end: Long, workers: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = Schemas.rawBlockSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_blocks slots=[$start,$end) workers=$workers"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = math.max(0L, end - start)
+    if (total == 0) return Array.empty
+    val n = math.min(workers.toLong, total).toInt
+    val step = (total + n - 1) / n
+    (0 until n).map { i =>
+      val lo = start + i * step
+      SlotRangePartition(lo, math.min(lo + step, end)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new BlockReaderFactory
+}
+
+private[sources] case class SlotRangePartition(lo: Long, hi: Long) extends InputPartition
+
+private[sources] class BlockReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val SlotRangePartition(lo, hi) = p.asInstanceOf[SlotRangePartition]
+    new PartitionReader[InternalRow] {
+      // a live source constructs its rate-limited RPC client here,
+      // one per partition (backfill.rs:46-48 connection-per-worker)
+      private val slots = Iterator.range(lo, hi)
+        .flatMap(s => Backfill.syntheticBlock(s).map(j => (s, j)))
+      private var current: (Long, String) = _
+      override def next(): Boolean =
+        if (slots.hasNext) { current = slots.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow(current._1, UTF8String.fromString(current._2))
+      override def close(): Unit = ()
+    }
+  }
+}
