@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,15 +48,18 @@ private[sources] class BlockTable(props: util.Map[String, String])
   override def name(): String = "graft_blocks"
   override def schema(): StructType = Schemas.rawBlockSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlockScanBuilder(
       options.getLong("startSlot", 0L),
       options.getLong("endSlot", 0L),
-      options.getInt("workers", 4))
+      options.getInt("workers", 4),
+      options.getLong("tipSlot", 0L),
+      options.getLong("maxSlotsPerTrigger", 1000L))
 }
 
-private[sources] class BlockScanBuilder(var start: Long, var end: Long, workers: Int)
+private[sources] class BlockScanBuilder(var start: Long, var end: Long, workers: Int,
+    tip: Long, maxSlotsPerTrigger: Long)
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var pushed: Array[Filter] = Array.empty
@@ -75,15 +79,24 @@ private[sources] class BlockScanBuilder(var start: Long, var end: Long, workers:
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new BlockScan(start, end, workers)
+  override def build(): Scan = new BlockScan(start, end, workers, tip, maxSlotsPerTrigger)
 }
 
-private[sources] class BlockScan(start: Long, end: Long, workers: Int)
+private[sources] class BlockScan(start: Long, end: Long, workers: Int,
+    tip: Long, maxSlotsPerTrigger: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = Schemas.rawBlockSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_blocks slots=[$start,$end) workers=$workers"
+
+  /** Streaming form: OFFSETS ARE SLOTS (SURVEY §2.9 ST2 — the
+    * `last_confirmed_slot` checkpoint row becomes the engine-managed
+    * streaming offset). `tipSlot` plays the chain tip (S2); a live
+    * source would call get_slot() here. `maxSlotsPerTrigger` is the
+    * reference's batch-size throttle (S7/ST5) as a source option. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BlockMicroBatchStream(start, tip, workers, maxSlotsPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = math.max(0L, end - start)
@@ -99,6 +112,60 @@ private[sources] class BlockScan(start: Long, end: Long, workers: Int)
 }
 
 private[sources] case class SlotRangePartition(lo: Long, hi: Long) extends InputPartition
+
+/** Offset = next slot to read (exclusive end of what's committed). */
+private[sources] case class SlotOffset(slot: Long) extends Offset {
+  override def json(): String = s"""{"slot":$slot}"""
+}
+
+private[sources] class BlockMicroBatchStream(start: Long, tip: Long, workers: Int,
+    maxSlotsPerTrigger: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = SlotOffset(start)
+
+  /** The per-trigger throttle (the reference's batch-size/rate caps,
+    * S7/ST5) via admission control: each micro-batch admits at most
+    * `maxSlotsPerTrigger` slots toward the chain tip. ST3's no-new-data
+    * guard is Spark comparing latest == committed. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxSlotsPerTrigger)
+
+  override def latestOffset(startOff: Offset, limit: ReadLimit): Offset = {
+    val s = startOff.asInstanceOf[SlotOffset].slot
+    val cap = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => maxSlotsPerTrigger
+    }
+    SlotOffset(math.min(tip, s + cap))
+  }
+
+  override def reportLatestOffset(): Offset = SlotOffset(tip)
+
+  /** A live source would snapshot get_slot() here so AvailableNow drains
+    * exactly to the tip observed at query start. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control latestOffset is used")
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"slot":(\d+)\}""".r
+    json.trim match {
+      case m(s) => SlotOffset(s.toLong)
+      case other => throw new IllegalArgumentException(s"bad offset: $other")
+    }
+  }
+
+  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
+    val lo = startOff.asInstanceOf[SlotOffset].slot
+    val hi = endOff.asInstanceOf[SlotOffset].slot
+    new BlockScan(lo, hi, workers, tip, maxSlotsPerTrigger).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new BlockReaderFactory
+  override def commit(end: Offset): Unit = ()  // checkpoint log owns durability
+  override def stop(): Unit = ()
+}
 
 private[sources] class BlockReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
