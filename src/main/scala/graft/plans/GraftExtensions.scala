@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.functions.{HllAggregate, VectorExpressions}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine function surface for SQL users (SURVEY.md §7.3's extension
+  * registration point): `vector_dot`, `vector_cosine`, `hll_distinct`
+  * become callable from `spark.sql(...)` text, either by building the
+  * session with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or by
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private[plans] val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vector_dot",
+      info("vector_dot", "vector_dot(a, b) - dot product of two array<double>"),
+      (es: Seq[Expression]) => VectorExpressions.DotProduct(es(0), es(1))),
+    ("vector_cosine",
+      info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two array<double>"),
+      (es: Seq[Expression]) => VectorExpressions.CosineSimilarity(es(0), es(1))),
+    ("hll_distinct",
+      info("hll_distinct", "hll_distinct(expr) - HyperLogLog distinct-count sketch"),
+      (es: Seq[Expression]) => HllAggregate(es.head)),
+  )
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
