@@ -18,6 +18,7 @@ object SparkEntry {
     ext.Dedup,
     ext.Similarity,
     ext.Multimodal,
+    ext.CorpusPipelineModule,
     ingest.IngestQueries,
   )
 

@@ -1,0 +1,120 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data cleaning pipeline (the north-star use-case
+  * the individual dedup/quality operators exist for): exact dedup →
+  * near-dup removal → quality filter, as ONE DataFrame DAG over
+  * `documents`.
+  *
+  * Stage semantics (deterministic, oracle-mirrored):
+  *  1. exact: keep the min doc_id per normalized-text hash;
+  *  2. near-dup: word-3-gram Jaccard ≥ 0.5 via the inverted-index
+  *     candidate join; greedily drop every doc that near-dups a
+  *     SMALLER-id survivor (d2 of any pair);
+  *  3. quality: 20 ≤ tokens ≤ 500 and ≥ 1 stopword.
+  *
+  * At 100 TB stage 2's candidate join runs on MinHash-band candidates
+  * (dedup_minhash_candidates) instead of all shared-shingle pairs — same
+  * pipeline shape, bounded fan-out.
+  */
+object CorpusPipeline {
+
+  private val tok = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  private val stop = "regexp_count(lower(text), '\\\\b(the|a|an|and|of|to|in|is)\\\\b')"
+
+  /** Per-stage survivors: (doc_id, stage) where stage ∈
+    * exact_kept / neardup_kept / quality_kept. */
+  def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+
+    // stage 1 — exact dedup on normalized text
+    val exactKept = docs
+      .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("keeper", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+
+    // stage 2 — near-dup removal among exact survivors
+    val toks = exactKept.select(col("doc_id"), expr(tok).as("ts"))
+    val sh = toks.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(ts) >= 3
+        |THEN transform(sequence(1, size(ts) - 2),
+        |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
+        |ELSE array() END""".stripMargin.replace("\n", " "))).as("shingle"))
+      .distinct().cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .filter(col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")).cast("double") >= 0.5)
+    val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
+    val neardupKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
+
+    // stage 3 — quality filter
+    val nTok = expr(s"size($tok)")
+    val qualityKept = neardupKept
+      .filter(nTok >= 20 && nTok <= 500 && expr(stop) > 0)
+
+    exactKept.select(col("doc_id"), lit("exact_kept").as("stage"))
+      .unionByName(neardupKept.select(col("doc_id"), lit("neardup_kept").as("stage")))
+      .unionByName(qualityKept.select(col("doc_id"), lit("quality_kept").as("stage")))
+  }
+
+  val defs: Seq[(String, Q)] = Seq(
+    "corpus_clean_summary" -> Q(
+      (s, dir) =>
+        cleanedDocs(s, dir)
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("stage")),
+      Some("""WITH norm AS (
+             |  SELECT doc_id, text,
+             |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+             |  FROM documents),
+             |exact_kept AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keeper
+             |    FROM norm) WHERE doc_id = keeper),
+             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+             |         FROM exact_kept),
+             |sh AS (SELECT DISTINCT doc_id, s AS shingle
+             |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+             |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(s)),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |dups AS (
+             |  SELECT DISTINCT d2 AS doc_id FROM pairs
+             |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
+             |neardup_kept AS (
+             |  SELECT doc_id, text FROM exact_kept
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+             |quality_kept AS (
+             |  SELECT doc_id FROM neardup_kept
+             |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 20 AND 500
+             |    AND len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is)\b')) > 0),
+             |staged AS (
+             |  SELECT doc_id, 'exact_kept' AS stage FROM exact_kept
+             |  UNION ALL SELECT doc_id, 'neardup_kept' FROM neardup_kept
+             |  UNION ALL SELECT doc_id, 'quality_kept' FROM quality_kept)
+             |SELECT stage, count(*) AS n_docs FROM staged
+             |GROUP BY stage ORDER BY stage""".stripMargin),
+      doc = "composed cleaning pipeline: exact dedup → near-dup → quality"),
+  )
+}
+
+/** QueryModule wrapper (kept separate so CorpusPipeline.cleanedDocs is a
+  * plain library call too). */
+object CorpusPipelineModule extends QueryModule {
+  override def defs: Seq[(String, Q)] = CorpusPipeline.defs
+}
