@@ -276,6 +276,31 @@ object Relational extends QueryModule {
              |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
       doc = "SURVEY §2.6 top-k (TakeOrderedAndProject)"),
 
+    // TPC-H Q17 shape: correlated aggregate subquery, de-correlated into
+    // a per-group aggregate + join (the plan Catalyst produces for the
+    // subquery form; written explicitly so the threshold is decimal-exact
+    // on both engines).
+    "rel_small_quantity_revenue" -> Q(
+      (s, dir) => {
+        val l = lineitem(s, dir)
+        val perPart = l.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_qty"))
+        l.join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.5)
+          .agg(count(lit(1)).as("n_small"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("small_revenue"))
+      },
+      Some("""WITH pa AS (
+             |  SELECT l_partkey AS pk,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+             |  FROM lineitem GROUP BY 1)
+             |SELECT count(*) AS n_small,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+             |FROM lineitem JOIN pa ON l_partkey = pk
+             |WHERE l_quantity < avg_qty * 0.5""".stripMargin),
+      doc = "TPC-H Q17 shape (correlated aggregate subquery, de-correlated)"),
+
     // Part/supplier join with LIKE + IN predicates (P-family breadth).
     "rel_brand_volume" -> Q(
       (s, dir) => {

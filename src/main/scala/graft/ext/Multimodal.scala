@@ -47,6 +47,44 @@ object Multimodal extends QueryModule {
       .mapPartitions(_.map { case (id, mime, payload) => fakeDecode(id, mime, payload) })
   }
 
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long,
+      frame_len: Long, frame_hash: String)
+
+  /** STUB resize: a real impl rescales decoded pixels; this rewrites the
+    * metadata contract (target dims + a content hash salted by them) so
+    * the schema/propagation path is real. */
+  def resize(feats: Dataset[MediaFeature], w: Int, h: Int): Dataset[MediaFeature] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.mapPartitions(_.map { f =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${f.feature_hash}:${w}x$h".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      f.copy(width = w, height = h, feature_hash = sha)
+    })
+  }
+
+  /** STUB frame sampling: emits `n` evenly-spaced "frames" per payload
+    * (byte slices standing in for decoded video frames) — the 1→N
+    * partition-parallel fan-out stage (flatMap, no shuffle). */
+  def frameSample(media: DataFrame, n: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val len = payload.length
+        (0 until math.min(n, math.max(len, 1))).iterator.map { i =>
+          val off = (len.toLong * i) / n
+          val slice = payload.slice(off.toInt, math.min(off.toInt + 64, len))
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(slice).map("%02x".format(_)).mkString
+          Frame(id, i, off, slice.length.toLong, sha)
+        }
+      }
+  }
+
   /** documents → opaque media table: payload = utf-8 bytes as the binary
     * stand-in, mime assigned deterministically. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =

@@ -74,6 +74,23 @@ class ExtSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.size <= 40)
   }
 
+  test("multimodal resize + frame-sample stages propagate typed metadata") {
+    val media = Multimodal.mediaTable(spark, Sf)
+    val feats = Multimodal.decodeMedia(media)
+    val resized = Multimodal.resize(feats, 224, 224).collect()
+    assert(resized.forall(f => f.width == 224 && f.height == 224))
+    assert(resized.map(_.feature_hash).distinct.length == resized.length)
+
+    import spark.implicits._
+    val frames = Multimodal.frameSample(media, n = 4)
+    val perDoc = frames.groupByKey(_.doc_id).count().collect().toMap
+    assert(perDoc.values.forall(_ == 4L))
+    // deterministic offsets: evenly spaced, increasing
+    val f7 = frames.filter(_.doc_id == 7L).collect().sortBy(_.frame_idx)
+    assert(f7.map(_.offset).sameElements(f7.map(_.offset).sorted))
+    assert(f7.map(_.frame_hash).distinct.length == f7.length)
+  }
+
   test("multimodal decode: partition-parallel stub emits typed features") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.decodeMedia(media)
