@@ -292,6 +292,36 @@ object EventAnalytics extends QueryModule {
               |ORDER BY $dNs DESC, event_id LIMIT 25""".stripMargin),
       doc = "ref rpc.rs:162-187 (S4 keyset pagination → filter+sort+limit)"),
 
+    // As-of join (the temporal-join operator the prompt's custom-operator
+    // ladder cites): each error event matched to the same user's most
+    // recent purchase at-or-before it. Composed from built-ins per
+    // preference (a) — tagged union + running `last(..., ignoreNulls)`
+    // window, one shuffle on user_id — and cross-validated against
+    // DuckDB's NATIVE ASOF JOIN, so two independent as-of
+    // implementations must agree.
+    "evt_asof_join" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = ev(s, dir).filter(col("event_type").isin("purchase", "error"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("last_purchase_ns",
+            last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"),
+            expr("last_purchase_ns div 1000").as("last_purchase_us"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT e.event_id, e.user_id, epoch_ns(e.ts) // 1000 AS ts_us,
+              | epoch_ns(p.ts) // 1000 AS last_purchase_us
+              |FROM (SELECT * FROM events WHERE event_type = 'error') e
+              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              |  ON e.user_id = p.user_id AND e.ts >= p.ts
+              |ORDER BY e.event_id""".stripMargin),
+      doc = "as-of join composed from window built-ins vs native ASOF oracle"),
+
     // F1 + §2.10 fan-out shape: canonical-event projection with the
     // deterministic sha256 event id (events.rs:76-86) — exact hex parity.
     "evt_canonical_events" -> Q(

@@ -276,6 +276,39 @@ object Relational extends QueryModule {
              |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
       doc = "SURVEY §2.6 top-k (TakeOrderedAndProject)"),
 
+    // Theta/range join: orders banded into price intervals via an
+    // inequality join against a tiny broadcast dimension (the
+    // broadcast-nested-loop form every banding/range join takes when one
+    // side is small).
+    "rel_price_band_join" -> Q(
+      (s, dir) => {
+        val bands = s.createDataFrame(Seq(
+          ("B1_under_100k", 0.0, 100000.0),
+          ("B2_100k_200k", 100000.0, 200000.0),
+          ("B3_200k_300k", 200000.0, 300000.0),
+          ("B4_300k_400k", 300000.0, 400000.0),
+          ("B5_400k_plus", 400000.0, 1e18))).toDF("band", "lo", "hi")
+        orders(s, dir)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("band_total"))
+          .orderBy(col("band"))
+      },
+      Some("""WITH bands(band, lo, hi) AS (VALUES
+             |  ('B1_under_100k', 0.0, 100000.0),
+             |  ('B2_100k_200k', 100000.0, 200000.0),
+             |  ('B3_200k_300k', 200000.0, 300000.0),
+             |  ('B4_300k_400k', 300000.0, 400000.0),
+             |  ('B5_400k_plus', 400000.0, 1e18))
+             |SELECT band, count(*) AS n_orders,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+             |FROM orders JOIN bands
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY band ORDER BY band""".stripMargin),
+      doc = "theta/range band join (broadcast nested loop)"),
+
     // TPC-H Q17 shape: correlated aggregate subquery, de-correlated into
     // a per-group aggregate + join (the plan Catalyst produces for the
     // subquery form; written explicitly so the threshold is decimal-exact
