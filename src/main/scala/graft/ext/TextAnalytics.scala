@@ -54,6 +54,24 @@ object TextAnalytics extends QueryModule {
               |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "token counting + doc stats (north-star text analysis)"),
 
+    // Dual tokenizers: whitespace tokens and a BPE-ish regex (space-
+    // prefixed word/number/punct pieces — the GPT-2 pattern family minus
+    // lookarounds, which RE2 lacks). Both are pure regexp counting.
+    "text_token_counts" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            expr("regexp_count(text, '\\\\S+')").cast("long").as("ws_tokens"),
+            expr("regexp_count(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^\\\\sa-z0-9]+')")
+              .cast("long").as("bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             | len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+             | len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "token counting: whitespace + BPE-ish regex (north-star)"),
+
     // Corpus-level token top-k: explode → count → TakeOrderedAndProject.
     // Map-side partial aggregation absorbs the token skew before shuffle.
     "text_token_topk" -> Q(
