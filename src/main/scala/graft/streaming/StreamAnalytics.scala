@@ -34,6 +34,17 @@ object StreamAnalytics {
         col("event_type"), col("cnt"), col("total_value"))
   }
 
+  /** Per-user session windows (gap-based): activity bursts separated by
+    * more than `gap` close a session. Beyond the reference's surface —
+    * the natural sessionization of its wallet-activity family. */
+  def sessionActivity(events: DataFrame, keyCol: String = "user_id",
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col(keyCol), col("n_events"), col("session_value"))
+
   /** Watermarked streaming dedup on the idempotency key — the streaming
     * form of the reference's replay absorption (ST7, warehouse.rs:
     * 227-229): duplicates arriving within the watermark horizon are

@@ -43,6 +43,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("large-large join shuffles on the key instead of broadcasting") {
+    // lineitem ⋈ orders is the one genuinely big-big join: both sides
+    // must exchange on the join key (SMJ or shuffled-hash), never a
+    // nested loop
+    val p = planOf("rel_shipping_priority")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      // AQE may legitimately demote tiny test inputs to broadcast; the
+      // guard is against nested-loop plans
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("date-partitioned backfill output prunes partitions on date filters") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/events"
     graft.ingest.Backfill.run(spark, 1L, 2001L, workers = 4, out)

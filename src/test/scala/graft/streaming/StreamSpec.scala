@@ -48,6 +48,30 @@ class StreamSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 11:00:00.0", "view", 1L, 1.0)), out)
   }
 
+  test("session windows close after the gap and aggregate per key") {
+    val src = Files.createTempDirectory("graft_sess").toString
+    writeEvents(src, "b1", Seq(
+      // session 1 for 'view': 3 events within 30min gaps
+      (1L, "2024-01-01T10:00:00Z", "view", 1.0),
+      (2L, "2024-01-01T10:20:00Z", "view", 2.0),
+      (3L, "2024-01-01T10:45:00Z", "view", 3.0),
+      // >30min silence → session 2
+      (4L, "2024-01-01T12:00:00Z", "view", 4.0),
+      // watermark pusher
+      (5L, "2024-01-01T16:00:00Z", "purchase", 0.0)))
+
+    val stream = spark.readStream.schema(schema).json(src)
+    val q = StreamAnalytics.startToMemory(
+      StreamAnalytics.sessionActivity(stream, keyCol = "event_type",
+        gap = "30 minutes", watermark = "1 hour"), "sess_out")
+    q.awaitTermination()
+
+    val out = spark.table("sess_out").collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(out.contains(("view", 3L, 6.0)), out)   // the merged 10:00-11:15 session
+    assert(out.contains(("view", 1L, 4.0)), out)   // the isolated 12:00 session
+  }
+
   test("dropDuplicatesWithinWatermark absorbs replayed event ids") {
     val src = Files.createTempDirectory("graft_dedup").toString
     writeEvents(src, "b1", Seq(
