@@ -30,13 +30,16 @@ object CorpusPipeline {
   def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
 
-    // stage 1 — exact dedup on normalized text
+    // stage 1 — exact dedup on normalized text. Cached: three consumers
+    // (shingling, the near-dup anti-join, the stage union) would
+    // otherwise each re-scan documents and re-run the window.
     val exactKept = docs
       .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
       .withColumn("keeper", min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"))
+      .cache()
 
     // stage 2 — near-dup removal among exact survivors
     val toks = exactKept.select(col("doc_id"), expr(tok).as("ts"))
@@ -56,7 +59,7 @@ object CorpusPipeline {
       .filter(col("common").cast("double") /
         (col("n1") + col("n2") - col("common")).cast("double") >= 0.5)
     val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
-    val neardupKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti")
+    val neardupKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti").cache()
 
     // stage 3 — quality filter
     val nTok = expr(s"size($tok)")

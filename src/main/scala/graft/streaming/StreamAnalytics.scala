@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Typed rows for the stateful operator. */
+case class KeyedEvent(key: String, value: Double)
+case class RunningTotal(key: String, total_events: Long, total_value: Double)
 
 /** Streaming analytics surface beyond the reference's poll-loop (which
   * has no event-time semantics at all — SURVEY.md §2.9): event-time
@@ -52,6 +56,26 @@ object StreamAnalytics {
   def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom arbitrary state per key (`flatMapGroupsWithState`): emits a
+    * running cumulative (count, value) row per key per micro-batch — the
+    * stateful operator form for logic window aggregates can't express
+    * (e.g. lifetime running totals across ALL batches). State is one
+    * small tuple per key; a timeout would bound it for unbounded key
+    * spaces. */
+  def runningTotals(events: Dataset[KeyedEvent]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), RunningTotal](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[KeyedEvent], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          batch.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          Iterator.single(RunningTotal(key, n, v))
+      }
+  }
 
   /** Start a windowed-volume query into an in-memory sink (smoke/test
     * harness; production would writeStream to parquet/Kafka). */

@@ -72,6 +72,34 @@ class StreamSpec extends SparkSpec {
     assert(out.contains(("view", 1L, 4.0)), out)   // the isolated 12:00 session
   }
 
+  test("flatMapGroupsWithState carries running totals across micro-batches") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_state").toString
+    writeEvents(src, "b1", Seq(
+      (1L, "2024-01-01T10:00:00Z", "view", 1.0),
+      (2L, "2024-01-01T10:01:00Z", "view", 2.0),
+      (3L, "2024-01-01T10:02:00Z", "purchase", 10.0)))
+    writeEvents(src, "b2", Seq(
+      (4L, "2024-01-01T10:05:00Z", "view", 4.0)))
+
+    // one file per micro-batch → state must carry across batches
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(src)
+      .select(col("event_type").as("key"), col("value"))
+      .as[KeyedEvent]
+    val q = StreamAnalytics.runningTotals(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val byKey = spark.table("state_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(byKey("view") == ("view", 3L, 7.0), byKey)       // 1+2 then +4
+    assert(byKey("purchase") == ("purchase", 1L, 10.0), byKey)
+  }
+
   test("dropDuplicatesWithinWatermark absorbs replayed event ids") {
     val src = Files.createTempDirectory("graft_dedup").toString
     writeEvents(src, "b1", Seq(
