@@ -48,6 +48,28 @@ object Main {
       q.awaitTermination()
       spark.stop()
 
+    // incremental from the native block source: slots are the streaming
+    // offsets (no drop-directory needed) — parse + idempotent sink are
+    // identical to the file path.
+    case "incremental-blocks" :: start :: tip :: sink :: ckpt :: Nil =>
+      val spark = session()
+      val raw = spark.readStream.format("graft.sources.BlockSource")
+        .option("startSlot", start.toLong).option("tipSlot", tip.toLong)
+        .option("workers", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+        .load()
+      val q = ingest.Parse.parse(raw)
+        .withColumn("block_date", org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("block_time")))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", sink)
+        .partitionBy("block_date")
+        .start()
+      q.awaitTermination()
+      println(s"incremental-blocks complete: ${spark.read.parquet(sink).count()} events")
+      spark.stop()
+
     case "analytics" :: fact :: out :: rest =>
       val spark = session()
       val anchor = java.sql.Timestamp.valueOf(
@@ -70,6 +92,7 @@ object Main {
         s"""unknown command: ${other.mkString(" ")}
            |usage: backfill <start> <end> <workers> <out>
            |       incremental <src_dir> <sink> <ckpt> [intervalSec]
+           |       incremental-blocks <startSlot> <tipSlot> <sink> <ckpt>
            |       analytics <fact_path> <out_dir> [anchorTimestamp]
            |       health <fact_path>""".stripMargin)
       sys.exit(2)
