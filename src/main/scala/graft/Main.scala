@@ -50,30 +50,26 @@ object Main {
 
     // incremental from the native block source: slots are the streaming
     // offsets (no drop-directory needed) — parse + idempotent sink are
-    // identical to the file path.
+    // the same foreachBatch tail as the file path.
     case "incremental-blocks" :: start :: tip :: sink :: ckpt :: Nil =>
       val spark = session()
       val raw = spark.readStream.format("graft.sources.BlockSource")
         .option("startSlot", start.toLong).option("tipSlot", tip.toLong)
         .option("workers", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
         .load()
-      val q = ingest.Parse.parse(raw)
-        .withColumn("block_date", org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col("block_time")))
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", sink)
-        .partitionBy("block_date")
-        .start()
+      val q = ingest.Incremental.startFromRaw(raw, sink, ckpt)
       q.awaitTermination()
       println(s"incremental-blocks complete: ${spark.read.parquet(sink).count()} events")
       spark.stop()
 
     case "analytics" :: fact :: out :: rest =>
       val spark = session()
-      val anchor = java.sql.Timestamp.valueOf(
-        rest.headOption.getOrElse("2024-01-16T00:00:00").replace('T', ' '))
+      // the anchor is a UTC instant — Timestamp.valueOf would interpret
+      // it in the host JVM's zone and shift every period boundary
+      val anchor = java.sql.Timestamp.from(
+        java.time.LocalDateTime
+          .parse(rest.headOption.getOrElse("2024-01-16T00:00:00"))
+          .toInstant(java.time.ZoneOffset.UTC))
       val counts = analytics.AnalyticsRunner.runAll(
         spark, spark.read.parquet(fact), anchor, out)
       counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
@@ -81,9 +77,11 @@ object Main {
 
     case "health" :: fact :: Nil =>
       // RPC reachability + warehouse SELECT-1 (health.rs:7-58) →
-      // source readability + sink tip probe.
+      // source readability + sink tip probe. Null-safe: an empty sink is
+      // healthy-but-behind, not a crash.
       val spark = session()
-      val tip = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0).getLong(0)
+      val row = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0)
+      val tip = if (row.isNullAt(0)) -1L else row.getLong(0)
       println(s"""{"status":"ok","sink_tip_slot":$tip}""")
       spark.stop()
 

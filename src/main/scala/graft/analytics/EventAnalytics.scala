@@ -340,8 +340,8 @@ object EventAnalytics extends QueryModule {
           .orderBy(col("slot"))
       },
       Some(s"""SELECT
-              | sha256(concat(CAST(event_id AS VARCHAR), ':', md5(CAST(event_id AS VARCHAR)), ':',
-              |   CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS VARCHAR), ':', event_type)) AS event_hash,
+              | sha256(concat_ws(':', CAST(event_id AS VARCHAR), md5(CAST(event_id AS VARCHAR)),
+              |   CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS VARCHAR), event_type)) AS event_hash,
               | event_id AS slot, $dNs // 1000 AS block_time_us,
               | md5(CAST(event_id AS VARCHAR)) AS tx_signature,
               | event_type AS program_id,

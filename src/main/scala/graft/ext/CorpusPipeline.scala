@@ -41,23 +41,10 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"))
       .cache()
 
-    // stage 2 — near-dup removal among exact survivors
-    val toks = exactKept.select(col("doc_id"), expr(tok).as("ts"))
-    val sh = toks.select(col("doc_id"), explode(expr(
-      """CASE WHEN size(ts) >= 3
-        |THEN transform(sequence(1, size(ts) - 2),
-        |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
-        |ELSE array() END""".stripMargin.replace("\n", " "))).as("shingle"))
-      .distinct().cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .filter(col("common").cast("double") /
-        (col("n1") + col("n2") - col("common")).cast("double") >= 0.5)
+    // stage 2 — near-dup removal among exact survivors, reusing Dedup's
+    // shared shingling + Jaccard verifier
+    val sh = Dedup.shingleRowsOf(exactKept).cache()
+    val pairs = Dedup.jaccardPairs(sh, 0.5)
     val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
     val neardupKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti").cache()
 

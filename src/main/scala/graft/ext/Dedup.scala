@@ -30,12 +30,13 @@ object Dedup extends QueryModule {
       |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
       |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])""".stripMargin.replace("\n", " ")
 
-  /** Distinct (doc_id, shingle) pairs. Tokenizes ONCE into a column
-    * before shingling — inlining the regexp into every element_at would
-    * re-run it 4× per row (no CSE across higher-order-function lambdas).
-    */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  /** Distinct (doc_id, shingle) pairs from any (doc_id, text) frame.
+    * Tokenizes ONCE into a column before shingling — inlining the regexp
+    * into every element_at would re-run it 4× per row (no CSE across
+    * higher-order-function lambdas). Shared with the composed corpus
+    * pipeline. */
+  private[ext] def shingleRowsOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
       .select(col("doc_id"), explode(expr(
@@ -44,6 +45,29 @@ object Dedup extends QueryModule {
           |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
           |ELSE array() END""".stripMargin.replace("\n", " "))).as("shingle"))
       .distinct()
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(docs(s, dir))
+
+  /** Exact Jaccard over a shingle inverted index: candidate pairs (docs
+    * sharing ≥1 shingle) with |A∩B| / |A∪B| ≥ `threshold`. Columns:
+    * d1, d2, common, jaccard. Shared verifier stage. */
+  private[ext] def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("d2"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+  }
 
   private val dShingleRows =
     s"SELECT DISTINCT doc_id, sh AS shingle FROM documents, UNNEST($dShingles) AS u(sh)"
@@ -85,22 +109,7 @@ object Dedup extends QueryModule {
     "dedup_jaccard_pairs" -> Q(
       (s, dir) => {
         val sh = shingleRows(s, dir).cache()
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val a = sh.select(col("doc_id").as("d1"), col("shingle"))
-        val b = sh.select(col("doc_id").as("d2"), col("shingle"))
-        val common = a.join(b, Seq("shingle"))
-          .filter(col("d1") < col("d2"))
-          .groupBy(col("d1"), col("d2"))
-          .agg(count(lit(1)).as("common"))
-        common
-          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-          .withColumn("jaccard",
-            col("common").cast("double") /
-              (col("n1") + col("n2") - col("common")).cast("double"))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("d1"), col("d2"), col("common"), col("jaccard"))
-          .orderBy(col("d1"), col("d2"))
+        jaccardPairs(sh, 0.5).orderBy(col("d1"), col("d2"))
       },
       Some(s"""WITH sh AS ($dShingleRows),
               |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

@@ -65,16 +65,30 @@ object Backfill {
       .toDF("slot", "block_json")
   }
 
-  /** Full backfill: fetch → parse → dedup → date-partitioned write.
-    * Dynamic partition overwrite keeps replays idempotent (only the
-    * re-ingested dates rewrite; SURVEY.md §7.4 risk 8). */
+  /** Reads the sink if it has data; None for absent/empty sinks (a dir
+    * holding only _SUCCESS would make spark.read.parquet throw). */
+  private def readSinkIfAny(spark: SparkSession, path: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(path)
+      Some(df)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Full backfill: fetch → parse → dedup → date-partitioned APPEND,
+    * guarded by the slot-level anti-join (S11): already-loaded slots are
+    * skipped, so identical replays are no-ops and OVERLAPPING or partial
+    * re-runs only add the missing slots. (A partition-overwrite write
+    * would delete previously loaded slots sharing a date partition with
+    * the re-run range.) */
   def run(spark: SparkSession, startSlot: Long, endSlot: Long, workers: Int,
       outPath: String, fetcher: BlockFetcher = syntheticBlock): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    Parse.parse(fetchRange(spark, startSlot, endSlot, workers, fetcher))
+    val events = Parse.parse(fetchRange(spark, startSlot, endSlot, workers, fetcher))
       .withColumn("block_date", to_date(col("block_time")))
-      .write
-      .mode(SaveMode.Overwrite)
+    val toWrite = readSinkIfAny(spark, outPath) match {
+      case Some(existing) => filterProcessed(events, existing)
+      case None => events
+    }
+    toWrite.write
+      .mode(SaveMode.Append)
       .partitionBy("block_date")
       .parquet(outPath)
   }

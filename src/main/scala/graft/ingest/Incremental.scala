@@ -35,8 +35,16 @@ object Incremental {
     val raw = spark.readStream
       .schema(Schemas.rawBlockSchema)
       .json(srcDir)
+    startFromRaw(raw, sinkPath, checkpointDir, trigger)
+  }
 
-    Parse.parse(raw.select(col("slot"), col("block_json")))
+  /** The shared pipeline tail for ANY raw block stream (file drop-dir or
+    * the DataSource V2 block source): streaming-safe parse (no unbounded
+    * dedup state — idempotency is enforced per epoch in foreachBatch),
+    * checkpointed, idempotent date-partitioned append. */
+  def startFromRaw(raw: DataFrame, sinkPath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    Parse.parse(raw.select(col("slot"), col("block_json")), dedup = false)
       .withColumn("block_date", to_date(col("block_time")))
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -47,24 +55,26 @@ object Incremental {
         // first write wins per event_id; replays converge).
         val spark = batch.sparkSession
         val deduped = batch.dropDuplicates("event_id")
+        // read-if-any: an absent sink OR a dir holding only _SUCCESS
+        // (empty batch 0) both mean "nothing to anti-join against"
         val toWrite =
-          if (new org.apache.hadoop.fs.Path(sinkPath)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(new org.apache.hadoop.fs.Path(sinkPath))) {
+          try {
             val existing = spark.read.parquet(sinkPath).select("event_id")
             deduped.join(existing, Seq("event_id"), "left_anti")
-          } else deduped
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => deduped
+          }
         toWrite.write.mode("append").partitionBy("block_date").parquet(sinkPath)
         ()
       }
       .start()
-  }
 
   /** Chain-tip vs sink-tip lag (ST11, health.rs:51-54): trivial batch
-    * query instead of a skipped check. */
+    * query instead of a skipped check. An empty sink (max(slot) null)
+    * reports the full distance from slot -1. */
   def slotLag(spark: SparkSession, sinkPath: String, chainTip: Long): Long = {
-    val sinkTip = spark.read.parquet(sinkPath)
-      .agg(max(col("slot"))).collect()(0).getLong(0)
+    val row = spark.read.parquet(sinkPath).agg(max(col("slot"))).collect()(0)
+    val sinkTip = if (row.isNullAt(0)) -1L else row.getLong(0)
     chainTip - sinkTip
   }
 }

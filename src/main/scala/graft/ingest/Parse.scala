@@ -49,7 +49,7 @@ object Parse {
     * times (SURVEY.md §2.10's "single-pass fan-out" option, done with
     * array higher-order functions instead of a custom Generator).
     */
-  def toEvents(blocks: DataFrame): DataFrame = {
+  def toEvents(blocks: DataFrame, dedup: Boolean = true): DataFrame = {
     val base = blocks.select(
       col("slot"),
       timestamp_seconds(col("b.blockTime")).as("block_time"),
@@ -107,7 +107,7 @@ object Parse {
          |      'event_type', x.event_type, 'raw_payload', x.raw_payload)), array())
          |)""".stripMargin)
 
-    base
+    val events = base
       .select(col("slot"), col("block_time"), col("sig"),
         explode(eventsArray).as("ev"))
       .select(col("slot"), col("block_time"), col("sig"),
@@ -121,11 +121,16 @@ object Parse {
         col("slot"), col("block_time"), col("sig").as("tx_signature"),
         col("program_id"), col("instruction_index"), col("event_type"),
         col("raw_payload"))
-      .dropDuplicates("event_id")
+    // dedup=false for STREAMING inputs: on an unbounded DataFrame this
+    // dropDuplicates would plan as a stateful dedup whose state (every
+    // event_id ever seen) grows without bound; streaming callers dedup
+    // per epoch in foreachBatch instead.
+    if (dedup) events.dropDuplicates("event_id") else events
   }
 
   /** End-to-end: raw block rows → canonical events. */
-  def parse(raw: DataFrame): DataFrame = toEvents(parseBlocks(raw))
+  def parse(raw: DataFrame, dedup: Boolean = true): DataFrame =
+    toEvents(parseBlocks(raw), dedup)
 
   /** Token-transfer netting the reference sketches but never implements
     * (parsers.rs:179-182): full-outer join of pre/post balances on

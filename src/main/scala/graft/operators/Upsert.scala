@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Keep exactly the newest row per key (`versionCol` descending, with
-    * the remaining columns as a deterministic tiebreak via row_number's
-    * stable ordering requirement). One shuffle on the key — the same
-    * cost dropDuplicates pays, but with defined semantics. */
+  /** Keep exactly the newest row per key: `versionCol` descending, then
+    * EVERY remaining column descending as the tiebreak — a total order,
+    * so version ties resolve deterministically instead of by shuffle
+    * arrival (the nondeterminism this operator exists to remove). One
+    * shuffle on the key — the same cost dropDuplicates pays, but with
+    * defined semantics. */
   def lastWriteWins(df: DataFrame, key: String, versionCol: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+    val tiebreak = df.columns.filterNot(c => c == key || c == versionCol)
+      .map(col(_).desc)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc +: tiebreak.toIndexedSeq: _*)
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
