@@ -25,6 +25,24 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("overlapping backfill re-run adds only missing slots, deletes nothing") {
+    val out = Files.createTempDirectory("graft_overlap").toString + "/events"
+    Backfill.run(spark, 1L, 201L, workers = 4, out)
+    val full = spark.read.parquet(out).count()
+    // re-run an inner sub-range sharing the same date partitions: must be
+    // a no-op, not a partition truncation
+    Backfill.run(spark, 50L, 80L, workers = 2, out)
+    assert(spark.read.parquet(out).count() == full)
+    // extend past the old range: only the new slots' events are added
+    Backfill.run(spark, 150L, 251L, workers = 4, out)
+    val extended = spark.read.parquet(out)
+    assert(extended.count() > full)
+    assert(extended.select("event_id").distinct().count() == extended.count())
+    import spark.implicits._
+    assert(extended.select(org.apache.spark.sql.functions.max($"slot"))
+      .as[Long].head() == 250L)
+  }
+
   test("filterProcessed drops already-loaded slots (anti-join guard)") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("slot", "payload")

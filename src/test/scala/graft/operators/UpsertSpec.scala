@@ -15,6 +15,19 @@ class UpsertSpec extends SparkSpec {
     assert(got == Map("e1" -> "newest", "e2" -> "only"))
   }
 
+  test("version ties resolve deterministically via the column tiebreak") {
+    val df = Seq(
+      ("e1", 5L, "alpha"), ("e1", 5L, "zeta"), ("e1", 4L, "newer-version-wins-first"))
+      .toDF("event_id", "updated_at", "payload")
+    // repeated runs under different partitioning must agree
+    val results = (1 to 3).map { p =>
+      Upsert.lastWriteWins(df.repartition(p * 2), "event_id", "updated_at")
+        .select("payload").as[String].collect().toSeq
+    }
+    assert(results.distinct.size == 1, results)
+    assert(results.head == Seq("zeta")) // desc tiebreak on payload
+  }
+
   test("merge implements ON CONFLICT DO UPDATE over a snapshot") {
     val existing = Seq(
       ("e1", 1L, "v1"), ("e2", 1L, "v1")).toDF("event_id", "updated_at", "payload")
