@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  private val tok = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-  private val stop = "regexp_count(lower(text), '\\\\b(the|a|an|and|of|to|in|is)\\\\b')"
+  // tokenizer + stopword pattern shared with TextAnalytics/Dedup
+  private val tok = TextAnalytics.tokExpr
+  private val stop = s"regexp_count(lower(text), '${TextAnalytics.stopPattern}')"
 
   /** Per-stage survivors: (doc_id, stage) where stage ∈
     * exact_kept / neardup_kept / quality_kept. */
@@ -48,10 +49,12 @@ object CorpusPipeline {
     val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
     val neardupKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti").cache()
 
-    // stage 3 — quality filter
-    val nTok = expr(s"size($tok)")
+    // stage 3 — quality filter; tokenize once per row (the two range
+    // bounds would otherwise each re-run the regexp)
     val qualityKept = neardupKept
-      .filter(nTok >= 20 && nTok <= 500 && expr(stop) > 0)
+      .withColumn("n_tok", expr(s"size($tok)"))
+      .filter(col("n_tok") >= 20 && col("n_tok") <= 500 && expr(stop) > 0)
+      .drop("n_tok")
 
     exactKept.select(col("doc_id"), lit("exact_kept").as("stage"))
       .unionByName(neardupKept.select(col("doc_id"), lit("neardup_kept").as("stage")))

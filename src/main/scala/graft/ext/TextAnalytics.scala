@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalytics extends QueryModule {
 
-  /** Tokenizer shared by every operator: lowercase alnum runs. */
-  private val tokExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  /** Tokenizer shared by every text/dedup/corpus operator: lowercase
+    * alnum runs. */
+  private[ext] val tokExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
   private val dTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-  private val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
+  private[ext] val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
   private val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)

@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * + parse → dedup on the deterministic id → date-partitioned parquet
   * write (SURVEY.md §3.2): chunking/concurrency = partitioning, semaphore
   * = executor cores, per-chunk connections = per-partition writers, and
-  * the per-event upsert becomes dropDuplicates + idempotent overwrite of
-  * the touched date partitions.
+  * the per-event upsert becomes dropDuplicates + a slot-level anti-join
+  * against the sink before an append (the reference's is_slot_processed
+  * guard, S11/J3, as one distributed pass).
   *
   * At cluster scale the fetcher partition count bounds concurrent RPC
   * load exactly like the reference's `--workers` (rate limiting is a
-  * source property, S7); the write is append-only with dynamic partition
-  * overwrite so replays converge instead of duplicating.
+  * source property, S7); replays and overlapping re-runs converge
+  * because already-loaded slots are filtered out before the write.
   */
 object Backfill {
 
@@ -68,10 +69,8 @@ object Backfill {
   /** Reads the sink if it has data; None for absent/empty sinks (a dir
     * holding only _SUCCESS would make spark.read.parquet throw). */
   private def readSinkIfAny(spark: SparkSession, path: String): Option[DataFrame] =
-    try {
-      val df = spark.read.parquet(path)
-      Some(df)
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Full backfill: fetch → parse → dedup → date-partitioned APPEND,
     * guarded by the slot-level anti-join (S11): already-loaded slots are
