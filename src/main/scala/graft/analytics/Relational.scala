@@ -197,6 +197,95 @@ object Relational extends QueryModule {
              |FROM m ORDER BY month""".stripMargin),
       doc = "SURVEY §2.5 running-total frame"),
 
+    // Window breadth: dense_rank, ntile quartiles, percent_rank over the
+    // per-nation customer balance distribution.
+    "rel_balance_quartiles" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        customer(s, dir)
+          .withColumn("bal_rank", dense_rank().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .filter(col("bal_rank") <= 3)
+          .select(col("c_nationkey"), col("bal_rank"), col("quartile"),
+            col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("c_nationkey"), col("bal_rank"), col("c_custkey"))
+      },
+      Some("""SELECT c_nationkey, bal_rank, quartile, c_custkey, c_acctbal FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |    DENSE_RANK() OVER w AS bal_rank, NTILE(4) OVER w AS quartile
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+             |WHERE bal_rank <= 3
+             |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin),
+      doc = "dense_rank + ntile window breadth"),
+
+    // Window: first/last value over an explicit full-partition frame
+    // (the SURVEY §2.5 first_seen/last_seen-with-row-context case).
+    "rel_first_last_order" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, dir)
+          .withColumn("first_order", first(col("o_orderkey")).over(w))
+          .withColumn("last_order", last(col("o_orderkey")).over(w))
+          .select(col("o_custkey"), col("first_order"), col("last_order"))
+          .distinct()
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT DISTINCT o_custkey,
+             | first_value(o_orderkey) OVER w AS first_order,
+             | last_value(o_orderkey) OVER w AS last_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey""".stripMargin),
+      doc = "first/last value with full-partition frame (SURVEY §2.5)"),
+
+    // Array aggregation: per-nation sorted key list via collect_list +
+    // array_sort (deterministic), plus element access and size.
+    "rel_nation_supplier_arrays" -> Q(
+      (s, dir) =>
+        supplier(s, dir)
+          .groupBy(col("s_nationkey"))
+          .agg(array_sort(collect_list(col("s_suppkey"))).as("suppliers"))
+          .select(col("s_nationkey"),
+            size(col("suppliers")).cast("long").as("n_suppliers"),
+            element_at(col("suppliers"), 1).as("first_supplier"),
+            element_at(col("suppliers"), -1).as("last_supplier"))
+          .orderBy(col("s_nationkey")),
+      Some("""SELECT s_nationkey, len(ks) AS n_suppliers,
+             | ks[1] AS first_supplier, ks[-1] AS last_supplier
+             |FROM (SELECT s_nationkey, list_sort(list(s_suppkey)) AS ks
+             |      FROM supplier GROUP BY 1)
+             |ORDER BY s_nationkey""".stripMargin),
+      doc = "array agg (collect_list/array_sort/element_at) coverage"),
+
+    // Map functions: status→count map per priority via
+    // map_from_entries, then typed key lookup.
+    "rel_status_map" -> Q(
+      (s, dir) =>
+        orders(s, dir)
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("o_orderpriority"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+          .select(col("o_orderpriority"),
+            coalesce(element_at(col("m"), "O"), lit(0L)).as("open_orders"),
+            coalesce(element_at(col("m"), "F"), lit(0L)).as("finished_orders"),
+            size(col("m")).cast("long").as("n_statuses"))
+          .orderBy(col("o_orderpriority")),
+      Some("""WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+             |          FROM orders GROUP BY 1, 2)
+             |SELECT o_orderpriority,
+             | coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS open_orders,
+             | coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS finished_orders,
+             | count(*) AS n_statuses
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "map functions (map_from_entries/element_at) coverage"),
+
     // ROLLUP hierarchy totals (grouping-set coverage beyond the ref).
     "rel_rollup_returns" -> Q(
       (s, dir) =>
