@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `etl_metadata` KV table (key TEXT PRIMARY KEY, value
+  * TEXT, updated_at — /root/reference/src/warehouse.rs:148-159) as a tiny
+  * versioned parquet store: batch-mode pipeline state (`last_confirmed_
+  * slot` and friends) for jobs that don't run under a streaming
+  * checkpoint. Upserts are last-write-wins on the version column via
+  * [[Upsert.lastWriteWins]]; the store is append-only underneath, so a
+  * crashed writer never corrupts prior state.
+  */
+object MetadataStore {
+
+  def set(spark: SparkSession, path: String, key: String, value: String): Unit = {
+    import spark.implicits._
+    Seq((key, value, System.currentTimeMillis()))
+      .toDF("key", "value", "updated_at")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Current (latest-version) view of the store. */
+  def snapshot(spark: SparkSession, path: String): DataFrame =
+    try Upsert.lastWriteWins(spark.read.parquet(path), "key", "updated_at")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        import spark.implicits._
+        Seq.empty[(String, String, Long)].toDF("key", "value", "updated_at")
+    }
+
+  def get(spark: SparkSession, path: String, key: String): Option[String] =
+    snapshot(spark, path).filter(col("key") === key)
+      .select("value").collect().headOption.map(_.getString(0))
+
+  /** last_confirmed_slot accessors (warehouse.rs:251-285 semantics). */
+  def lastSlot(spark: SparkSession, path: String): Option[Long] =
+    get(spark, path, "last_confirmed_slot").map(_.toLong)
+  def updateLastSlot(spark: SparkSession, path: String, slot: Long): Unit =
+    set(spark, path, "last_confirmed_slot", slot.toString)
+}
