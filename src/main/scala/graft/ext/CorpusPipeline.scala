@@ -11,14 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Stage semantics (deterministic, oracle-mirrored):
   *  1. exact: keep the min doc_id per normalized-text hash;
-  *  2. near-dup: word-3-gram Jaccard ≥ 0.5 via the inverted-index
-  *     candidate join; greedily drop every doc that near-dups a
-  *     SMALLER-id survivor (d2 of any pair);
+  *  2. near-dup: MinHash-band candidate pairs (the deterministic
+  *     md5-derived MinHash of dedup_minhash_candidates, over the
+  *     df-capped shingle index) verified by exact word-3-gram Jaccard
+  *     ≥ 0.5; greedily drop every doc that near-dups a SMALLER-id
+  *     survivor (d2 of any verified pair);
   *  3. quality: 20 ≤ tokens ≤ 500 and ≥ 1 stopword.
   *
-  * At 100 TB stage 2's candidate join runs on MinHash-band candidates
-  * (dedup_minhash_candidates) instead of all shared-shingle pairs — same
-  * pipeline shape, bounded fan-out.
+  * Stage 2 is the 100 TB shape: candidates arrive via equi-join on the
+  * band key (never the all-shared-shingle self-join, whose fan-out is
+  * quadratic in a hot shingle's posting list), and the exact-Jaccard
+  * verifier touches only those candidates. The MinHash is md5-derived on
+  * both engines, so the DuckDB oracle reproduces the banding — and the
+  * probabilistic recall — bit-for-bit.
   */
 object CorpusPipeline {
 
@@ -42,10 +47,12 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"))
       .cache()
 
-    // stage 2 — near-dup removal among exact survivors, reusing Dedup's
-    // shared shingling + Jaccard verifier
-    val sh = Dedup.shingleRowsOf(exactKept).cache()
-    val pairs = Dedup.jaccardPairs(sh, 0.5)
+    // stage 2 — near-dup removal among exact survivors: df-capped
+    // shingle index → MinHash-band candidates → exact-Jaccard verify,
+    // reusing Dedup's shared stages (the bounded-fan-out scale path)
+    val sh = Dedup.capShingles(Dedup.shingleRowsOf(exactKept),
+      Dedup.DefaultMaxShingleDf).cache()
+    val pairs = Dedup.verifyJaccard(sh, Dedup.bandCandidatesOf(sh), 0.5)
     val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
     val neardupKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti").cache()
 
@@ -67,9 +74,9 @@ object CorpusPipeline {
         cleanedDocs(s, dir)
           .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
           .orderBy(col("stage")),
-      Some("""WITH norm AS (
+      Some(s"""WITH norm AS (
              |  SELECT doc_id, text,
-             |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+             |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
              |  FROM documents),
              |exact_kept AS (
              |  SELECT doc_id, text FROM (
@@ -77,13 +84,17 @@ object CorpusPipeline {
              |    FROM norm) WHERE doc_id = keeper),
              |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
              |         FROM exact_kept),
-             |sh AS (SELECT DISTINCT doc_id, s AS shingle
+             |sh0 AS (SELECT DISTINCT doc_id, s AS shingle
              |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
              |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(s)),
+             |${Dedup.dCapCtes("sh0", "sh", Dedup.DefaultMaxShingleDf)},
+             |${Dedup.dBandCtes("sh")},
              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
              |pairs AS (
-             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-             |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  SELECT c.d1, c.d2, count(*) AS common
+             |  FROM band_cand c
+             |  JOIN sh a ON a.doc_id = c.d1
+             |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
              |  GROUP BY 1, 2),
              |dups AS (
              |  SELECT DISTINCT d2 AS doc_id FROM pairs
@@ -95,7 +106,7 @@ object CorpusPipeline {
              |quality_kept AS (
              |  SELECT doc_id FROM neardup_kept
              |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 20 AND 500
-             |    AND len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is)\b')) > 0),
+             |    AND len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) > 0),
              |staged AS (
              |  SELECT doc_id, 'exact_kept' AS stage FROM exact_kept
              |  UNION ALL SELECT doc_id, 'neardup_kept' FROM neardup_kept

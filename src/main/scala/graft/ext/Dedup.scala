@@ -49,13 +49,37 @@ object Dedup extends QueryModule {
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     shingleRowsOf(docs(s, dir))
 
-  /** Exact Jaccard over a shingle inverted index: candidate pairs (docs
-    * sharing ≥1 shingle) with |A∩B| / |A∪B| ≥ `threshold`. Columns:
-    * d1, d2, common, jaccard. Shared verifier stage. */
-  private[ext] def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("d1"), col("shingle"))
-    val b = sh.select(col("doc_id").as("d2"), col("shingle"))
+  /** Shingle document-frequency cap: drop shingles appearing in more than
+    * `maxDf` documents from the inverted index. A boilerplate shingle
+    * shared by 1% of a 100 TB corpus makes any shingle-keyed self-join
+    * quadratic in its posting list (df² pair fan-out) while carrying no
+    * dedup signal — dropping it is standard MinHash practice and bounds
+    * every downstream join at df·maxDf. The hot set is tiny by
+    * construction (few shingles exceed the cap), so the filter is a
+    * broadcast anti-join, not a shuffle. */
+  private[ext] def capShingles(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** Exact Jaccard over a df-capped shingle inverted index: candidate
+    * pairs (docs sharing ≥1 surviving shingle) with |A∩B| / |A∪B| ≥
+    * `threshold`. Columns: d1, d2, common, jaccard. The df cap bounds the
+    * candidate fan-out at scale (see [[capShingles]]); testdata's max df
+    * is 25, so the default cap of 100 provably doesn't change results
+    * there. */
+  private[ext] def jaccardPairs(sh: DataFrame, threshold: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    jaccardOnCapped(capShingles(sh, maxDf), threshold)
+
+  /** [[jaccardPairs]] body over an already-df-capped index — callers
+    * that fan the capped relation into several consumers cache it first
+    * so the hot-shingle aggregation runs once, not per consumer. */
+  private[ext] def jaccardOnCapped(capped: DataFrame, threshold: Double): DataFrame = {
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = capped.select(col("doc_id").as("d1"), col("shingle"))
+    val b = capped.select(col("doc_id").as("d2"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
@@ -69,8 +93,97 @@ object Dedup extends QueryModule {
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
   }
 
+  private[ext] val DefaultMaxShingleDf = 100
+
+  /** MinHash(8) + LSH 4×2 banding over a shingle inverted index →
+    * distinct candidate pairs (d1 < d2). Candidates arrive via equi-join
+    * on the band key, never pairwise comparison — the piece that survives
+    * 100 TB. Shared by the standalone query and the corpus pipeline's
+    * stage 2. */
+  private[ext] def bandCandidatesOf(sh: DataFrame): DataFrame = {
+    // two independent 60-bit hashes per md5 digest (chars 1-15 and
+    // 17-31) — 4 digest computations for 8 min-hashes, not 8. The min
+    // runs on the HEX SUBSTRINGS: fixed-width lowercase hex orders
+    // identically to its numeric value, so min commutes with conv and
+    // the radix conversion runs once per (doc, hash) instead of once
+    // per posting.
+    val digests = (0 until 4).map(s0 =>
+      md5(concat(col("shingle"), lit(s"#$s0"))).as(s"d$s0"))
+    val hashed = sh.select(col("doc_id") +: digests: _*)
+    val minCols = (0 until 8).map { i =>
+      val off = if (i % 2 == 0) 1 else 17
+      min(substring(col(s"d${i / 2}"), off, 15)).as(s"h$i")
+    }
+    val mins = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        conv(col(s"h$i"), 16, 10).cast("long").as(s"m$i")): _*)
+    val bands = mins.select(col("doc_id"), explode(map(
+      lit(0), concat_ws(":", col("m0"), col("m1")),
+      lit(1), concat_ws(":", col("m2"), col("m3")),
+      lit(2), concat_ws(":", col("m4"), col("m5")),
+      lit(3), concat_ws(":", col("m6"), col("m7"))
+    )).as(Seq("band_idx", "band_key")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verifier over an explicit candidate pair set: joins
+    * each (d1, d2) candidate back to the inverted index to count shared
+    * shingles, then filters on the threshold. Fan-out is |candidates| ×
+    * avg-shingles — bounded by however the candidates were generated
+    * (MinHash bands at scale), never all-shared-shingle pairs. */
+  private[ext] def verifyJaccard(sh: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+  }
+
   private val dShingleRows =
     s"SELECT DISTINCT doc_id, sh AS shingle FROM documents, UNNEST($dShingles) AS u(sh)"
+
+  /** DuckDB mirror of [[capShingles]]: CTE filtering `src` to shingles
+    * with df ≤ maxDf (emitted as two CTE bodies, `hot` + the capped
+    * relation named `out`). */
+  private[ext] def dCapCtes(src: String, out: String, maxDf: Int): String =
+    s"""hot AS (SELECT shingle FROM $src GROUP BY 1 HAVING count(*) > $maxDf),
+       |$out AS (SELECT * FROM $src WHERE shingle NOT IN (SELECT shingle FROM hot))""".stripMargin
+
+  /** DuckDB mirror of [[bandCandidatesOf]] over a CTE named `src`:
+    * emits mins/bands/band_cand CTE bodies (band_cand has d1 < d2). */
+  private[ext] def dBandCtes(src: String): String =
+    s"""mins AS (
+       |  SELECT doc_id,
+       |   ${(0 until 8).map { i =>
+            val off = if (i % 2 == 0) 1 else 17
+            s"min(('0x' || substr(md5(shingle || '#${i / 2}'), $off, 15))::BIGINT) AS m$i"
+          }.mkString(", ")}
+       |  FROM $src GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.band_idx, b.band_key FROM mins,
+       |  LATERAL (VALUES (0, m0::VARCHAR || ':' || m1::VARCHAR),
+       |                  (1, m2::VARCHAR || ':' || m3::VARCHAR),
+       |                  (2, m4::VARCHAR || ':' || m5::VARCHAR),
+       |                  (3, m6::VARCHAR || ':' || m7::VARCHAR)) AS b(band_idx, band_key)),
+       |band_cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |    AND x.doc_id < y.doc_id)""".stripMargin
 
   /** Shared 60-bit md5-derived hash (DuckDB-reproducible). */
   private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -102,16 +215,19 @@ object Dedup extends QueryModule {
              |FROM g""".stripMargin),
       doc = "exact dedup via normalized-text hash groupBy"),
 
-    // Exact n-gram Jaccard near-dup pairs: shingle-inverted-index
-    // self-join generates candidates (only docs sharing ≥1 shingle meet),
-    // then |A∩B| / |A∪B| ≥ 0.5. This is the verifier stage of the
-    // MinHash pipeline, runnable standalone at moderate scale.
+    // Exact n-gram Jaccard near-dup pairs: df-capped shingle-inverted-
+    // index self-join generates candidates (only docs sharing ≥1
+    // non-boilerplate shingle meet), then |A∩B| / |A∪B| ≥ 0.5. This is
+    // the verifier stage of the MinHash pipeline, runnable standalone at
+    // moderate scale; the df cap (see capShingles) bounds the join
+    // fan-out at 100 TB.
     "dedup_jaccard_pairs" -> Q(
       (s, dir) => {
-        val sh = shingleRows(s, dir).cache()
-        jaccardPairs(sh, 0.5).orderBy(col("d1"), col("d2"))
+        val capped = capShingles(shingleRows(s, dir), DefaultMaxShingleDf).cache()
+        jaccardOnCapped(capped, 0.5).orderBy(col("d1"), col("d2"))
       },
-      Some(s"""WITH sh AS ($dShingleRows),
+      Some(s"""WITH sh0 AS ($dShingleRows),
+              |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
               |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
               |common AS (
               |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
@@ -123,58 +239,18 @@ object Dedup extends QueryModule {
               |JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
               |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
               |ORDER BY d1, d2""".stripMargin),
-      doc = "n-gram Jaccard near-dup (inverted-index candidate join)"),
+      doc = "n-gram Jaccard near-dup (df-capped inverted-index candidate join)"),
 
     // MinHash + LSH: 8 min-hashes per doc, banded 4×2; docs sharing any
     // band bucket are candidate near-dups. The banding join is the piece
     // that survives 100 TB — candidates are found by equi-join on the
     // band key, never by pairwise comparison.
     "dedup_minhash_candidates" -> Q(
-      (s, dir) => {
-        val sh = shingleRows(s, dir)
-        // two independent 60-bit hashes per md5 digest (chars 1-15 and
-        // 17-31) — 4 digest computations for 8 min-hashes, not 8
-        val digests = (0 until 4).map(s0 =>
-          md5(concat(col("shingle"), lit(s"#$s0"))).as(s"d$s0"))
-        val hashed = sh.select(col("doc_id") +: digests: _*)
-        val minCols = (0 until 8).map { i =>
-          val off = if (i % 2 == 0) 1 else 17
-          min(conv(substring(col(s"d${i / 2}"), off, 15), 16, 10).cast("long")).as(s"m$i")
-        }
-        val mins = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-        val bands = mins.select(col("doc_id"), explode(map(
-          lit(0), concat_ws(":", col("m0"), col("m1")),
-          lit(1), concat_ws(":", col("m2"), col("m3")),
-          lit(2), concat_ws(":", col("m4"), col("m5")),
-          lit(3), concat_ws(":", col("m6"), col("m7"))
-        )).as(Seq("band_idx", "band_key")))
-        bands.as("x").join(bands.as("y"),
-            col("x.band_idx") === col("y.band_idx") &&
-              col("x.band_key") === col("y.band_key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
-          .orderBy(col("d1"), col("d2"))
-      },
+      (s, dir) =>
+        bandCandidatesOf(shingleRows(s, dir)).orderBy(col("d1"), col("d2")),
       Some(s"""WITH sh AS ($dShingleRows),
-              |mins AS (
-              |  SELECT doc_id,
-              |   ${(0 until 8).map { i =>
-                    val off = if (i % 2 == 0) 1 else 17
-                    s"min(('0x' || substr(md5(shingle || '#${i / 2}'), $off, 15))::BIGINT) AS m$i"
-                  }.mkString(", ")}
-              |  FROM sh GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, b.band_idx, b.band_key FROM mins,
-              |  LATERAL (VALUES (0, m0::VARCHAR || ':' || m1::VARCHAR),
-              |                  (1, m2::VARCHAR || ':' || m3::VARCHAR),
-              |                  (2, m4::VARCHAR || ':' || m5::VARCHAR),
-              |                  (3, m6::VARCHAR || ':' || m7::VARCHAR)) AS b(band_idx, band_key))
-              |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-              |FROM bands x JOIN bands y
-              |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-              |  AND x.doc_id < y.doc_id
-              |ORDER BY d1, d2""".stripMargin),
+              |${dBandCtes("sh")}
+              |SELECT d1, d2 FROM band_cand ORDER BY d1, d2""".stripMargin),
       doc = "MinHash(8) + LSH banding (4×2) candidate generation"),
 
     // SimHash: 16-bit signature from per-token 60-bit hashes; exact

@@ -33,6 +33,37 @@ class ExtSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("df cap drops boilerplate-only pairs, keeps rare-shingle jaccard") {
+    import spark.implicits._
+    // docs 1,2 share only the hot shingle (in >maxDf docs); docs 3,4
+    // share 2 of their 3 rare shingles. Under the cap the boilerplate
+    // pair must vanish while the true pair survives with jaccard over
+    // the capped universe (hot shingle excluded from sizes too).
+    val hot = (1L to 6L).map(d => (d, "hot shingle x"))
+    val rare = Seq((3L, "a b c"), (3L, "c d e"), (3L, "e f g"),
+      (4L, "a b c"), (4L, "c d e"), (4L, "x y z"))
+    val sh = (hot ++ rare).toDF("doc_id", "shingle")
+    val pairs = Dedup.jaccardPairs(sh, 0.4, maxDf = 3)
+      .select("d1", "d2", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((3L, 4L, 2L, 0.5)),
+      s"expected only the rare-shingle pair: $pairs")
+    // uncapped, the boilerplate join would also surface (1,2) … (5,6)
+    val uncapped = Dedup.jaccardPairs(sh, 0.4, maxDf = 1000)
+    assert(uncapped.count() > 1)
+    // the band-candidate + verify path agrees with the direct join on
+    // the pairs it surfaces (verify is exact on candidates)
+    val viaBands = Dedup.verifyJaccard(sh, Dedup.bandCandidatesOf(sh), 0.4)
+      .select("d1", "d2", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaBands.subsetOf(
+      Dedup.verifyJaccard(sh,
+        sh.select(col("doc_id").as("d1")).crossJoin(sh.select(col("doc_id").as("d2")))
+          .filter(col("d1") < col("d2")).distinct(), 0.4)
+        .select("d1", "d2", "common", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet))
+  }
+
   test("simhash: near-identical docs collide, hamming reflects similarity") {
     import spark.implicits._
     val sims = run("dedup_simhash").as[(Long, Long)].collect().toMap
