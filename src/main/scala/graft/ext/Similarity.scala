@@ -26,13 +26,6 @@ object Similarity extends QueryModule {
   /** embedding float[] → double[] (exact widening on both engines). */
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** HOF fold — used only for the tiny LSH plane projections; the pair
-    * hot paths use the native codegen'd
-    * [[graft.functions.VectorExpressions.vector_cosine]]. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-
   // DuckDB mirror: list_dot_product on DOUBLE[] folds pairwise products
   // left-to-right, same as the Spark aggregate above.
   private def dCos(a: String, b: String): String =
@@ -107,6 +100,15 @@ object Similarity extends QueryModule {
         import s.implicits._
         val e = emb(s, dir).select(col("vec_id"), col("embedding"))
           .as[(Long, Array[Float])]
+        // LOUD guard: this baseline broadcasts the whole corpus (what
+        // broadcast() itself would do) and is only valid while it fits
+        // comfortably on the driver — past that, the answer is the
+        // bucketed sim_ann_lsh/sim_ann_ivf scale paths, and silently
+        // OOMing the driver must not be how a user finds out.
+        val n = e.count()
+        require(n <= 500000L,
+          s"sim_neardup_pairs is the small-corpus exact baseline (n=$n): " +
+            "use sim_ann_lsh / sim_ann_ivf for large corpora")
         val local = e.collect().sortBy(_._1)
           .map { case (id, v) => (id, v.map(_.toDouble)) }
         val withNorms = local.map { case (id, v) => (id, v, math.sqrt(kernelDot(v, v))) }
@@ -193,10 +195,15 @@ object Similarity extends QueryModule {
         val tables = 4; val k = 6
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
         // sig bit p of table t = sign(w_{t,k+p} · v), w a deterministic
-        // ±1 hyperplane; ordered fold keeps the sum reproducible.
+        // ±1 hyperplane. The dot is the codegen'd native vector_dot —
+        // same strict left-to-right accumulation as the HOF fold (so
+        // signatures are bit-identical) but compiled into the
+        // whole-stage loop instead of 24 interpreted zip_with+aggregate
+        // lambdas per row (the round-1 bottleneck).
         def sig(t: Int, v: Column): Column = (0 until k).map { p =>
           val w = array((0 until 64).map(d => lit(planeSign(t * k + p, d))): _*)
-          when(dot(w, v) > 0, lit(1L << p)).otherwise(lit(0L))
+          when(graft.functions.VectorExpressions.vector_dot(w, v) > 0, lit(1L << p))
+            .otherwise(lit(0L))
         }.reduce(_ + _)
         val sk = e.select(col("vec_id"), col("v"),
           explode(map((0 until tables).flatMap(t =>
