@@ -1,23 +1,55 @@
 package graft.ingest
 
 import graft.{Q, QueryModule}
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingest-layer operators surfaced as driver queries. These run over the
   * deterministic synthetic block source (the RPC stand-in), not the
-  * testdata tables, so they carry no DuckDB oracle — correctness is
-  * covered by ParseSpec/IngestSpec golden vectors and the rows-only
-  * check.
+  * testdata tables. To make them oracle-checkable the raw (slot,
+  * block_json) frame is materialized to parquet inside the query fn and
+  * the DuckDB oracle RE-DERIVES the whole parse from the same JSON —
+  * an independent second implementation of the block→event fan-out
+  * (parsers.rs:10-30) in SQL, not a rubber-stamp of Spark's output.
   */
 object IngestQueries extends QueryModule {
+
+  /** Fixed materialization point the oracle SQL reads back. */
+  private val RawBlocksPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ingest_blocks.parquet"
+
+  /** Fetch the canonical slot range, dump it to parquet (so DuckDB sees
+    * byte-identical input), and read it back as the query source. */
+  private def materializedBlocks(s: SparkSession): DataFrame = {
+    Backfill.fetchRange(s, 1L, 201L, workers = 8)
+      .write.mode("overwrite").parquet(RawBlocksPath)
+    s.read.parquet(RawBlocksPath)
+  }
+
+  private val tokenList = Schemas.TokenPrograms.map(p => s"'$p'").mkString(", ")
+
+  // DuckDB mirror of Parse.parseBlocks + the per-tx signature guard.
+  private val dTxs =
+    s"""blocks AS (
+       |  SELECT slot, block_json FROM read_parquet('$RawBlocksPath/*.parquet')
+       |  WHERE json_extract(block_json, '$$.blockTime') IS NOT NULL),
+       |txs AS (
+       |  SELECT slot, unnest(CAST(json_extract(block_json, '$$.transactions') AS JSON[])) AS tx
+       |  FROM blocks),
+       |sigtxs AS (
+       |  SELECT slot, json_extract_string(tx, '$$.transaction.signatures[0]') AS sig, tx
+       |  FROM txs)""".stripMargin
 
   override val defs: Seq[(String, Q)] = Seq(
 
     // Full backfill-parse fan-out over a fixed slot range: blocks →
-    // canonical events grouped per event_type (parsers.rs:10-30 families).
+    // canonical events grouped per event_type (parsers.rs:10-30
+    // families). The oracle re-implements all three explode branches in
+    // DuckDB JSON SQL over the materialized raw blocks.
     "ingest_parse_fanout" -> Q(
       (s, _) => {
-        val raw = Backfill.fetchRange(s, 1L, 201L, workers = 8)
+        val raw = materializedBlocks(s)
         Parse.parse(raw)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
@@ -25,20 +57,74 @@ object IngestQueries extends QueryModule {
             countDistinct(col("slot")).as("n_slots"))
           .orderBy(col("event_type"))
       },
-      None,
-      doc = "ref parsers.rs:10-30 block→event fan-out (synthetic RPC source)"),
+      Some(s"""WITH $dTxs,
+              |valid AS (SELECT * FROM sigtxs WHERE sig IS NOT NULL),
+              |tx_events AS (
+              |  SELECT slot, sig, 'transaction' AS event_type FROM valid),
+              |ins AS (
+              |  SELECT slot, sig,
+              |    unnest(CAST(json_extract(tx, '$$.transaction.message.instructions') AS JSON[])) AS i
+              |  FROM valid),
+              |ins_events AS (
+              |  SELECT slot, sig,
+              |    CASE WHEN json_extract_string(i, '$$.programId') IN ($tokenList)
+              |      THEN '${Schemas.EvTokenInstruction}'
+              |      ELSE '${Schemas.EvProgramInstruction}' END AS event_type
+              |  FROM ins WHERE json_extract_string(i, '$$.programId') IS NOT NULL),
+              |bal AS (
+              |  SELECT slot, sig,
+              |    unnest(CAST(json_extract(tx, '$$.meta.postTokenBalances') AS JSON[])) AS b
+              |  FROM valid),
+              |transfer_events AS (
+              |  SELECT slot, sig, '${Schemas.EvTokenTransfer}' AS event_type
+              |  FROM bal WHERE json_extract_string(b, '$$.mint') IS NOT NULL),
+              |events AS (
+              |  SELECT * FROM tx_events
+              |  UNION ALL SELECT * FROM ins_events
+              |  UNION ALL SELECT * FROM transfer_events)
+              |SELECT event_type, count(*) AS n_events,
+              | count(DISTINCT sig) AS n_txs, count(DISTINCT slot) AS n_slots
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "ref parsers.rs:10-30 block→event fan-out (differential JSON re-parse)"),
 
-    // The netting join the reference sketches (parsers.rs:179-182).
+    // The netting join the reference sketches (parsers.rs:179-182),
+    // oracle-checked by re-deriving pre/post balance deltas in DuckDB.
     "ingest_net_transfers" -> Q(
       (s, _) => {
-        val blocks = Parse.parseBlocks(Backfill.fetchRange(s, 1L, 201L, workers = 8))
+        val blocks = Parse.parseBlocks(materializedBlocks(s))
         Parse.netTokenTransfers(blocks)
           .groupBy(col("mint"))
           .agg(count(lit(1)).as("n_accounts"),
             sum(col("net_amount")).cast("long").as("total_net"))
           .orderBy(col("mint"))
       },
-      None,
-      doc = "ref parsers.rs:179-182 pre/post netting (J4)"),
+      Some(s"""WITH $dTxs,
+              |pre AS (
+              |  SELECT slot, sig,
+              |    CAST(json_extract(b, '$$.accountIndex') AS INTEGER) AS account_index,
+              |    json_extract_string(b, '$$.mint') AS mint,
+              |    CAST(json_extract_string(b, '$$.uiTokenAmount.amount') AS DECIMAL(38,0)) AS pre_amount
+              |  FROM (SELECT slot, sig,
+              |          unnest(CAST(json_extract(tx, '$$.meta.preTokenBalances') AS JSON[])) AS b
+              |        FROM sigtxs)
+              |  WHERE json_extract_string(b, '$$.mint') IS NOT NULL),
+              |post AS (
+              |  SELECT slot, sig,
+              |    CAST(json_extract(b, '$$.accountIndex') AS INTEGER) AS account_index,
+              |    json_extract_string(b, '$$.mint') AS mint,
+              |    CAST(json_extract_string(b, '$$.uiTokenAmount.amount') AS DECIMAL(38,0)) AS post_amount
+              |  FROM (SELECT slot, sig,
+              |          unnest(CAST(json_extract(tx, '$$.meta.postTokenBalances') AS JSON[])) AS b
+              |        FROM sigtxs)
+              |  WHERE json_extract_string(b, '$$.mint') IS NOT NULL),
+              |net AS (
+              |  SELECT mint,
+              |    coalesce(post_amount, 0) - coalesce(pre_amount, 0) AS net_amount
+              |  FROM pre FULL JOIN post USING (slot, sig, account_index, mint)
+              |  WHERE coalesce(post_amount, 0) - coalesce(pre_amount, 0) <> 0)
+              |SELECT mint, count(*) AS n_accounts,
+              | CAST(sum(net_amount) AS BIGINT) AS total_net
+              |FROM net GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "ref parsers.rs:179-182 pre/post netting (J4, differential re-derive)"),
   )
 }
