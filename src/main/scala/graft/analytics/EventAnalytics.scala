@@ -149,7 +149,14 @@ object EventAnalytics extends QueryModule {
       (s, dir) =>
         ev(s, dir)
           .filter(col("event_type") === "error")
-          .groupBy(coalesce(propK(), lit(-1)).as("error_k"))
+          // promote-at-parse (SURVEY §1.3): one typed from_json
+          // projection of the needed key AFTER the selective filter;
+          // the aggregate then groups on an int column, never re-parsing
+          // JSON per comparison in the hot path.
+          .select(coalesce(
+            from_json(col("props"), "k INT", Map.empty[String, String]).getField("k"),
+            lit(-1)).as("error_k"))
+          .groupBy(col("error_k"))
           .agg(count(lit(1)).as("error_count"))
           .orderBy(col("error_count").desc, col("error_k"))
           .limit(10),
@@ -256,11 +263,14 @@ object EventAnalytics extends QueryModule {
             col("value"))
           .groupBy(col("k"))
           .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("k"))
+          // null placement pinned explicitly: Spark sorts NULL first on
+          // ASC, DuckDB last — a NULL-k group tying on cnt at the limit
+          // boundary would otherwise keep different rows per engine.
+          .orderBy(col("cnt").desc, col("k").asc_nulls_last)
           .limit(15),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
              | count(*) AS cnt
-             |FROM events GROUP BY 1 ORDER BY cnt DESC, k LIMIT 15""".stripMargin),
+             |FROM events GROUP BY 1 ORDER BY cnt DESC, k NULLS LAST LIMIT 15""".stripMargin),
       doc = "Spark 4 VariantType for the JSONB payload (SURVEY §1.3)"),
 
     // S3: single-record point lookup by key — the predicate reaches the
@@ -303,7 +313,13 @@ object EventAnalytics extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val e = ev(s, dir).filter(col("event_type").isin("purchase", "error"))
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        // secondary sort pins purchases BEFORE errors at equal ts
+        // ('purchase' > 'error', hence desc), so an equal-ts purchase is
+        // deterministically inside the error row's frame — matching the
+        // DuckDB ASOF oracle's inclusive e.ts >= p.ts bound regardless
+        // of shuffle order.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_type").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         e.withColumn("last_purchase_ns",
             last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true)
