@@ -55,11 +55,68 @@ private[sources] class BlockTable(props: util.Map[String, String])
       options.getLong("endSlot", 0L),
       options.getInt("workers", 4),
       options.getLong("tipSlot", 0L),
-      options.getLong("maxSlotsPerTrigger", 1000L))
+      options.getLong("maxSlotsPerTrigger", 1000L),
+      FetchPolicy(
+        options.getDouble("ratePerSec", 0.0),
+        options.getInt("maxRetries", 3),
+        options.getLong("retryBaseMs", 10L)))
+}
+
+/** Per-partition fetch pacing + retry config (the reference's
+  * rate-limited RPC client, rpc.rs:48-52: req/s ceiling; rpc.rs:61-108:
+  * bounded exponential backoff). `ratePerSec` ≤ 0 disables pacing —
+  * note the ceiling is PER PARTITION, so the cluster-wide request rate
+  * is workers × ratePerSec, exactly the reference's
+  * per-worker-connection scheme. */
+private[sources] case class FetchPolicy(
+    ratePerSec: Double, maxRetries: Int, retryBaseMs: Long)
+
+/** Nanotime token bucket: each `acquire` claims the next free slot on a
+  * fixed `1/ratePerSec` cadence and parks until it arrives. Single-
+  * threaded per partition reader (DSv2 contract), so no locking. */
+private[sources] final class RateLimiter(ratePerSec: Double,
+    nanoTime: () => Long = () => System.nanoTime(),
+    park: Long => Unit = java.util.concurrent.locks.LockSupport.parkNanos) {
+  private val intervalNanos: Long =
+    if (ratePerSec <= 0) 0L else (1e9 / ratePerSec).toLong
+  private var nextFree: Long = Long.MinValue
+  /** Blocks until a permit is free; returns the nanos waited (observable
+    * for tests). Parks in a loop — parkNanos may return spuriously, and
+    * the pacing contract is at-LEAST 1/rate between permits. */
+  def acquire(): Long = {
+    if (intervalNanos == 0L) return 0L
+    val now = nanoTime()
+    val deadline = if (nextFree == Long.MinValue) now else nextFree
+    val wait = math.max(0L, deadline - now)
+    nextFree = math.max(now, deadline) + intervalNanos
+    var t = now
+    while (t < deadline) { park(deadline - t); t = nanoTime() }
+    wait
+  }
+}
+
+/** Bounded exponential backoff: attempt n sleeps base·2ⁿ ms, up to
+  * `maxRetries` re-attempts, then rethrows (rpc.rs:61-108 semantics —
+  * transient RPC failures are retried, persistent ones surface). */
+private[sources] object FetchRetry {
+  def withRetry[T](maxRetries: Int, baseDelayMs: Long,
+      sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case _: Throwable if attempt < maxRetries =>
+          sleep(baseDelayMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 private[sources] class BlockScanBuilder(var start: Long, var end: Long, workers: Int,
-    tip: Long, maxSlotsPerTrigger: Long)
+    tip: Long, maxSlotsPerTrigger: Long,
+    policy: FetchPolicy = FetchPolicy(0.0, 3, 10L))
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var pushed: Array[Filter] = Array.empty
@@ -79,11 +136,13 @@ private[sources] class BlockScanBuilder(var start: Long, var end: Long, workers:
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new BlockScan(start, end, workers, tip, maxSlotsPerTrigger)
+  override def build(): Scan =
+    new BlockScan(start, end, workers, tip, maxSlotsPerTrigger, policy)
 }
 
 private[sources] class BlockScan(start: Long, end: Long, workers: Int,
-    tip: Long, maxSlotsPerTrigger: Long)
+    tip: Long, maxSlotsPerTrigger: Long,
+    policy: FetchPolicy = FetchPolicy(0.0, 3, 10L))
     extends Scan with Batch {
   override def readSchema(): StructType = Schemas.rawBlockSchema
   override def toBatch: Batch = this
@@ -96,7 +155,7 @@ private[sources] class BlockScan(start: Long, end: Long, workers: Int,
     * source would call get_slot() here. `maxSlotsPerTrigger` is the
     * reference's batch-size throttle (S7/ST5) as a source option. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BlockMicroBatchStream(start, tip, workers, maxSlotsPerTrigger)
+    new BlockMicroBatchStream(start, tip, workers, maxSlotsPerTrigger, policy)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = math.max(0L, end - start)
@@ -108,7 +167,8 @@ private[sources] class BlockScan(start: Long, end: Long, workers: Int,
       SlotRangePartition(lo, math.min(lo + step, end)): InputPartition
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = new BlockReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockReaderFactory(policy)
 }
 
 private[sources] case class SlotRangePartition(lo: Long, hi: Long) extends InputPartition
@@ -119,7 +179,7 @@ private[sources] case class SlotOffset(slot: Long) extends Offset {
 }
 
 private[sources] class BlockMicroBatchStream(start: Long, tip: Long, workers: Int,
-    maxSlotsPerTrigger: Long)
+    maxSlotsPerTrigger: Long, policy: FetchPolicy = FetchPolicy(0.0, 3, 10L))
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = SlotOffset(start)
@@ -159,22 +219,31 @@ private[sources] class BlockMicroBatchStream(start: Long, tip: Long, workers: In
   override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
     val lo = startOff.asInstanceOf[SlotOffset].slot
     val hi = endOff.asInstanceOf[SlotOffset].slot
-    new BlockScan(lo, hi, workers, tip, maxSlotsPerTrigger).planInputPartitions()
+    new BlockScan(lo, hi, workers, tip, maxSlotsPerTrigger, policy).planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new BlockReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockReaderFactory(policy)
   override def commit(end: Offset): Unit = ()  // checkpoint log owns durability
   override def stop(): Unit = ()
 }
 
-private[sources] class BlockReaderFactory extends PartitionReaderFactory {
+private[sources] class BlockReaderFactory(policy: FetchPolicy = FetchPolicy(0.0, 3, 10L))
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val SlotRangePartition(lo, hi) = p.asInstanceOf[SlotRangePartition]
     new PartitionReader[InternalRow] {
-      // a live source constructs its rate-limited RPC client here,
-      // one per partition (backfill.rs:46-48 connection-per-worker)
-      private val slots = Iterator.range(lo, hi)
-        .flatMap(s => Backfill.syntheticBlock(s).map(j => (s, j)))
+      // the rate-limited RPC client, one per partition
+      // (backfill.rs:46-48 connection-per-worker): every fetch first
+      // takes a token-bucket permit, then runs under bounded
+      // exponential-backoff retry (rpc.rs:48-108)
+      private val limiter = new RateLimiter(policy.ratePerSec)
+      private val slots = Iterator.range(lo, hi).flatMap { s =>
+        limiter.acquire()
+        FetchRetry.withRetry(policy.maxRetries, policy.retryBaseMs) {
+          Backfill.syntheticBlock(s)
+        }.map(j => (s, j))
+      }
       private var current: (Long, String) = _
       override def next(): Boolean =
         if (slots.hasNext) { current = slots.next(); true } else false

@@ -38,4 +38,53 @@ class BlockSourceSpec extends SparkSpec {
     val b = viaRange.select("event_id").collect().map(_.getString(0)).sorted
     assert(a.sameElements(b))
   }
+
+  test("RateLimiter enforces the 1/rate cadence between fetches") {
+    // deterministic virtual clock: park() is the only thing advancing time
+    var now = 0L
+    val parked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rl = new RateLimiter(100.0, // 100 req/s → 10ms interval
+      nanoTime = () => now,
+      park = n => { parked += n; now += n })
+    val waits = (1 to 10).map(_ => rl.acquire())
+    assert(waits.head == 0L)                        // first permit is free
+    assert(waits.tail.forall(_ == 10000000L))       // then strict 10ms pacing
+    assert(parked.sum == 9L * 10000000L)
+    // rate ≤ 0 disables pacing entirely
+    val off = new RateLimiter(0.0, () => fail("clock must not be read"),
+      _ => fail("must not park"))
+    assert((1 to 5).map(_ => off.acquire()).forall(_ == 0L))
+  }
+
+  test("FetchRetry: transient failures back off exponentially, then succeed") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val out = FetchRetry.withRetry(maxRetries = 3, baseDelayMs = 10, sleeps += _) {
+      calls += 1
+      if (calls <= 2) throw new RuntimeException("transient RPC error")
+      "block"
+    }
+    assert(out == "block" && calls == 3)
+    assert(sleeps.toSeq == Seq(10L, 20L)) // base·2ⁿ
+    // persistent failure: retries exhausted → the error surfaces
+    val sleeps2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val e = intercept[RuntimeException] {
+      FetchRetry.withRetry(maxRetries = 2, baseDelayMs = 5, sleeps2 += _) {
+        throw new RuntimeException("down")
+      }
+    }
+    assert(e.getMessage == "down")
+    assert(sleeps2.toSeq == Seq(5L, 10L))
+  }
+
+  test("rate-limited read returns identical rows and actually paces") {
+    // 1000 req/s over 99 slots on 1 worker → ≥ ~98ms of enforced pacing
+    val limited = spark.read.format("graft.sources.BlockSource")
+      .option("startSlot", 1).option("endSlot", 101)
+      .option("workers", 1).option("ratePerSec", 1000.0).load()
+    val t0 = System.nanoTime()
+    assert(limited.count() == 99L)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed >= 0.09, s"pacing not enforced: ${elapsed}s for 99 fetches at 1000/s")
+  }
 }
