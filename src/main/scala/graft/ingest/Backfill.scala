@@ -67,9 +67,10 @@ object Backfill {
   }
 
   /** Reads the sink if it has data; None for absent/empty sinks (a dir
-    * holding only _SUCCESS would make spark.read.parquet throw). */
-  private def readSinkIfAny(spark: SparkSession, path: String): Option[DataFrame] =
-    try Some(spark.read.parquet(path))
+    * holding only _SUCCESS would make the read throw). */
+  private def readSinkIfAny(spark: SparkSession, path: String,
+      format: String): Option[DataFrame] =
+    try Some(spark.read.format(format).load(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Full backfill: fetch → parse → dedup → date-partitioned APPEND,
@@ -78,18 +79,23 @@ object Backfill {
     * re-runs only add the missing slots. (A partition-overwrite write
     * would delete previously loaded slots sharing a date partition with
     * the re-run range.) */
+  /** `format` is the warehouse-dispatch axis (warehouse.rs:30-39's
+    * backend factory): any Spark batch file format (parquet, orc, …)
+    * plugs in without touching the pipeline shape. */
   def run(spark: SparkSession, startSlot: Long, endSlot: Long, workers: Int,
-      outPath: String, fetcher: BlockFetcher = syntheticBlock): Unit = {
+      outPath: String, fetcher: BlockFetcher = syntheticBlock,
+      format: String = "parquet"): Unit = {
     val events = Parse.parse(fetchRange(spark, startSlot, endSlot, workers, fetcher))
       .withColumn("block_date", to_date(col("block_time")))
-    val toWrite = readSinkIfAny(spark, outPath) match {
+    val toWrite = readSinkIfAny(spark, outPath, format) match {
       case Some(existing) => filterProcessed(events, existing)
       case None => events
     }
     toWrite.write
       .mode(SaveMode.Append)
       .partitionBy("block_date")
-      .parquet(outPath)
+      .format(format)
+      .save(outPath)
   }
 
   /** Idempotent reload guard (S11/J3, warehouse.rs:287-299): drop slots

@@ -43,6 +43,22 @@ class IngestSpec extends SparkSpec {
       .as[Long].head() == 250L)
   }
 
+  test("warehouse dispatch axis: orc sink round-trips identically to parquet") {
+    val base = Files.createTempDirectory("graft_fmt").toString
+    Backfill.run(spark, 1L, 101L, workers = 4, s"$base/parquet_events")
+    Backfill.run(spark, 1L, 101L, workers = 4, s"$base/orc_events", format = "orc")
+    val viaParquet = spark.read.parquet(s"$base/parquet_events")
+    val viaOrc = spark.read.orc(s"$base/orc_events")
+    assert(viaOrc.count() == viaParquet.count())
+    val a = viaParquet.select("event_id").collect().map(_.getString(0)).sorted
+    val b = viaOrc.select("event_id").collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+    // replay idempotence holds through the format axis too (the
+    // anti-join guard reads the sink back in its own format)
+    Backfill.run(spark, 1L, 101L, workers = 4, s"$base/orc_events", format = "orc")
+    assert(spark.read.orc(s"$base/orc_events").count() == viaParquet.count())
+  }
+
   test("filterProcessed drops already-loaded slots (anti-join guard)") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("slot", "payload")
