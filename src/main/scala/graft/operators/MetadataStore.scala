@@ -15,7 +15,18 @@ object MetadataStore {
 
   def set(spark: SparkSession, path: String, key: String, value: String): Unit = {
     import spark.implicits._
-    Seq((key, value, System.currentTimeMillis()))
+    // Strictly monotonic version: two updates inside one millisecond
+    // would tie on wall-clock alone, and Upsert's descending STRING
+    // tiebreak on value could then snapshot the stale write (e.g.
+    // "9" > "10" lexically). Bumping past the stored max makes version
+    // order = write order even under clock ties or skew.
+    val prevMax: Long =
+      try {
+        val r = spark.read.parquet(path).agg(max(col("updated_at"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val version = math.max(System.currentTimeMillis(), prevMax + 1)
+    Seq((key, value, version))
       .toDF("key", "value", "updated_at")
       .write.mode(SaveMode.Append).parquet(path)
   }

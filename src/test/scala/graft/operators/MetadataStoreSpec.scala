@@ -14,13 +14,23 @@ class MetadataStoreSpec extends SparkSpec {
     assert(MetadataStore.lastSlot(spark, path).contains(100L))
 
     // overwrite advances; older versions remain underneath but the
-    // snapshot resolves to the newest
-    Thread.sleep(2)
+    // snapshot resolves to the newest — no sleeps: versioning must be
+    // correct even for back-to-back writes
     MetadataStore.updateLastSlot(spark, path, 250L)
-    Thread.sleep(2)
     MetadataStore.set(spark, path, "warehouse_type", "parquet")
     assert(MetadataStore.lastSlot(spark, path).contains(250L))
     assert(MetadataStore.get(spark, path, "warehouse_type").contains("parquet"))
     assert(MetadataStore.snapshot(spark, path).count() == 2) // 2 live keys
+  }
+
+  test("same-millisecond updates never resolve to the stale write") {
+    // "9" > "10" lexically: with a wall-clock-only version, two writes
+    // inside one millisecond would tie on updated_at and Upsert's
+    // descending string tiebreak on value would snapshot 9 — the
+    // monotonic version bump makes write order win instead.
+    val path = Files.createTempDirectory("graft_meta_mono").toString + "/kv"
+    MetadataStore.updateLastSlot(spark, path, 9L)
+    MetadataStore.updateLastSlot(spark, path, 10L)
+    assert(MetadataStore.lastSlot(spark, path).contains(10L))
   }
 }
