@@ -19,8 +19,15 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop-sink write forces FULL materialization of every column —
+      // .count() would let Catalyst prune projections and eliminate
+      // sorts, understating exactly the queries with heavy per-row
+      // expression work (sha256, rolling hashes).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-query caches must not leak across entries
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
