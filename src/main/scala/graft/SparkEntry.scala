@@ -14,6 +14,7 @@ object SparkEntry {
     analytics.Relational,
     analytics.SqlSurface,
     analytics.ScaleOps,
+    analytics.Star,
     ext.TextAnalytics,
     ext.Dedup,
     ext.Similarity,

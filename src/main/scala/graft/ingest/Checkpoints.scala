@@ -1,0 +1,73 @@
+package graft.ingest
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `etl_checkpoints` backfill-progress table
+  * (/root/reference/docs/SCHEMA.md:283-300: checkpoint_id, slot range,
+  * last_processed_slot, status in_progress/completed/failed) as an
+  * append-only parquet log resolved last-write-wins per checkpoint_id —
+  * same storage discipline as [[graft.operators.MetadataStore]]: a
+  * crashed writer can never corrupt prior state, and the snapshot view
+  * is one window pass.
+  */
+object Checkpoints {
+
+  val InProgress = "in_progress"
+  val Completed = "completed"
+  val Failed = "failed"
+
+  /** Append one status row for `checkpointId`. Versions are strictly
+    * monotonic (max(now, stored-max + 1)) so rapid transitions resolve
+    * in write order. */
+  def record(spark: SparkSession, path: String, checkpointId: String,
+      startSlot: Long, endSlot: Long, lastProcessedSlot: Long,
+      status: String): Unit = {
+    import spark.implicits._
+    val prevMax: Long =
+      try {
+        val r = spark.read.parquet(path).agg(max(col("updated_at"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val version = math.max(System.currentTimeMillis(), prevMax + 1)
+    Seq((checkpointId, startSlot, endSlot, lastProcessedSlot, status, version))
+      .toDF("checkpoint_id", "start_slot", "end_slot",
+        "last_processed_slot", "status", "updated_at")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Current state per checkpoint (latest row wins). */
+  def snapshot(spark: SparkSession, path: String): DataFrame =
+    try Upsert.lastWriteWins(spark.read.parquet(path), "checkpoint_id", "updated_at")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        import spark.implicits._
+        Seq.empty[(String, Long, Long, Long, String, Long)]
+          .toDF("checkpoint_id", "start_slot", "end_slot",
+            "last_processed_slot", "status", "updated_at")
+    }
+
+  /** Checkpoints that never reached `completed` — the resume worklist
+    * (SCHEMA.md's status axis is exactly for crash recovery). */
+  def incomplete(spark: SparkSession, path: String): DataFrame =
+    snapshot(spark, path).filter(col("status") =!= Completed)
+
+  /** Backfill a range under checkpoint tracking: in_progress before the
+    * run, completed after, failed (with the range left resumable) when
+    * the fetch/parse/write pipeline throws. */
+  def runTracked(spark: SparkSession, ckptPath: String, checkpointId: String,
+      startSlot: Long, endSlot: Long, workers: Int, outPath: String,
+      fetcher: Backfill.BlockFetcher = Backfill.syntheticBlock,
+      format: String = "parquet"): Unit = {
+    record(spark, ckptPath, checkpointId, startSlot, endSlot, startSlot - 1, InProgress)
+    try {
+      Backfill.run(spark, startSlot, endSlot, workers, outPath, fetcher, format)
+      record(spark, ckptPath, checkpointId, startSlot, endSlot, endSlot - 1, Completed)
+    } catch {
+      case e: Throwable =>
+        record(spark, ckptPath, checkpointId, startSlot, endSlot, startSlot - 1, Failed)
+        throw e
+    }
+  }
+}

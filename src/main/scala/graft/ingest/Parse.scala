@@ -132,6 +132,37 @@ object Parse {
   def parse(raw: DataFrame, dedup: Boolean = true): DataFrame =
     toEvents(parseBlocks(raw), dedup)
 
+  /** The reference's `etl_errors` channel (SCHEMA.md:303-320), actually
+    * populated: the rows the tolerant parse DROPS, surfaced with a
+    * deterministic error_id and a reason instead of vanishing. The two
+    * branches mirror the two drop points — whole-block failures
+    * (parseBlocks' blockTime guard, parsers.rs:33-41) and
+    * per-transaction signature failures (toEvents' guard,
+    * parsers.rs:50-52). Same single-scan fan-out discipline as the
+    * happy path. */
+  def parseErrors(raw: DataFrame): DataFrame = {
+    val parsed = raw.select(col("slot"),
+      from_json(col("block_json"), blockSchema).as("b"))
+    val blockErrs = parsed
+      .filter(col("b").isNull || col("b.blockTime").isNull)
+      .select(col("slot"),
+        lit("block_parse_error").as("error_type"),
+        lit("missing or unparseable blockTime").as("error_message"))
+    val txErrs = parsed
+      .filter(col("b").isNotNull && col("b.blockTime").isNotNull)
+      .select(col("slot"), explode(col("b.transactions")).as("tx"))
+      .filter(col("tx").isNull ||
+        try_element_at(col("tx.transaction.signatures"), lit(1)).isNull)
+      .select(col("slot"),
+        lit("tx_missing_signature").as("error_type"),
+        lit("transaction carries no signature").as("error_message"))
+    blockErrs.unionByName(txErrs)
+      .select(
+        sha2(concat_ws(":", col("slot").cast("string"), col("error_type")), 256)
+          .as("error_id"),
+        col("slot"), col("error_type"), col("error_message"))
+  }
+
   /** Token-transfer netting the reference sketches but never implements
     * (parsers.rs:179-182): full-outer join of pre/post balances on
     * (signature, accountIndex, mint) with COALESCE-0 delta (SURVEY.md

@@ -1,0 +1,37 @@
+package graft.analytics
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Star-schema dims (SCHEMA.md:190-262) built from the event stream:
+  * dim invariants plus the J1 broadcast shape of the enrichment join. */
+class StarSpec extends SparkSpec {
+
+  private def events = Tables.events(spark, Sf)
+
+  test("dimWallets: one row per wallet, seen-range ordered, counts add up") {
+    val dim = Star.dimWallets(events)
+    val n = dim.count()
+    assert(n == events.select("user_id").distinct().count())
+    assert(dim.filter(col("first_seen_ns") > col("last_seen_ns")).count() == 0)
+    assert(dim.filter(col("total_purchases") > col("total_transactions")).count() == 0)
+    import spark.implicits._
+    val total = dim.agg(sum("total_transactions")).as[Long].head()
+    assert(total == events.count())
+  }
+
+  test("dimTokens covers exactly the mint-bearing events") {
+    import spark.implicits._
+    val dim = Star.dimTokens(events)
+    val fromDim = dim.agg(sum("transfer_count")).as[Long].head()
+    val direct = events.filter(Tables.propK().isNotNull).count()
+    assert(fromDim == direct)
+  }
+
+  test("wallet-cohort enrichment broadcasts the dim against one fact scan") {
+    val df = SparkEntry.queries("star_wallet_cohorts")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert(df.count() > 0)
+  }
+}

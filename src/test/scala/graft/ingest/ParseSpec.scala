@@ -85,6 +85,31 @@ class ParseSpec extends SparkSpec {
     assert(Parse.parse(rawDF(5L -> "not json at all")).count() == 0)
   }
 
+  test("parseErrors surfaces exactly what the tolerant parse drops") {
+    val noSigBlock =
+      """{"blockTime":1704067200,"transactions":[
+        |{"transaction":{"signatures":[],"message":{"accountKeys":[],"instructions":[]}},"meta":{"err":null}},
+        |{"transaction":{"signatures":["ok1"],"message":{"accountKeys":["w"],"instructions":[]}},"meta":{"err":null}}
+        |]}""".stripMargin.replace("\n", "")
+    val raw = rawDF(
+      5L -> noSigBlock,                 // 1 tx error, block itself fine
+      6L -> """{"transactions":[]}""",  // missing blockTime
+      7L -> "not json at all",          // unparseable
+      10L -> basicBlock)                // fully clean
+    val errs = Parse.parseErrors(raw)
+      .select("slot", "error_type").as[(Long, String)].collect().toSet
+    assert(errs == Set(
+      5L -> "tx_missing_signature",
+      6L -> "block_parse_error",
+      7L -> "block_parse_error"))
+    // deterministic ids, no dupes
+    val ids = Parse.parseErrors(raw).select("error_id").as[String].collect()
+    assert(ids.distinct.length == ids.length)
+    // complement check: errors + parsed events cover all input rows'
+    // fates — the clean block contributes zero error rows
+    assert(Parse.parseErrors(rawDF(10L -> basicBlock)).count() == 0)
+  }
+
   test("idempotency: parsing twice ≡ once (event_id dedup)") {
     val once = Parse.parse(rawDF(10L -> basicBlock))
     val twice = Parse.parse(rawDF(10L -> basicBlock, 10L -> basicBlock))
