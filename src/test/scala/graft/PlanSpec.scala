@@ -70,6 +70,28 @@ class PlanSpec extends SparkSpec {
     assert(pruned == 1)
   }
 
+  test("jaccard df-cap filters via broadcast anti-join, no cartesian") {
+    val p = planOf("dedup_jaccard_pairs")
+    // the hot-shingle exclusion must be a broadcast LeftAnti (the hot
+    // set is tiny by construction), and candidate generation must stay
+    // an equi-join — a nested-loop anywhere means the scale story broke
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus near-dup stage joins on band keys, never all-pairs") {
+    val df = SparkEntry.queries("corpus_clean_summary")(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("star cohort enrichment broadcasts the derived dim") {
+    val p = planOf("star_wallet_cohorts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // codegen stages render as "*(n) " prefixes in the executed plan
     val p = planOf("evt_volume_summary")
