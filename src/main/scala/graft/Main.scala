@@ -31,9 +31,18 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "backfill" :: start :: end :: workers :: out :: Nil =>
+    // optional trailing arg = etl_checkpoints path: the run is then
+    // recorded in_progress/completed/failed and resumable via
+    // Checkpoints.incomplete (SCHEMA.md:283-300)
+    case "backfill" :: start :: end :: workers :: out :: rest if rest.length <= 1 =>
       val spark = session()
-      ingest.Backfill.run(spark, start.toLong, end.toLong, workers.toInt, out)
+      rest.headOption match {
+        case Some(ckpt) =>
+          ingest.Checkpoints.runTracked(spark, ckpt, s"bf_${start}_$end",
+            start.toLong, end.toLong, workers.toInt, out)
+        case None =>
+          ingest.Backfill.run(spark, start.toLong, end.toLong, workers.toInt, out)
+      }
       println(s"backfill complete: ${spark.read.parquet(out).count()} events")
       spark.stop()
 
@@ -88,7 +97,7 @@ object Main {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: backfill <start> <end> <workers> <out>
+           |usage: backfill <start> <end> <workers> <out> [ckptPath]
            |       incremental <src_dir> <sink> <ckpt> [intervalSec]
            |       incremental-blocks <startSlot> <tipSlot> <sink> <ckpt>
            |       analytics <fact_path> <out_dir> [anchorTimestamp]
