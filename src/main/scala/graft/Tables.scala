@@ -60,4 +60,16 @@ object Tables {
   /** JSON prop `k` extracted as int — the stand-in for the reference's
     * `raw_payload->>'…'` JSONB path queries (analytics.rs:367,461,538). */
   def propK(): Column = get_json_object(col("props"), "$.k").cast("int")
+
+  /** Repartition-if-narrow: a small-file input plans as ONE split, which
+    * serializes all per-row expression work (regexp tokenizers, vector
+    * math, JSON parsing) onto a single core until the first shuffle. A
+    * production scan of a large table already carries ≥ cores splits —
+    * then this is a no-op and no shuffle is paid; only narrow scans pay
+    * one small shuffle to engage every core. Use ahead of per-row-heavy
+    * stages, never as a blanket default. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

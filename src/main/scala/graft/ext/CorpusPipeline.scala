@@ -34,7 +34,9 @@ object CorpusPipeline {
   /** Per-stage survivors: (doc_id, stage) where stage ∈
     * exact_kept / neardup_kept / quality_kept. */
   def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // widened: normalization + shingling are per-row regexp work (see
+    // Tables.widen — no-op on production-width scans)
+    val docs = Tables.widen(Tables.documents(s, dir))
 
     // stage 1 — exact dedup on normalized text. Cached: three consumers
     // (shingling, the near-dup anti-join, the stage union) would
