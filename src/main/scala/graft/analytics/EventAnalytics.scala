@@ -258,9 +258,7 @@ object EventAnalytics extends QueryModule {
     // contract of raw_payload without per-query string re-parsing).
     "evt_variant_props" -> Q(
       (s, dir) =>
-        // widened (Tables.widen): whole-table variant parsing is per-row
-        // heavy and there is no filter to push, so parallelism > pushdown
-        Tables.widen(ev(s, dir))
+        ev(s, dir)
           .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
             col("value"))
           .groupBy(col("k"))
@@ -345,9 +343,7 @@ object EventAnalytics extends QueryModule {
     "evt_canonical_events" -> Q(
       (s, dir) => {
         val sig = md5(col("event_id").cast("string"))
-        // widened: sha256+md5 per row over the whole table, no filter to
-        // push — same rationale as evt_variant_props
-        Tables.widen(ev(s, dir))
+        ev(s, dir)
           .select(
             sha2(concat_ws(":",
               col("event_id").cast("string"), sig,

@@ -34,9 +34,7 @@ object CorpusPipeline {
   /** Per-stage survivors: (doc_id, stage) where stage ∈
     * exact_kept / neardup_kept / quality_kept. */
   def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
-    // widened: normalization + shingling are per-row regexp work (see
-    // Tables.widen — no-op on production-width scans)
-    val docs = Tables.widen(Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
 
     // stage 1 — exact dedup on normalized text. Cached: three consumers
     // (shingling, the near-dup anti-join, the stage union) would

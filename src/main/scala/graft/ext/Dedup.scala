@@ -19,10 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  // widened: the shingle/token generators are per-row regexp work that a
-  // narrow toy-scale scan would otherwise serialize on one core
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.widen(Tables.documents(s, dir))
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   // Word 3-gram shingles; the CASE guard matters — Spark's
   // `sequence(1, n)` with n < 1 counts DOWN (unlike DuckDB's empty

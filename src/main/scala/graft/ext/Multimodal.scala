@@ -38,11 +38,14 @@ object Multimodal extends QueryModule {
   /** The partition-parallel decode stage: binary column in, typed feature
     * rows out. `mapPartitions` keeps per-partition batching (the shape a
     * vectorized/Pandas-style decode UDF needs) without any driver
-    * collect. */
+    * collect. Widened first: decode is the one stage whose per-row cost
+    * (a real codec) dwarfs a shuffle of its input, so a narrow scan —
+    * 10k videos in one split on a 1000-core cluster — must not serialize
+    * it; on an already-wide scan the widen is a no-op. */
   def decodeMedia(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("mime"), col("payload"))
+    graft.Tables.widen(media.select(col("doc_id").cast("long"), col("mime"), col("payload")))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mime, payload) => fakeDecode(id, mime, payload) })
   }

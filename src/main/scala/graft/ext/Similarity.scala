@@ -21,10 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  // widened: signature projections and cosine kernels are per-row vector
-  // math that a narrow toy-scale scan would otherwise serialize
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.widen(Tables.embeddings(s, dir))
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
   /** embedding float[] → double[] (exact widening on both engines). */
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))

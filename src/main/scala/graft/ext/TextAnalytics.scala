@@ -22,10 +22,7 @@ object TextAnalytics extends QueryModule {
   private[ext] val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
   private val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"
 
-  // widened: every query here is per-row regexp/fold work that a narrow
-  // toy-scale scan would otherwise serialize on one core
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.widen(Tables.documents(s, dir))
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   override val defs: Seq[(String, Q)] = Seq(
 

@@ -24,9 +24,7 @@ object IngestQueries extends QueryModule {
   private def materializedBlocks(s: SparkSession): DataFrame = {
     Backfill.fetchRange(s, 1L, 201L, workers = 8)
       .write.mode("overwrite").parquet(RawBlocksPath)
-    // widened: the JSON parse fan-out is per-row-heavy and the small
-    // read-back would otherwise plan as one split
-    graft.Tables.widen(s.read.parquet(RawBlocksPath))
+    s.read.parquet(RawBlocksPath)
   }
 
   private val tokenList = Schemas.TokenPrograms.map(p => s"'$p'").mkString(", ")
