@@ -140,14 +140,17 @@ object TextAnalytics extends QueryModule {
 
     // Document fingerprint: deterministic polynomial rolling hash over the
     // character stream (ordered fold — identical sequential evaluation on
-    // both engines; no float, no order nondeterminism).
+    // both engines; no float, no order nondeterminism). Runs as the
+    // native codegen'd rolling_hash expression — one pass over the
+    // string, no regexp/array/HOF-lambda per character; exact
+    // equivalence to the HOF formulation is pinned in
+    // TextExpressionsSpec.
     "text_fingerprint" -> Q(
       (s, dir) =>
         docs(s, dir)
           .select(
             col("doc_id"),
-            expr("aggregate(regexp_extract_all(text, '.', 0), 0L, " +
-              "(h, c) -> pmod(h * 31 + ascii(c), 1000000007L))").as("fingerprint"))
+            graft.functions.TextExpressions.rolling_hash(col("text")).as("fingerprint"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
              | list_reduce(list_prepend(CAST(0 AS BIGINT),
