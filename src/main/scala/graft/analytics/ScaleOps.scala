@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** The 100 TB-scale variants of the exact operators (SURVEY.md §2.4 A4:
   * "at 100 TB: approx_count_distinct (HLL)"): sketch-based distincts and
-  * quantiles. No DuckDB oracle — sketch outputs are engine-specific by
-  * design; ScaleOpsSpec bounds them against the exact answers instead.
+  * quantiles. The built-in sketches carry no DuckDB oracle (their
+  * internals are engine-specific); ScaleOpsSpec bounds them against the
+  * exact answers instead. The engine's OWN HLL is oracle-checked — its
+  * md5-derived hash and integer-exact estimator replay in SQL.
   */
 object ScaleOps extends QueryModule {
 
@@ -38,7 +40,11 @@ object ScaleOps extends QueryModule {
 
     // Same shape through the engine's OWN TypedImperativeAggregate HLL
     // sketch (graft.functions.HllAggregate) — constant-size mergeable
-    // buffers per group.
+    // buffers per group. The oracle RE-IMPLEMENTS the sketch in SQL
+    // (60-bit md5 hash → 4096 registers → integer-exact estimator with
+    // linear-counting correction): a full differential test of the
+    // custom aggregate, possible because the estimate is deterministic
+    // by construction (max-merge registers + integer register sum).
     "evt_hll_program_reach" -> Q(
       (s, dir) =>
         Tables.events(s, dir)
@@ -46,7 +52,37 @@ object ScaleOps extends QueryModule {
           .agg(count(lit(1)).as("cnt"),
             graft.functions.HllAggregate.hll_distinct(col("user_id")).as("hll_wallets"))
           .orderBy(col("cnt").desc, col("event_type")),
-      None,
-      doc = "custom TypedImperativeAggregate HLL sketch (SURVEY §7.3)"),
+      // p=12: m=4096 buckets on the top 12 of 60 hash bits, 48-bit rank
+      // window, scale 2^49; e-notation literals force DOUBLE (a bare
+      // 1.079 is DECIMAL in DuckDB and would divide differently).
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM events),
+             |regs AS (
+             |  SELECT event_type, h >> 48 AS j,
+             |    max(49 - CASE WHEN (h & 281474976710655) = 0 THEN 0
+             |          ELSE length(bin(h & 281474976710655)) END) AS r
+             |  FROM h GROUP BY 1, 2),
+             |counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+             |allregs AS (
+             |  SELECT b.event_type, b.j, coalesce(regs.r, 0) AS r
+             |  FROM (SELECT c.event_type, g.j
+             |        FROM counts c, UNNEST(generate_series(0, 4095)) AS g(j)) b
+             |  LEFT JOIN regs ON regs.event_type = b.event_type AND regs.j = b.j),
+             |est AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS DOUBLE) AS s,
+             |    count(*) FILTER (WHERE r = 0) AS zeros
+             |  FROM allregs GROUP BY 1)
+             |SELECT c.event_type, c.cnt,
+             |  CAST(CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 4096)) * 4096 * 4096 * 562949953421312e0 / s <= 2.5e0 * 4096
+             |             AND zeros > 0
+             |    THEN round(4096 * ln(4096e0 / zeros))
+             |    ELSE round((0.7213e0 / (1e0 + 1.079e0 / 4096)) * 4096 * 4096 * 562949953421312e0 / s) END AS BIGINT)
+             |    AS hll_wallets
+             |FROM counts c JOIN est USING (event_type)
+             |ORDER BY cnt DESC, event_type""".stripMargin),
+      doc = "custom TypedImperativeAggregate HLL sketch, oracle-rederived in SQL (SURVEY §7.3)"),
   )
 }

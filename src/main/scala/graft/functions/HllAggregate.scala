@@ -15,13 +15,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * max, so partial aggregation and AQE-coalesced shuffles work
   * unchanged).
   *
-  * Standard HLL (public algorithm): register j = leading-zero rank of the
-  * hashed value within bucket j; estimate = αm·m²/Σ2^(−M[j]) with
+  * Standard HLL (public algorithm): register j = bit-rank of the hashed
+  * value within bucket j; estimate = αm·m²/Σ2^(−M[j]) with
   * linear-counting correction at the low range. p=12 → 4096 B buffer,
   * ~1.6 % standard error. Spark's built-in `approx_count_distinct` is the
   * production choice; this exists to exercise and document the
   * TypedImperativeAggregate extension point with a self-contained
   * implementation.
+  *
+  * ORACLE-REPRODUCIBLE BY DESIGN: the hash is the repo's shared 60-bit
+  * md5 prefix (`('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB) over the
+  * value's canonical decimal/text rendering, and the register sum is
+  * EXACT INTEGER arithmetic (Σ 2^(wBits+1−r), every term an integer), so
+  * the whole sketch — registers, estimator, linear counting — replays
+  * bit-for-bit as SQL and the estimate is independent of partitioning,
+  * merge order, and register visit order. A float Σ2^−r would need
+  * p + wBits + 1 mantissa bits and silently round.
   */
 case class HllAggregate(
     child: Expression,
@@ -31,6 +40,7 @@ case class HllAggregate(
   extends TypedImperativeAggregate[Array[Byte]] {
 
   private val m = 1 << precision
+  private val wBits = 60 - precision
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -39,34 +49,37 @@ case class HllAggregate(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
-  /** splitmix64 — a public-domain 64-bit finalizer; good HLL dispersion. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 
-  private def hashAny(v: Any): Long = v match {
-    case l: Long => mix(l)
-    case i: Int => mix(i.toLong)
-    case s: UTF8String =>
-      // FNV-1a over the bytes, then mixed
-      val b = s.getBytes
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < b.length) { h = (h ^ (b(i) & 0xff)) * 0x100000001b3L; i += 1 }
-      mix(h)
-    case other => mix(other.hashCode().toLong)
+  /** 60-bit md5-prefix hash of the value's canonical rendering (decimal
+    * for integers, raw bytes for strings) — the oracle-shared formula. */
+  private def hash60(v: Any): Long = {
+    val bytes = v match {
+      case s: UTF8String => s.getBytes
+      case other => other.toString.getBytes("UTF-8")
+    }
+    val d = md5Local.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    (h << 4) | ((dig(7) & 0xf0L) >>> 4)
   }
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = hashAny(v)
-      val j = (h >>> (64 - precision)).toInt          // high p bits → bucket
-      val w = h << precision                          // remaining bits
-      val rank = (if (w == 0) 64 - precision else java.lang.Long.numberOfLeadingZeros(w)) + 1
+      val h = hash60(v)
+      val j = (h >>> wBits).toInt                     // high p bits → bucket
+      val w = h & ((1L << wBits) - 1)                 // low wBits bits
+      // rank = wBits+1 − bitlen(w); w == 0 → bitlen 0 → rank wBits+1
+      val rank = wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
       if (rank > (buf(j) & 0xff)) buf(j) = rank.toByte
     }
     buf
@@ -83,14 +96,17 @@ case class HllAggregate(
 
   override def eval(buf: Array[Byte]): Any = {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    var sum = 0.0; var zeros = 0; var i = 0
+    // exact integer register sum (see class doc); max = m·2^(wBits+1)
+    // = 2^61 at p=12 — fits a Long
+    var s = 0L; var zeros = 0; var i = 0
     while (i < m) {
       val r = buf(i) & 0xff
-      sum += 1.0 / (1L << r)
+      s += 1L << (wBits + 1 - r)
       if (r == 0) zeros += 1
       i += 1
     }
-    val e = alpha * m * m / sum
+    val scale = (1L << (wBits + 1)).toDouble
+    val e = alpha * m * m * scale / s.toDouble
     val est =
       if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
       else e

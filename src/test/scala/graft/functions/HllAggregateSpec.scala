@@ -28,9 +28,12 @@ class HllAggregateSpec extends SparkSpec {
   }
 
   test("small cardinalities are near-exact via linear counting") {
+    // linear counting estimates from occupied-bucket counts — a single
+    // bucket collision among n ≪ m values shifts the estimate by ~1, so
+    // the guarantee is near-exact, not exact
     val df = spark.range(0, 100000).select((col("id") % 42).as("v"))
     val est = df.agg(hll_distinct(col("v"))).collect()(0).getLong(0)
-    assert(est == 42L, s"got $est")
+    assert(math.abs(est - 42L) <= 2L, s"got $est")
   }
 
   test("works per-group and ignores nulls") {
