@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{HllAggregate, VectorExpressions}
+import graft.functions.{Base58Expressions, HllAggregate, TextExpressions, VectorExpressions}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,6 +34,15 @@ object GraftExtensions {
     ("hll_distinct",
       info("hll_distinct", "hll_distinct(expr) - HyperLogLog distinct-count sketch"),
       (es: Seq[Expression]) => HllAggregate(es.head)),
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(str) - polynomial rolling hash (document fingerprint)"),
+      (es: Seq[Expression]) => TextExpressions.RollingHash(es.head)),
+    ("base58_encode",
+      info("base58_encode", "base58_encode(bin) - Base58 (Bitcoin/Solana alphabet)"),
+      (es: Seq[Expression]) => Base58Expressions.Base58Encode(es.head)),
+    ("base58_decode",
+      info("base58_decode", "base58_decode(str) - Base58 decode; NULL on invalid input"),
+      (es: Seq[Expression]) => Base58Expressions.Base58Decode(es.head)),
   )
 
   /** Register on an already-built session (temp functions). */
