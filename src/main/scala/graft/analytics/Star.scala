@@ -55,6 +55,23 @@ object Star extends QueryModule {
         expr("max(ts) div 1000").as("last_seen_us"),
         count(lit(1)).as("transfer_count"))
 
+  /** Incremental dim maintenance (the schema rationale's "updated via
+    * materialized views or scheduled jobs", SCHEMA.md:204): fold a new
+    * batch's dim into the existing dim WITHOUT rescanning history.
+    * Every dim_wallets aggregate is a semigroup (min/max/sum), so
+    * merge = union + one grouped re-aggregation over (|dim| + |delta|)
+    * rows — at 100 TB this is the difference between touching the full
+    * fact table per batch and touching only the batch. Associativity is
+    * pinned by StarSpec: incremental over any split ≡ one-shot build. */
+  def mergeDimWallets(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(dimWallets(batch))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("first_seen_ns")).as("first_seen_ns"),
+        max(col("last_seen_ns")).as("last_seen_ns"),
+        sum(col("total_transactions")).as("total_transactions"),
+        sum(col("total_purchases")).as("total_purchases"))
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // The dim_programs build as an oracle row: one grouped pass, all

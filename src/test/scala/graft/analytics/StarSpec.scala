@@ -28,6 +28,21 @@ class StarSpec extends SparkSpec {
     assert(fromDim == direct)
   }
 
+  test("incremental dim maintenance ≡ one-shot build over any split") {
+    import spark.implicits._
+    val e = events.withColumn("rid", col("event_id") % 3)
+    val oneShot = Star.dimWallets(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // fold three disjoint batches through mergeDimWallets
+    val incremental = (0L until 3L)
+      .map(i => e.filter(col("rid") === i).drop("rid"))
+      .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        case (None, batch) => Some(Star.dimWallets(batch))
+        case (Some(dim), batch) => Some(Star.mergeDimWallets(dim, batch))
+      }.get.as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(incremental == oneShot)
+  }
+
   test("wallet-cohort enrichment broadcasts the dim against one fact scan") {
     val df = SparkEntry.queries("star_wallet_cohorts")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
