@@ -134,8 +134,42 @@ object AnalyticsRunner {
       .orderBy(col("program_id"), col("date"))
   }
 
-  /** Run all ten families and materialize them under `outDir` — the full
-    * `analytics` subcommand (analytics.rs:7-32). */
+  /** dim_wallets (docs/SCHEMA.md:192-218) from the canonical-event fact:
+    * first/last seen slot+time plus activity counts, one grouped pass. */
+  def dimWallets(fact: DataFrame): DataFrame =
+    fact.filter(col("event_type") === "transaction" && wallet.isNotNull)
+      .groupBy(wallet.as("wallet"))
+      .agg(
+        min(col("slot")).as("first_seen_slot"),
+        min(col("block_time")).as("first_seen_time"),
+        max(col("slot")).as("last_seen_slot"),
+        max(col("block_time")).as("last_seen_time"),
+        count(lit(1)).as("total_transactions"))
+
+  /** dim_programs (docs/SCHEMA.md:220-241). */
+  def dimPrograms(fact: DataFrame): DataFrame =
+    fact.filter(col("program_id").isNotNull)
+      .groupBy(col("program_id"))
+      .agg(
+        min(col("slot")).as("first_seen_slot"),
+        min(col("block_time")).as("first_seen_time"),
+        max(col("slot")).as("last_seen_slot"),
+        max(col("block_time")).as("last_seen_time"))
+
+  /** dim_tokens (docs/SCHEMA.md:243-262): mint + decimals from the
+    * transfer payloads. */
+  def dimTokens(fact: DataFrame): DataFrame =
+    fact.filter(col("event_type") === "token_transfer" && mint.isNotNull)
+      .groupBy(mint.as("token_mint"))
+      .agg(
+        max(get_json_object(col("raw_payload"), "$.decimals").cast("int"))
+          .as("decimals"),
+        count(lit(1)).as("transfer_count"))
+
+  /** Run all ten summary families PLUS the three star dims
+    * (docs/SCHEMA.md:190-262 — declared-only in the reference) and
+    * materialize them under `outDir` — the full `analytics` subcommand
+    * (analytics.rs:7-32) with the schema actually completed. */
   def runAll(spark: SparkSession, fact: DataFrame, anchor: java.sql.Timestamp,
       outDir: String): Map[String, Long] = {
     val tables: Seq[(String, DataFrame)] = Seq(
@@ -148,7 +182,10 @@ object AnalyticsRunner {
       "analytics_top_errors" -> topErrors(fact),
       "analytics_wallet_activity" -> walletActivity(fact, anchor),
       "analytics_top_wallets" -> topWallets(fact),
-      "analytics_program_trends" -> programTrends(fact, anchor))
+      "analytics_program_trends" -> programTrends(fact, anchor),
+      "dim_wallets" -> dimWallets(fact),
+      "dim_programs" -> dimPrograms(fact),
+      "dim_tokens" -> dimTokens(fact))
     tables.map { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
       name -> spark.read.parquet(s"$outDir/$name").count()

@@ -17,7 +17,11 @@ class RunnerSpec extends SparkSpec {
     val anchor = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
     val counts = AnalyticsRunner.runAll(spark, fact, anchor, s"$base/analytics")
 
-    assert(counts.size == 10)
+    assert(counts.size == 13)
+    // star dims (SCHEMA.md:190-262) materialize alongside the summaries
+    assert(counts("dim_wallets") > 0)
+    assert(counts("dim_programs") > 0)
+    assert(counts("dim_tokens") > 0)
     assert(counts("analytics_transaction_volume") == 1L)
     assert(counts("analytics_active_programs") > 0)
     assert(counts("analytics_top_tokens") > 0)
