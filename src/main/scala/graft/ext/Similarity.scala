@@ -113,17 +113,22 @@ object Similarity extends QueryModule {
           .map { case (id, v) => (id, v.map(_.toDouble)) }
         val withNorms = local.map { case (id, v) => (id, v, math.sqrt(kernelDot(v, v))) }
         val bc = s.sparkContext.broadcast(withNorms)
-        e.mapPartitions { it =>
+        // widened: N dots per row is the per-row-heavy case Tables.widen
+        // exists for (a narrow scan would run the whole O(N²/2) kernel
+        // on one core). The threshold tests the RAW cosine against the
+        // rounding boundary (HALF_UP at scale 4: rounded ≥ 0.4 ⟺ raw ≥
+        // 0.39995) so the BigDecimal rounding runs only on survivors,
+        // not on every candidate pair.
+        graft.Tables.widen(e.toDF()).as[(Long, Array[Float])].mapPartitions { it =>
           val others = bc.value
           it.flatMap { case (idA, vfA) =>
             val va = vfA.map(_.toDouble)
             val na = math.sqrt(kernelDot(va, va))
             others.iterator
               .filter(_._1 > idA)
-              .map { case (idB, vb, nb) =>
-                (idA, idB, roundHalfUp4(kernelDot(va, vb) / (na * nb)))
-              }
-              .filter(_._3 >= 0.4)
+              .map { case (idB, vb, nb) => (idB, kernelDot(va, vb) / (na * nb)) }
+              .filter(_._2 >= 0.39995)
+              .map { case (idB, raw) => (idA, idB, roundHalfUp4(raw)) }
           }
         }.toDF("id_a", "id_b", "sim")
           .orderBy(col("id_a"), col("id_b"))
