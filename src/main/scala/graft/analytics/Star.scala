@@ -72,6 +72,40 @@ object Star extends QueryModule {
         sum(col("total_transactions")).as("total_transactions"),
         sum(col("total_purchases")).as("total_purchases"))
 
+  /** Append-only delta log for the wallet dim: each ingest batch appends
+    * its own one-pass dim build; nothing rewrites history, so a crashed
+    * writer never corrupts the dim (the MetadataStore discipline applied
+    * to a semigroup aggregate instead of last-write-wins). */
+  def appendDimDelta(batch: DataFrame, path: String): Unit =
+    dimWallets(batch).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+
+  /** Current dim view: one grouped re-aggregation over the delta log —
+    * correct after any number of appends because every column is a
+    * semigroup fold (see [[mergeDimWallets]]). */
+  def dimSnapshot(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("first_seen_ns")).as("first_seen_ns"),
+        max(col("last_seen_ns")).as("last_seen_ns"),
+        sum(col("total_transactions")).as("total_transactions"),
+        sum(col("total_purchases")).as("total_purchases"))
+
+  /** Compact the delta log back to one row per wallet (run periodically
+    * so snapshot cost stays O(|dim|), not O(batches·|dim|)). Staged
+    * through a sibling dir + atomic-enough swap so a concurrent reader
+    * never sees a half-written log. */
+  def compactDim(spark: SparkSession, path: String): Unit = {
+    val staged = path + "_compacting"
+    dimSnapshot(spark, path).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+  }
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // The dim_programs build as an oracle row: one grouped pass, all

@@ -43,6 +43,29 @@ class StarSpec extends SparkSpec {
     assert(incremental == oneShot)
   }
 
+  test("delta-log dim: snapshot ≡ one-shot build; compaction preserves it") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dim").toString + "/dim_wallets"
+    val e = events.withColumn("rid", col("event_id") % 4)
+    (0L until 4L).foreach(i =>
+      Star.appendDimDelta(e.filter(col("rid") === i).drop("rid"), path))
+    val oneShot = Star.dimWallets(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaDeltas = Star.dimSnapshot(spark, path)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaDeltas == oneShot)
+    // compaction shrinks the log to one row per wallet, same snapshot
+    Star.compactDim(spark, path)
+    assert(spark.read.parquet(path).count() == oneShot.size)
+    val afterCompact = Star.dimSnapshot(spark, path)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(afterCompact == oneShot)
+    // and further deltas keep folding in
+    Star.appendDimDelta(events.limit(50), path)
+    assert(Star.dimSnapshot(spark, path)
+      .agg(sum("total_transactions")).as[Long].head() == events.count() + 50)
+  }
+
   test("wallet-cohort enrichment broadcasts the dim against one fact scan") {
     val df = SparkEntry.queries("star_wallet_cohorts")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString
