@@ -44,6 +44,18 @@ object MetadataStore {
     snapshot(spark, path).filter(col("key") === key)
       .select("value").collect().headOption.map(_.getString(0))
 
+  /** Compact the append-only log to one live row per key (snapshot →
+    * staged rewrite → swap), bounding read cost after many updates. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val staged = path + "_compacting"
+    snapshot(spark, path).write.mode(SaveMode.Overwrite).parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+  }
+
   /** last_confirmed_slot accessors (warehouse.rs:251-285 semantics). */
   def lastSlot(spark: SparkSession, path: String): Option[Long] =
     get(spark, path, "last_confirmed_slot").map(_.toLong)

@@ -23,6 +23,20 @@ class MetadataStoreSpec extends SparkSpec {
     assert(MetadataStore.snapshot(spark, path).count() == 2) // 2 live keys
   }
 
+  test("compaction shrinks the log and preserves the snapshot") {
+    val path = Files.createTempDirectory("graft_meta_compact").toString + "/kv"
+    (1L to 5L).foreach(i => MetadataStore.updateLastSlot(spark, path, i * 100))
+    MetadataStore.set(spark, path, "warehouse_type", "orc")
+    assert(spark.read.parquet(path).count() == 6) // full audit log
+    MetadataStore.compact(spark, path)
+    assert(spark.read.parquet(path).count() == 2) // one row per live key
+    assert(MetadataStore.lastSlot(spark, path).contains(500L))
+    assert(MetadataStore.get(spark, path, "warehouse_type").contains("orc"))
+    // post-compact writes keep layering normally
+    MetadataStore.updateLastSlot(spark, path, 600L)
+    assert(MetadataStore.lastSlot(spark, path).contains(600L))
+  }
+
   test("same-millisecond updates never resolve to the stale write") {
     // "9" > "10" lexically: with a wall-clock-only version, two writes
     // inside one millisecond would tie on updated_at and Upsert's
