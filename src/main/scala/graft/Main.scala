@@ -84,14 +84,26 @@ object Main {
       counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
       spark.stop()
 
-    case "health" :: fact :: Nil =>
+    // optional args: <chainTipSlot> [maxSlotLag] enable the slot-lag SLO
+    // the reference declares but never enforces (health.rs:51-54 +
+    // config.rs:80-83 ETL_MAX_SLOT_LAG, default 1000): status flips to
+    // "behind" when sink lag exceeds the bound.
+    case "health" :: fact :: rest if rest.length <= 2 =>
       // RPC reachability + warehouse SELECT-1 (health.rs:7-58) →
       // source readability + sink tip probe. Null-safe: an empty sink is
       // healthy-but-behind, not a crash.
       val spark = session()
       val row = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0)
       val tip = if (row.isNullAt(0)) -1L else row.getLong(0)
-      println(s"""{"status":"ok","sink_tip_slot":$tip}""")
+      rest match {
+        case chainTip :: more =>
+          val maxLag = more.headOption.map(_.toLong).getOrElse(1000L)
+          val lag = math.max(0L, chainTip.toLong - tip)
+          val status = if (lag <= maxLag) "ok" else "behind"
+          println(s"""{"status":"$status","sink_tip_slot":$tip,"slot_lag":$lag,"max_slot_lag":$maxLag}""")
+        case Nil =>
+          println(s"""{"status":"ok","sink_tip_slot":$tip}""")
+      }
       spark.stop()
 
     case other =>
@@ -101,7 +113,7 @@ object Main {
            |       incremental <src_dir> <sink> <ckpt> [intervalSec]
            |       incremental-blocks <startSlot> <tipSlot> <sink> <ckpt>
            |       analytics <fact_path> <out_dir> [anchorTimestamp]
-           |       health <fact_path>""".stripMargin)
+           |       health <fact_path> [chainTipSlot [maxSlotLag]]""".stripMargin)
       sys.exit(2)
   }
 }
