@@ -152,9 +152,13 @@ object EventAnalytics extends QueryModule {
           // promote-at-parse (SURVEY §1.3): one typed from_json
           // projection of the needed key AFTER the selective filter;
           // the aggregate then groups on an int column, never re-parsing
-          // JSON per comparison in the hot path.
+          // JSON per comparison in the hot path. Extract as STRING then
+          // cast — from_json with 'k INT' would null out a
+          // string-encoded number ({"k":"5"}) where both the old
+          // get_json_object form and the DuckDB oracle yield 5.
           .select(coalesce(
-            from_json(col("props"), "k INT", Map.empty[String, String]).getField("k"),
+            from_json(col("props"), "k STRING", Map.empty[String, String])
+              .getField("k").cast("int"),
             lit(-1)).as("error_k"))
           .groupBy(col("error_k"))
           .agg(count(lit(1)).as("error_count"))

@@ -92,19 +92,11 @@ object Star extends QueryModule {
         sum(col("total_purchases")).as("total_purchases"))
 
   /** Compact the delta log back to one row per wallet (run periodically
-    * so snapshot cost stays O(|dim|), not O(batches·|dim|)). Staged
-    * through a sibling dir + atomic-enough swap so a concurrent reader
-    * never sees a half-written log. */
-  def compactDim(spark: SparkSession, path: String): Unit = {
-    val staged = path + "_compacting"
-    dimSnapshot(spark, path).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
-  }
+    * so snapshot cost stays O(|dim|), not O(batches·|dim|)) — crash-safe
+    * swap via [[graft.operators.StoreOps]], shared with the metadata
+    * store. */
+  def compactDim(spark: SparkSession, path: String): Unit =
+    graft.operators.StoreOps.replaceWith(spark, path, dimSnapshot(spark, path))
 
   override val defs: Seq[(String, Q)] = Seq(
 

@@ -25,12 +25,7 @@ object Checkpoints {
       startSlot: Long, endSlot: Long, lastProcessedSlot: Long,
       status: String): Unit = {
     import spark.implicits._
-    val prevMax: Long =
-      try {
-        val r = spark.read.parquet(path).agg(max(col("updated_at"))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    val version = math.max(System.currentTimeMillis(), prevMax + 1)
+    val version = graft.operators.StoreOps.nextVersion(spark, path, "updated_at")
     Seq((checkpointId, startSlot, endSlot, lastProcessedSlot, status, version))
       .toDF("checkpoint_id", "start_slot", "end_slot",
         "last_processed_slot", "status", "updated_at")

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object IngestQueries extends QueryModule {
 
-  /** Fixed materialization point the oracle SQL reads back. */
+  /** Materialization point the oracle SQL reads back. Per-process (the
+    * oracle strings are BUILT by this process, so the path they embed is
+    * this process's) — a fixed shared name would let two concurrent
+    * JVMs on one machine clobber each other's blocks mid-read. */
   private val RawBlocksPath =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ingest_blocks.parquet"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ingest_blocks_${ProcessHandle.current().pid()}.parquet"
 
   /** Fetch the canonical slot range, dump it to parquet (so DuckDB sees
     * byte-identical input), and read it back as the query source. */

@@ -143,24 +143,29 @@ object Parse {
   def parseErrors(raw: DataFrame): DataFrame = {
     val parsed = raw.select(col("slot"),
       from_json(col("block_json"), blockSchema).as("b"))
+    // position enters the id: two signature-less transactions in one
+    // block must yield two distinct error rows (block-level errors use
+    // index -1, mirroring the tx-event id convention)
     val blockErrs = parsed
       .filter(col("b").isNull || col("b.blockTime").isNull)
-      .select(col("slot"),
+      .select(col("slot"), lit(-1).as("tx_index"),
         lit("block_parse_error").as("error_type"),
         lit("missing or unparseable blockTime").as("error_message"))
     val txErrs = parsed
       .filter(col("b").isNotNull && col("b.blockTime").isNotNull)
-      .select(col("slot"), explode(col("b.transactions")).as("tx"))
+      .select(col("slot"),
+        posexplode(col("b.transactions")).as(Seq("tx_index", "tx")))
       .filter(col("tx").isNull ||
         try_element_at(col("tx.transaction.signatures"), lit(1)).isNull)
-      .select(col("slot"),
+      .select(col("slot"), col("tx_index"),
         lit("tx_missing_signature").as("error_type"),
         lit("transaction carries no signature").as("error_message"))
     blockErrs.unionByName(txErrs)
       .select(
-        sha2(concat_ws(":", col("slot").cast("string"), col("error_type")), 256)
+        sha2(concat_ws(":", col("slot").cast("string"),
+          col("tx_index").cast("string"), col("error_type")), 256)
           .as("error_id"),
-        col("slot"), col("error_type"), col("error_message"))
+        col("slot"), col("tx_index"), col("error_type"), col("error_message"))
   }
 
   /** Token-transfer netting the reference sketches but never implements

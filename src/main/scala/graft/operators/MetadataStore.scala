@@ -15,17 +15,11 @@ object MetadataStore {
 
   def set(spark: SparkSession, path: String, key: String, value: String): Unit = {
     import spark.implicits._
-    // Strictly monotonic version: two updates inside one millisecond
-    // would tie on wall-clock alone, and Upsert's descending STRING
-    // tiebreak on value could then snapshot the stale write (e.g.
-    // "9" > "10" lexically). Bumping past the stored max makes version
-    // order = write order even under clock ties or skew.
-    val prevMax: Long =
-      try {
-        val r = spark.read.parquet(path).agg(max(col("updated_at"))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    val version = math.max(System.currentTimeMillis(), prevMax + 1)
+    // Strictly monotonic version (StoreOps): two updates inside one
+    // millisecond would tie on wall-clock alone, and Upsert's descending
+    // STRING tiebreak on value could then snapshot the stale write
+    // (e.g. "9" > "10" lexically).
+    val version = StoreOps.nextVersion(spark, path, "updated_at")
     Seq((key, value, version))
       .toDF("key", "value", "updated_at")
       .write.mode(SaveMode.Append).parquet(path)
@@ -44,17 +38,10 @@ object MetadataStore {
     snapshot(spark, path).filter(col("key") === key)
       .select("value").collect().headOption.map(_.getString(0))
 
-  /** Compact the append-only log to one live row per key (snapshot →
-    * staged rewrite → swap), bounding read cost after many updates. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val staged = path + "_compacting"
-    snapshot(spark, path).write.mode(SaveMode.Overwrite).parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
-  }
+  /** Compact the append-only log to one live row per key, bounding read
+    * cost after many updates (crash-safe swap via [[StoreOps]]). */
+  def compact(spark: SparkSession, path: String): Unit =
+    StoreOps.replaceWith(spark, path, snapshot(spark, path))
 
   /** last_confirmed_slot accessors (warehouse.rs:251-285 semantics). */
   def lastSlot(spark: SparkSession, path: String): Option[Long] =

@@ -97,7 +97,10 @@ private[sources] final class RateLimiter(ratePerSec: Double,
 
 /** Bounded exponential backoff: attempt n sleeps base·2ⁿ ms, up to
   * `maxRetries` re-attempts, then rethrows (rpc.rs:61-108 semantics —
-  * transient RPC failures are retried, persistent ones surface). */
+  * transient RPC failures are retried, persistent ones surface). Only
+  * NonFatal failures retry: task interrupts (Spark cancelling a stage)
+  * and VM errors must surface immediately, not sit out a backoff
+  * schedule. */
 private[sources] object FetchRetry {
   def withRetry[T](maxRetries: Int, baseDelayMs: Long,
       sleep: Long => Unit = Thread.sleep)(f: => T): T = {
@@ -105,7 +108,7 @@ private[sources] object FetchRetry {
     while (true) {
       try return f
       catch {
-        case _: Throwable if attempt < maxRetries =>
+        case scala.util.control.NonFatal(_) if attempt < maxRetries =>
           sleep(baseDelayMs << attempt)
           attempt += 1
       }
@@ -234,13 +237,15 @@ private[sources] class BlockReaderFactory(policy: FetchPolicy = FetchPolicy(0.0,
     val SlotRangePartition(lo, hi) = p.asInstanceOf[SlotRangePartition]
     new PartitionReader[InternalRow] {
       // the rate-limited RPC client, one per partition
-      // (backfill.rs:46-48 connection-per-worker): every fetch first
-      // takes a token-bucket permit, then runs under bounded
-      // exponential-backoff retry (rpc.rs:48-108)
+      // (backfill.rs:46-48 connection-per-worker): EVERY attempt —
+      // including each retry — takes a token-bucket permit before
+      // fetching, so the configured req/s ceiling holds even while the
+      // endpoint is failing (retries must not multiply the rate,
+      // rpc.rs:48-108)
       private val limiter = new RateLimiter(policy.ratePerSec)
       private val slots = Iterator.range(lo, hi).flatMap { s =>
-        limiter.acquire()
         FetchRetry.withRetry(policy.maxRetries, policy.retryBaseMs) {
+          limiter.acquire()
           Backfill.syntheticBlock(s)
         }.map(j => (s, j))
       }

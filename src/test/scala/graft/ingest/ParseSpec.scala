@@ -105,6 +105,17 @@ class ParseSpec extends SparkSpec {
     // deterministic ids, no dupes
     val ids = Parse.parseErrors(raw).select("error_id").as[String].collect()
     assert(ids.distinct.length == ids.length)
+    // two signature-less txs in ONE block keep distinct identities
+    // (position is part of the id)
+    val twoBad =
+      """{"blockTime":1704067200,"transactions":[
+        |{"transaction":{"signatures":[],"message":{"accountKeys":[],"instructions":[]}},"meta":{"err":null}},
+        |{"transaction":{"signatures":[],"message":{"accountKeys":[],"instructions":[]}},"meta":{"err":null}}
+        |]}""".stripMargin.replace("\n", "")
+    val pair = Parse.parseErrors(rawDF(9L -> twoBad))
+      .select("error_id", "tx_index").as[(String, Int)].collect()
+    assert(pair.length == 2 && pair.map(_._1).distinct.length == 2)
+    assert(pair.map(_._2).sorted.toSeq == Seq(0, 1))
     // complement check: errors + parsed events cover all input rows'
     // fates — the clean block contributes zero error rows
     assert(Parse.parseErrors(rawDF(10L -> basicBlock)).count() == 0)
