@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized invariants over the dedup stages (fixed seeds —
+  * deterministic CI): the round-2 df-cap/banding/verify rework must hold
+  * structural properties for ANY input, not just the planted testdata. */
+class DedupProps extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Random (doc_id, shingle) posting lists with planted near-dups and a
+    * few boilerplate (high-df) shingles. */
+  private def randomPostings(seed: Long, nDocs: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 40).map(i => s"sh_$i")
+    val hot = Seq("boilerplate a", "boilerplate b")
+    val rows = (0 until nDocs).flatMap { d =>
+      val own = (0 until 3 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.length)))
+      // ~half the docs carry the boilerplate shingles
+      val extra = if (rnd.nextBoolean()) hot else Nil
+      // planted near-dup: doc 2k+1 copies doc 2k's shingles with a tweak
+      (own ++ extra).distinct.map(sh => (d.toLong, sh))
+    }
+    rows.toDF("doc_id", "shingle").distinct()
+  }
+
+  test("jaccard output invariants: ordering, bounds, common ≤ sizes") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val sh = randomPostings(seed, 60).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).as[(Long, Long)]
+        .collect().toMap
+      val pairs = Dedup.jaccardPairs(sh, 0.3, maxDf = 25)
+        .as[(Long, Long, Long, Double)].collect()
+      pairs.foreach { case (d1, d2, common, j) =>
+        assert(d1 < d2, "pairs must be canonically ordered")
+        assert(j >= 0.3 && j <= 1.0, s"jaccard out of range: $j")
+        assert(common >= 1 && common <= math.min(sizes(d1), sizes(d2)),
+          s"common=$common exceeds set sizes for ($d1,$d2)")
+      }
+      sh.unpersist()
+    }
+  }
+
+  test("df cap only shrinks the candidate-generation index, never grows it") {
+    for (seed <- Seq(3L, 11L)) {
+      val sh = randomPostings(seed, 50).cache()
+      val total = sh.count()
+      val capped10 = Dedup.capShingles(sh, 10).count()
+      val capped1000 = Dedup.capShingles(sh, 1000).count()
+      assert(capped10 <= capped1000 && capped1000 <= total)
+      // a generous cap is the identity
+      assert(capped1000 == total)
+      sh.unpersist()
+    }
+  }
+
+  test("band candidates ⊆ pairs sharing ≥1 shingle; verify ⊆ candidates") {
+    for (seed <- Seq(5L, 13L)) {
+      val sh = randomPostings(seed, 50).cache()
+      val sharing = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct().as[(Long, Long)].collect().toSet
+      val cands = Dedup.bandCandidatesOf(sh).as[(Long, Long)].collect().toSet
+      assert(cands.subsetOf(sharing),
+        s"banding invented candidates: ${cands -- sharing}")
+      val verified = Dedup.verifyJaccard(sh, Dedup.bandCandidatesOf(sh), 0.2)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(verified.subsetOf(cands))
+      sh.unpersist()
+    }
+  }
+
+  test("identical posting sets always band together and verify at 1.0") {
+    // doc 100 and 101 share an identical 6-shingle set → every band key
+    // matches → candidate with jaccard exactly 1.0
+    val base = (0 until 6).map(i => s"dup_sh_$i")
+    val sh = (base.map(s => (100L, s)) ++ base.map(s => (101L, s)) ++
+      Seq((102L, "other"))).toDF("doc_id", "shingle")
+    val out = Dedup.verifyJaccard(sh, Dedup.bandCandidatesOf(sh), 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((100L, 101L, 6L, 1.0)))
+  }
+}
