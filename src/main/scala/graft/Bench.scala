@@ -17,11 +17,17 @@ object Bench {
     // .count() would let Catalyst prune projections and eliminate
     // sorts, understating exactly the queries with heavy per-row
     // expression work (sha256, rolling hashes).
+    // A throwing query records the sentinel -1.0, NOT its elapsed time:
+    // folding a failure's partial runtime into the totals would make a
+    // regression-into-crash read as a speedup in BENCH_r*.json.
     def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0 }
       spark.catalog.clearCache() // per-query caches must not leak across entries
       dt
     }
@@ -32,10 +38,16 @@ object Bench {
     // otherwise dominate and add ±30% run-to-run noise.
     SparkEntry.queries.foreach { case (n, f) => exec(n, f) }
     val results = SparkEntry.queries.map { case (name, fn) => name -> exec(name, fn) }
+    val failed = results.collect { case (name, t) if t < 0 => name }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Short trailer AFTER the long per-query line: the driver captures
+    // the output TAIL, which truncates the head of the line above once
+    // the query map grows — this line is what always survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

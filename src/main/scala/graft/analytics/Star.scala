@@ -95,8 +95,12 @@ object Star extends QueryModule {
     * so snapshot cost stays O(|dim|), not O(batches·|dim|)) — crash-safe
     * swap via [[graft.operators.StoreOps]], shared with the metadata
     * store. */
-  def compactDim(spark: SparkSession, path: String): Unit =
+  def compactDim(spark: SparkSession, path: String): Unit = {
+    // heal a torn prior swap before READING — dimSnapshot would otherwise
+    // throw (or see nothing) while <path>_prev holds the only copy
+    graft.operators.StoreOps.recoverInterrupted(spark, path)
     graft.operators.StoreOps.replaceWith(spark, path, dimSnapshot(spark, path))
+  }
 
   override val defs: Seq[(String, Q)] = Seq(
 

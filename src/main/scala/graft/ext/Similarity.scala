@@ -151,10 +151,19 @@ object Similarity extends QueryModule {
         val nprobe = 3
         val e = emb(s, dir).select(col("vec_id"), col("label"),
           vecD(col("embedding")).as("v"))
-        // centroid per (cell, dim) by grouped mean, reassembled to arrays
+        // centroid per (cell, dim): members sorted by vec_id, then a
+        // strict left-to-right double fold divided by the member count.
+        // A plain avg() would sum in partition order — nondeterministic
+        // bits — while this sequence is replayed exactly by the oracle's
+        // ORDER BY vec_id list + list_dot_product(xs, ones) fold. The
+        // extra sort is per (cell, dim) group and tiny next to the scan.
         val cents = e
-          .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy(col("label"), col("d")).agg(avg(col("x")).as("c"))
+          .select(col("label"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("label"), col("d"))
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("x")))).as("vx"))
+          .select(col("label"), col("d"),
+            expr("aggregate(vx, CAST(0 AS DOUBLE), (acc, p) -> acc + p.x) / size(vx)")
+              .as("c"))
           .groupBy(col("label"))
           .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
           .select(col("label").as("cell"),
@@ -184,8 +193,35 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None,
-      doc = "IVF ANN (centroid cells + nprobe=3 probing; recall-tested)"),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |cents AS (
+              |  SELECT label AS cell, list(c ORDER BY d) AS centroid FROM (
+              |    SELECT label, d,
+              |      list_dot_product(xs, list_transform(xs, x -> 1.0e0)) / len(xs) AS c
+              |    FROM (
+              |      SELECT e.label, gs.d, list(e.v[gs.d + 1] ORDER BY e.vec_id) AS xs
+              |      FROM e, generate_series(0, 63) AS gs(d)
+              |      GROUP BY 1, 2))
+              |  GROUP BY 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+              |probed AS (
+              |  SELECT query_id, cell FROM (
+              |    SELECT q.query_id, c.cell,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.qv", "c.centroid")} DESC, c.cell) AS cell_rank
+              |    FROM q, cents c) WHERE cell_rank <= 3),
+              |cand AS (
+              |  SELECT p.query_id, e.vec_id AS neighbor_id,
+              |    round(${dCos("q.qv", "e.v")}, 4) AS sim
+              |  FROM probed p JOIN e ON e.label = p.cell
+              |  JOIN q ON q.query_id = p.query_id
+              |  WHERE e.vec_id <> p.query_id)
+              |SELECT query_id, rank, neighbor_id, sim FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS rank
+              |  FROM cand) WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "IVF ANN (centroid cells + nprobe=3 probing; oracle-replayed)"),
 
     // LSH-bucketed ANN: L independent random-hyperplane sign sketches
     // (hash tables) of k bits each; a query probes, per table, its own
@@ -193,8 +229,11 @@ object Similarity extends QueryModule {
     // ONE equi-join on (table, bucket), then exact cosine re-ranks just
     // the candidates. k trades bucket size vs recall and would grow with
     // corpus size (k ≈ log2(n/target_bucket)); L and the probe radius
-    // buy recall at linear cost. No oracle (the recall contract is
-    // probabilistic); ExtSpec checks recall vs the brute-force baseline.
+    // buy recall at linear cost. The RECALL contract is probabilistic
+    // (ExtSpec checks it vs the brute-force baseline), but the OUTPUT is
+    // fully deterministic — the planes are md5-derived, so the oracle
+    // regenerates them from the same digests and replays bucket
+    // assignment, probing, and re-rank bit-for-bit.
     "sim_ann_lsh" -> Q(
       (s, dir) => {
         val tables = 4; val k = 6
@@ -233,7 +272,39 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None,
-      doc = "random-hyperplane LSH ANN (bucket join; recall-tested vs brute)"),
+      // Plane w[p][d] mirrors planeSign: +1 iff the first md5 nibble of
+      // "p_d" is even ⟺ the first hex char is one of 02468ace. ±1·x is
+      // exact, so sign(w·v) matches the codegen'd vector_dot bit-for-bit.
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |planes AS (
+              |  SELECT p, list_transform(generate_series(0, 63), d ->
+              |    CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
+              |         THEN 1.0e0 ELSE -1.0e0 END) AS w
+              |  FROM generate_series(0, 23) AS gp(p)),
+              |sk AS (
+              |  SELECT e.vec_id, p.p // 6 AS table_id,
+              |    CAST(sum(CASE WHEN list_dot_product(p.w, e.v) > 0
+              |                  THEN 1 << (p.p % 6) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, planes p GROUP BY 1, 2),
+              |probes AS (
+              |  SELECT s.vec_id AS query_id, s.table_id, pb.bucket
+              |  FROM sk s, LATERAL (VALUES (s.bucket),
+              |    (xor(s.bucket, 1)), (xor(s.bucket, 2)), (xor(s.bucket, 4)),
+              |    (xor(s.bucket, 8)), (xor(s.bucket, 16)), (xor(s.bucket, 32))) AS pb(bucket)
+              |  WHERE s.vec_id < 8),
+              |cand AS (
+              |  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+              |  FROM sk s JOIN probes p ON s.table_id = p.table_id AND s.bucket = p.bucket
+              |  WHERE s.vec_id <> p.query_id),
+              |scored AS (
+              |  SELECT c.query_id, c.neighbor_id, round(${dCos("q.v", "n.v")}, 4) AS sim
+              |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+              |  JOIN e n ON n.vec_id = c.neighbor_id)
+              |SELECT query_id, rank, neighbor_id, sim FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id) AS rank
+              |  FROM scored) WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "random-hyperplane LSH ANN (bucket join; oracle-replayed, recall-tested)"),
   )
 }

@@ -25,14 +25,18 @@ object MetadataStore {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
-  /** Current (latest-version) view of the store. */
-  def snapshot(spark: SparkSession, path: String): DataFrame =
+  /** Current (latest-version) view of the store. Heals a torn compaction
+    * swap first — otherwise a crashed store reads as empty, and a
+    * subsequent compact would snapshot that emptiness over the data. */
+  def snapshot(spark: SparkSession, path: String): DataFrame = {
+    StoreOps.recoverInterrupted(spark, path)
     try Upsert.lastWriteWins(spark.read.parquet(path), "key", "updated_at")
     catch {
       case _: org.apache.spark.sql.AnalysisException =>
         import spark.implicits._
         Seq.empty[(String, String, Long)].toDF("key", "value", "updated_at")
     }
+  }
 
   def get(spark: SparkSession, path: String, key: String): Option[String] =
     snapshot(spark, path).filter(col("key") === key)

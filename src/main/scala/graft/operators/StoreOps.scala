@@ -13,12 +13,35 @@ object StoreOps {
     * bumped past the stored max so same-millisecond writes and clock
     * skew still resolve in write order. */
   def nextVersion(spark: SparkSession, path: String, versionCol: String): Long = {
+    recoverInterrupted(spark, path) // a writer must not layer onto a torn swap
     val prevMax: Long =
       try {
         val r = spark.read.parquet(path).agg(max(col(versionCol))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
       } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     math.max(System.currentTimeMillis(), prevMax + 1)
+  }
+
+  /** Repair a store whose [[replaceWith]] swap was interrupted: a crash
+    * between the two renames leaves `<path>_prev` holding the ONLY
+    * complete copy while `path` itself is gone. Restore it by renaming
+    * back. A leftover `prev` BESIDE an intact `path` is the opposite
+    * case — a completed swap whose final cleanup didn't run — and must
+    * be left for the next swap to delete, never restored over live data.
+    * Called from every read/write entry point, so a torn store heals on
+    * first touch instead of silently reading as empty (or, worse, the
+    * next compaction snapshotting that emptiness and deleting `prev`,
+    * the last copy).
+    * @return true iff a restore happened */
+  def recoverInterrupted(spark: SparkSession, path: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new org.apache.hadoop.fs.Path(path + "_prev")
+    if (fs.exists(prev) && !fs.exists(dst)) {
+      if (!fs.rename(prev, dst))
+        throw new java.io.IOException(s"recovery: could not restore $prev to $dst")
+      true
+    } else false
   }
 
   /** Replace the directory at `path` with `snapshot`, staged through a
@@ -29,12 +52,16 @@ object StoreOps {
     * recovery. Maintenance op: assumes a single writer (concurrent
     * compactors of one store are out of scope, like VACUUM). */
   def replaceWith(spark: SparkSession, path: String, snapshot: DataFrame): Unit = {
+    // heal a torn prior swap FIRST — the unconditional prev-delete below
+    // would otherwise destroy the only surviving copy
+    recoverInterrupted(spark, path)
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new org.apache.hadoop.fs.Path(path + "_staged")
     val prev = new org.apache.hadoop.fs.Path(path + "_prev")
     snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(staged.toString)
+    // prev here can only be a completed swap's leftover (see recovery)
     fs.delete(prev, true)
     if (!fs.rename(dst, prev))
       throw new java.io.IOException(s"compaction: could not stage $dst aside")

@@ -37,6 +37,41 @@ class MetadataStoreSpec extends SparkSpec {
     assert(MetadataStore.lastSlot(spark, path).contains(600L))
   }
 
+  test("crash between compaction renames: store heals instead of losing data") {
+    // Simulate StoreOps.replaceWith dying between `rename(dst, prev)` and
+    // `rename(staged, dst)`: dst is gone, prev holds the ONLY copy. Every
+    // entry point (read, write, compact) must restore it — in particular
+    // compact must NOT snapshot the missing dir as empty and then delete
+    // prev, which was the pre-fix data-loss path.
+    val path = Files.createTempDirectory("graft_meta_crash").toString + "/kv"
+    MetadataStore.updateLastSlot(spark, path, 123L)
+    MetadataStore.set(spark, path, "warehouse_type", "parquet")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_prev")), "crash setup rename failed")
+
+    // reads heal the torn swap
+    assert(MetadataStore.lastSlot(spark, path).contains(123L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_prev")))
+
+    // tear it again and go straight to compact: nothing may be lost
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_prev")))
+    MetadataStore.compact(spark, path)
+    assert(MetadataStore.lastSlot(spark, path).contains(123L))
+    assert(MetadataStore.get(spark, path, "warehouse_type").contains("parquet"))
+    assert(spark.read.parquet(path).count() == 2)
+
+    // and a torn swap followed by a WRITE keeps the prior keys too
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_prev")))
+    MetadataStore.updateLastSlot(spark, path, 456L)
+    assert(MetadataStore.lastSlot(spark, path).contains(456L))
+    assert(MetadataStore.get(spark, path, "warehouse_type").contains("parquet"))
+  }
+
   test("same-millisecond updates never resolve to the stale write") {
     // "9" > "10" lexically: with a wall-clock-only version, two writes
     // inside one millisecond would tie on updated_at and Upsert's
