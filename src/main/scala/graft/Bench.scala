@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Time one query end-to-end via a noop-sink write, which forces FULL
+    * materialization of every column — .count() would let Catalyst prune
+    * projections and eliminate sorts, understating exactly the queries
+    * with heavy per-row expression work (sha256, rolling hashes).
+    * A throwing query records the sentinel -1.0, NOT its elapsed time:
+    * folding a failure's partial runtime into the totals would make a
+    * regression-into-crash read as a speedup in BENCH_r*.json. */
+  private[graft] def execOne(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    val dt =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0 }
+    spark.catalog.clearCache() // per-query caches must not leak across entries
+    dt
+  }
+
+  /** The two emitted JSON lines: the full per-query map (failures as
+    * -1.0 + an `errors` list, excluded from the total), then a short
+    * trailer. The trailer goes AFTER the long line because the driver
+    * captures the output TAIL, which truncates the long line's head once
+    * the query map grows — the trailer is what always survives. */
+  private[graft] def emitLines(results: Map[String, Double], sfDir: String): (String, String) = {
+    val failed = results.collect { case (name, t) if t < 0 => name }.toSeq.sorted
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""",
+     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,41 +50,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // noop-sink write forces FULL materialization of every column —
-    // .count() would let Catalyst prune projections and eliminate
-    // sorts, understating exactly the queries with heavy per-row
-    // expression work (sha256, rolling hashes).
-    // A throwing query records the sentinel -1.0, NOT its elapsed time:
-    // folding a failure's partial runtime into the totals would make a
-    // regression-into-crash read as a speedup in BENCH_r*.json.
-    def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      val dt =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          -1.0 }
-      spark.catalog.clearCache() // per-query caches must not leak across entries
-      dt
-    }
     // Warmup pass: run every query once unmeasured so the measured pass
     // reports steady-state latency — per-query one-time costs (codegen
     // compilation, JIT, file-listing, page cache) are fixed session
     // overhead, not per-query throughput, and at toy SFs they would
     // otherwise dominate and add ±30% run-to-run noise.
-    SparkEntry.queries.foreach { case (n, f) => exec(n, f) }
-    val results = SparkEntry.queries.map { case (name, fn) => name -> exec(name, fn) }
-    val failed = results.collect { case (name, t) if t < 0 => name }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    // Short trailer AFTER the long per-query line: the driver captures
-    // the output TAIL, which truncates the head of the line above once
-    // the query map grows — this line is what always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
+    SparkEntry.queries.foreach { case (n, f) => execOne(spark, sfDir, n, f) }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> execOne(spark, sfDir, name, fn) }
+    val (longLine, trailer) = emitLines(results, sfDir)
+    println(longLine)
+    println(trailer)
     spark.stop()
   }
 }

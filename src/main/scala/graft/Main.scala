@@ -91,29 +91,51 @@ object Main {
     case "health" :: fact :: rest if rest.length <= 2 =>
       // RPC reachability + warehouse SELECT-1 (health.rs:7-58) →
       // source readability + sink tip probe. Null-safe: an empty sink is
-      // healthy-but-behind, not a crash.
+      // healthy-but-behind, not a crash. Args are validated BEFORE the
+      // session spins up: a malformed number goes through the usage/
+      // exit-2 path, not a bare NumberFormatException stack trace.
+      val slo = parseHealthArgs(rest) match {
+        case Left(err) => usageExit(err)
+        case Right(v) => v
+      }
       val spark = session()
       val row = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0)
       val tip = if (row.isNullAt(0)) -1L else row.getLong(0)
-      rest match {
-        case chainTip :: more =>
-          val maxLag = more.headOption.map(_.toLong).getOrElse(1000L)
-          val lag = math.max(0L, chainTip.toLong - tip)
+      slo match {
+        case Some((chainTip, maxLag)) =>
+          val lag = math.max(0L, chainTip - tip)
           val status = if (lag <= maxLag) "ok" else "behind"
           println(s"""{"status":"$status","sink_tip_slot":$tip,"slot_lag":$lag,"max_slot_lag":$maxLag}""")
-        case Nil =>
+        case None =>
           println(s"""{"status":"ok","sink_tip_slot":$tip}""")
       }
       spark.stop()
 
     case other =>
-      System.err.println(
-        s"""unknown command: ${other.mkString(" ")}
-           |usage: backfill <start> <end> <workers> <out> [ckptPath]
-           |       incremental <src_dir> <sink> <ckpt> [intervalSec]
-           |       incremental-blocks <startSlot> <tipSlot> <sink> <ckpt>
-           |       analytics <fact_path> <out_dir> [anchorTimestamp]
-           |       health <fact_path> [chainTipSlot [maxSlotLag]]""".stripMargin)
-      sys.exit(2)
+      usageExit(s"unknown command: ${other.mkString(" ")}")
+  }
+
+  /** health's optional `[chainTipSlot [maxSlotLag]]` args.
+    * Left = usage error (malformed number), Right(None) = no SLO check,
+    * Right(Some((chainTip, maxLag))) = enforce the slot-lag SLO. */
+  private[graft] def parseHealthArgs(rest: List[String]): Either[String, Option[(Long, Long)]] =
+    try rest match {
+      case Nil => Right(None)
+      case chainTip :: more =>
+        Right(Some((chainTip.toLong, more.headOption.map(_.toLong).getOrElse(1000L))))
+    } catch {
+      case _: NumberFormatException =>
+        Left(s"health: malformed numeric argument: ${rest.mkString(" ")}")
+    }
+
+  private def usageExit(msg: String): Nothing = {
+    System.err.println(
+      s"""$msg
+         |usage: backfill <start> <end> <workers> <out> [ckptPath]
+         |       incremental <src_dir> <sink> <ckpt> [intervalSec]
+         |       incremental-blocks <startSlot> <tipSlot> <sink> <ckpt>
+         |       analytics <fact_path> <out_dir> [anchorTimestamp]
+         |       health <fact_path> [chainTipSlot [maxSlotLag]]""".stripMargin)
+    sys.exit(2)
   }
 }

@@ -31,9 +31,13 @@ object CorpusPipeline {
   private val tok = TextAnalytics.tokExpr
   private val stop = s"regexp_count(lower(text), '${TextAnalytics.stopPattern}')"
 
-  /** Per-stage survivors: (doc_id, stage) where stage ∈
-    * exact_kept / neardup_kept / quality_kept. */
-  def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-stage survivors — (doc_id, stage) where stage ∈ exact_kept /
+    * neardup_kept / quality_kept — handed to `use` as a loan: the
+    * multi-consumer intermediates the build caches (exact survivors,
+    * capped shingle index, near-dup survivors) are unpersisted when
+    * `use` returns, so a library call leaves NO cached RDDs behind.
+    * Materialize inside `use`; the frame recomputes uncached after. */
+  def withCleanedDocs[T](s: SparkSession, dir: String)(use: DataFrame => T): T = {
     val docs = Tables.documents(s, dir)
 
     // stage 1 — exact dedup on normalized text. Cached: three consumers
@@ -63,17 +67,28 @@ object CorpusPipeline {
       .filter(col("n_tok") >= 20 && col("n_tok") <= 500 && expr(stop) > 0)
       .drop("n_tok")
 
-    exactKept.select(col("doc_id"), lit("exact_kept").as("stage"))
+    val staged = exactKept.select(col("doc_id"), lit("exact_kept").as("stage"))
       .unionByName(neardupKept.select(col("doc_id"), lit("neardup_kept").as("stage")))
       .unionByName(qualityKept.select(col("doc_id"), lit("quality_kept").as("stage")))
+
+    try use(staged)
+    finally Seq(exactKept, sh, neardupKept).foreach(_.unpersist())
   }
 
   val defs: Seq[(String, Q)] = Seq(
     "corpus_clean_summary" -> Q(
-      (s, dir) =>
-        cleanedDocs(s, dir)
-          .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("stage")),
+      (s, dir) => {
+        import s.implicits._
+        // Materialized INSIDE the loan scope — the summary is bounded at
+        // one row per stage (3), so collecting it is free and lets the
+        // build's caches drop deterministically instead of leaking until
+        // someone calls clearCache().
+        val counts = withCleanedDocs(s, dir)(
+          _.groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+            .orderBy(col("stage"))
+            .as[(String, Long)].collect().toSeq)
+        counts.toDF("stage", "n_docs").orderBy(col("stage"))
+      },
       Some(s"""WITH norm AS (
              |  SELECT doc_id, text,
              |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
@@ -117,8 +132,8 @@ object CorpusPipeline {
   )
 }
 
-/** QueryModule wrapper (kept separate so CorpusPipeline.cleanedDocs is a
-  * plain library call too). */
+/** QueryModule wrapper (kept separate so CorpusPipeline.withCleanedDocs
+  * is a plain library call too). */
 object CorpusPipelineModule extends QueryModule {
   override def defs: Seq[(String, Q)] = CorpusPipeline.defs
 }

@@ -73,9 +73,12 @@ object Dedup extends QueryModule {
       maxDf: Int = DefaultMaxShingleDf): DataFrame =
     jaccardOnCapped(capShingles(sh, maxDf), threshold)
 
-  /** [[jaccardPairs]] body over an already-df-capped index — callers
-    * that fan the capped relation into several consumers cache it first
-    * so the hot-shingle aggregation runs once, not per consumer. */
+  /** [[jaccardPairs]] body over an already-df-capped index. The capped
+    * relation fans into three consumers (sizes + both self-join sides);
+    * their exchange subtrees are identical, so ReuseExchange computes
+    * the underlying shuffle once without any caching. Callers holding a
+    * cached/checkpointed index (the corpus pipeline's loan scope) pass
+    * it here directly. */
   private[ext] def jaccardOnCapped(capped: DataFrame, threshold: Double): DataFrame = {
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("doc_id").as("d1"), col("shingle"))
@@ -222,10 +225,12 @@ object Dedup extends QueryModule {
     // moderate scale; the df cap (see capShingles) bounds the join
     // fan-out at 100 TB.
     "dedup_jaccard_pairs" -> Q(
-      (s, dir) => {
-        val capped = capShingles(shingleRows(s, dir), DefaultMaxShingleDf).cache()
-        jaccardOnCapped(capped, 0.5).orderBy(col("d1"), col("d2"))
-      },
+      (s, dir) =>
+        // No cache: the three consumers of the capped index (sizes + the
+        // two self-join sides) sit above IDENTICAL exchange subtrees, so
+        // ReuseExchange computes the shuffle once — library calls leave
+        // no persistent RDDs behind.
+        jaccardPairs(shingleRows(s, dir), 0.5).orderBy(col("d1"), col("d2")),
       Some(s"""WITH sh0 AS ($dShingleRows),
               |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
               |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

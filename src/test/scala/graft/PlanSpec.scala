@@ -80,9 +80,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("corpus near-dup stage joins on band keys, never all-pairs") {
-    val df = SparkEntry.queries("corpus_clean_summary")(spark, Sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // inspect the staged pipeline itself (the query's summary frame is a
+    // collected 3-row local relation with no joins to audit)
+    ext.CorpusPipeline.withCleanedDocs(spark, Sf) { staged =>
+      staged.collect()
+      val p = staged.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("ANN LSH candidates arrive via the bucket equi-join, never all-pairs") {
+    val p = planOf("sim_ann_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 

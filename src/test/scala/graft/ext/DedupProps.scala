@@ -16,12 +16,18 @@ class DedupProps extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val vocab = (0 until 40).map(i => s"sh_$i")
     val hot = Seq("boilerplate a", "boilerplate b")
+    val own = Array.fill(nDocs)(Seq.empty[String])
+    (0 until nDocs).foreach { d =>
+      own(d) =
+        // planted near-dup: doc 2k+1 copies doc 2k's shingles with one
+        // substituted — real high-jaccard structure for the properties
+        if (d % 2 == 1) own(d - 1).drop(1) :+ vocab(rnd.nextInt(vocab.length))
+        else (0 until 3 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.length)))
+    }
     val rows = (0 until nDocs).flatMap { d =>
-      val own = (0 until 3 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(vocab.length)))
       // ~half the docs carry the boilerplate shingles
       val extra = if (rnd.nextBoolean()) hot else Nil
-      // planted near-dup: doc 2k+1 copies doc 2k's shingles with a tweak
-      (own ++ extra).distinct.map(sh => (d.toLong, sh))
+      (own(d) ++ extra).distinct.map(sh => (d.toLong, sh))
     }
     rows.toDF("doc_id", "shingle").distinct()
   }
@@ -39,6 +45,12 @@ class DedupProps extends SparkSpec {
         assert(common >= 1 && common <= math.min(sizes(d1), sizes(d2)),
           s"common=$common exceeds set sizes for ($d1,$d2)")
       }
+      // the planted (2k, 2k+1) near-dups must actually surface — they
+      // are the high-jaccard structure these properties exercise
+      val found = pairs.map(p => (p._1, p._2)).toSet
+      val planted = (0L until 60L by 2).map(k => (k, k + 1))
+      assert(planted.count(found.contains) >= planted.size / 2,
+        s"planted near-dups mostly missing: ${planted.count(found.contains)}/${planted.size}")
       sh.unpersist()
     }
   }

@@ -105,6 +105,18 @@ class ExtSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.size <= 40)
   }
 
+  test("dedup/corpus library calls leave no cached RDDs behind") {
+    // the caches inside the corpus loan scope and the (now uncached)
+    // jaccard query must not outlive the call — library users don't run
+    // clearCache() after every invocation
+    spark.catalog.clearCache()
+    CorpusPipeline.withCleanedDocs(spark, Sf)(_.count())
+    run("corpus_clean_summary").collect()
+    run("dedup_jaccard_pairs").collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("multimodal resize + frame-sample stages propagate typed metadata") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.decodeMedia(media)
