@@ -13,10 +13,13 @@ object Bench {
   private[graft] def execOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
+    // Throwable, not NonFatal: one query OOMing must still yield a bench
+    // line for the other ~60 — best-effort continue + sentinel beats
+    // aborting the round's only perf signal with nothing emitted.
     val dt =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9 }
-      catch { case scala.util.control.NonFatal(e) =>
+      catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         -1.0 }
     spark.catalog.clearCache() // per-query caches must not leak across entries

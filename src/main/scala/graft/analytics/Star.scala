@@ -76,13 +76,23 @@ object Star extends QueryModule {
     * its own one-pass dim build; nothing rewrites history, so a crashed
     * writer never corrupts the dim (the MetadataStore discipline applied
     * to a semigroup aggregate instead of last-write-wins). */
-  def appendDimDelta(batch: DataFrame, path: String): Unit =
+  def appendDimDelta(batch: DataFrame, path: String): Unit = {
+    // heal a torn compaction swap BEFORE appending: a fresh append would
+    // recreate `path` beside `<path>_prev`, making the interrupted-swap
+    // state (dst missing) unrecognizable — the next compaction would
+    // then delete prev, the only copy of pre-crash history
+    graft.operators.StoreOps.recoverInterrupted(batch.sparkSession, path)
     dimWallets(batch).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
 
   /** Current dim view: one grouped re-aggregation over the delta log —
     * correct after any number of appends because every column is a
     * semigroup fold (see [[mergeDimWallets]]). */
-  def dimSnapshot(spark: SparkSession, path: String): DataFrame =
+  def dimSnapshot(spark: SparkSession, path: String): DataFrame = {
+    // reads heal a torn compaction swap too (MetadataStore.snapshot
+    // discipline) — otherwise the read throws while `<path>_prev` holds
+    // the only complete copy
+    graft.operators.StoreOps.recoverInterrupted(spark, path)
     spark.read.parquet(path)
       .groupBy(col("user_id"))
       .agg(
@@ -90,6 +100,7 @@ object Star extends QueryModule {
         max(col("last_seen_ns")).as("last_seen_ns"),
         sum(col("total_transactions")).as("total_transactions"),
         sum(col("total_purchases")).as("total_purchases"))
+  }
 
   /** Compact the delta log back to one row per wallet (run periodically
     * so snapshot cost stays O(|dim|), not O(batches·|dim|)) — crash-safe

@@ -64,6 +64,19 @@ class StarSpec extends SparkSpec {
     Star.appendDimDelta(events.limit(50), path)
     assert(Star.dimSnapshot(spark, path)
       .agg(sum("total_transactions")).as[Long].head() == events.count() + 50)
+
+    // crash between compactDim's two renames (dst gone, prev = only
+    // copy), then an APPEND arrives first: the append must heal the swap
+    // before writing — otherwise it recreates dst beside prev and the
+    // next compaction silently deletes all pre-crash history
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_prev")), "crash setup rename failed")
+    Star.appendDimDelta(events.limit(10), path)
+    Star.compactDim(spark, path)
+    assert(Star.dimSnapshot(spark, path)
+      .agg(sum("total_transactions")).as[Long].head() == events.count() + 60)
   }
 
   test("wallet-cohort enrichment broadcasts the dim against one fact scan") {
