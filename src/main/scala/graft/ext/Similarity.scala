@@ -43,13 +43,61 @@ object Similarity extends QueryModule {
   private def roundHalfUp4(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** 16 deterministic ±1 hyperplanes derived from md5 parity — the Scala
+  /** Deterministic ±1 hyperplanes derived from md5 parity — the Scala
     * and SQL generators produce identical signs (shared md5). */
   private[ext] def planeSign(p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${p}_$d".getBytes("UTF-8"))
     if (((md(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
   }
+
+  /** LSH geometry shared by the ANN and near-dup queries: L=4 hash
+    * tables of k=6 sign bits. k trades bucket size vs recall and would
+    * grow with corpus size (k ≈ log2(n/target_bucket)); L and the probe
+    * radius buy recall at linear cost. */
+  private[ext] val LshTables = 4
+  private[ext] val LshBits = 6
+
+  /** Sign sketches (vec_id, v, table_id, bucket) for every row of
+    * `e(vec_id, v)`. Bit p of table t = sign(w_{t·k+p} · v), w a
+    * deterministic ±1 hyperplane. The dot is the codegen'd native
+    * vector_dot — same strict left-to-right accumulation as a HOF fold
+    * (so signatures are bit-identical to the oracle) but compiled into
+    * the whole-stage loop instead of 24 interpreted zip_with+aggregate
+    * lambdas per row (the round-1 bottleneck). */
+  private def lshSketches(e: DataFrame): DataFrame = {
+    def sig(t: Int, v: Column): Column = (0 until LshBits).map { p =>
+      val w = array((0 until 64).map(d => lit(planeSign(t * LshBits + p, d))): _*)
+      when(graft.functions.VectorExpressions.vector_dot(w, v) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), col("v"),
+      explode(map((0 until LshTables).flatMap(t =>
+        Seq(lit(t), sig(t, col("v")))): _*)).as(Seq("table_id", "bucket")))
+  }
+
+  // DuckDB mirror of [[lshSketches]] (CTE bodies; expects a CTE
+  // `e(vec_id, v)`). Plane w[p][d] mirrors planeSign: +1 iff the first
+  // md5 nibble of "p_d" is even ⟺ the first hex char is one of
+  // 02468ace. ±1·x is exact, so sign(w·v) matches the codegen'd
+  // vector_dot bit-for-bit.
+  private def dSkCtes: String =
+    s"""planes AS (
+       |  SELECT p, list_transform(generate_series(0, 63), d ->
+       |    CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
+       |         THEN 1.0e0 ELSE -1.0e0 END) AS w
+       |  FROM generate_series(0, ${LshTables * LshBits - 1}) AS gp(p)),
+       |sk AS (
+       |  SELECT e.vec_id, p.p // $LshBits AS table_id,
+       |    CAST(sum(CASE WHEN list_dot_product(p.w, e.v) > 0
+       |                  THEN 1 << (p.p % $LshBits) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, planes p GROUP BY 1, 2)""".stripMargin
+
+  // 1-bit multi-probe bucket list for a sketch row: own bucket + every
+  // single-bit flip (SQL side).
+  private def dProbeValues(src: String): String =
+    (s"($src.bucket)" +: (0 until LshBits).map(p =>
+      s"(xor($src.bucket, ${1L << p}))")).mkString(", ")
 
   override val defs: Seq[(String, Q)] = Seq(
 
@@ -103,12 +151,12 @@ object Similarity extends QueryModule {
         // LOUD guard: this baseline broadcasts the whole corpus (what
         // broadcast() itself would do) and is only valid while it fits
         // comfortably on the driver — past that, the answer is the
-        // bucketed sim_ann_lsh/sim_ann_ivf scale paths, and silently
+        // bucketed sim_neardup_lsh scale path below, and silently
         // OOMing the driver must not be how a user finds out.
         val n = e.count()
         require(n <= 500000L,
           s"sim_neardup_pairs is the small-corpus exact baseline (n=$n): " +
-            "use sim_ann_lsh / sim_ann_ivf for large corpora")
+            "use sim_neardup_lsh (distributed bucket join) for large corpora")
         val local = e.collect().sortBy(_._1)
           .map { case (id, v) => (id, v.map(_.toDouble)) }
         val withNorms = local.map { case (id, v) => (id, v, math.sqrt(kernelDot(v, v))) }
@@ -236,26 +284,12 @@ object Similarity extends QueryModule {
     // assignment, probing, and re-rank bit-for-bit.
     "sim_ann_lsh" -> Q(
       (s, dir) => {
-        val tables = 4; val k = 6
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-        // sig bit p of table t = sign(w_{t,k+p} · v), w a deterministic
-        // ±1 hyperplane. The dot is the codegen'd native vector_dot —
-        // same strict left-to-right accumulation as the HOF fold (so
-        // signatures are bit-identical) but compiled into the
-        // whole-stage loop instead of 24 interpreted zip_with+aggregate
-        // lambdas per row (the round-1 bottleneck).
-        def sig(t: Int, v: Column): Column = (0 until k).map { p =>
-          val w = array((0 until 64).map(d => lit(planeSign(t * k + p, d))): _*)
-          when(graft.functions.VectorExpressions.vector_dot(w, v) > 0, lit(1L << p))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-        val sk = e.select(col("vec_id"), col("v"),
-          explode(map((0 until tables).flatMap(t =>
-            Seq(lit(t), sig(t, col("v")))): _*)).as(Seq("table_id", "bucket")))
+        val sk = lshSketches(e)
         val probes = sk.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("table_id"),
             explode(array(col("bucket") +:
-              (0 until k).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+              (0 until LshBits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
               .as("bucket"))
         val cand = sk.join(broadcast(probes), Seq("table_id", "bucket"))
           .filter(col("vec_id") =!= col("query_id"))
@@ -272,25 +306,11 @@ object Similarity extends QueryModule {
           .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
           .orderBy(col("query_id"), col("rank"))
       },
-      // Plane w[p][d] mirrors planeSign: +1 iff the first md5 nibble of
-      // "p_d" is even ⟺ the first hex char is one of 02468ace. ±1·x is
-      // exact, so sign(w·v) matches the codegen'd vector_dot bit-for-bit.
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |planes AS (
-              |  SELECT p, list_transform(generate_series(0, 63), d ->
-              |    CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
-              |         THEN 1.0e0 ELSE -1.0e0 END) AS w
-              |  FROM generate_series(0, 23) AS gp(p)),
-              |sk AS (
-              |  SELECT e.vec_id, p.p // 6 AS table_id,
-              |    CAST(sum(CASE WHEN list_dot_product(p.w, e.v) > 0
-              |                  THEN 1 << (p.p % 6) ELSE 0 END) AS BIGINT) AS bucket
-              |  FROM e, planes p GROUP BY 1, 2),
+              |$dSkCtes,
               |probes AS (
               |  SELECT s.vec_id AS query_id, s.table_id, pb.bucket
-              |  FROM sk s, LATERAL (VALUES (s.bucket),
-              |    (xor(s.bucket, 1)), (xor(s.bucket, 2)), (xor(s.bucket, 4)),
-              |    (xor(s.bucket, 8)), (xor(s.bucket, 16)), (xor(s.bucket, 32))) AS pb(bucket)
+              |  FROM sk s, LATERAL (VALUES ${dProbeValues("s")}) AS pb(bucket)
               |  WHERE s.vec_id < 8),
               |cand AS (
               |  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
@@ -306,5 +326,49 @@ object Similarity extends QueryModule {
               |  FROM scored) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
       doc = "random-hyperplane LSH ANN (bucket join; oracle-replayed, recall-tested)"),
+
+    // Distributed embedding near-dup — the 100 TB replacement for
+    // sim_neardup_pairs' guarded exact baseline: candidate pairs arrive
+    // via the (table, bucket) self-equi-join of the same sign sketches
+    // (plus 1-bit multi-probe on one side), then exact cosine verifies
+    // ONLY the candidates. Both join sides are the full corpus, so this
+    // is a shuffle equi-join — no broadcast, no driver collect, no
+    // all-pairs comparison. Recall is the LSH contract (pairs colliding
+    // in no probed bucket are missed; ≈73% at the borderline sim=0.4 on
+    // this weakly-clustered testdata, →1 as similarity rises — ExtSpec
+    // pins it); the OUTPUT is deterministic, so the oracle replays it.
+    "sim_neardup_lsh" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val sk = lshSketches(e)
+        val probes = sk.select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("table_id"),
+          explode(array(col("bucket") +:
+            (0 until LshBits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+            .as("bucket"))
+        sk.join(probes, Seq("table_id", "bucket"))
+          .filter(col("id_a") < col("vec_id"))
+          .select(col("id_a"), col("vec_id").as("id_b"), col("va"), col("v"))
+          .dropDuplicates("id_a", "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("v")), 4)
+              .as("sim"))
+          .filter(col("sim") >= 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |$dSkCtes,
+              |probes AS (
+              |  SELECT s.vec_id AS id_a, s.table_id, pb.bucket
+              |  FROM sk s, LATERAL (VALUES ${dProbeValues("s")}) AS pb(bucket)),
+              |cand AS (
+              |  SELECT DISTINCT p.id_a, s.vec_id AS id_b
+              |  FROM sk s JOIN probes p ON s.table_id = p.table_id AND s.bucket = p.bucket
+              |  WHERE p.id_a < s.vec_id)
+              |SELECT id_a, id_b, round(${dCos("a.v", "b.v")}, 4) AS sim
+              |FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+              |WHERE round(${dCos("a.v", "b.v")}, 4) >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin),
+      doc = "LSH-bucketed embedding near-dup (distributed scale path; oracle-replayed)"),
   )
 }

@@ -95,6 +95,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("LSH near-dup self-join is a shuffle equi-join on (table, bucket)") {
+    // both sides are the full corpus: the plan must be a keyed equi-join
+    // (AQE may pick broadcast at toy SF) and never an all-pairs loop
+    val p = planOf("sim_neardup_lsh")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("star cohort enrichment broadcasts the derived dim") {
     val p = planOf("star_wallet_cohorts")
     assert(p.contains("BroadcastHashJoin"), p)

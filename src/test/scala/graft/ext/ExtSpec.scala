@@ -105,6 +105,22 @@ class ExtSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.size <= 40)
   }
 
+  test("LSH near-dup: exact subset of brute pairs, usable recall") {
+    import spark.implicits._
+    val brute = run("sim_neardup_pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = run("sim_neardup_lsh")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction: every surfaced pair is
+    // cosine-verified, so LSH output ⊆ brute-force output
+    assert(lsh.subsetOf(brute), s"LSH invented pairs: ${lsh -- brute}")
+    // recall at the borderline threshold (sim=0.4 on weakly-clustered
+    // vectors) is the hard case; 4 tables × 6 bits + 1-bit probes give
+    // ≈73% here and approach 1 as similarity rises
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("dedup/corpus library calls leave no cached RDDs behind") {
     // the caches inside the corpus loan scope and the (now uncached)
     // jaccard query must not outlive the call — library users don't run
