@@ -341,17 +341,28 @@ object Similarity extends QueryModule {
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
         val sk = lshSketches(e)
-        val probes = sk.select(col("vec_id").as("id_a"), col("v").as("va"),
-          col("table_id"),
+        val probes = sk.select(col("vec_id").as("id_a"), col("table_id"),
           explode(array(col("bucket") +:
             (0 until LshBits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
             .as("bucket"))
-        sk.join(probes, Seq("table_id", "bucket"))
+        // dedup BARE id pairs first, then re-join the vectors only for
+        // the exact verify: a pair colliding in several tables/probes
+        // would otherwise drag its two 64-double payloads through every
+        // duplicate row of the distinct's shuffle — at 100 TB the
+        // candidate stream is orders of magnitude larger than the
+        // distinct pair set, so the shuffle must carry 16-byte pairs,
+        // not kilobyte vectors (this is also exactly the oracle's CTE
+        // shape: cand → join e twice).
+        val cand = sk.select(col("vec_id"), col("table_id"), col("bucket"))
+          .join(probes, Seq("table_id", "bucket"))
           .filter(col("id_a") < col("vec_id"))
-          .select(col("id_a"), col("vec_id").as("id_b"), col("va"), col("v"))
-          .dropDuplicates("id_a", "id_b")
+          .select(col("id_a"), col("vec_id").as("id_b"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("v")), 4)
+            round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("vb")), 4)
               .as("sim"))
           .filter(col("sim") >= 0.4)
           .orderBy(col("id_a"), col("id_b"))
