@@ -328,57 +328,75 @@ object Similarity extends QueryModule {
       doc = "random-hyperplane LSH ANN (bucket join; oracle-replayed, recall-tested)"),
 
     // Distributed embedding near-dup — the 100 TB replacement for
-    // sim_neardup_pairs' guarded exact baseline: candidate pairs arrive
-    // via the (table, bucket) self-equi-join of the same sign sketches
-    // (plus 1-bit multi-probe on one side), then exact cosine verifies
-    // ONLY the candidates. Both join sides are the full corpus, so this
-    // is a shuffle equi-join — no broadcast, no driver collect, no
-    // all-pairs comparison. Recall is the LSH contract (pairs colliding
-    // in no probed bucket are missed; ≈73% at the borderline sim=0.4 on
-    // this weakly-clustered testdata, →1 as similarity rises — ExtSpec
-    // pins it); the OUTPUT is deterministic, so the oracle replays it.
+    // sim_neardup_pairs' guarded exact baseline: candidate pairs =
+    // sketch buckets within Hamming ≤ 1 in some table (masked-key
+    // self-equi-join of the same sign sketches), then exact cosine
+    // verifies ONLY the candidates. Both join sides are the full
+    // corpus, so this is a shuffle equi-join — no broadcast, no driver
+    // collect, no all-pairs comparison. Recall is the LSH contract
+    // (pairs colliding in no table are missed; ≈73% at the borderline
+    // sim=0.4 on this weakly-clustered testdata, →1 as similarity
+    // rises — ExtSpec pins it); the OUTPUT is deterministic, so the
+    // oracle replays it.
     "sim_neardup_lsh" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-        val sk = lshSketches(e)
-        val probes = sk.select(col("vec_id").as("id_a"), col("table_id"),
-          explode(array(col("bucket") +:
-            (0 until LshBits).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
-            .as("bucket"))
+        // Hamming ≤ 1 via SYMMETRIC masked keys instead of an asymmetric
+        // probe explode: each (table, bucket) emits k keys, key i =
+        // bucket with bit i zeroed, tagged i. Buckets equal → collide on
+        // every tag; differing exactly in bit i → collide on tag i. Both
+        // join sides are then the IDENTICAL relation, so ReuseExchange
+        // computes the sketches (24 codegen'd 64-dim dots per row — the
+        // dominant map cost at scale) and their shuffle ONCE, where the
+        // probe-explode form paid them per side.
+        val mk = lshSketches(e).select(col("vec_id"), col("table_id"),
+          explode(array((0 until LshBits).map(i =>
+            struct(lit(i).as("tag"),
+              col("bucket").bitwiseAND(lit(~(1L << i))).as("masked"))): _*)).as("mt"))
+          .select(col("vec_id"), col("table_id"),
+            col("mt.tag").as("tag"), col("mt.masked").as("masked"))
         // dedup BARE id pairs first, then re-join the vectors only for
-        // the exact verify: a pair colliding in several tables/probes
+        // the exact verify: a pair colliding in several tables/tags
         // would otherwise drag its two 64-double payloads through every
-        // duplicate row of the distinct's shuffle — at 100 TB the
-        // candidate stream is orders of magnitude larger than the
-        // distinct pair set, so the shuffle must carry 16-byte pairs,
-        // not kilobyte vectors (this is also exactly the oracle's CTE
-        // shape: cand → join e twice).
-        val cand = sk.select(col("vec_id"), col("table_id"), col("bucket"))
-          .join(probes, Seq("table_id", "bucket"))
-          .filter(col("id_a") < col("vec_id"))
-          .select(col("id_a"), col("vec_id").as("id_b"))
+        // duplicate row of the distinct's shuffle — the candidate stream
+        // is orders of magnitude larger than the distinct pair set, so
+        // the shuffle must carry 16-byte pairs, not kilobyte vectors
+        // (this is also exactly the oracle's CTE shape).
+        val cand = mk.as("x").join(mk.as("y"),
+            col("x.table_id") === col("y.table_id") &&
+              col("x.tag") === col("y.tag") &&
+              col("x.masked") === col("y.masked") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
           .distinct()
+        // NaN guard: a zero-norm embedding (dirty data) collides in
+        // bucket 0 everywhere and yields cosine 0/0 = NaN, which Spark's
+        // and DuckDB's >= both treat as TRUE (NaN sorts greatest) while
+        // the brute baseline's JVM kernel drops it — filter it so the
+        // output stays a strict subset of the exact pairs.
         cand
           .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
           .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("vb")), 4)
               .as("sim"))
-          .filter(col("sim") >= 0.4)
+          .filter(col("sim") >= 0.4 && !isnan(col("sim")))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |$dSkCtes,
-              |probes AS (
-              |  SELECT s.vec_id AS id_a, s.table_id, pb.bucket
-              |  FROM sk s, LATERAL (VALUES ${dProbeValues("s")}) AS pb(bucket)),
+              |mk AS (
+              |  SELECT vec_id, table_id, t.tag, bucket & ~(1 << t.tag) AS masked
+              |  FROM sk, generate_series(0, ${LshBits - 1}) AS t(tag)),
               |cand AS (
-              |  SELECT DISTINCT p.id_a, s.vec_id AS id_b
-              |  FROM sk s JOIN probes p ON s.table_id = p.table_id AND s.bucket = p.bucket
-              |  WHERE p.id_a < s.vec_id)
+              |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              |  FROM mk x JOIN mk y
+              |    ON x.table_id = y.table_id AND x.tag = y.tag AND x.masked = y.masked
+              |    AND x.vec_id < y.vec_id)
               |SELECT id_a, id_b, round(${dCos("a.v", "b.v")}, 4) AS sim
               |FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
               |WHERE round(${dCos("a.v", "b.v")}, 4) >= 0.4
+              |  AND NOT isnan(round(${dCos("a.v", "b.v")}, 4))
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "LSH-bucketed embedding near-dup (distributed scale path; oracle-replayed)"),
   )

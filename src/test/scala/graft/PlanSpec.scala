@@ -95,13 +95,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("LSH near-dup self-join is a shuffle equi-join on (table, bucket)") {
+  test("LSH near-dup self-join is a keyed equi-join that reuses the sketch exchange") {
     // both sides are the full corpus: the plan must be a keyed equi-join
     // (AQE may pick broadcast at toy SF) and never an all-pairs loop
     val p = planOf("sim_neardup_lsh")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the masked-key sides are the identical relation, so the sketch
+    // computation (the dominant map cost) must be shared, not run twice
+    assert(p.contains("ReusedExchange"), p)
   }
 
   test("star cohort enrichment broadcasts the derived dim") {

@@ -109,6 +109,7 @@ class ExtSpec extends SparkSpec {
     import spark.implicits._
     val brute = run("sim_neardup_pairs")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "testdata should contain near-dup pairs")
     val lsh = run("sim_neardup_lsh")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // precision is exact by construction: every surfaced pair is
