@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** Similarity invariants the oracle can't express: dirty-data behavior
+  * (zero-norm embeddings) and the masked-key candidate contract, over a
+  * synthetic embeddings table written to a temp dir. */
+class SimilarityProps extends SparkSpec {
+
+  /** Synthetic corpus: 40 seeded-random unit-ish vectors, one planted
+    * identical pair (1, 2), and an all-zero vector (5). */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 40).map(i => (i.toLong, vec(), i % 4))
+    val rows = base.map {
+      case (2L, _, lab) => (2L, base(1)._2, lab)        // clone of vec 1
+      case (5L, _, lab) => (5L, Array.fill(64)(0f), lab) // zero norm
+      case r => r
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft_simprops").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("zero-norm embeddings never surface from the NaN guard; clones always do") {
+    import spark.implicits._
+    val out = SparkEntry.queries("sim_neardup_lsh")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the zero vector's cosine with anything is 0/0 = NaN, which >= would
+    // keep in BOTH engines — the guard must drop it
+    assert(out.forall { case (a, b, s) => a != 5L && b != 5L && !s.isNaN },
+      s"zero-norm vector leaked into near-dups: $out")
+    // an identical pair collides in every table (same signature) and
+    // verifies at cosine 1
+    assert(out.exists { case (a, b, s) => a == 1L && b == 2L && s == 1.0 },
+      s"planted clone pair missing: $out")
+  }
+
+  test("candidate pairs are exactly the sketch pairs within Hamming 1 of some table") {
+    import spark.implicits._
+    // ground truth: signatures recomputed in the driver from the same
+    // plane construction (strict left-to-right fold, like the kernel)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val buckets =
+      e.as[(Long, Array[Double])].collect().map { case (id, v) =>
+        id -> (0 until Similarity.LshTables).map { t =>
+          (0 until Similarity.LshBits).map { p =>
+            var acc = 0.0; var i = 0
+            while (i < 64) { acc += Similarity.planeSign(t * Similarity.LshBits + p, i) * v(i); i += 1 }
+            if (acc > 0) 1L << p else 0L
+          }.sum
+        }
+      }.toMap
+    val ids = buckets.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until Similarity.LshTables).exists(t =>
+        java.lang.Long.bitCount(buckets(a)(t) ^ buckets(b)(t)) <= 1)
+    } yield (a, b)).toSet
+    // surfaced pairs must be a subset of the Hamming≤1 candidates (the
+    // cosine filter then prunes further), and every Hamming-0 clone pair
+    // must be present in the expected set
+    val surfaced = SparkEntry.queries("sim_neardup_lsh")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(surfaced.subsetOf(expected),
+      s"surfaced pairs outside Hamming<=1 candidates: ${surfaced -- expected}")
+    assert(expected.contains((1L, 2L)))
+  }
+}
