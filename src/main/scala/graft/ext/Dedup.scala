@@ -192,6 +192,50 @@ object Dedup extends QueryModule {
   private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
   private def dH60(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Connected components over an undirected pair list (d1, d2) by
+    * iterative min-label propagation — the distributed-CC shape (each
+    * round: one keyed join + one grouped min, labels monotonically
+    * decrease, fixpoint = per-component minimum id). Iterations are
+    * bounded by the component diameter; per-round results are cached and
+    * the previous round unpersisted, so exactly one small (id, label)
+    * frame is live at a time — `use` receives the converged labels and
+    * every cache is dropped when it returns (the loan discipline).
+    * At 100 TB this is the standard large-graph CC loop (GraphX and the
+    * large/small-star algorithms share the shape); the driver holds only
+    * one convergence counter per round, never the data. */
+  private[ext] def withComponents[T](pairs: DataFrame, maxIter: Int = 30)
+      (use: DataFrame => T): T = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    val retired = scala.collection.mutable.ListBuffer[DataFrame](labels)
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        val updated = labels
+          .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          .cache()
+        retired += updated
+        // labels only ever decrease, so "changed" is a strict < compare
+        changed = updated
+          .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+          .filter(col("label") < col("old")).count()
+        labels = updated
+        iter += 1
+      }
+      require(changed == 0L,
+        s"connected components did not converge in $maxIter rounds")
+      use(labels)
+    } finally retired.foreach(_.unpersist())
+  }
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // Exact dedup: hash-groupBy on normalized text (whitespace-collapsed
@@ -257,6 +301,51 @@ object Dedup extends QueryModule {
               |${dBandCtes("sh")}
               |SELECT d1, d2 FROM band_cand ORDER BY d1, d2""".stripMargin),
       doc = "MinHash(8) + LSH banding (4×2) candidate generation"),
+
+    // Dedup clustering: connected components over the verified
+    // near-dup pairs — the principled completion of pairwise dedup
+    // (greedy "drop d2" is order-sensitive; CC assigns every doc of a
+    // duplicate group one canonical cluster = the group's min doc_id,
+    // an order-free choice a 1000-executor run reproduces exactly).
+    // Spark runs the distributed min-label-propagation loop; the oracle
+    // replays the same fixpoint with a recursive transitive closure —
+    // integer-only, so parity is exact. Output: one row per cluster
+    // (docs appearing in ≥1 pair), with its size — bounded by the
+    // near-dup pair count, so collecting inside the loan is safe.
+    "dedup_clusters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val pairs = jaccardPairs(shingleRows(s, dir), 0.5).select(col("d1"), col("d2"))
+        val summary = withComponents(pairs)(
+          _.groupBy(col("label").as("cluster_id"))
+            .agg(count(lit(1)).as("n_docs"))
+            .orderBy(col("cluster_id"))
+            .as[(Long, Long)].collect().toSeq)
+        summary.toDF("cluster_id", "n_docs").orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE sh0 AS ($dShingleRows),
+              |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |common AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT d1, d2 FROM common
+              |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+              |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
+              |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              |          UNION SELECT d2, d1 FROM pairs),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM edges
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |labels AS (
+              |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              |  FROM reach GROUP BY a)
+              |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+      doc = "near-dup clustering: connected components over verified pairs"),
 
     // SimHash: 16-bit signature from per-token 60-bit hashes; exact
     // signature collisions are near-dup groups. Integer-only → exact

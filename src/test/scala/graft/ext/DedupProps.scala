@@ -85,6 +85,21 @@ class DedupProps extends SparkSpec {
     }
   }
 
+  test("connected components: chains merge, labels are component minima, caches drop") {
+    // 1-2-3 chain (diameter 2, needs propagation), isolated 5-6, and a
+    // 4-cycle 10-11-12-13 — fixpoint must label every node with its
+    // component's minimum regardless of shape
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L)).toDF("d1", "d2")
+    spark.catalog.clearCache()
+    val labels = Dedup.withComponents(pairs)(
+      _.as[(Long, Long)].collect().toMap)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+    // the loan unpersists every per-round cache
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("identical posting sets always band together and verify at 1.0") {
     // doc 100 and 101 share an identical 6-shingle set → every band key
     // matches → candidate with jaccard exactly 1.0
