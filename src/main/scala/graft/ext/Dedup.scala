@@ -192,24 +192,51 @@ object Dedup extends QueryModule {
   private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
   private def dH60(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** DuckDB mirror of the full verified-jaccard chain over `documents`
+    * (shingle → df-cap → candidate counts → threshold), ending in CTE
+    * `out`(d1, d2, common, jaccard) — ONE definition shared by every
+    * oracle that consumes verified pairs, so the formula/threshold/cap
+    * can't drift between queries. */
+  private[ext] def dJaccardCtes(out: String, threshold: Double): String =
+    s"""sh0 AS ($dShingleRows),
+       |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |$out AS (
+       |  SELECT d1, d2, common,
+       |    CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= $threshold)""".stripMargin
+
   /** Connected components over an undirected pair list (d1, d2) by
     * iterative min-label propagation — the distributed-CC shape (each
     * round: one keyed join + one grouped min, labels monotonically
     * decrease, fixpoint = per-component minimum id). Iterations are
-    * bounded by the component diameter; per-round results are cached and
-    * the previous round unpersisted, so exactly one small (id, label)
-    * frame is live at a time — `use` receives the converged labels and
-    * every cache is dropped when it returns (the loan discipline).
-    * At 100 TB this is the standard large-graph CC loop (GraphX and the
-    * large/small-star algorithms share the shape); the driver holds only
-    * one convergence counter per round, never the data. */
+    * bounded by the component diameter (a log-diameter pointer-jumping
+    * variant is the upgrade path for adversarially long chains); the
+    * edge list is cached once so no round recomputes the upstream pair
+    * generation, each round's labels replace the previous round's cache
+    * immediately, and EVERY cache is dropped when `use` returns (the
+    * loan discipline). The driver holds only a convergence counter per
+    * round, never the data. */
   private[ext] def withComponents[T](pairs: DataFrame, maxIter: Int = 30)
       (use: DataFrame => T): T = {
+    // cached: every round joins against edges, and without this each
+    // count() action would recompute the full upstream pair generation
+    // (for dedup_clusters that is the shingle inverted-index self-join,
+    // the heaviest pipeline in the bench) once per round
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).cache()
-    val retired = scala.collection.mutable.ListBuffer[DataFrame](labels)
+    // exception-path cleanup; the happy path unpersists eagerly below
+    // (a second unpersist of the same frame is a no-op)
+    val retired = scala.collection.mutable.ListBuffer[DataFrame](edges, labels)
     try {
       var changed = 1L
       var iter = 0
@@ -223,10 +250,14 @@ object Dedup extends QueryModule {
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
           .cache()
         retired += updated
-        // labels only ever decrease, so "changed" is a strict < compare
+        // labels only ever decrease, so "changed" is a strict < compare;
+        // the count also materializes `updated`, after which the prior
+        // round's cache has no consumers — drop it NOW so exactly one
+        // (id, label) frame is live at a time, not diameter-many
         changed = updated
           .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
           .filter(col("label") < col("old")).count()
+        labels.unpersist()
         labels = updated
         iter += 1
       }
@@ -275,19 +306,8 @@ object Dedup extends QueryModule {
         // ReuseExchange computes the shuffle once — library calls leave
         // no persistent RDDs behind.
         jaccardPairs(shingleRows(s, dir), 0.5).orderBy(col("d1"), col("d2")),
-      Some(s"""WITH sh0 AS ($dShingleRows),
-              |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
-              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-              |common AS (
-              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2)
-              |SELECT d1, d2, common,
-              | CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
-              |FROM common
-              |JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-              |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
-              |ORDER BY d1, d2""".stripMargin),
+      Some(s"""WITH ${dJaccardCtes("jp", 0.5)}
+              |SELECT d1, d2, common, jaccard FROM jp ORDER BY d1, d2""".stripMargin),
       doc = "n-gram Jaccard near-dup (df-capped inverted-index candidate join)"),
 
     // MinHash + LSH: 8 min-hashes per doc, banded 4×2; docs sharing any
@@ -316,26 +336,19 @@ object Dedup extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val pairs = jaccardPairs(shingleRows(s, dir), 0.5).select(col("d1"), col("d2"))
-        val summary = withComponents(pairs)(
+        // maxIter bounds propagation rounds at the component diameter;
+        // 64 covers any plausible near-dup drift chain and still fails
+        // loudly (rather than silently mislabeling) past it
+        val summary = withComponents(pairs, maxIter = 64)(
           _.groupBy(col("label").as("cluster_id"))
             .agg(count(lit(1)).as("n_docs"))
             .orderBy(col("cluster_id"))
             .as[(Long, Long)].collect().toSeq)
         summary.toDF("cluster_id", "n_docs").orderBy(col("cluster_id"))
       },
-      Some(s"""WITH RECURSIVE sh0 AS ($dShingleRows),
-              |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
-              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-              |common AS (
-              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2),
-              |pairs AS (
-              |  SELECT d1, d2 FROM common
-              |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-              |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
-              |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-              |          UNION SELECT d2, d1 FROM pairs),
+      Some(s"""WITH RECURSIVE ${dJaccardCtes("jp", 0.5)},
+              |edges AS (SELECT d1 AS a, d2 AS b FROM jp
+              |          UNION SELECT d2, d1 FROM jp),
               |reach(a, b) AS (
               |  SELECT a, b FROM edges
               |  UNION

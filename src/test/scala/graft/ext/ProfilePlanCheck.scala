@@ -20,11 +20,8 @@ object ProfilePlanCheck {
     val df = graft.SparkEntry.queries("sim_neardup_lsh")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    val reused = "ReusedExchange".r.findAllIn(p).length +
-      "ShuffleQueryStage".r.findAllIn(p).length
     println(s"[plancheck] ReusedExchange count: ${"ReusedExchange".r.findAllIn(p).length}")
-    println(s"[plancheck] embeddings scans: ${"Scan parquet".r.findAllIn(p).length}")
-    println(s"[plancheck] reused=$reused")
+    println(s"[plancheck] parquet scans: ${"Scan parquet".r.findAllIn(p).length}")
     spark.stop()
   }
 }

@@ -62,13 +62,27 @@ class SimilarityProps extends SparkSpec {
       if (0 until Similarity.LshTables).exists(t =>
         java.lang.Long.bitCount(buckets(a)(t) ^ buckets(b)(t)) <= 1)
     } yield (a, b)).toSet
-    // surfaced pairs must be a subset of the Hamming≤1 candidates (the
-    // cosine filter then prunes further), and every Hamming-0 clone pair
-    // must be present in the expected set
+    // exactness both ways: surfaced ⊆ Hamming≤1 candidates, and every
+    // candidate whose exact cosine passes the threshold is surfaced —
+    // a regression that silently loses Hamming-1 collisions (e.g. a tag
+    // mismatch reducing the join to Hamming-0) fails the second half
     val surfaced = SparkEntry.queries("sim_neardup_lsh")(spark, dir)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(surfaced.subsetOf(expected),
       s"surfaced pairs outside Hamming<=1 candidates: ${surfaced -- expected}")
+    val vecs = e.as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val shouldSurface = expected.filter { case (a, b) =>
+      val raw = cos(vecs(a), vecs(b)) // NaN for the zero-norm vector
+      !raw.isNaN && java.math.BigDecimal.valueOf(raw)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() >= 0.4
+    }
+    assert(shouldSurface.subsetOf(surfaced),
+      s"passing candidates lost: ${shouldSurface -- surfaced}")
     assert(expected.contains((1L, 2L)))
   }
 }
