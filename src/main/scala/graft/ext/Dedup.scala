@@ -232,11 +232,12 @@ object Dedup extends QueryModule {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var cached = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).cache()
+    var labels = cached
     // exception-path cleanup; the happy path unpersists eagerly below
     // (a second unpersist of the same frame is a no-op)
-    val retired = scala.collection.mutable.ListBuffer[DataFrame](edges, labels)
+    val retired = scala.collection.mutable.ListBuffer[DataFrame](edges, cached)
     try {
       var changed = 1L
       var iter = 0
@@ -244,21 +245,23 @@ object Dedup extends QueryModule {
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        // the change flag rides along in the SAME update pass (labels
+        // only ever decrease, so changed ⟺ nbr < label) — no extra
+        // updated×labels join per round just to count convergence
         val updated = labels
           .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
           .cache()
         retired += updated
-        // labels only ever decrease, so "changed" is a strict < compare;
-        // the count also materializes `updated`, after which the prior
-        // round's cache has no consumers — drop it NOW so exactly one
-        // (id, label) frame is live at a time, not diameter-many
-        changed = updated
-          .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-          .filter(col("label") < col("old")).count()
-        labels.unpersist()
-        labels = updated
+        // the count materializes `updated`, after which the prior
+        // round's CACHED frame (not the derived view) has no consumers —
+        // drop it NOW so one (id, label) frame is live, not diameter-many
+        changed = updated.filter(col("chg")).count()
+        cached.unpersist()
+        cached = updated
+        labels = updated.select(col("id"), col("label"))
         iter += 1
       }
       require(changed == 0L,

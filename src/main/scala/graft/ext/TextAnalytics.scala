@@ -88,6 +88,49 @@ object TextAnalytics extends QueryModule {
               |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin),
       doc = "vocabulary top-k (explode + partial agg)"),
 
+    // TF-IDF feature extraction: per-document top-3 terms by
+    // tf · ln(N/df) — the classic relevance weighting a training-data
+    // pipeline uses for keyword features / quality signals. One
+    // tokenize pass → (doc, term) counts → document frequencies →
+    // score + per-doc top-k. Everything is keyed aggregation plus one
+    // broadcast-able df join; ln parity holds because both engines call
+    // the same libm on identically-derived doubles, and ties rank by
+    // term so ordering is total.
+    "text_tfidf_topk" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nDocs = d.count() // 1-row driver scalar, like a COUNT subquery
+        val tf = d.select(col("doc_id"), explode(expr(tokExpr)).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, Seq("term"))
+          .withColumn("tfidf", col("tf").cast("double") *
+            log(lit(nDocs).cast("double") / col("df").cast("double")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"),
+            round(col("tfidf"), 4).as("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, t AS term, count(*) AS tf
+              |  FROM documents, UNNEST($dTok) AS u(t) GROUP BY 1, 2),
+              |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |scored AS (
+              |  SELECT tf.doc_id, tf.term,
+              |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+              |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n)
+              |SELECT doc_id, rank, term, round(tfidf, 4) AS tfidf FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              |    ORDER BY tfidf DESC, term) AS rank
+              |  FROM scored) WHERE rank <= 3
+              |ORDER BY doc_id, rank""".stripMargin),
+      doc = "per-doc top-3 TF-IDF terms (tokenize once, df join, windowed top-k)"),
+
     // Quality scoring rolled up per (lang, source): doc counts, length
     // moments, share of "high-quality" docs (length/stopword heuristics).
     "text_quality_by_lang" -> Q(
