@@ -345,19 +345,24 @@ object EventAnalytics extends QueryModule {
     // Sessionization (gaps-and-islands): per-user sessions split on
     // idle gaps > 6h — the standard grouping for conversation/session
     // training examples and funnel analytics. One windowed lag + one
-    // running sum + one grouped rollup; all arithmetic on integer
-    // epoch-nanos, so cross-engine parity is exact. ORDER BY (ts,
-    // event_id) makes the window order total (equal-ts ties contribute
-    // gap 0 either way, but the frame order must still be pinned).
+    // running sum + one grouped rollup. All arithmetic runs on integer
+    // epoch-MICROS on both engines: the parquet ts carries real
+    // sub-microsecond bits that DuckDB truncates at read time, so a
+    // nanosecond-precision gap compare could split a session the oracle
+    // doesn't (FIXTURES.md convention: bucket on `ts div 1000`).
+    // ORDER BY (tus, event_id) makes the window order total (equal-ts
+    // ties contribute gap 0 either way, but the frame order must still
+    // be pinned).
     "evt_sessionize" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val gapNs = 6L * 3600L * 1000000000L
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs = 6L * 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
         val flagged = ev(s, dir)
-          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("tus", expr("ts div 1000"))
+          .withColumn("prev_tus", lag(col("tus"), 1).over(w))
           .withColumn("new_sess",
-            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+            when(col("prev_tus").isNull || col("tus") - col("prev_tus") > gapUs, 1L)
               .otherwise(0L))
         flagged
           .withColumn("session_idx",
@@ -365,30 +370,30 @@ object EventAnalytics extends QueryModule {
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("session_idx"))
           .agg(
-            expr("min(ts) div 1000").as("session_start_us"),
-            expr("max(ts) div 1000").as("session_end_us"),
+            min(col("tus")).as("session_start_us"),
+            max(col("tus")).as("session_end_us"),
             count(lit(1)).as("n_events"))
           .orderBy(col("user_id"), col("session_idx"))
       },
-      Some(s"""WITH e AS (SELECT user_id, event_id, $dNs AS tns FROM events),
+      Some(s"""WITH e AS (SELECT user_id, event_id, $dNs // 1000 AS tus FROM events),
               |flagged AS (
-              |  SELECT user_id, event_id, tns,
-              |    CASE WHEN lag(tns) OVER w IS NULL
-              |              OR tns - lag(tns) OVER w > ${6L * 3600L * 1000000000L}
+              |  SELECT user_id, event_id, tus,
+              |    CASE WHEN lag(tus) OVER w IS NULL
+              |              OR tus - lag(tus) OVER w > ${6L * 3600L * 1000000L}
               |         THEN 1 ELSE 0 END AS new_sess
-              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
               |sess AS (
-              |  SELECT user_id, tns,
-              |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+              |  SELECT user_id, tus,
+              |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
               |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
               |  FROM flagged)
               |SELECT user_id, session_idx,
-              | min(tns) // 1000 AS session_start_us,
-              | max(tns) // 1000 AS session_end_us,
+              | min(tus) AS session_start_us,
+              | max(tus) AS session_end_us,
               | CAST(count(*) AS BIGINT) AS n_events
               |FROM sess GROUP BY user_id, session_idx
               |ORDER BY user_id, session_idx""".stripMargin),
-      doc = "gaps-and-islands sessionization (6h idle gap; integer-exact)"),
+      doc = "gaps-and-islands sessionization (6h idle gap; micros-exact both engines)"),
 
     // F1 + §2.10 fan-out shape: canonical-event projection with the
     // deterministic sha256 event id (events.rs:76-86) — exact hex parity.
