@@ -395,6 +395,35 @@ object EventAnalytics extends QueryModule {
               |ORDER BY user_id, session_idx""".stripMargin),
       doc = "gaps-and-islands sessionization (6h idle gap; micros-exact both engines)"),
 
+    // Retention cohorts: users bucketed by first-activity week, counted
+    // distinct per (cohort_week, weeks-since-cohort) — the standard
+    // product-analytics retention matrix, and the cohort shape used to
+    // split training corpora by user vintage. Day buckets divide the
+    // int64 nanos by a multiple of 1000, so DuckDB's microsecond
+    // truncation of the parquet ts can never move a row across a day
+    // boundary — integer-exact parity without the micros dance.
+    "evt_retention" -> Q(
+      (s, dir) => {
+        val days = ev(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+        val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        days.join(cohorts, Seq("user_id"))
+          .groupBy(expr("cohort_day div 7").as("cohort_week"),
+            expr("(day - cohort_day) div 7").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some(s"""WITH days AS (
+              |  SELECT DISTINCT user_id, $dNs // 86400000000000 AS day FROM events),
+              |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+              |SELECT cohort_day // 7 AS cohort_week,
+              | (day - cohort_day) // 7 AS week_offset,
+              | CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+              |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+              |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+      doc = "weekly retention cohort matrix (first-activity cohort × offset)"),
+
     // F1 + §2.10 fan-out shape: canonical-event projection with the
     // deterministic sha256 event id (events.rs:76-86) — exact hex parity.
     "evt_canonical_events" -> Q(
