@@ -1,4 +1,6 @@
 package graft
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
 object Bench {
@@ -11,15 +13,21 @@ object Bench {
     * folding a failure's partial runtime into the totals would make a
     * regression-into-crash read as a speedup in BENCH_r*.json. */
   private[graft] def execOne(spark: SparkSession, sfDir: String, name: String,
-      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      fatal: AtomicBoolean = new AtomicBoolean): Double = {
     val t0 = System.nanoTime()
     // Throwable, not NonFatal: one query OOMing must still yield a bench
     // line for the other ~60 — best-effort continue + sentinel beats
-    // aborting the round's only perf signal with nothing emitted.
+    // aborting the round's only perf signal with nothing emitted. But a
+    // fatal error (OOM, linkage) can leave the surviving JVM degraded
+    // (evicted caches, dying executors pool), so every timing recorded
+    // after one is suspect: record the taint so the emitted JSON can
+    // carry it (`fatal` flag) and the perf harness can discount the run.
     val dt =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
+        if (!scala.util.control.NonFatal(e)) fatal.set(true)
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         -1.0 }
     spark.catalog.clearCache() // per-query caches must not leak across entries
@@ -31,14 +39,15 @@ object Bench {
     * trailer. The trailer goes AFTER the long line because the driver
     * captures the output TAIL, which truncates the long line's head once
     * the query map grows — the trailer is what always survives. */
-  private[graft] def emitLines(results: Map[String, Double], sfDir: String): (String, String) = {
+  private[graft] def emitLines(results: Map[String, Double], sfDir: String,
+      fatal: Boolean = false): (String, String) = {
     val failed = results.collect { case (name, t) if t < 0 => name }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""",
-     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"sf":"$sfDir"}""")
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"fatal":$fatal,"sf":"$sfDir"}""",
+     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"fatal":$fatal,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -58,10 +67,11 @@ object Bench {
     // compilation, JIT, file-listing, page cache) are fixed session
     // overhead, not per-query throughput, and at toy SFs they would
     // otherwise dominate and add ±30% run-to-run noise.
-    SparkEntry.queries.foreach { case (n, f) => execOne(spark, sfDir, n, f) }
+    val fatal = new AtomicBoolean // set by any fatal error, warmup included
+    SparkEntry.queries.foreach { case (n, f) => execOne(spark, sfDir, n, f, fatal) }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> execOne(spark, sfDir, name, fn) }
-    val (longLine, trailer) = emitLines(results, sfDir)
+      name -> execOne(spark, sfDir, name, fn, fatal) }
+    val (longLine, trailer) = emitLines(results, sfDir, fatal.get)
     println(longLine)
     println(trailer)
     spark.stop()

@@ -27,6 +27,17 @@ object EventAnalytics extends QueryModule {
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   // DuckDB-side fragments mirroring Tables' column helpers.
+  //
+  // Integer-division parity, including PRE-EPOCH (negative) timestamps —
+  // verified empirically against a negative TIMESTAMP(NANOS) parquet
+  // fixture: DuckDB's BIGINT `//` truncates toward zero exactly like
+  // Spark's `div` (-7 // 2 = -3 on both; (-1000) // 7 = -142, not the
+  // floored -143), and DuckDB's parquet nanos→micros read conversion
+  // also truncates toward zero (-1234567 ns reads as -1234 µs), matching
+  // `ts div 1000` on the raw int64. Every `div`/`//` pair below (µs
+  // projections, day buckets, week buckets) therefore agrees on both
+  // engines for ANY sign of ts — do NOT "fix" these to floor-division,
+  // which would diverge from DuckDB on negative operands.
   private val dNs = "epoch_ns(ts)"
   private val dDay = "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')"
 

@@ -91,8 +91,11 @@ object Star extends QueryModule {
   def dimSnapshot(spark: SparkSession, path: String): DataFrame = {
     // reads heal a torn compaction swap too (MetadataStore.snapshot
     // discipline) — otherwise the read throws while `<path>_prev` holds
-    // the only complete copy
-    graft.operators.StoreOps.recoverInterrupted(spark, path)
+    // the only complete copy. Grace-gated: a reader can also observe
+    // the torn state during a LIVE compaction's swap window, and must
+    // wait it out rather than heal under the compactor (StoreOps docs).
+    graft.operators.StoreOps.recoverInterrupted(spark, path,
+      graft.operators.StoreOps.ReadHealGraceMs)
     spark.read.parquet(path)
       .groupBy(col("user_id"))
       .agg(

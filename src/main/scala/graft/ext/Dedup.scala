@@ -74,11 +74,16 @@ object Dedup extends QueryModule {
     jaccardOnCapped(capShingles(sh, maxDf), threshold)
 
   /** [[jaccardPairs]] body over an already-df-capped index. The capped
-    * relation fans into three consumers (sizes + both self-join sides);
-    * their exchange subtrees are identical, so ReuseExchange computes
-    * the underlying shuffle once without any caching. Callers holding a
-    * cached/checkpointed index (the corpus pipeline's loan scope) pass
-    * it here directly. */
+    * relation fans into three consumers (sizes + both self-join sides).
+    * Only the two self-join sides share an exchange subtree (both hash
+    * by `shingle`), so ReuseExchange computes THAT shuffle once; the
+    * sizes branch exchanges by `doc_id`, a distinct subtree, so the
+    * capped relation's map-side work runs under two exchanges, not one.
+    * (Inside [[capShingles]] the hot-set aggregation's exchange is still
+    * reused across all three.) The sf0.1 A/B showed de-caching is still
+    * a wash at today's scale; at much larger SFs the duplicated map work
+    * is the term to re-measure. Callers holding a cached/checkpointed
+    * index (the corpus pipeline's loan scope) pass it here directly. */
   private[ext] def jaccardOnCapped(capped: DataFrame, threshold: Double): DataFrame = {
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("doc_id").as("d1"), col("shingle"))

@@ -27,9 +27,11 @@ object MetadataStore {
 
   /** Current (latest-version) view of the store. Heals a torn compaction
     * swap first — otherwise a crashed store reads as empty, and a
-    * subsequent compact would snapshot that emptiness over the data. */
+    * subsequent compact would snapshot that emptiness over the data.
+    * Read path, so healing is grace-gated: see [[StoreOps.recoverInterrupted]]
+    * on the reader-vs-live-compactor race. */
   def snapshot(spark: SparkSession, path: String): DataFrame = {
-    StoreOps.recoverInterrupted(spark, path)
+    StoreOps.recoverInterrupted(spark, path, StoreOps.ReadHealGraceMs)
     try Upsert.lastWriteWins(spark.read.parquet(path), "key", "updated_at")
     catch {
       case _: org.apache.spark.sql.AnalysisException =>

@@ -22,6 +22,12 @@ object StoreOps {
     math.max(System.currentTimeMillis(), prevMax + 1)
   }
 
+  /** Grace window for read-path healing (see [[recoverInterrupted]]):
+    * long enough to outlive the two renames of an in-flight swap by
+    * orders of magnitude, short enough that reading a genuinely crashed
+    * store stays interactive. */
+  val ReadHealGraceMs: Long = 250L
+
   /** Repair a store whose [[replaceWith]] swap was interrupted: a crash
     * between the two renames leaves `<path>_prev` holding the ONLY
     * complete copy while `path` itself is gone. Restore it by renaming
@@ -32,12 +38,32 @@ object StoreOps {
     * first touch instead of silently reading as empty (or, worse, the
     * next compaction snapshotting that emptiness and deleting `prev`,
     * the last copy).
+    *
+    * The torn state (`prev` present, `path` absent) is also what a
+    * LIVE [[replaceWith]] exposes for the instant between its two
+    * renames — READERS race with an in-flight compaction, not just a
+    * crashed one. A reader healing inside that window would rename
+    * `prev` back underneath the compactor, making its publish rename
+    * fail spuriously (no data loss: its rollback then no-ops and `dst`
+    * holds the old log, but the compaction aborts). Read paths
+    * therefore pass `graceMs` > 0: re-check until the torn state has
+    * outlived any plausible in-flight swap — two metadata renames,
+    * micro- to milliseconds on any FS — before healing. Only a crash
+    * leaves the state static that long. Writer entry points keep the
+    * default 0: under the single-writer assumption no swap can be in
+    * flight when a writer enters, so torn-at-entry means crashed.
     * @return true iff a restore happened */
-  def recoverInterrupted(spark: SparkSession, path: String): Boolean = {
+  def recoverInterrupted(spark: SparkSession, path: String, graceMs: Long = 0L): Boolean = {
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = new org.apache.hadoop.fs.Path(path + "_prev")
-    if (fs.exists(prev) && !fs.exists(dst)) {
+    def torn = fs.exists(prev) && !fs.exists(dst)
+    if (!torn) return false
+    var waited = 0L
+    while (waited < graceMs && torn) {
+      Thread.sleep(25L); waited += 25L
+    }
+    if (torn) {
       if (!fs.rename(prev, dst))
         throw new java.io.IOException(s"recovery: could not restore $prev to $dst")
       true

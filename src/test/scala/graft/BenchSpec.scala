@@ -7,12 +7,26 @@ package graft
 class BenchSpec extends SparkSpec {
 
   test("a throwing query records the -1.0 sentinel, a working one its time") {
+    val fatal = new java.util.concurrent.atomic.AtomicBoolean
     val bad = Bench.execOne(spark, Sf, "boom",
-      (_, _) => throw new RuntimeException("deliberate"))
+      (_, _) => throw new RuntimeException("deliberate"), fatal)
     assert(bad == -1.0)
+    assert(!fatal.get, "a NonFatal failure must not taint the round")
     val good = Bench.execOne(spark, Sf, "ok",
-      (s, _) => s.range(3).toDF("n"))
+      (s, _) => s.range(3).toDF("n"), fatal)
     assert(good >= 0.0)
+    assert(!fatal.get)
+  }
+
+  test("a fatal error taints the round but still records the sentinel") {
+    val fatal = new java.util.concurrent.atomic.AtomicBoolean
+    val bad = Bench.execOne(spark, Sf, "oom",
+      (_, _) => throw new OutOfMemoryError("deliberate"), fatal)
+    assert(bad == -1.0)
+    assert(fatal.get, "OutOfMemoryError must set the fatal taint")
+    val (longLine, trailer) = Bench.emitLines(Map("oom" -> bad), "/sf", fatal.get)
+    assert(longLine.contains("\"fatal\":true"))
+    assert(trailer.contains("\"fatal\":true"))
   }
 
   test("emitted lines: failures listed, excluded from total, trailer counts") {
@@ -27,9 +41,10 @@ class BenchSpec extends SparkSpec {
     assert(!trailer.contains("\"queries\":{"))
   }
 
-  test("no failures: empty errors array, zero n_errors") {
+  test("no failures: empty errors array, zero n_errors, untainted") {
     val (longLine, trailer) = Bench.emitLines(Map("a" -> 1.0), "/sf")
     assert(longLine.contains("\"errors\":[]"))
     assert(trailer.contains("\"n_errors\":0"))
+    assert(longLine.contains("\"fatal\":false") && trailer.contains("\"fatal\":false"))
   }
 }

@@ -72,6 +72,34 @@ class MetadataStoreSpec extends SparkSpec {
     assert(MetadataStore.get(spark, path, "warehouse_type").contains("parquet"))
   }
 
+  test("grace-gated read heal: an in-flight swap is waited out, a crash is healed") {
+    // A LIVE replaceWith exposes the same (prev present, dst absent)
+    // state between its two renames as a crash does. A reader healing
+    // inside that window renames prev back under the compactor — so the
+    // read path re-checks across a grace window and only heals a state
+    // that stays torn (i.e. a crash). Simulate the in-flight case with a
+    // thread that completes the "swap" mid-grace.
+    val path = Files.createTempDirectory("graft_meta_grace").toString + "/kv"
+    MetadataStore.updateLastSlot(spark, path, 7L)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val prev = new org.apache.hadoop.fs.Path(path + "_prev")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    assert(fs.rename(dst, prev), "swap-window setup rename failed")
+    val compactor = new Thread(() => { Thread.sleep(60L); fs.rename(prev, dst); () })
+    compactor.start()
+    // must NOT heal: the torn state resolves itself inside the grace
+    assert(!StoreOps.recoverInterrupted(spark, path, graceMs = 2000L))
+    compactor.join()
+    assert(fs.exists(dst) && !fs.exists(prev))
+
+    // a state that STAYS torn for the whole grace window is a crash: heal
+    assert(fs.rename(dst, prev))
+    assert(StoreOps.recoverInterrupted(spark, path, StoreOps.ReadHealGraceMs))
+    assert(fs.exists(dst) && !fs.exists(prev))
+    assert(MetadataStore.lastSlot(spark, path).contains(7L))
+  }
+
   test("same-millisecond updates never resolve to the stale write") {
     // "9" > "10" lexically: with a wall-clock-only version, two writes
     // inside one millisecond would tie on updated_at and Upsert's
