@@ -20,6 +20,7 @@ object SparkEntry {
     ext.Similarity,
     ext.Multimodal,
     ext.CorpusPipelineModule,
+    ext.TrainPrep,
     ingest.IngestQueries,
   )
 

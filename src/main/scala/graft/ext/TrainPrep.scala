@@ -1,0 +1,152 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators (north-star additions; no
+  * counterpart in the reference): benchmark decontamination, deterministic
+  * stratified sampling, and sequence packing. These are the steps between
+  * "cleaned corpus" (ext.CorpusPipeline) and "training batches" in a
+  * large-scale LLM data pipeline.
+  *
+  * Scale design mirrors the dedup family: everything is tokenize-once
+  * expression work plus keyed joins/aggregations — the decontamination
+  * probe is an equi-join on a 60-bit n-gram hash against a broadcast
+  * benchmark index (benchmark suites are KBs; the corpus is the 100 TB
+  * side and is never shuffled by it), the sampler is a stateless map-side
+  * filter on an md5-derived key (reproducible across runs AND engines),
+  * and packing shards its running sum by a partition key so the window
+  * never funnels the corpus through one task.
+  */
+object TrainPrep extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  private val tok = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  private val dTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  // Word 5-gram spans (vs the dedup family's 3-grams): decontamination
+  // wants high-precision matches — a 5-token span shared with an eval
+  // benchmark is strong evidence of leakage, while 3-grams collide on
+  // ordinary phrasing. Same sequence()-guard discipline as Dedup (Spark
+  // counts DOWN for n < 1; DuckDB's generate_series is empty).
+  private val dGram5 =
+    s"""list_transform(generate_series(1, greatest(len($dTok) - 4, 0)),
+       |  i -> $dTok[i] || ' ' || $dTok[i+1] || ' ' || $dTok[i+2] || ' ' ||
+       |       $dTok[i+3] || ' ' || $dTok[i+4])""".stripMargin.replace("\n", " ")
+
+  /** Distinct (doc_id, 60-bit 5-gram hash) pairs. Tokenizes ONCE into a
+    * column (HOF lambdas don't CSE a repeated regexp), hashes each gram
+    * to the shared md5-60-bit key so the join below runs on fixed-width
+    * ints, not 5-word strings. */
+  private[ext] def gram5Rows(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), expr(tok).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ts) >= 5
+          |THEN transform(sequence(1, size(ts) - 4),
+          |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
+          |       element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))
+          |ELSE array() END""".stripMargin.replace("\n", " "))).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Benchmark decontamination: flag training documents sharing word
+    // 5-grams with a held-out benchmark/eval set (here: doc_id % 10 = 0
+    // stands in for the eval suite). The classic n-gram-overlap decon
+    // pass every frontier-model pipeline runs before training. Shape:
+    // distinct benchmark gram hashes — tiny by nature — broadcast to an
+    // equi-join probe over the corpus grams; per-doc overlap counts,
+    // contamination flag at >= 3 shared grams. The corpus side shuffles
+    // only its own (doc_id) aggregation; nothing is ever pairwise.
+    "prep_decontaminate" -> Q(
+      (s, dir) => {
+        val grams = gram5Rows(docs(s, dir))
+        val bench = grams.filter(col("doc_id") % 10 === 0).select(col("h")).distinct()
+        grams.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(bench), Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_grams"))
+          .withColumn("contaminated",
+            when(col("n_shared_grams") >= 3, 1L).otherwise(0L))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH grams AS (
+              |  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+              |  FROM documents, UNNEST($dGram5) AS u(g)),
+              |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0)
+              |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams,
+              | CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS contaminated
+              |FROM grams gr JOIN bench b USING (h)
+              |WHERE gr.doc_id % 10 <> 0
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "benchmark decontamination: 5-gram-hash overlap vs held-out set"),
+
+    // Deterministic stratified sampling: per-stratum (lang) rates applied
+    // via an md5-derived inclusion key — the same doc is in or out of the
+    // sample on every run, every engine, every cluster size (no RNG, no
+    // partition-order dependence), which is what makes corpus subsampling
+    // auditable. Pure map-side filter at 100 TB: the only shuffle is the
+    // final 5-row rollup. Rates: en 50%, everything else 25% (a crude
+    // rebalancing mix, the usual reason to stratify).
+    "prep_sample_stratified" -> Q(
+      (s, dir) => {
+        val key = conv(substring(md5(concat(lit("smp:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 10000L
+        val rateBp = when(col("lang") === "en", 5000L).otherwise(2500L)
+        docs(s, dir)
+          .withColumn("in_sample", key < rateBp)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(col("in_sample"), 1)).as("n_sampled"),
+            sum(when(col("in_sample"), col("n_chars")).otherwise(0L)).as("chars_sampled"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+             | count(*) FILTER (WHERE ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+             |     < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END) AS n_sampled,
+             | CAST(sum(CASE WHEN ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+             |     < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "deterministic hash-keyed stratified sampling per lang"),
+
+    // Sequence packing: concatenate documents in deterministic (doc_id)
+    // order and cut the token stream every 256 tokens — each doc joins
+    // the pack its FIRST token lands in (concat-and-chunk, the standard
+    // LLM pretraining packing). The running sum is sharded by lang (the
+    // pipeline's shard key), so the window is partition-parallel — an
+    // unpartitioned window would funnel 100 TB through one task. Integer
+    // token counts + integer division: exact parity on both engines.
+    "prep_pack_sequences" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            expr(s"size($tok)").cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", expr("(cum - n_tok) div 256"))
+          .groupBy(col("lang"), col("pack_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, len($dTok) AS n_tok FROM documents),
+              |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+              |SELECT lang, (cum - n_tok) // 256 AS pack_id,
+              | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+              | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "sequence packing: deterministic concat-and-chunk by token budget"),
+  )
+}
