@@ -435,6 +435,43 @@ object EventAnalytics extends QueryModule {
               |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
       doc = "weekly retention cohort matrix (first-activity cohort × offset)"),
 
+    // Ordered funnel: users who viewed, then clicked AFTER their first
+    // view, then purchased AFTER that first qualifying click — the
+    // classic product funnel, and a stage-gating shape (A before B
+    // before C) window functions alone don't express. Three user-keyed
+    // aggregations/joins: every shuffle is on user_id, so the stages
+    // co-partition and AQE can reuse the layout; the final assembly is
+    // 1-row × 1-row cross joins. Row-to-row time comparisons run on
+    // epoch-MICROS on both engines (the parquet ts carries sub-µs bits
+    // DuckDB truncates at read — FIXTURES.md convention).
+    "evt_funnel" -> Q(
+      (s, dir) => {
+        val e = ev(s, dir).select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("v_tus"))
+        val clicks = e.filter(col("event_type") === "click")
+          .join(views, Seq("user_id")).filter(col("tus") > col("v_tus"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("c_tus"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .join(clicks, Seq("user_id")).filter(col("tus") > col("c_tus"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("p_tus"))
+        views.agg(count(lit(1)).as("n_viewed"))
+          .crossJoin(clicks.agg(count(lit(1)).as("n_clicked_after_view")))
+          .crossJoin(purchases.agg(count(lit(1)).as("n_purchased_after_click")))
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type, $dNs // 1000 AS tus FROM events),
+              |v AS (SELECT user_id, min(tus) AS v_tus FROM e
+              |      WHERE event_type = 'view' GROUP BY 1),
+              |c AS (SELECT e.user_id, min(e.tus) AS c_tus FROM e JOIN v USING (user_id)
+              |      WHERE e.event_type = 'click' AND e.tus > v.v_tus GROUP BY 1),
+              |p AS (SELECT e.user_id, min(e.tus) AS p_tus FROM e JOIN c USING (user_id)
+              |      WHERE e.event_type = 'purchase' AND e.tus > c.c_tus GROUP BY 1)
+              |SELECT (SELECT count(*) FROM v) AS n_viewed,
+              | (SELECT count(*) FROM c) AS n_clicked_after_view,
+              | (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin),
+      doc = "ordered view→click→purchase funnel (stage-gated user counts)"),
+
     // F1 + §2.10 fan-out shape: canonical-event projection with the
     // deterministic sha256 event id (events.rs:76-86) — exact hex parity.
     "evt_canonical_events" -> Q(

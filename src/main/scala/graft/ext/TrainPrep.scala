@@ -115,6 +115,73 @@ object TrainPrep extends QueryModule {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "deterministic hash-keyed stratified sampling per lang"),
 
+    // Per-domain capping: keep at most K docs per source, selected by a
+    // deterministic md5 key — the "no domain may dominate the mix" rule
+    // every corpus mix applies, reproducible across runs/engines (unlike
+    // a LIMIT per group, whose row choice is scan-order luck). The
+    // window shards by source, so at 100 TB each domain caps in
+    // parallel; the hash order also makes the kept set stable under
+    // corpus growth *within* the kept range (no reshuffling every doc
+    // when one domain gains rows, unlike rank-by-doc_id).
+    "prep_cap_per_source" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val key = conv(substring(md5(concat(lit("cap:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+        docs(s, dir)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("kept", col("rk") <= 10L)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(when(col("kept"), 1)).as("n_kept"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH r AS (
+             |  SELECT source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+             |               doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, count(*) AS n_total,
+             | count(*) FILTER (WHERE rk <= 10) AS n_kept,
+             | CAST(sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "deterministic per-source cap (hash-ordered top-K per domain)"),
+
+    // Embedding sanity screen: per-label L2-norm extrema + the count of
+    // near-unit-norm vectors — the pre-training check that a corpus's
+    // embeddings are normalized (ANN cosine shortcuts assume it) and no
+    // label bucket carries degenerate vectors. Norms come from the same
+    // strict left-to-right double fold as the similarity family
+    // (Spark HOF aggregate ≡ DuckDB list_dot_product, bit-identical), so
+    // min/max/threshold compares agree exactly; round(4) only on output.
+    "emb_norm_stats" -> Q(
+      (s, dir) => {
+        val norm = expr(
+          "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x * x))")
+        Tables.embeddings(s, dir)
+          .select(col("label").cast("long").as("label"), norm.as("norm"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            round(min(col("norm")), 4).as("min_norm"),
+            round(max(col("norm")), 4).as("max_norm"),
+            count(when(abs(col("norm") - 1.0) < 0.01, 1)).as("n_near_unit"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(label AS BIGINT) AS label,
+             |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+             |  FROM embeddings)
+             |SELECT label, count(*) AS n_vecs,
+             | round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm,
+             | count(*) FILTER (WHERE abs(norm - 1.0e0) < 0.01e0) AS n_near_unit
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "embedding L2-norm screen per label (normalization sanity)"),
+
     // Sequence packing: concatenate documents in deterministic (doc_id)
     // order and cut the token stream every 256 tokens — each doc joins
     // the pack its FIRST token lands in (concat-and-chunk, the standard

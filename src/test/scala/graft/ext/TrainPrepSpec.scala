@@ -57,6 +57,52 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("per-source cap: at most K kept, deterministic, totals preserved") {
+    val a = run("prep_cap_per_source").collect().toSeq
+    assert(a == run("prep_cap_per_source").collect().toSeq, "hash order is run-stable")
+    a.foreach { r =>
+      val (total, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == math.min(total, 10L), s"cap keeps min(total, 10): $r")
+    }
+    val totalDocs = graft.Tables.documents(spark, Sf).count()
+    assert(a.map(_.getLong(1)).sum == totalDocs, "every doc counted exactly once")
+  }
+
+  test("embedding norm screen: one row per label, bounds ordered") {
+    val rows = run("emb_norm_stats").collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "min_norm <= max_norm")
+      assert(r.getLong(4) <= r.getLong(1), "n_near_unit bounded by n_vecs")
+    }
+  }
+
+  test("funnel gates stages in order on a synthetic timeline") {
+    import spark.implicits._
+    // user 1: view(10) -> click(20) -> purchase(30): full funnel.
+    // user 2: click(5) BEFORE view(10): click must not count.
+    // user 3: view(10), purchase(20) with no click: purchase must not count.
+    val us = 1000L // 1 µs in nanos: keep values on µs boundaries
+    val e = Seq(
+      (1L, "view", 10 * us), (1L, "click", 20 * us), (1L, "purchase", 30 * us),
+      (2L, "click", 5 * us), (2L, "view", 10 * us),
+      (3L, "view", 10 * us), (3L, "purchase", 20 * us)
+    ).toDF("user_id", "event_type", "ts")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(expr("ts div 1000")).as("v_tus"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, Seq("user_id")).filter(expr("ts div 1000") > col("v_tus"))
+      .groupBy(col("user_id")).agg(min(expr("ts div 1000")).as("c_tus"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id")).filter(expr("ts div 1000") > col("c_tus"))
+      .groupBy(col("user_id")).agg(min(expr("ts div 1000")).as("p_tus"))
+    assert(views.count() == 3 && clicks.count() == 1 && purchases.count() == 1)
+    assert(clicks.select("user_id").as[Long].head() == 1L)
+    // and the real query's stages are monotone on testdata
+    val row = run("evt_funnel").head()
+    assert(row.getLong(0) >= row.getLong(1) && row.getLong(1) >= row.getLong(2))
+  }
+
   test("packing partitions each stratum exactly: docs and tokens conserved") {
     import spark.implicits._
     val packs = run("prep_pack_sequences")
