@@ -113,6 +113,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("decontamination probes via a broadcast hash join, never all-pairs") {
+    // the benchmark gram index is the tiny side by nature; the 100 TB
+    // corpus side must stream through a broadcast probe
+    val p = planOf("prep_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("stratified sampler is map-side: one exchange for the 5-row rollup") {
+    // the inclusion key is computed per row in the scan stage; the ONLY
+    // shuffle is the final per-lang aggregation
+    val p = planOf("prep_sample_stratified")
+    // AQE prints the pre-adaptive plan after "== Initial Plan ==" too —
+    // count exchanges in the final executed section only
+    val fp = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hash".r.findAllIn(fp).length +
+      "Exchange range".r.findAllIn(fp).length
+    assert(exchanges <= 2, s"sampler should shuffle only the tiny rollup:\n$p")
+    assert(fp.contains("partial_count"), p) // map-side combine before it
+  }
+
+  test("funnel stages join and aggregate on user_id only") {
+    val p = planOf("evt_funnel")
+    assert(!p.contains("CartesianProduct"), p) // 1-row assembly is BNLJ, fine
+    // stage gating must be keyed joins, not nested loops over events
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // codegen stages render as "*(n) " prefixes in the executed plan
     val p = planOf("evt_volume_summary")
