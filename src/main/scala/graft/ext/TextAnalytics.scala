@@ -181,6 +181,44 @@ object TextAnalytics extends QueryModule {
               |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "language-ID heuristic confusion matrix"),
 
+    // Exact length quantiles per lang — the cut points a length-filter
+    // stage is tuned from. EXACT type-1 quantiles via integer rank
+    // selection (value at row ceil(q·n) of the (n_tok, doc_id)-sorted
+    // stratum), not a sketch: ceil(q·n) is computed as (n·q% + 99) div
+    // 100 so no float touches the rank math, and parity is exact where
+    // approx_percentile could never be. One window + one rollup per
+    // stratum; shards by lang like every per-stratum op here.
+    "text_length_quantiles" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+        docs(s, dir)
+          .select(col("lang"), col("doc_id"),
+            expr(s"size($tokExpr)").cast("long").as("n_tok"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("lang"))))
+          .groupBy(col("lang"))
+          .agg(
+            max(col("n")).as("n_docs"),
+            max(when(col("rk") === expr("(n * 50 + 99) div 100"), col("n_tok"))).as("p50_tokens"),
+            max(when(col("rk") === expr("(n * 90 + 99) div 100"), col("n_tok"))).as("p90_tokens"),
+            max(when(col("rk") === expr("(n * 99 + 99) div 100"), col("n_tok"))).as("p99_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT lang, doc_id, len($dTok) AS n_tok FROM documents),
+              |r AS (SELECT lang, n_tok,
+              |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rk,
+              |    count(*) OVER (PARTITION BY lang) AS n
+              |  FROM t)
+              |SELECT lang, max(n) AS n_docs,
+              | max(CASE WHEN rk = (n * 50 + 99) // 100 THEN n_tok END) AS p50_tokens,
+              | max(CASE WHEN rk = (n * 90 + 99) // 100 THEN n_tok END) AS p90_tokens,
+              | max(CASE WHEN rk = (n * 99 + 99) // 100 THEN n_tok END) AS p99_tokens
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "exact per-lang token-length quantiles via integer rank selection"),
+
     // Document fingerprint: deterministic polynomial rolling hash over the
     // character stream (ordered fold — identical sequential evaluation on
     // both engines; no float, no order nondeterminism). Runs as the

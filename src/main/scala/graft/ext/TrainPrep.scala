@@ -115,6 +115,38 @@ object TrainPrep extends QueryModule {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "deterministic hash-keyed stratified sampling per lang"),
 
+    // Temperature-weighted domain mixing: w_s ∝ sqrt(tokens_s) (α = 0.5
+    // resampling — upweights small domains, the standard multi-corpus
+    // mixing rule). Token counts are integer-exact; sqrt is IEEE
+    // correctly-rounded on BOTH engines (unlike pow, which carries no
+    // such guarantee — hence sqrt, not pow(x, 0.5), on each side), so
+    // the numerators are bit-identical; the denominator is an ORDERED
+    // left-to-right fold over the source-sorted numerators (the
+    // sim_ann_ivf centroid trick), never a parallel float sum.
+    "prep_mix_weights" -> Q(
+      (s, dir) => {
+        val per = docs(s, dir)
+          .groupBy(col("source"))
+          .agg(sum(expr(s"size($tok)").cast("long")).as("toks"))
+          .withColumn("num", sqrt(col("toks").cast("double")))
+        val denom = per.agg(expr(
+          "aggregate(array_sort(collect_list(struct(source, num))), CAST(0 AS DOUBLE), (a, x) -> a + x.num)")
+          .as("denom"))
+        per.crossJoin(broadcast(denom))
+          .select(col("source"), col("toks"),
+            round(col("num") / col("denom"), 6).as("weight"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH per AS (
+              |  SELECT source, CAST(sum(len($dTok)) AS BIGINT) AS toks
+              |  FROM documents GROUP BY 1),
+              |p AS (SELECT source, toks, sqrt(CAST(toks AS DOUBLE)) AS num FROM per),
+              |d AS (SELECT list_reduce(list_prepend(0.0e0, list(num ORDER BY source)),
+              |        (a, x) -> a + x) AS denom FROM p)
+              |SELECT source, toks, round(num / denom, 6) AS weight
+              |FROM p, d ORDER BY source""".stripMargin),
+      doc = "temperature (α=0.5) domain-mixing weights, order-fixed float fold"),
+
     // Per-domain capping: keep at most K docs per source, selected by a
     // deterministic md5 key — the "no domain may dominate the mix" rule
     // every corpus mix applies, reproducible across runs/engines (unlike

@@ -35,6 +35,19 @@ class QueriesSpec extends SparkSpec {
     assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(0))
   }
 
+  test("mix weights are a probability vector over sources") {
+    val ws = run("prep_mix_weights").select("weight").collect().map(_.getDouble(0))
+    assert(ws.forall(w => w > 0.0 && w < 1.0))
+    assert(math.abs(ws.sum - 1.0) < 1e-4, s"weights sum to 1: ${ws.sum}")
+  }
+
+  test("length quantiles are ordered p50 <= p90 <= p99 per lang") {
+    run("text_length_quantiles").collect().foreach { r =>
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99, s"$r")
+    }
+  }
+
   test("top-k outputs respect their limits and orderings") {
     val tw = run("evt_top_wallets").select("tx_count").collect().map(_.getLong(0))
     assert(tw.length <= 20 && tw.sameElements(tw.sortBy(-_)))
