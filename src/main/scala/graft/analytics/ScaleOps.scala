@@ -27,6 +27,44 @@ object ScaleOps extends QueryModule {
       None,
       doc = "HLL++ multi-distinct + approx quantiles (scale path of A4)"),
 
+    // Exact-quantile twin of evt_approx_stats' percentile_approx half:
+    // type-1 p50/p99 of `value` per event_type by integer rank selection
+    // (row ceil(q·n) of the (value, event_id)-sorted group). Gives the
+    // sketch query an oracle-checked exact counterpart (the same pairing
+    // discipline as evt_hll_program_reach for HLL): the approx result is
+    // bounded against THIS in ScaleOpsSpec, and THIS is hash-compared
+    // against DuckDB. Selection picks an existing double (no
+    // interpolation), so parity is exact; round only on output.
+    "evt_value_quantiles" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("n")).as("n_events"),
+            round(max(when(col("rk") === expr("(n * 50 + 99) div 100"), col("value"))), 4)
+              .as("p50_value"),
+            round(max(when(col("rk") === expr("(n * 99 + 99) div 100"), col("value"))), 4)
+              .as("p99_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type, max(n) AS n_events,
+             | round(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN value END), 4) AS p50_value,
+             | round(max(CASE WHEN rk = (n * 99 + 99) // 100 THEN value END), 4) AS p99_value
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "exact per-type value quantiles (oracle-checked twin of the sketch)"),
+
     // Sketch-based per-group distincts (the A3 shape at scale).
     "evt_approx_program_reach" -> Q(
       (s, dir) =>

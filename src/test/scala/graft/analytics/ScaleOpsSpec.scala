@@ -24,6 +24,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(p50 >= lo && p99 <= hi)
   }
 
+  test("sketch quantiles land near the exact rank-selected quantiles") {
+    // the exact twin is oracle-checked; the sketch must sit within the
+    // per-type exact p50..p99 envelope and near the global exact p50
+    val exact = SparkEntry.queries("evt_value_quantiles")(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(exact.size == 5)
+    exact.values.foreach { case (p50, p99) => assert(p50 <= p99) }
+    val approxP50 = SparkEntry.queries("evt_approx_stats")(spark, Sf)
+      .collect()(0).getDouble(2)
+    val (lo, hi) = (exact.values.map(_._1).min, exact.values.map(_._1).max)
+    // global p50 of a mixture lies within the per-type p50 span (wide
+    // bound; the point is the sketch isn't wildly off the exact scale)
+    assert(approxP50 >= lo * 0.5 && approxP50 <= hi * 1.5,
+      s"approx p50 $approxP50 outside sanity envelope [$lo, $hi]")
+  }
+
   test("per-group approx reach tracks exact within 5% at rsd=1%") {
     val exact = graft.Tables.events(spark, Sf)
       .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("e"))
