@@ -21,30 +21,43 @@ object Dedup extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  // Word 3-gram shingles; the CASE guard matters — Spark's
-  // `sequence(1, n)` with n < 1 counts DOWN (unlike DuckDB's empty
-  // generate_series), so short docs must yield an empty array explicitly.
-  private val dShingles =
-    """list_transform(generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
-      |  i -> regexp_extract_all(lower(text), '[a-z0-9]+')[i] || ' ' ||
-      |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+1] || ' ' ||
-      |       regexp_extract_all(lower(text), '[a-z0-9]+')[i+2])""".stripMargin.replace("\n", " ")
+  /** DuckDB-side word n-gram generator over `text` — one definition for
+    * every n-gram consumer (3-gram dedup shingles, 5-gram decon spans,
+    * both engines' shapes kept in lockstep with [[nGramRowsOf]]). */
+  private[ext] def dNGrams(n: Int): String = {
+    val t = TextAnalytics.dTok
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$t[i]" else s"$t[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> $parts)"
+  }
 
-  /** Distinct (doc_id, shingle) pairs from any (doc_id, text) frame.
-    * Tokenizes ONCE into a column before shingling — inlining the regexp
-    * into every element_at would re-run it 4× per row (no CSE across
-    * higher-order-function lambdas). Shared with the composed corpus
-    * pipeline. */
-  private[ext] def shingleRowsOf(docsDf: DataFrame): DataFrame =
+  // Word 3-gram shingles; the CASE guard in nGramRowsOf matters —
+  // Spark's `sequence(1, n)` with n < 1 counts DOWN (unlike DuckDB's
+  // empty generate_series), so short docs must yield an empty array.
+  private val dShingles = dNGrams(3)
+
+  /** Distinct (doc_id, n-gram) pairs from any (doc_id, text) frame.
+    * Tokenizes ONCE into a column before gramming — inlining the regexp
+    * into every element_at would re-run it n+1× per row (no CSE across
+    * higher-order-function lambdas). Shared by the dedup family (n=3),
+    * the corpus pipeline, and decontamination (n=5). */
+  private[ext] def nGramRowsOf(docsDf: DataFrame, n: Int,
+      outCol: String = "shingle"): DataFrame = {
+    val elems = (0 until n)
+      .map(j => if (j == 0) "element_at(ts, i)" else s"element_at(ts, i + $j)")
+      .mkString(", ")
     docsDf
-      .select(col("doc_id"),
-        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ts"))
+      .select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts"))
       .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ts) >= 3
-          |THEN transform(sequence(1, size(ts) - 2),
-          |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))
-          |ELSE array() END""".stripMargin.replace("\n", " "))).as("shingle"))
+        s"""CASE WHEN size(ts) >= $n
+           |THEN transform(sequence(1, size(ts) - ${n - 1}),
+           |  i -> concat_ws(' ', $elems))
+           |ELSE array() END""".stripMargin.replace("\n", " "))).as(outCol))
       .distinct()
+  }
+
+  private[ext] def shingleRowsOf(docsDf: DataFrame): DataFrame =
+    nGramRowsOf(docsDf, 3)
 
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
     shingleRowsOf(docs(s, dir))

@@ -18,7 +18,7 @@ object TextAnalytics extends QueryModule {
   /** Tokenizer shared by every text/dedup/corpus operator: lowercase
     * alnum runs. */
   private[ext] val tokExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-  private val dTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private[ext] val dTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
   private[ext] val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
   private val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"
 

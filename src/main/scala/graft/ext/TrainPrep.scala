@@ -23,32 +23,22 @@ object TrainPrep extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  private val tok = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-  private val dTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  // tokenizer + n-gram machinery shared with TextAnalytics/Dedup — one
+  // definition per engine for all of dedup/corpus/decon
+  private val tok = TextAnalytics.tokExpr
+  private val dTok = TextAnalytics.dTok
 
   // Word 5-gram spans (vs the dedup family's 3-grams): decontamination
   // wants high-precision matches — a 5-token span shared with an eval
   // benchmark is strong evidence of leakage, while 3-grams collide on
-  // ordinary phrasing. Same sequence()-guard discipline as Dedup (Spark
-  // counts DOWN for n < 1; DuckDB's generate_series is empty).
-  private val dGram5 =
-    s"""list_transform(generate_series(1, greatest(len($dTok) - 4, 0)),
-       |  i -> $dTok[i] || ' ' || $dTok[i+1] || ' ' || $dTok[i+2] || ' ' ||
-       |       $dTok[i+3] || ' ' || $dTok[i+4])""".stripMargin.replace("\n", " ")
+  // ordinary phrasing.
+  private val dGram5 = Dedup.dNGrams(5)
 
-  /** Distinct (doc_id, 60-bit 5-gram hash) pairs. Tokenizes ONCE into a
-    * column (HOF lambdas don't CSE a repeated regexp), hashes each gram
-    * to the shared md5-60-bit key so the join below runs on fixed-width
-    * ints, not 5-word strings. */
+  /** Distinct (doc_id, 60-bit 5-gram hash) pairs — [[Dedup.nGramRowsOf]]
+    * at n=5, hashed to the shared md5-60-bit key so the decon join runs
+    * on fixed-width ints, not 5-word strings. */
   private[ext] def gram5Rows(docsDf: DataFrame): DataFrame =
-    docsDf
-      .select(col("doc_id"), expr(tok).as("ts"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ts) >= 5
-          |THEN transform(sequence(1, size(ts) - 4),
-          |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1),
-          |       element_at(ts, i + 2), element_at(ts, i + 3), element_at(ts, i + 4)))
-          |ELSE array() END""".stripMargin.replace("\n", " "))).as("gram"))
+    Dedup.nGramRowsOf(docsDf, 5, outCol = "gram")
       .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
@@ -80,7 +70,7 @@ object TrainPrep extends QueryModule {
               |  FROM documents, UNNEST($dGram5) AS u(g)),
               |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0)
               |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams,
-              | CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS contaminated
+              | CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
               |FROM grams gr JOIN bench b USING (h)
               |WHERE gr.doc_id % 10 <> 0
               |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -242,7 +232,7 @@ object TrainPrep extends QueryModule {
       Some(s"""WITH t AS (SELECT doc_id, lang, len($dTok) AS n_tok FROM documents),
               |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
               |        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
-              |SELECT lang, (cum - n_tok) // 256 AS pack_id,
+              |SELECT lang, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
               | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
               | min(doc_id) AS first_doc, max(doc_id) AS last_doc
               |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),

@@ -59,11 +59,22 @@ object StoreOps {
     val prev = new org.apache.hadoop.fs.Path(path + "_prev")
     def torn = fs.exists(prev) && !fs.exists(dst)
     if (!torn) return false
+    // The heal decision uses the LAST probe of the grace loop, never a
+    // fresh re-probe after it: once any probe observes the state
+    // resolved, a swap was in flight and completed — re-probing could
+    // land inside a SECOND back-to-back swap's window and heal it with
+    // zero grace, recreating the race the gate exists for. (A TOCTOU
+    // sliver between the final probe and the rename remains — closing
+    // it needs write fencing, not polling — but it requires a fresh
+    // swap to begin within one probe period of a full grace expiry,
+    // under a single writer running back-to-back compactions.)
+    var stillTorn = true
     var waited = 0L
-    while (waited < graceMs && torn) {
+    while (stillTorn && waited < graceMs) {
       Thread.sleep(25L); waited += 25L
+      stillTorn = torn
     }
-    if (torn) {
+    if (stillTorn) {
       if (!fs.rename(prev, dst))
         throw new java.io.IOException(s"recovery: could not restore $prev to $dst")
       true
