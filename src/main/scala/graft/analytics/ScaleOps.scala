@@ -34,7 +34,10 @@ object ScaleOps extends QueryModule {
     // discipline as evt_hll_program_reach for HLL): the approx result is
     // bounded against THIS in ScaleOpsSpec, and THIS is hash-compared
     // against DuckDB. Selection picks an existing double (no
-    // interpolation), so parity is exact; round only on output.
+    // interpolation), so parity is exact; round only on output. The
+    // oracle window orders NULLS FIRST to match Spark's ASC default
+    // (DuckDB defaults NULLS LAST) — moot on this fixture, load-bearing
+    // the day dirty data brings a null value.
     "evt_value_quantiles" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -56,7 +59,8 @@ object ScaleOps extends QueryModule {
       },
       Some("""WITH r AS (
              |  SELECT event_type, value,
-             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY value NULLS FIRST, event_id) AS rk,
              |    count(*) OVER (PARTITION BY event_type) AS n
              |  FROM events)
              |SELECT event_type, max(n) AS n_events,

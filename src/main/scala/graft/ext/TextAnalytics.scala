@@ -187,7 +187,9 @@ object TextAnalytics extends QueryModule {
     // stratum), not a sketch: ceil(q·n) is computed as (n·q% + 99) div
     // 100 so no float touches the rank math, and parity is exact where
     // approx_percentile could never be. One window + one rollup per
-    // stratum; shards by lang like every per-stratum op here.
+    // stratum; shards by lang like every per-stratum op here. Oracle
+    // window orders NULLS FIRST to match Spark's ASC default (DuckDB
+    // defaults NULLS LAST; moot here, load-bearing on dirty data).
     "text_length_quantiles" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -209,7 +211,8 @@ object TextAnalytics extends QueryModule {
       Some(s"""WITH t AS (
               |  SELECT lang, doc_id, len($dTok) AS n_tok FROM documents),
               |r AS (SELECT lang, n_tok,
-              |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rk,
+              |    ROW_NUMBER() OVER (PARTITION BY lang
+              |      ORDER BY n_tok NULLS FIRST, doc_id) AS rk,
               |    count(*) OVER (PARTITION BY lang) AS n
               |  FROM t)
               |SELECT lang, max(n) AS n_docs,
