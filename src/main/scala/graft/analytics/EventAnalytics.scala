@@ -472,6 +472,37 @@ object EventAnalytics extends QueryModule {
               | (SELECT count(*) FROM p) AS n_purchased_after_click""".stripMargin),
       doc = "ordered view→click→purchase funnel (stage-gated user counts)"),
 
+    // Week-over-week churn around the fixed anchor: of the users active
+    // in the prior week, who returned this week (retained), who didn't
+    // (churned), and who is new — the complement of evt_retention's
+    // cohort matrix, and the user-set algebra (semi/anti on distinct
+    // sets) behind any engagement dashboard. Raw-nanos anchor compares
+    // like every other windowed evt query; all joins user-keyed.
+    "evt_churn" -> Q(
+      (s, dir) => {
+        val e = ev(s, dir)
+        val twoWeeksAgoNs = Tables.WeekAgoNs - 7L * 86400L * 1000000000L
+        val prev = e.filter(col("ts") >= twoWeeksAgoNs && col("ts") < Tables.WeekAgoNs)
+          .select(col("user_id")).distinct()
+        val cur = e.filter(col("ts") >= Tables.WeekAgoNs && col("ts") < Tables.AnchorNs)
+          .select(col("user_id")).distinct()
+        prev.join(cur, Seq("user_id"), "left_semi").agg(count(lit(1)).as("n_retained"))
+          .crossJoin(prev.join(cur, Seq("user_id"), "left_anti")
+            .agg(count(lit(1)).as("n_churned")))
+          .crossJoin(cur.join(prev, Seq("user_id"), "left_anti")
+            .agg(count(lit(1)).as("n_new")))
+      },
+      Some(s"""WITH prev AS (SELECT DISTINCT user_id FROM events
+              |  WHERE $dNs >= ${Tables.WeekAgoNs - 7L * 86400L * 1000000000L}
+              |    AND $dNs < ${Tables.WeekAgoNs}),
+              |cur AS (SELECT DISTINCT user_id FROM events
+              |  WHERE $dNs >= ${Tables.WeekAgoNs} AND $dNs < ${Tables.AnchorNs})
+              |SELECT
+              | (SELECT count(*) FROM prev WHERE user_id IN (SELECT user_id FROM cur)) AS n_retained,
+              | (SELECT count(*) FROM prev WHERE user_id NOT IN (SELECT user_id FROM cur)) AS n_churned,
+              | (SELECT count(*) FROM cur WHERE user_id NOT IN (SELECT user_id FROM prev)) AS n_new""".stripMargin),
+      doc = "week-over-week churn/retained/new user-set algebra"),
+
     // F1 + §2.10 fan-out shape: canonical-event projection with the
     // deterministic sha256 event id (events.rs:76-86) — exact hex parity.
     "evt_canonical_events" -> Q(

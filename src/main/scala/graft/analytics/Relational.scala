@@ -443,5 +443,31 @@ object Relational extends QueryModule {
              |  AND p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#10','Brand#12')
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "LIKE/IN predicate + broadcast dim join"),
+
+    // The explicit skew-salting path exercised end-to-end: the fact side
+    // scatters each hot partkey across 8 salt sub-keys, the dim side
+    // replicates ×8, and the join result must be the EXACT multiset of
+    // the plain join — which is what the oracle states (plain SQL join),
+    // making the differential gate a correctness proof of the salting
+    // rewrite itself. AQE skew splitting is the first line of defense;
+    // this is the fallback shape for the hot key one partition can't
+    // hold (operators/SkewJoin.scala).
+    "rel_skew_salted_volume" -> Q(
+      (s, dir) => {
+        val fact = lineitem(s, dir)
+          .select(col("l_partkey").as("partkey"), dec(col("l_quantity")).as("qty"))
+        val dim = part(s, dir)
+          .select(col("p_partkey").as("partkey"), col("p_brand"))
+        graft.operators.SkewJoin.saltedJoin(fact, dim, "partkey", salts = 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("qty")).cast("double").as("total_qty"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "salted skew join ≡ plain join (differential proof of the rewrite)"),
   )
 }

@@ -48,6 +48,28 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("churn partitions the prior week's users: retained + churned = prev") {
+    val r = run("evt_churn").collect()(0)
+    val (retained, churned) = (r.getLong(0), r.getLong(1))
+    val prev = graft.Tables.events(spark, Sf)
+      .filter(col("ts") >= (graft.Tables.WeekAgoNs - 7L * 86400L * 1000000000L) &&
+        col("ts") < graft.Tables.WeekAgoNs)
+      .select("user_id").distinct().count()
+    assert(retained + churned == prev, s"$retained + $churned != $prev")
+  }
+
+  test("salted join result equals the plain join result") {
+    import org.apache.spark.sql.functions.broadcast
+    val plain = graft.Tables.lineitem(spark, Sf)
+      .join(broadcast(graft.Tables.part(spark, Sf)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_items"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = run("rel_skew_salted_volume")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("top-k outputs respect their limits and orderings") {
     val tw = run("evt_top_wallets").select("tx_count").collect().map(_.getLong(0))
     assert(tw.length <= 20 && tw.sameElements(tw.sortBy(-_)))
