@@ -121,13 +121,16 @@ object Dedup extends QueryModule {
     * on the band key, never pairwise comparison — the piece that survives
     * 100 TB. Shared by the standalone query and the corpus pipeline's
     * stage 2. */
-  private[ext] def bandCandidatesOf(sh: DataFrame): DataFrame = {
-    // two independent 60-bit hashes per md5 digest (chars 1-15 and
-    // 17-31) — 4 digest computations for 8 min-hashes, not 8. The min
-    // runs on the HEX SUBSTRINGS: fixed-width lowercase hex orders
-    // identically to its numeric value, so min commutes with conv and
-    // the radix conversion runs once per (doc, hash) instead of once
-    // per posting.
+  /** MinHash(8) band keys per document: (doc_id, band_idx, band_key),
+    * 4 bands of 2 hashes. Two independent 60-bit hashes per md5 digest
+    * (chars 1-15 and 17-31) — 4 digest computations for 8 min-hashes,
+    * not 8. The min runs on the HEX SUBSTRINGS: fixed-width lowercase
+    * hex orders identically to its numeric value, so min commutes with
+    * conv and the radix conversion runs once per (doc, hash) instead of
+    * once per posting. Exposed separately from [[bandCandidatesOf]] so
+    * the incremental path can equi-join a new batch's bands against a
+    * (conceptually precomputed) corpus band index. */
+  private[ext] def bandKeysOf(sh: DataFrame): DataFrame = {
     val digests = (0 until 4).map(s0 =>
       md5(concat(col("shingle"), lit(s"#$s0"))).as(s"d$s0"))
     val hashed = sh.select(col("doc_id") +: digests: _*)
@@ -138,12 +141,16 @@ object Dedup extends QueryModule {
     val mins = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id") +: (0 until 8).map(i =>
         conv(col(s"h$i"), 16, 10).cast("long").as(s"m$i")): _*)
-    val bands = mins.select(col("doc_id"), explode(map(
+    mins.select(col("doc_id"), explode(map(
       lit(0), concat_ws(":", col("m0"), col("m1")),
       lit(1), concat_ws(":", col("m2"), col("m3")),
       lit(2), concat_ws(":", col("m4"), col("m5")),
       lit(3), concat_ws(":", col("m6"), col("m7"))
     )).as(Seq("band_idx", "band_key")))
+  }
+
+  private[ext] def bandCandidatesOf(sh: DataFrame): DataFrame = {
+    val bands = bandKeysOf(sh)
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
@@ -342,6 +349,62 @@ object Dedup extends QueryModule {
               |${dBandCtes("sh")}
               |SELECT d1, d2 FROM band_cand ORDER BY d1, d2""".stripMargin),
       doc = "MinHash(8) + LSH banding (4×2) candidate generation"),
+
+    // Incremental dedup: a NEW BATCH (doc_id % 10 = 9 stands in for
+    // today's crawl) near-dup-checked against the STANDING CORPUS (the
+    // rest) — the shape that matters operationally, since re-deduping
+    // 100 TB from scratch per ingest is a non-starter. The batch's band
+    // keys equi-join against the corpus's band index. In production the
+    // corpus side is a PRECOMPUTED, incrementally-maintained table (that
+    // is the point of the shape); in this self-contained query both
+    // sides re-derive from the same shingle index — the differing
+    // doc_id filters make the two subtrees distinct, so the band
+    // computation runs once per side here (acceptable at query scale,
+    // moot at production scale where the corpus index is stored).
+    // Batch×batch pairs are excluded by construction; the probe cost
+    // scales with |batch|, not |corpus|.
+    "dedup_incremental" -> Q(
+      (s, dir) => {
+        val sh = capShingles(shingleRows(s, dir), DefaultMaxShingleDf)
+        val bands = bandKeysOf(sh)
+        val batch = bands.filter(col("doc_id") % 10 === 9)
+          .select(col("band_idx"), col("band_key"), col("doc_id").as("new_doc"))
+        val corpus = bands.filter(col("doc_id") % 10 =!= 9)
+          .select(col("band_idx"), col("band_key"), col("doc_id").as("corpus_doc"))
+        val cand = batch.join(corpus, Seq("band_idx", "band_key"))
+          .select(least(col("new_doc"), col("corpus_doc")).as("d1"),
+            greatest(col("new_doc"), col("corpus_doc")).as("d2"))
+          .distinct()
+        verifyJaccard(sh, cand, 0.5)
+          .select(
+            when(col("d1") % 10 === 9, col("d1")).otherwise(col("d2")).as("new_doc"),
+            when(col("d1") % 10 === 9, col("d2")).otherwise(col("d1")).as("corpus_doc"),
+            col("common"), col("jaccard"))
+          .orderBy(col("new_doc"), col("corpus_doc"))
+      },
+      Some(s"""WITH sh0 AS ($dShingleRows),
+              |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
+              |${dBandCtes("sh")},
+              |cross_cand AS (
+              |  SELECT d1, d2 FROM band_cand WHERE (d1 % 10 = 9) <> (d2 % 10 = 9)),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |pairs AS (
+              |  SELECT c.d1, c.d2, count(*) AS common
+              |  FROM cross_cand c
+              |  JOIN sh a ON a.doc_id = c.d1
+              |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+              |  GROUP BY 1, 2),
+              |verified AS (
+              |  SELECT d1, d2, common,
+              |    CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+              |  FROM pairs
+              |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+              |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5)
+              |SELECT CASE WHEN d1 % 10 = 9 THEN d1 ELSE d2 END AS new_doc,
+              | CASE WHEN d1 % 10 = 9 THEN d2 ELSE d1 END AS corpus_doc,
+              | common, jaccard
+              |FROM verified ORDER BY new_doc, corpus_doc""".stripMargin),
+      doc = "incremental near-dup: new batch banded against the corpus index"),
 
     // Dedup clustering: connected components over the verified
     // near-dup pairs — the principled completion of pairwise dedup

@@ -33,6 +33,24 @@ class ExtSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("incremental dedup pairs are cross-set and within the full pair set") {
+    import spark.implicits._
+    val inc = run("dedup_incremental")
+      .select("new_doc", "corpus_doc").as[(Long, Long)].collect()
+    inc.foreach { case (n, c) =>
+      assert(n % 10 == 9, s"new side must be in the batch: $n")
+      assert(c % 10 != 9, s"corpus side must not be in the batch: $c")
+    }
+    // every incremental pair is a true verified near-dup pair
+    val full = run("dedup_jaccard_pairs")
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .map { case (a, b) => (a.min(b), a.max(b)) }.toSet
+    inc.foreach { case (n, c) =>
+      assert(full.contains((n.min(c), n.max(c))),
+        s"incremental pair ($n,$c) missing from the exact pair set")
+    }
+  }
+
   test("df cap drops boilerplate-only pairs, keeps rare-shingle jaccard") {
     import spark.implicits._
     // docs 1,2 share only the hot shingle (in >maxDf docs); docs 3,4
