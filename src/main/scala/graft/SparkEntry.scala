@@ -16,6 +16,7 @@ object SparkEntry {
     analytics.ScaleOps,
     analytics.Star,
     ext.TextAnalytics,
+    ext.QualityFilters,
     ext.Dedup,
     ext.Similarity,
     ext.Multimodal,

@@ -36,24 +36,26 @@ object Dedup extends QueryModule {
   // empty generate_series), so short docs must yield an empty array.
   private val dShingles = dNGrams(3)
 
-  /** Distinct (doc_id, n-gram) pairs from any (doc_id, text) frame.
-    * Tokenizes ONCE into a column before gramming — inlining the regexp
-    * into every element_at would re-run it n+1× per row (no CSE across
-    * higher-order-function lambdas). Shared by the dedup family (n=3),
-    * the corpus pipeline, and decontamination (n=5). */
+  /** (doc_id, n-gram) pairs from any (doc_id, text) frame — distinct by
+    * default (set semantics for shingle indexes), with occurrences kept
+    * when a consumer counts repetition. Tokenizes ONCE into a column
+    * before gramming — inlining the regexp into every element_at would
+    * re-run it n+1× per row (no CSE across higher-order-function
+    * lambdas). Shared by the dedup family (n=3), the corpus pipeline,
+    * decontamination (n=5), and the quality filters (n=2). */
   private[ext] def nGramRowsOf(docsDf: DataFrame, n: Int,
-      outCol: String = "shingle"): DataFrame = {
+      outCol: String = "shingle", distinct: Boolean = true): DataFrame = {
     val elems = (0 until n)
       .map(j => if (j == 0) "element_at(ts, i)" else s"element_at(ts, i + $j)")
       .mkString(", ")
-    docsDf
+    val rows = docsDf
       .select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(ts) >= $n
            |THEN transform(sequence(1, size(ts) - ${n - 1}),
            |  i -> concat_ws(' ', $elems))
            |ELSE array() END""".stripMargin.replace("\n", " "))).as(outCol))
-      .distinct()
+    if (distinct) rows.distinct() else rows
   }
 
   private[ext] def shingleRowsOf(docsDf: DataFrame): DataFrame =

@@ -1,0 +1,171 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality filters for training-data pipelines (north-star; no
+  * counterpart in the reference, which never inspects payload text):
+  * repetition screening (the Gopher-style "duplicated n-gram fraction"
+  * family) and corpus-level boilerplate detection.
+  *
+  * Scale design: per-document signals are pure expression work or a
+  * (doc, gram) keyed aggregation — shuffle-parallel, no pairwise joins.
+  * Corpus-level document frequencies are a grouped count whose hot tail
+  * (the boilerplate set, tiny by construction) broadcasts back as a
+  * semi-join probe, so the 100 TB side is scanned once and never
+  * shuffled by the hot list. Every flag threshold is an integer
+  * cross-multiplication — no float ever enters a comparison, so
+  * cross-engine parity is exact by construction.
+  */
+object QualityFilters extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  private val tok = TextAnalytics.tokExpr
+  private val dTok = TextAnalytics.dTok
+  private val dGram2 = Dedup.dNGrams(2)
+
+  /** Per-doc repetition signals over any (doc_id, text, ...) frame:
+    * 2-gram totals/top counts, token dup counts, and the flag. Split out
+    * so specs can exercise the rule on planted inputs. */
+  private[ext] def repetitionSignals(docsDf: DataFrame): DataFrame = {
+    val perGram = Dedup.nGramRowsOf(docsDf, 2, outCol = "gram", distinct = false)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_cnt"))
+    docsDf
+      .select(col("doc_id"),
+        expr(s"size($tok)").cast("long").as("n_tok"),
+        expr(s"size(array_distinct($tok))").cast("long").as("n_uniq"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("rep_flag",
+        col("top_cnt") * 20 > col("n_grams") ||
+          (col("n_tok") - col("n_uniq")) * 2 > col("n_tok"))
+  }
+
+  /** Per-doc boilerplate signals: distinct 2-gram count and how many of
+    * them clear the corpus-wide df floor (df·20 ≥ nDocs, i.e. ≥5% of
+    * docs). The hot list broadcasts — it is bounded above by 20 grams
+    * per 5% df slice, independent of corpus size. */
+  private[ext] def boilerplateSignals(docsDf: DataFrame, nDocs: Long): DataFrame = {
+    val sh = Dedup.nGramRowsOf(docsDf, 2, outCol = "gram")
+    val hot = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 20 >= lit(nDocs)).select(col("gram"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hots = sh.join(broadcast(hot), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+    docsDf.select(col("doc_id"))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(hots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+      .withColumn("template_doc", col("n_hot") * 10 > col("n_grams") * 8)
+  }
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Repetition screen (Gopher-family rules): a doc is flagged when its
+    // most frequent word 2-gram exceeds 5% of all its 2-gram slots OR
+    // over half its tokens are repeats (1 - distinct/total > 50%).
+    // Shape: one non-distinct gram explode → (doc, gram) counts →
+    // per-doc max/sum → per-source rollup; the token-repeat leg is pure
+    // per-row expression work (size/array_distinct), no shuffle at all.
+    // Thresholds compare integers cross-multiplied (top·20 > n_grams),
+    // never floats.
+    "text_repetition_stats" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        repetitionSignals(d)
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("rep_flag"), 1)).as("n_repetitive"),
+            sum(coalesce(col("n_grams"), lit(0L))).as("total_grams"),
+            sum(coalesce(col("top_cnt"), lit(0L))).as("total_top"))
+          .withColumn("top_gram_share",
+            round(col("total_top").cast("double") / col("total_grams").cast("double"), 4))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH pg AS (
+              |  SELECT doc_id, gm, count(*) AS c
+              |  FROM documents, UNNEST($dGram2) AS u(gm) GROUP BY 1, 2),
+              |pd AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_cnt
+              |       FROM pg GROUP BY 1),
+              |base AS (
+              |  SELECT doc_id, source, len($dTok) AS n_tok,
+              |    len(list_distinct($dTok)) AS n_uniq
+              |  FROM documents)
+              |SELECT source, count(*) AS n_docs,
+              | count(*) FILTER (WHERE top_cnt * 20 > n_grams
+              |   OR (n_tok - n_uniq) * 2 > n_tok) AS n_repetitive,
+              | CAST(sum(coalesce(n_grams, 0)) AS BIGINT) AS total_grams,
+              | CAST(sum(coalesce(top_cnt, 0)) AS BIGINT) AS total_top,
+              | round(CAST(sum(coalesce(top_cnt, 0)) AS DOUBLE)
+              |   / CAST(sum(coalesce(n_grams, 0)) AS DOUBLE), 4) AS top_gram_share
+              |FROM base LEFT JOIN pd USING (doc_id)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Gopher-style repetition screen (top 2-gram share + dup-token rule)"),
+
+    // Boilerplate detection: 2-grams present in ≥ 5% of ALL documents
+    // are "boilerplate" (template headers/footers at web scale); report,
+    // per source, what share of each doc's distinct grams is boilerplate
+    // and how many docs are >80% boilerplate ("template docs" a cleaner
+    // would drop). The df aggregation partial-aggregates map-side; the
+    // hot list (bounded by the gram space that can clear a df floor —
+    // at most 20·N/N = 20 per percent of corpus, i.e. tiny) broadcasts
+    // into a semi-join, so the corpus scans once and only ever shuffles
+    // by its own doc_id. The relative (5% of N) floor keeps the rule
+    // meaningful at any corpus size.
+    "text_boilerplate_share" -> Q(
+      (s, dir) => {
+        val sh = Dedup.nGramRowsOf(docs(s, dir), 2, outCol = "gram")
+        val nDocs = docs(s, dir).count() // 1-row driver scalar (COUNT subquery)
+        val hot = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .filter(col("df") * 20 >= lit(nDocs)).select(col("gram"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val hots = sh.join(broadcast(hot), Seq("gram"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+        docs(s, dir).select(col("doc_id"), col("source"))
+          .join(sizes, Seq("doc_id"), "left")
+          .join(hots, Seq("doc_id"), "left")
+          .select(col("source"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+          .withColumn("template_doc", col("n_hot") * 10 > col("n_grams") * 8)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("template_doc"), 1)).as("n_template_docs"),
+            sum(col("n_grams")).as("total_grams"),
+            sum(col("n_hot")).as("total_hot"))
+          .withColumn("hot_share",
+            round(col("total_hot").cast("double") / col("total_grams").cast("double"), 4))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT DISTINCT doc_id, gm AS gram
+              |  FROM documents, UNNEST($dGram2) AS u(gm)),
+              |n AS (SELECT count(*) AS n_docs FROM documents),
+              |hot AS (SELECT gram FROM sh, n GROUP BY gram, n.n_docs
+              |        HAVING count(*) * 20 >= n_docs),
+              |sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+              |hots AS (SELECT doc_id, count(*) AS n_hot FROM sh
+              |         WHERE gram IN (SELECT gram FROM hot) GROUP BY 1),
+              |base AS (
+              |  SELECT d.source, coalesce(s.n_grams, 0) AS n_grams,
+              |    coalesce(h.n_hot, 0) AS n_hot
+              |  FROM documents d
+              |  LEFT JOIN sizes s USING (doc_id) LEFT JOIN hots h USING (doc_id))
+              |SELECT source, count(*) AS n_docs,
+              | count(*) FILTER (WHERE n_hot * 10 > n_grams * 8) AS n_template_docs,
+              | CAST(sum(n_grams) AS BIGINT) AS total_grams,
+              | CAST(sum(n_hot) AS BIGINT) AS total_hot,
+              | round(CAST(sum(n_hot) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 4)
+              |   AS hot_share
+              |FROM base GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "corpus boilerplate detection (hot 2-grams ≥5% df, broadcast probe)"),
+  )
+}

@@ -399,5 +399,68 @@ object Similarity extends QueryModule {
               |  AND NOT isnan(round(${dCos("a.v", "b.v")}, 4))
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "LSH-bucketed embedding near-dup (distributed scale path; oracle-replayed)"),
+
+    // kNN label propagation: classify held-out vectors by the majority
+    // label of their 5 nearest neighbors (cosine) — the standard
+    // semantic-labeling / weak-supervision pass over a labeled embedding
+    // store. Same physical shape as sim_knn_brute (tiny query side
+    // broadcast against one corpus scan); the vote and the argmax are
+    // integer aggregations, and ties break on the smaller label, so the
+    // prediction is fully deterministic and oracle-replayable.
+    "sim_knn_classify" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"),
+          col("label").cast("long").as("label"), vecD(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("actual_label"),
+            col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("actual_label"),
+            col("label").as("nbr_label"), col("vec_id").as("neighbor_id"),
+            round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
+              .as("sim"))
+        val wR = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        val votes = scored.withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= 5)
+          .groupBy(col("query_id"), col("actual_label"), col("nbr_label"))
+          .agg(count(lit(1)).as("n_votes"))
+        val wV = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("n_votes").desc, col("nbr_label"))
+        votes.withColumn("vrank", row_number().over(wV))
+          .filter(col("vrank") === 1)
+          .select(col("query_id"), col("actual_label"),
+            col("nbr_label").as("predicted_label"), col("n_votes"),
+            when(col("nbr_label") === col("actual_label"), 1L).otherwise(0L)
+              .as("correct"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              |    embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label AS actual_label, v AS qv
+              |      FROM e WHERE vec_id % 25 = 0),
+              |scored AS (
+              |  SELECT q.query_id, q.actual_label, e.label AS nbr_label,
+              |    e.vec_id AS neighbor_id, round(${dCos("q.qv", "e.v")}, 4) AS sim
+              |  FROM e JOIN q ON e.vec_id <> q.query_id),
+              |topk AS (
+              |  SELECT * FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY sim DESC, neighbor_id) AS rank
+              |    FROM scored) WHERE rank <= 5),
+              |votes AS (
+              |  SELECT query_id, actual_label, nbr_label, count(*) AS n_votes
+              |  FROM topk GROUP BY 1, 2, 3)
+              |SELECT query_id, actual_label, nbr_label AS predicted_label, n_votes,
+              | CAST(CASE WHEN nbr_label = actual_label THEN 1 ELSE 0 END AS BIGINT)
+              |   AS correct
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY n_votes DESC, nbr_label) AS vrank
+              |  FROM votes) WHERE vrank = 1
+              |ORDER BY query_id""".stripMargin),
+      doc = "kNN(5) label propagation over the embedding store (majority vote)"),
   )
 }

@@ -204,6 +204,96 @@ object TrainPrep extends QueryModule {
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "embedding L2-norm screen per label (normalization sanity)"),
 
+    // Deterministic train/valid/test split + shard assignment: two
+    // independent md5-derived keys route each doc to a split (80/10/10)
+    // and a shard within it (8-way). Pure map-side expression work — the
+    // only shuffle is the final 24-row rollup — and the same doc lands in
+    // the same (split, shard) on every run, engine, and cluster size,
+    // which is what makes held-out sets leak-proof under re-runs and
+    // corpus growth (a doc never migrates across the split boundary when
+    // other docs are added, unlike position-based splits).
+    "prep_split_shuffle" -> Q(
+      (s, dir) => {
+        def key(salt: String) = conv(substring(md5(concat(lit(salt),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        val b = key("split:") % 100L
+        docs(s, dir)
+          .withColumn("split",
+            when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+          .withColumn("shard", key("shard:") % 8L)
+          .groupBy(col("split"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("split"), col("shard"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, n_chars,
+             |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+             |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+             |  FROM documents)
+             |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+             |            ELSE 'test' END AS split,
+             | shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "deterministic hash train/valid/test split + 8-way sharding"),
+
+    // Fixed-point int8-style embedding quantization (code = ⌊x·64⌋, i.e.
+    // Q1.6: |x| ≤ 0.53 on this corpus so every code fits int8 with
+    // headroom) + exact reconstruction-error accounting per label. All
+    // map-side expression work; the rollup is tiny. Float discipline:
+    // ⌊x·64⌋ and x − code/64 are each single IEEE ops (exact-rounded,
+    // engine-identical); per-vector error sums are strict left-to-right
+    // folds; the cross-vector mean folds the (vec_id)-sorted per-vector
+    // sums (the sim_ann_ivf centroid trick) — never a parallel float
+    // sum. max() is order-free, so no discipline needed there.
+    "emb_quantize_int8" -> Q(
+      (s, dir) => {
+        val errsE = "transform(v, x -> abs(x - floor(x * 64.0D) / 64.0D))"
+        val per = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .select(col("vec_id"), col("label"),
+            expr(s"aggregate($errsE, CAST(0 AS DOUBLE), (a, x) -> a + x)").as("err_sum"),
+            expr(s"array_max($errsE)").as("err_max"),
+            expr("size(array_distinct(transform(v, x -> floor(x * 64.0D))))")
+              .cast("long").as("n_levels"))
+        per.groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            round(max(col("err_max")), 6).as("max_q_err"),
+            expr("aggregate(array_sort(collect_list(struct(vec_id, err_sum))), CAST(0 AS DOUBLE), (a, p) -> a + p.err_sum)")
+              .as("s"),
+            max(col("n_levels")).as("max_levels"))
+          .withColumn("mean_q_err",
+            round(col("s") / (col("n_vecs") * 64L).cast("double"), 6))
+          .select(col("label"), col("n_vecs"), col("max_q_err"),
+            col("mean_q_err"), col("max_levels"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |    embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (
+             |  SELECT vec_id, label,
+             |    list_reduce(list_prepend(0.0e0,
+             |      list_transform(v, x -> abs(x - floor(x * 64.0e0) / 64.0e0))),
+             |      (a, x) -> a + x) AS err_sum,
+             |    list_aggregate(list_transform(v, x -> abs(x - floor(x * 64.0e0) / 64.0e0)),
+             |      'max') AS err_max,
+             |    len(list_distinct(list_transform(v, x -> floor(x * 64.0e0)))) AS n_levels
+             |  FROM e)
+             |SELECT label, count(*) AS n_vecs,
+             | round(max(err_max), 6) AS max_q_err,
+             | round(list_reduce(list_prepend(0.0e0, list(err_sum ORDER BY vec_id)),
+             |     (a, x) -> a + x) / CAST(count(*) * 64 AS DOUBLE), 6) AS mean_q_err,
+             | CAST(max(n_levels) AS BIGINT) AS max_levels
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "fixed-point embedding quantization + exact reconstruction error"),
+
     // Sequence packing: concatenate documents in deterministic (doc_id)
     // order and cut the token stream every 256 tokens — each doc joins
     // the pack its FIRST token lands in (concat-and-chunk, the standard
