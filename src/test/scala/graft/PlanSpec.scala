@@ -141,6 +141,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("boilerplate hot-list probes via broadcast, corpus shuffles only by doc") {
+    // the hot-gram list is bounded by construction (<= 20 grams per 5%
+    // df slice); the corpus side must meet it as a broadcast probe so
+    // the 100 TB scan is never re-shuffled by the hot list
+    val p = planOf("text_boilerplate_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("split/shard assignment is map-side: one exchange for the 24-row rollup") {
+    val p = planOf("prep_split_shuffle")
+    val fp = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hash".r.findAllIn(fp).length +
+      "Exchange range".r.findAllIn(fp).length
+    assert(exchanges <= 2, s"split keys are per-row md5 work, only the rollup shuffles:\n$p")
+    assert(fp.contains("partial_count"), p)
+  }
+
+  test("kNN classify broadcasts the held-out slice against one corpus scan") {
+    // the <> self-pair guard makes this a nested-loop by necessity; the
+    // broadcast keeps it one pass over the store (query side is tiny)
+    val p = planOf("sim_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // codegen stages render as "*(n) " prefixes in the executed plan
     val p = planOf("evt_volume_summary")
