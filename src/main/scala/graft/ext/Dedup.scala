@@ -31,6 +31,16 @@ object Dedup extends QueryModule {
     s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> $parts)"
   }
 
+  /** DuckDB-side POSITIONED word n-gram generator: list of
+    * {'p': start, 'g': gram} structs (1-based start token), the oracle
+    * twin of the posexplode path in `dedup_substring`. */
+  private[ext] def dNGramsPos(n: Int): String = {
+    val t = TextAnalytics.dTok
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$t[i]" else s"$t[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> {'p': i, 'g': $parts})"
+  }
+
   // Word 3-gram shingles; the CASE guard in nGramRowsOf matters —
   // Spark's `sequence(1, n)` with n < 1 counts DOWN (unlike DuckDB's
   // empty generate_series), so short docs must yield an empty array.
@@ -214,6 +224,45 @@ object Dedup extends QueryModule {
        |  FROM bands x JOIN bands y
        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        |    AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Maximal duplicated token runs across documents, the engine behind
+    * `dedup_substring`: positioned K-token window hashes, df-capped
+    * (2..8 docs) hash equi-join, consecutive matches merged by
+    * gaps-and-islands on the (p1 − p2) diagonal. Split out so specs can
+    * plant a verbatim block and assert the exact run boundaries. */
+  private[ext] def substringRuns(docsDf: DataFrame, K: Int = 8): DataFrame = {
+    val elems = (0 until K)
+      .map(j => if (j == 0) "element_at(ts, i)" else s"element_at(ts, i + $j)")
+      .mkString(", ")
+    val wins = docsDf
+      .select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(ts) >= $K
+           |THEN transform(sequence(1, size(ts) - ${K - 1}),
+           |  i -> concat_ws(' ', $elems))
+           |ELSE array() END""".stripMargin.replace("\n", " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        h60(col("col")).as("h"))
+    val elig = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 8).select(col("h"))
+    val hw = wins.join(elig, Seq("h"))
+    val pairs = hw.select(col("h"), col("doc_id").as("d1"), col("p").as("p1"))
+      .join(hw.select(col("h"), col("doc_id").as("d2"), col("p").as("p2")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    val runs = pairs.withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(w).cast("long"))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("nw"), min(col("p1")).as("s1"))
+    runs.groupBy(col("d1"), col("d2"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max(col("nw") + (K - 1)).as("max_run_tokens"),
+        sum(col("nw")).as("dup_windows"),
+        min(col("s1")).as("first_pos"))
+  }
 
   /** Shared 60-bit md5-derived hash (DuckDB-reproducible). */
   private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -477,5 +526,44 @@ object Dedup extends QueryModule {
               | CAST(${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
               |FROM sums ORDER BY doc_id""".stripMargin),
       doc = "SimHash(16-bit) signatures (integer-exact)"),
+
+    // Substring-level dedup: find maximal duplicated token RUNS across
+    // documents (the exact-substring mode the shingle family can't see —
+    // a 40-token verbatim block inside two otherwise-different docs).
+    // Shape: positioned 8-token windows → 60-bit hash → window-hash
+    // equi-join restricted to hashes seen in 2..8 docs (the df cap
+    // bounds fan-out exactly like the Jaccard index cap) → consecutive
+    // matches merged into runs by gaps-and-islands on the (p1 - p2)
+    // diagonal. Everything after the join is integer window/agg work,
+    // so cross-engine parity is exact. At 100 TB each stage is a keyed
+    // shuffle; no pairwise comparison ever materializes beyond the
+    // df-capped hash buckets.
+    "dedup_substring" -> Q(
+      (s, dir) => substringRuns(docs(s, dir)).orderBy(col("d1"), col("d2")),
+      Some(s"""WITH wins AS (
+              |  SELECT doc_id, w['p'] AS p,
+              |    ${dH60("w['g']")} AS h
+              |  FROM documents, UNNEST(${dNGramsPos(8)}) AS u(w)),
+              |elig AS (
+              |  SELECT h FROM wins GROUP BY h
+              |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 8),
+              |pairs AS (
+              |  SELECT a.doc_id AS d1, a.p AS p1, b.doc_id AS d2, b.p AS p2
+              |  FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+              |  WHERE a.h IN (SELECT h FROM elig)),
+              |isl AS (
+              |  SELECT d1, d2, p1 - p2 AS diag, p1,
+              |    p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2
+              |      ORDER BY p1) AS grp
+              |  FROM pairs),
+              |runs AS (
+              |  SELECT d1, d2, diag, grp, count(*) AS nw, min(p1) AS s1
+              |  FROM isl GROUP BY 1, 2, 3, 4)
+              |SELECT d1, d2, count(*) AS n_runs,
+              | CAST(max(nw + 7) AS BIGINT) AS max_run_tokens,
+              | CAST(sum(nw) AS BIGINT) AS dup_windows,
+              | min(s1) AS first_pos
+              |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "exact substring dedup: maximal duplicated 8-token runs across docs"),
   )
 }

@@ -167,6 +167,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("substring dedup pairs via the window-hash equi-join, never all-pairs") {
+    val p = planOf("dedup_substring")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("PMI broadcasts the vocab-bounded unigram table, shuffles only by gram") {
+    val p = planOf("text_pmi_bigrams")
+    // two unigram-count probes + two 1-row totals, all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // codegen stages render as "*(n) " prefixes in the executed plan
     val p = planOf("evt_volume_summary")

@@ -19,6 +19,40 @@ class ExtSpec extends SparkSpec {
     assert(got == 648541476951500027L)
   }
 
+  test("substring runs: a planted verbatim block yields one exact run") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ") // 20-token block
+    val d = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+        (1 to 10).map(i => s"b$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"c$i").mkString(" ") + " " + shared + " " +
+        (1 to 5).map(i => s"e$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.substringRuns(d)
+      .select("d1", "d2", "n_runs", "max_run_tokens", "dup_windows", "first_pos")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 20 shared tokens = 13 consecutive 8-windows = ONE merged run;
+    // boundary windows mix doc-specific filler so they never match
+    assert(rows == Seq((1L, 2L, 1L, 20L, 13L, 13L)), rows.toString)
+  }
+
+  test("substring runs: separated blocks stay separate runs") {
+    import spark.implicits._
+    val blockA = (1 to 10).map(i => s"p$i").mkString(" ") // 3 windows
+    val blockB = (1 to 9).map(i => s"q$i").mkString(" ")  // 2 windows
+    val d = Seq(
+      (4L, blockA + " x1 x2 x3 " + blockB),
+      (5L, blockB + " y1 y2 y3 y4 y5 " + blockA)
+    ).toDF("doc_id", "text")
+    val rows = Dedup.substringRuns(d)
+      .select("d1", "d2", "n_runs", "max_run_tokens", "dup_windows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // swapped order between the docs forces two diagonals — runs must
+    // NOT merge across the gap even though total windows is 5
+    assert(rows == Seq((4L, 5L, 2L, 10L, 5L)), rows.toString)
+  }
+
   test("MinHash/LSH candidates contain every very-high-jaccard pair") {
     // With 8 hashes in 4 bands of 2, P(candidate) = 1-(1-j²)⁴ ≈ 0.9996
     // for j ≥ 0.9 — every planted near-dup pair must surface.
