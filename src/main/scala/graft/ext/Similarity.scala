@@ -462,5 +462,83 @@ object Similarity extends QueryModule {
               |  FROM votes) WHERE vrank = 1
               |ORDER BY query_id""".stripMargin),
       doc = "kNN(5) label propagation over the embedding store (majority vote)"),
+
+    // One spherical k-means step (assign + update) over the embedding
+    // store — the kernel of semantic clustering for diversity-aware
+    // sampling. Seeds are the 8 lowest vec_ids (deterministic); each
+    // vector joins its max-cosine seed (ties to the smaller cluster);
+    // new centroids are per-dimension means via the vec_id-ordered fold
+    // (the sim_ann_ivf discipline — never a partition-order float sum),
+    // and the step reports per-cluster size, cohesion (ordered sum of
+    // member cosines), and old-seed→new-centroid similarity. At scale:
+    // seeds broadcast (k rows), assignment is one pass over the store,
+    // the update is a (cluster, dim)-keyed aggregation — the exact plan
+    // a full Lloyd's loop would run per iteration.
+    "emb_kmeans_step" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster_id"), col("v").as("sv"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cluster_id"))
+        val asg = e.join(broadcast(seeds), lit(true))
+          .withColumn("cos",
+            graft.functions.VectorExpressions.vector_cosine(col("v"), col("sv")))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cluster_id"), col("cos"), col("v"))
+        val cents = asg
+          .select(col("cluster_id"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("cluster_id"), col("d"))
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("x")))).as("vx"))
+          .select(col("cluster_id"), col("d"),
+            expr("aggregate(vx, CAST(0 AS DOUBLE), (acc, p) -> acc + p.x) / size(vx)")
+              .as("c"))
+          .groupBy(col("cluster_id"))
+          .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
+          .select(col("cluster_id"), expr("transform(dc, p -> p.c)").as("centroid"))
+        val stats = asg.groupBy(col("cluster_id"))
+          .agg(
+            count(lit(1)).as("n_assigned"),
+            array_sort(collect_list(struct(col("vec_id"), col("cos")))).as("vc"))
+          .select(col("cluster_id"), col("n_assigned"),
+            round(expr("aggregate(vc, CAST(0 AS DOUBLE), (acc, p) -> acc + p.cos)"), 4)
+              .as("cohesion"))
+        stats.join(cents, Seq("cluster_id"))
+          .join(broadcast(seeds), Seq("cluster_id"))
+          .select(col("cluster_id"), col("n_assigned"), col("cohesion"),
+            round(graft.functions.VectorExpressions
+              .vector_cosine(col("sv"), col("centroid")), 4).as("centroid_sim"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |seeds AS (SELECT vec_id AS cluster_id, v AS sv FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT vec_id, cluster_id, cos, v FROM (
+              |    SELECT e.vec_id, s.cluster_id, e.v, ${dCos("e.v", "s.sv")} AS cos,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id) AS rk
+              |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+              |cents AS (
+              |  SELECT cluster_id, list(c ORDER BY d) AS centroid FROM (
+              |    SELECT cluster_id, d,
+              |      list_dot_product(xs, list_transform(xs, x -> 1.0e0)) / len(xs) AS c
+              |    FROM (
+              |      SELECT a.cluster_id, gs.d, list(a.v[gs.d + 1] ORDER BY a.vec_id) AS xs
+              |      FROM asg a, generate_series(0, 63) AS gs(d)
+              |      GROUP BY 1, 2))
+              |  GROUP BY 1),
+              |stats AS (
+              |  SELECT cluster_id, count(*) AS n_assigned,
+              |    round(list_dot_product(list(cos ORDER BY vec_id),
+              |      list_transform(list(cos ORDER BY vec_id), x -> 1.0e0)), 4) AS cohesion
+              |  FROM asg GROUP BY 1)
+              |SELECT t.cluster_id, t.n_assigned, t.cohesion,
+              | round(${dCos("s.sv", "c.centroid")}, 4) AS centroid_sim
+              |FROM stats t
+              |JOIN cents c USING (cluster_id) JOIN seeds s USING (cluster_id)
+              |ORDER BY cluster_id""".stripMargin),
+      doc = "one spherical k-means step (assign + ordered-fold centroid update)"),
   )
 }

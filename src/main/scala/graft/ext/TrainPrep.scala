@@ -43,6 +43,25 @@ object TrainPrep extends QueryModule {
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
 
+  /** Per-doc average unigram log-probability under the corpus model —
+    * the scorer behind `prep_lm_filter`, split out so specs can verify
+    * hand-computable probabilities on a planted corpus. Returns
+    * (doc_id, source, avg_lp); the ln sum folds tokens in document
+    * order for cross-engine bit parity. */
+  private[ext] def lmScores(d: DataFrame): DataFrame = {
+    val uni = d.select(explode(expr(tok)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val t1 = uni.agg(sum(col("c")).as("t"))
+    d.select(col("doc_id"), col("source"), posexplode(expr(tok)).as(Seq("p", "w")))
+      .join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(t1))
+      .groupBy(col("doc_id"), col("source"), col("t"))
+      .agg(array_sort(collect_list(struct(col("p"), col("c")))).as("pc"))
+      .select(col("doc_id"), col("source"),
+        (expr("aggregate(pc, CAST(0 AS DOUBLE), (a, q) -> a + ln(CAST(q.c AS DOUBLE) / CAST(t AS DOUBLE)))")
+          / size(col("pc")).cast("double")).as("avg_lp"))
+  }
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // Benchmark decontamination: flag training documents sharing word
@@ -327,5 +346,52 @@ object TrainPrep extends QueryModule {
               | min(doc_id) AS first_doc, max(doc_id) AS last_doc
               |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "sequence packing: deterministic concat-and-chunk by token budget"),
+
+    // CCNet-style unigram LM importance filter: score every doc by its
+    // average token log-probability under the corpus unigram model and
+    // flag high-perplexity outliers (avg ln p < -3.41, the ~p5 tail). Float discipline:
+    // each ln runs on an identically-derived double (exact integer ratio
+    // c/T widened once), the per-doc sum folds tokens in DOCUMENT order,
+    // and the per-source mean folds doc_id-ordered per-doc scores — the
+    // ordered-fold rules that keep Spark and the oracle bit-identical.
+    // The flag compares RAW doubles (bit-identical on both engines), not
+    // rounded ones. Scale shape: the unigram model is vocab-bounded so
+    // it broadcasts; scoring is one pass over the corpus; the rollup is
+    // one tiny keyed aggregation. At web scale the model table would be
+    // a stored dimension, same plan.
+    "prep_lm_filter" -> Q(
+      (s, dir) => {
+        lmScores(docs(s, dir)).groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("avg_lp") < lit(-3.41), 1)).as("n_flagged"),
+            array_sort(collect_list(struct(col("doc_id"), col("avg_lp")))).as("da"))
+          .select(col("source"), col("n_docs"), col("n_flagged"),
+            round(expr("aggregate(da, CAST(0 AS DOUBLE), (a, q) -> a + q.avg_lp)")
+              / col("n_docs").cast("double"), 4).as("mean_logprob"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH uni AS (
+              |  SELECT t AS w, count(*) AS c
+              |  FROM documents, UNNEST($dTok) AS u(t) GROUP BY 1),
+              |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+              |toks AS (
+              |  SELECT d.doc_id, d.source, x['p'] AS p, uni.c
+              |  FROM documents d,
+              |  UNNEST(list_transform(generate_series(1, len($dTok)),
+              |    i -> {'p': i, 'w': ($dTok)[i]})) AS u(x)
+              |  JOIN uni ON x['w'] = uni.w),
+              |perdoc AS (
+              |  SELECT doc_id, source,
+              |    list_reduce(list_prepend(0.0e0,
+              |      list(ln(CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE)) ORDER BY p)),
+              |      (a, x) -> a + x) / count(*) AS avg_lp
+              |  FROM toks, tot GROUP BY doc_id, source, tot.t)
+              |SELECT source, count(*) AS n_docs,
+              | count(*) FILTER (WHERE avg_lp < -3.41e0) AS n_flagged,
+              | round(list_reduce(list_prepend(0.0e0, list(avg_lp ORDER BY doc_id)),
+              |     (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 4) AS mean_logprob
+              |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "unigram LM importance filter (avg token log-prob, ordered folds)"),
   )
 }

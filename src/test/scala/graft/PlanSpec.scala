@@ -181,6 +181,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("LM filter broadcasts the vocab model; corpus scans once") {
+    val p = planOf("prep_lm_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("k-means step broadcasts the k seeds against one store pass") {
+    val p = planOf("emb_kmeans_step")
+    // assignment is seed-broadcast (8 rows x full store: BNLJ by design);
+    // the centroid update shuffles only by (cluster, dim)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // codegen stages render as "*(n) " prefixes in the executed plan
     val p = planOf("evt_volume_summary")

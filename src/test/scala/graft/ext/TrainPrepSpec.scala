@@ -128,4 +128,36 @@ class TrainPrepSpec extends SparkSpec {
         }
       }
   }
+
+  test("LM scorer reproduces hand-computed unigram probabilities") {
+    import spark.implicits._
+    // corpus: "a a a" + "a b" -> counts a=4, b=1, T=5
+    val d = Seq((1L, "a a a", "s"), (2L, "a b", "s")).toDF("doc_id", "text", "source")
+    val got = TrainPrep.lmScores(d)
+      .select("doc_id", "avg_lp").as[(Long, Double)].collect().toMap
+    val lnA = math.log(4.0 / 5.0); val lnB = math.log(1.0 / 5.0)
+    assert(math.abs(got(1L) - lnA) < 1e-12, s"doc1: ${got(1L)} vs $lnA")
+    assert(math.abs(got(2L) - (lnA + lnB) / 2) < 1e-12, s"doc2: ${got(2L)}")
+  }
+
+  test("LM filter: flags bounded by doc counts, deterministic, scores negative") {
+    val a = run("prep_lm_filter").collect().toSeq
+    assert(a == run("prep_lm_filter").collect().toSeq)
+    a.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1), r.toString)
+      assert(r.getDouble(3) < 0, "log-probs are negative")
+    }
+  }
+
+  test("k-means step: partition of the store, bounded cohesion and sims") {
+    val rows = run("emb_kmeans_step").collect()
+    assert(rows.length == 8, "one row per seed cluster")
+    val total = graft.Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "every vector assigned exactly once")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getLong(1).toDouble + 1e-9, "cohesion <= n (cos <= 1)")
+      val cs = r.getDouble(3)
+      assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9, s"centroid sim in [-1,1]: $r")
+    }
+  }
 }
