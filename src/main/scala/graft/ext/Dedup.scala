@@ -26,19 +26,22 @@ object Dedup extends QueryModule {
     * both engines' shapes kept in lockstep with [[nGramRowsOf]]). */
   private[ext] def dNGrams(n: Int): String = {
     val t = TextAnalytics.dTok
-    val parts = (0 until n)
-      .map(j => if (j == 0) s"$t[i]" else s"$t[i+$j]").mkString(" || ' ' || ")
-    s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> $parts)"
+    s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> ${dGramParts(n)})"
   }
 
   /** DuckDB-side POSITIONED word n-gram generator: list of
     * {'p': start, 'g': gram} structs (1-based start token), the oracle
-    * twin of the posexplode path in `dedup_substring`. */
+    * twin of the posexplode path in `dedup_substring`. Shares the gram
+    * expression with [[dNGrams]] so the two generators can't drift. */
   private[ext] def dNGramsPos(n: Int): String = {
     val t = TextAnalytics.dTok
-    val parts = (0 until n)
-      .map(j => if (j == 0) s"$t[i]" else s"$t[i+$j]").mkString(" || ' ' || ")
+    val parts = dGramParts(n)
     s"list_transform(generate_series(1, greatest(len($t) - ${n - 1}, 0)), i -> {'p': i, 'g': $parts})"
+  }
+
+  private def dGramParts(n: Int): String = {
+    val t = TextAnalytics.dTok
+    (0 until n).map(j => if (j == 0) s"$t[i]" else s"$t[i+$j]").mkString(" || ' ' || ")
   }
 
   // Word 3-gram shingles; the CASE guard in nGramRowsOf matters —
@@ -52,20 +55,30 @@ object Dedup extends QueryModule {
     * before gramming — inlining the regexp into every element_at would
     * re-run it n+1× per row (no CSE across higher-order-function
     * lambdas). Shared by the dedup family (n=3), the corpus pipeline,
-    * decontamination (n=5), and the quality filters (n=2). */
+    * decontamination (n=5), and the quality filters (n=2). With
+    * `withPos` the rows carry the 1-based start-token position `p`
+    * (substring-run detection) — the rows are then unique by (doc, p),
+    * so `distinct` is ignored. */
   private[ext] def nGramRowsOf(docsDf: DataFrame, n: Int,
-      outCol: String = "shingle", distinct: Boolean = true): DataFrame = {
+      outCol: String = "shingle", distinct: Boolean = true,
+      withPos: Boolean = false): DataFrame = {
     val elems = (0 until n)
       .map(j => if (j == 0) "element_at(ts, i)" else s"element_at(ts, i + $j)")
       .mkString(", ")
-    val rows = docsDf
-      .select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(ts) >= $n
-           |THEN transform(sequence(1, size(ts) - ${n - 1}),
-           |  i -> concat_ws(' ', $elems))
-           |ELSE array() END""".stripMargin.replace("\n", " "))).as(outCol))
-    if (distinct) rows.distinct() else rows
+    val grams = expr(
+      s"""CASE WHEN size(ts) >= $n
+         |THEN transform(sequence(1, size(ts) - ${n - 1}),
+         |  i -> concat_ws(' ', $elems))
+         |ELSE array() END""".stripMargin.replace("\n", " "))
+    val toks = docsDf.select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts"))
+    if (withPos)
+      toks.select(col("doc_id"), posexplode(grams))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+          col("col").as(outCol))
+    else {
+      val rows = toks.select(col("doc_id"), explode(grams).as(outCol))
+      if (distinct) rows.distinct() else rows
+    }
   }
 
   private[ext] def shingleRowsOf(docsDf: DataFrame): DataFrame =
@@ -231,18 +244,8 @@ object Dedup extends QueryModule {
     * gaps-and-islands on the (p1 − p2) diagonal. Split out so specs can
     * plant a verbatim block and assert the exact run boundaries. */
   private[ext] def substringRuns(docsDf: DataFrame, K: Int = 8): DataFrame = {
-    val elems = (0 until K)
-      .map(j => if (j == 0) "element_at(ts, i)" else s"element_at(ts, i + $j)")
-      .mkString(", ")
-    val wins = docsDf
-      .select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(ts) >= $K
-           |THEN transform(sequence(1, size(ts) - ${K - 1}),
-           |  i -> concat_ws(' ', $elems))
-           |ELSE array() END""".stripMargin.replace("\n", " "))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-        h60(col("col")).as("h"))
+    val wins = nGramRowsOf(docsDf, K, outCol = "g", withPos = true)
+      .select(col("doc_id"), col("p"), h60(col("g")).as("h"))
     val elig = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= 8).select(col("h"))

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * Scale design: per-document signals are pure expression work or a
   * (doc, gram) keyed aggregation — shuffle-parallel, no pairwise joins.
   * Corpus-level document frequencies are a grouped count whose hot tail
-  * (the boilerplate set, tiny by construction) broadcasts back as a
-  * semi-join probe, so the 100 TB side is scanned once and never
-  * shuffled by the hot list. Every flag threshold is an integer
-  * cross-multiplication — no float ever enters a comparison, so
-  * cross-engine parity is exact by construction.
+  * (the boilerplate set — bounded by 20 × the average distinct grams
+  * per doc, since Σdf ≤ N·avgGrams and each hot gram has df ≥ N/20;
+  * corpus-size-INDEPENDENT, so broadcastable at any N for ordinary doc
+  * lengths) broadcasts back as a semi-join probe, so the 100 TB side is
+  * scanned once and never shuffled by the hot list. Every flag
+  * threshold is an integer cross-multiplication — no float ever enters
+  * a comparison, so cross-engine parity is exact by construction.
   */
 object QualityFilters extends QueryModule {
 
@@ -46,12 +48,15 @@ object QualityFilters extends QueryModule {
 
   /** Per-doc boilerplate signals: distinct 2-gram count and how many of
     * them clear the corpus-wide df floor (df·20 ≥ nDocs, i.e. ≥5% of
-    * docs). The hot list broadcasts — it is bounded above by 20 grams
-    * per 5% df slice, independent of corpus size. */
-  private[ext] def boilerplateSignals(docsDf: DataFrame, nDocs: Long): DataFrame = {
+    * docs). `nDocsDf` is a 1-row (n_docs) frame so the count stays a
+    * lazy subquery (no job at DataFrame-construction time); the hot
+    * list broadcasts — bounded by 20 × avg distinct grams per doc,
+    * independent of corpus size. */
+  private[ext] def boilerplateSignals(docsDf: DataFrame, nDocsDf: DataFrame): DataFrame = {
     val sh = Dedup.nGramRowsOf(docsDf, 2, outCol = "gram")
     val hot = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * 20 >= lit(nDocs)).select(col("gram"))
+      .crossJoin(broadcast(nDocsDf))
+      .filter(col("df") * 20 >= col("n_docs")).select(col("gram"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val hots = sh.join(broadcast(hot), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
@@ -114,27 +119,15 @@ object QualityFilters extends QueryModule {
     // per source, what share of each doc's distinct grams is boilerplate
     // and how many docs are >80% boilerplate ("template docs" a cleaner
     // would drop). The df aggregation partial-aggregates map-side; the
-    // hot list (bounded by the gram space that can clear a df floor —
-    // at most 20·N/N = 20 per percent of corpus, i.e. tiny) broadcasts
-    // into a semi-join, so the corpus scans once and only ever shuffles
-    // by its own doc_id. The relative (5% of N) floor keeps the rule
-    // meaningful at any corpus size.
+    // hot list (≤ 20 × avg distinct grams/doc — see the module scaladoc)
+    // broadcasts into a semi-join, so the corpus scans once and only
+    // ever shuffles by its own doc_id. The relative (5% of N) floor
+    // keeps the rule meaningful at any corpus size.
     "text_boilerplate_share" -> Q(
       (s, dir) => {
-        val sh = Dedup.nGramRowsOf(docs(s, dir), 2, outCol = "gram")
-        val nDocs = docs(s, dir).count() // 1-row driver scalar (COUNT subquery)
-        val hot = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-          .filter(col("df") * 20 >= lit(nDocs)).select(col("gram"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        val hots = sh.join(broadcast(hot), Seq("gram"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
-        docs(s, dir).select(col("doc_id"), col("source"))
-          .join(sizes, Seq("doc_id"), "left")
-          .join(hots, Seq("doc_id"), "left")
-          .select(col("source"),
-            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-            coalesce(col("n_hot"), lit(0L)).as("n_hot"))
-          .withColumn("template_doc", col("n_hot") * 10 > col("n_grams") * 8)
+        val d = docs(s, dir)
+        boilerplateSignals(d, d.agg(count(lit(1)).as("n_docs")))
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),

@@ -244,36 +244,38 @@ object TextAnalytics extends QueryModule {
       doc = "rolling-hash document fingerprinting"),
 
     // Collocation mining: top-20 adjacent word pairs by pointwise mutual
-    // information, min support 5. PMI = ln(c_xy·T1² / (T2·c_x·c_y)) —
-    // the ratio is assembled in exact 64-bit integers on both engines
-    // and crosses into float ONLY for the final ln on an identical
-    // double (the text_tfidf_topk parity discipline); ordering uses the
-    // ROUNDED score + gram tie-break, so the top-k is deterministic.
-    // Scale shape: bigram counts shuffle by gram with map-side partials;
-    // the unigram table is vocab-bounded so it broadcasts; the totals
-    // are 1-row broadcasts. At web-corpus scale the T1² product nears
-    // the i64 ceiling — there the score becomes a ln-sum
-    // (ln c_xy + 2 ln T1 − …) at the cost of re-auditing float parity.
+    // information, min support 5. PMI = ln(c_xy·T1² / (T2·c_x·c_y)),
+    // computed as the LEFT-ASSOCIATED ln-sum
+    // ((((ln c_xy + ln T1) + ln T1) − ln T2) − ln c_x) − ln c_y so the
+    // i64 product ceiling (c·T1² overflows past ~1.4e9 tokens — and
+    // ANSI mode would throw, not wrap) never exists at any corpus size.
+    // Parity: each ln runs on a double widened from an exact integer
+    // (the text_tfidf_topk discipline) and the addition order is pinned
+    // identically on both engines; ordering uses the ROUNDED score +
+    // gram tie-break, so the top-k is deterministic. Scale shape: ONE
+    // bigram count shuffles by gram with map-side partials (the total
+    // derives from it pre-filter); the unigram table is vocab-bounded
+    // so it broadcasts; the totals are 1-row broadcasts.
     "text_pmi_bigrams" -> Q(
       (s, dir) => {
         val d = docs(s, dir)
         val uni = d.select(explode(expr(tokExpr)).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("c1"))
         val t1 = uni.agg(sum(col("c1")).as("t1"))
-        val big = Dedup.nGramRowsOf(d, 2, outCol = "gram", distinct = false)
+        val big0 = Dedup.nGramRowsOf(d, 2, outCol = "gram", distinct = false)
           .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-          .filter(col("c2") >= 5)
-        val t2 = Dedup.nGramRowsOf(d, 2, outCol = "gram", distinct = false)
-          .agg(count(lit(1)).as("t2"))
+        val t2 = big0.agg(sum(col("c2")).as("t2"))
+        val big = big0.filter(col("c2") >= 5)
+        def lnl(c: org.apache.spark.sql.Column) = log(c.cast("double"))
         val scored = big
           .withColumn("w1", split(col("gram"), " ").getItem(0))
           .withColumn("w2", split(col("gram"), " ").getItem(1))
           .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("cx"))), Seq("w1"))
           .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cy"))), Seq("w2"))
           .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
-          .withColumn("pmi", round(log(
-            (col("c2") * col("t1") * col("t1")).cast("double") /
-              (col("t2") * col("cx") * col("cy")).cast("double")), 4))
+          .withColumn("pmi", round(
+            lnl(col("c2")) + lnl(col("t1")) + lnl(col("t1"))
+              - lnl(col("t2")) - lnl(col("cx")) - lnl(col("cy")), 4))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("pmi").desc, col("gram"))
         scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -285,17 +287,16 @@ object TextAnalytics extends QueryModule {
               |  SELECT t AS w, count(*) AS c1
               |  FROM documents, UNNEST($dTok) AS u(t) GROUP BY 1),
               |t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS t1 FROM uni),
-              |big AS (
+              |big0 AS (
               |  SELECT gm AS gram, count(*) AS c2
-              |  FROM documents, UNNEST(${Dedup.dNGrams(2)}) AS u(gm)
-              |  GROUP BY 1 HAVING count(*) >= 5),
-              |t2 AS (
-              |  SELECT CAST(count(*) AS BIGINT) AS t2
-              |  FROM documents, UNNEST(${Dedup.dNGrams(2)}) AS u(gm)),
+              |  FROM documents, UNNEST(${Dedup.dNGrams(2)}) AS u(gm) GROUP BY 1),
+              |t2 AS (SELECT CAST(sum(c2) AS BIGINT) AS t2 FROM big0),
+              |big AS (SELECT gram, c2 FROM big0 WHERE c2 >= 5),
               |scored AS (
               |  SELECT gram, c2,
-              |    round(ln(CAST(c2 * t1.t1 * t1.t1 AS DOUBLE)
-              |      / CAST(t2.t2 * ux.c1 * uy.c1 AS DOUBLE)), 4) AS pmi
+              |    round(ln(CAST(c2 AS DOUBLE)) + ln(CAST(t1.t1 AS DOUBLE))
+              |      + ln(CAST(t1.t1 AS DOUBLE)) - ln(CAST(t2.t2 AS DOUBLE))
+              |      - ln(CAST(ux.c1 AS DOUBLE)) - ln(CAST(uy.c1 AS DOUBLE)), 4) AS pmi
               |  FROM big
               |  JOIN uni ux ON split_part(gram, ' ', 1) = ux.w
               |  JOIN uni uy ON split_part(gram, ' ', 2) = uy.w

@@ -43,7 +43,8 @@ class QualityFiltersSpec extends SparkSpec {
       (2L, "click here and much more unique text following after that"),
       (3L, "entirely different words nothing shared with anyone else")
     ).toDF("doc_id", "text")
-    val m = QualityFilters.boilerplateSignals(d, nDocs = 40L)
+    val nDocsDf = spark.range(1).select(lit(40L).as("n_docs"))
+    val m = QualityFilters.boilerplateSignals(d, nDocsDf)
       .select("doc_id", "n_grams", "n_hot", "template_doc")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(m(1L).getLong(1) == 1 && m(1L).getLong(2) == 1)
