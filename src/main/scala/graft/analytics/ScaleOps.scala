@@ -126,5 +126,163 @@ object ScaleOps extends QueryModule {
              |FROM counts c JOIN est USING (event_type)
              |ORDER BY cnt DESC, event_type""".stripMargin),
       doc = "custom TypedImperativeAggregate HLL sketch, oracle-rederived in SQL (SURVEY §7.3)"),
+
+    // Bloom-filter membership probe — the at-scale primitive for "has
+    // this key been seen?" without shuffling the corpus. Keys are
+    // (user_id, props.k) pairs; the first half (ts < anchor) builds the
+    // filter, the second half probes it (~28% true members on this
+    // fixture, so both outcomes are exercised). The filter SIZES ITSELF
+    // to the corpus: m_words = next power of two above n/4 (integer
+    // bit-length arithmetic — no float, engine-identical), giving ~8
+    // bits/key and a small, visible false-positive rate at ANY corpus
+    // size. 32-bit words keep every shift below bit 63 (DuckDB rejects
+    // 1<<63); masks combine via bit_or, an order-free integer
+    // aggregate; k=3 md5-derived hashes replay bit-for-bit in SQL, so
+    // unlike the engine-internal bloom of a shuffle join THIS sketch is
+    // oracle-exact. No false negative is possible (members set their
+    // own bits — asserted in ScaleOpsSpec). At 100 TB the filter is a
+    // tiny word-indexed table built in one corpus scan and broadcast;
+    // the probe side never shuffles.
+    "evt_bloom_probe" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(Tables.propK().isNotNull)
+          .select(col("user_id"), Tables.propK().as("k"), col("ts"))
+        val key = concat(col("user_id").cast("string"), lit("_"),
+          col("k").cast("string")).as("key")
+        val corpus = ev.filter(col("ts") < Tables.AnchorNs).select(key).distinct()
+        val batch = ev.filter(col("ts") >= Tables.AnchorNs).select(key).distinct()
+        val sized = corpus.agg(count(lit(1)).as("n"))
+          .select(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(greatest(n div 4, CAST(4 AS BIGINT)))) AS INT))")
+            .as("mw"))
+        def slots(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("key"), explode(array(lit(0), lit(1), lit(2))).as("j"))
+          .crossJoin(broadcast(sized))
+          .withColumn("slot", conv(substring(md5(
+            concat(lit("bl"), col("j").cast("string"), lit(":"), col("key"))),
+            1, 15), 16, 10).cast("long") % (col("mw") * 32L))
+          .withColumn("word", (col("slot") / 32).cast("long"))
+          .withColumn("mask",
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(slot % 32 AS INT))"))
+        val bloom = slots(corpus).groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+        val probe = slots(batch)
+          .join(broadcast(bloom), Seq("word"), "left")
+          .groupBy(col("key"))
+          .agg(min(when(col("bits").bitwiseAND(col("mask")) =!= 0L, 1L)
+            .otherwise(0L)).as("hit"))
+        probe.join(corpus.withColumn("m", lit(1L)), Seq("key"), "left")
+          .select(col("hit"), coalesce(col("m"), lit(0L)).as("member"))
+          .agg(
+            count(lit(1)).as("n_batch"),
+            sum(col("hit")).as("n_bloom_hits"),
+            sum(col("member")).as("n_members"),
+            count(when(col("hit") === 1L && col("member") === 0L, 1)).as("n_false_pos"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT CAST(user_id AS VARCHAR) || '_' ||
+              |    CAST(CAST(json_extract_string(props, '$$.k') AS INTEGER) AS VARCHAR) AS key,
+              |    epoch_ns(ts) AS tns
+              |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+              |corpus AS (SELECT DISTINCT key FROM e WHERE tns < ${Tables.AnchorNs}),
+              |batch AS (SELECT DISTINCT key FROM e WHERE tns >= ${Tables.AnchorNs}),
+              |sized AS (
+              |  SELECT CAST(1 AS BIGINT) << CAST(length(bin(greatest(n // 4, CAST(4 AS BIGINT)))) AS INTEGER) AS mw
+              |  FROM (SELECT count(*) AS n FROM corpus)),
+              |cs AS (
+              |  SELECT key,
+              |    ('0x' || substr(md5('bl' || j || ':' || key), 1, 15))::BIGINT % (mw * 32) AS slot
+              |  FROM corpus, UNNEST([0, 1, 2]) AS u(j), sized),
+              |bloom AS (
+              |  SELECT slot // 32 AS word,
+              |    bit_or(CAST(1 AS BIGINT) << CAST(slot % 32 AS INTEGER)) AS bits
+              |  FROM cs GROUP BY 1),
+              |bs AS (
+              |  SELECT key,
+              |    ('0x' || substr(md5('bl' || j || ':' || key), 1, 15))::BIGINT % (mw * 32) AS slot
+              |  FROM batch, UNNEST([0, 1, 2]) AS u(j), sized),
+              |probe AS (
+              |  SELECT bs.key,
+              |    min(CASE WHEN (bl.bits & (CAST(1 AS BIGINT) << CAST(bs.slot % 32 AS INTEGER))) <> 0
+              |        THEN 1 ELSE 0 END) AS hit
+              |  FROM bs LEFT JOIN bloom bl ON bs.slot // 32 = bl.word
+              |  GROUP BY 1),
+              |m AS (
+              |  SELECT p.key, p.hit,
+              |    CASE WHEN c.key IS NULL THEN 0 ELSE 1 END AS member
+              |  FROM probe p LEFT JOIN corpus c USING (key))
+              |SELECT count(*) AS n_batch,
+              | CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+              | CAST(sum(member) AS BIGINT) AS n_members,
+              | count(*) FILTER (WHERE hit = 1 AND member = 0) AS n_false_pos
+              |FROM m""".stripMargin),
+      doc = "oracle-exact self-sizing Bloom filter (k=3 md5 hashes) build + probe"),
+
+    // Count-min sketch — the bounded-memory frequency estimator: 4 rows
+    // × 256 md5-hashed columns counting (user_id, props.k) occurrences;
+    // estimate = min over rows of the addressed cells. Integer-exact
+    // and md5-replayable, so the oracle rebuilds the identical sketch;
+    // the one-sided error (estimate ≥ exact, asserted in ScaleOpsSpec
+    // and visible in the overestimate column — thousands of keys share
+    // 256 columns here, so collisions actually bite) is the CMS
+    // contract. Top-k runs as TakeOrderedAndProject FIRST; the rank
+    // window sees only the 10 survivors. At 100 TB the sketch is a
+    // fixed 1024-cell aggregation with map-side partials; estimates
+    // join the tiny sketch broadcast.
+    "evt_cms_topk" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(Tables.propK().isNotNull)
+          .select(concat(col("user_id").cast("string"), lit("_"),
+            Tables.propK().cast("string")).as("key"))
+        def cellOf(r: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit("cm"), r.cast("string"), lit(":"),
+            col("key"))), 1, 15), 16, 10).cast("long") % 256L
+        val rows = ev.select(col("key"),
+          explode(array(lit(0), lit(1), lit(2), lit(3))).as("r"))
+          .withColumn("c", cellOf(col("r")))
+        val cms = rows.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cell_cnt"))
+        val exact = ev.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_cnt").desc, col("key"))
+        val top = exact.orderBy(col("exact_cnt").desc, col("key")).limit(10)
+          .withColumn("rank", row_number().over(w).cast("long"))
+        top
+          .select(col("rank"), col("key"), col("exact_cnt"),
+            explode(array(lit(0), lit(1), lit(2), lit(3))).as("r"))
+          .withColumn("c", cellOf(col("r")))
+          .join(broadcast(cms), Seq("r", "c"))
+          .groupBy(col("rank"), col("key"), col("exact_cnt"))
+          .agg(min(col("cell_cnt")).as("cms_est"))
+          .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
+          .select(col("rank"), col("key"), col("exact_cnt"), col("cms_est"),
+            col("overestimate"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(user_id AS VARCHAR) || '_' ||
+             |    CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR) AS key
+             |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |rows_ AS (
+             |  SELECT key, j AS r,
+             |    ('0x' || substr(md5('cm' || j || ':' || key), 1, 15))::BIGINT % 256 AS c
+             |  FROM e, UNNEST([0, 1, 2, 3]) AS u(j)),
+             |cms AS (SELECT r, c, count(*) AS cell_cnt FROM rows_ GROUP BY 1, 2),
+             |exact AS (SELECT key, count(*) AS exact_cnt FROM e GROUP BY 1),
+             |top AS (
+             |  SELECT * FROM (
+             |    SELECT key, exact_cnt,
+             |      ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, key) AS rank
+             |    FROM exact) WHERE rank <= 10),
+             |tc AS (
+             |  SELECT t.rank, t.key, t.exact_cnt, u.j AS r,
+             |    ('0x' || substr(md5('cm' || u.j || ':' || t.key), 1, 15))::BIGINT % 256 AS c
+             |  FROM top t, UNNEST([0, 1, 2, 3]) AS u(j)),
+             |est AS (
+             |  SELECT rank, key, exact_cnt, min(cell_cnt) AS cms_est
+             |  FROM tc JOIN cms USING (r, c)
+             |  GROUP BY 1, 2, 3)
+             |SELECT rank, key, exact_cnt, cms_est,
+             | CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+             |FROM est ORDER BY rank""".stripMargin),
+      doc = "oracle-exact count-min sketch (4x256) frequency estimates for the top-10 keys"),
   )
 }

@@ -195,6 +195,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bloom filter broadcasts to the probe side; corpus builds it in one scan") {
+    val p = planOf("evt_bloom_probe")
+    assert(p.contains("BroadcastHashJoin"), p) // word-keyed probe join
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("CMS top-k plans as TakeOrderedAndProject before the rank window") {
+    val p = planOf("evt_cms_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // tiny sketch broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // codegen stages render as "*(n) " prefixes in the executed plan
     val p = planOf("evt_volume_summary")

@@ -50,4 +50,24 @@ class ScaleOpsSpec extends SparkSpec {
       assert(math.abs(approx - e).toDouble / e <= 0.05, s"$et: $approx vs $e")
     }
   }
+
+  test("bloom probe: zero false negatives, accounting is consistent") {
+    val r = SparkEntry.queries("evt_bloom_probe")(spark, Sf).collect()(0)
+    val (nBatch, hits, members, falsePos) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // every member set its own bits, so hits = members + falsePos exactly
+    assert(hits == members + falsePos, r.toString)
+    assert(hits >= members, "a Bloom filter can never miss a member")
+    assert(falsePos <= nBatch - members, r.toString)
+    assert(nBatch > 0 && members > 0, "fixture exercises both outcomes")
+  }
+
+  test("count-min estimates are one-sided: est >= exact for every key") {
+    val rows = SparkEntry.queries("evt_cms_topk")(spark, Sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), s"CMS underestimated: $r")
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2), r.toString)
+    }
+  }
 }
