@@ -174,6 +174,41 @@ object Dedup extends QueryModule {
     )).as(Seq("band_idx", "band_key")))
   }
 
+  /** JVM twin of [[bandKeysOf]] for a SINGLE document: the per-row
+    * kernel the streaming dedup stage needs
+    * (`graft.streaming.StreamAnalytics.streamingBandDedup`), where band
+    * keys must be computed as each doc arrives — no batch groupBy
+    * exists in a `flatMapGroupsWithState` pipeline. Bit-for-bit parity
+    * with the SQL pipeline (same tokenizer regex, 3-token shingles, md5
+    * "#seed" digests, min over the two 15-hex-char halves) is pinned in
+    * ExtSpec against `bandKeysOf` over the same corpus. */
+  private[graft] def docBandKeys(text: String): Seq[(Int, String)] = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
+    if (toks.length < 3) return Seq.empty
+    val shingles = (0 to toks.length - 3)
+      .map(i => toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String): String = {
+      val b = md.digest(s.getBytes("UTF-8"))
+      val sb = new StringBuilder(32)
+      b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+      sb.toString
+    }
+    val mins = Array.ofDim[Long](8)
+    for (s0 <- 0 until 4) {
+      var lo: String = null; var hi: String = null
+      shingles.foreach { sh =>
+        val h = hex(sh + "#" + s0)
+        val a = h.substring(0, 15); val b = h.substring(16, 31)
+        if (lo == null || a < lo) lo = a
+        if (hi == null || b < hi) hi = b
+      }
+      mins(2 * s0) = java.lang.Long.parseLong(lo, 16)
+      mins(2 * s0 + 1) = java.lang.Long.parseLong(hi, 16)
+    }
+    (0 until 4).map(b => b -> (mins(2 * b).toString + ":" + mins(2 * b + 1).toString))
+  }
+
   private[ext] def bandCandidatesOf(sh: DataFrame): DataFrame = {
     val bands = bandKeysOf(sh)
     bands.as("x").join(bands.as("y"),

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-/** Typed rows for the stateful operator. */
+/** Typed rows for the stateful operators. */
 case class KeyedEvent(key: String, value: Double)
 case class RunningTotal(key: String, total_events: Long, total_value: Double)
+case class DocText(doc_id: Long, text: String)
+case class DupCandidate(doc_id: Long, partner_doc: Long, band: String)
 
 /** Streaming analytics surface beyond the reference's poll-loop (which
   * has no event-time semantics at all — SURVEY.md §2.9): event-time
@@ -74,6 +76,42 @@ object StreamAnalytics {
           batch.foreach { e => n += 1; v += e.value }
           state.update((n, v))
           Iterator.single(RunningTotal(key, n, v))
+      }
+  }
+
+  /** Streaming incremental near-dup detection — the continuous form of
+    * the batch `dedup_incremental` query: each arriving document's
+    * MinHash band keys (computed per row by `Dedup.docBandKeys`, the
+    * JVM twin of the batch pipeline) probe per-band-key state holding
+    * the doc ids seen so far; a collision emits candidate pairs
+    * immediately. State per key is capped at `maxPostings` ids — the
+    * same df-cap discipline as the batch index: a bucket shared by more
+    * docs than the cap is boilerplate-like, carries no dedup signal,
+    * and would make both state and per-arrival fan-out unbounded.
+    * Within a micro-batch arrivals process in doc_id order, so emission
+    * is deterministic; the same pair can surface once per colliding
+    * band (downstream dedups on (doc, partner), exactly as the batch
+    * path distincts its candidates). */
+  def streamingBandDedup(docs: Dataset[DocText],
+      maxPostings: Int = 8): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => graft.ext.Dedup.docBandKeys(d.text)
+        .map { case (b, k) => (b + ":" + k, d.doc_id) })
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (band: String, posts: Iterator[(String, Long)], state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[DupCandidate]
+          posts.map(_._2).toSeq.distinct.sorted.foreach { id =>
+            if (!seen.contains(id) && seen.size < maxPostings) {
+              seen.foreach(p => out += DupCandidate(id, p, band))
+              seen = id :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
       }
   }
 

@@ -53,6 +53,19 @@ class ExtSpec extends SparkSpec {
     assert(rows == Seq((4L, 5L, 2L, 10L, 5L)), rows.toString)
   }
 
+  test("docBandKeys (JVM streaming kernel) equals the batch band pipeline") {
+    import spark.implicits._
+    val d = graft.Tables.documents(spark, Sf).select("doc_id", "text")
+    val batch = Dedup.bandKeysOf(Dedup.shingleRowsOf(d))
+      .as[(Long, Int, String)].collect().toSet
+    val jvm = d.as[(Long, String)].collect().toSet[(Long, String)]
+      .flatMap { case (id, text) =>
+        Dedup.docBandKeys(text).map { case (b, k) => (id, b, k) }
+      }
+    assert(jvm == batch,
+      s"only-jvm=${(jvm -- batch).take(3)} only-batch=${(batch -- jvm).take(3)}")
+  }
+
   test("MinHash/LSH candidates contain every very-high-jaccard pair") {
     // With 8 hashes in 4 bands of 2, P(candidate) = 1-(1-j²)⁴ ≈ 0.9996
     // for j ≥ 0.9 — every planted near-dup pair must surface.

@@ -117,4 +117,54 @@ class StreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == Seq(1L, 2L))
   }
+
+  test("streaming band dedup: cross-batch candidates, capped state") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_banddedup").toString
+    def writeDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val lines = rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    writeDocs("b1", Seq(
+      (1L, dup),                                     // original
+      (2L, dup),                                     // same-batch duplicate
+      (3L, "wholly different words nothing shared here at all")))
+    writeDocs("b2", Seq(
+      (4L, dup),                                     // cross-batch duplicate
+      (5L, "another unrelated document with fresh vocabulary only")))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(src)
+      .as[DocText]
+    val q = StreamAnalytics.streamingBandDedup(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("band_dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val pairs = spark.table("band_dedup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same-batch pair in b1; b2's doc 4 pairs with BOTH earlier copies —
+    // proof the band state carried across micro-batches
+    assert(pairs == Set((2L, 1L), (4L, 1L), (4L, 2L)), pairs.toString)
+
+    // identical docs collide in all 4 bands → each pair appears 4x
+    val counts = spark.table("band_dedup_out").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (k, v) => k -> v.length }
+    assert(counts.values.forall(_ == 4), counts.toString)
+  }
+
+  test("streaming band dedup: the posting cap silences boilerplate buckets") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => DocText(i, "same same same text in every doc"))
+    val out = StreamAnalytics.streamingBandDedup(docs.toDS(), maxPostings = 2)
+    // batch Dataset drive (flatMapGroupsWithState in batch mode runs the
+    // same code path once): docs 1,2 admitted; 3..5 exceed the cap
+    val pairs = out.collect().map(c => (c.doc_id, c.partner_doc)).toSet
+    assert(pairs == Set((2L, 1L)), pairs.toString)
+  }
 }
