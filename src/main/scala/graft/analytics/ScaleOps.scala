@@ -284,5 +284,59 @@ object ScaleOps extends QueryModule {
              | CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
              |FROM est ORDER BY rank""".stripMargin),
       doc = "oracle-exact count-min sketch (4x256) frequency estimates for the top-10 keys"),
+
+    // Distribution-drift monitor: L1 distance between each event_type's
+    // props.k distribution before and after the anchor — the check a
+    // training pipeline runs per ingest batch to catch upstream shifts.
+    // Exactness trick: Σ|c1/T1 − c2/T2| = Σ|c1·T2 − c2·T1| / (T1·T2),
+    // so the whole statistic is 64-bit-integer arithmetic until ONE
+    // final division (identical doubles on both engines; i64 holds to
+    // ~3e9 events per type-half — far past this fixture, noted for web
+    // scale). One scan: both halves count in a single conditional
+    // aggregation, then a per-type rollup — two keyed shuffles total,
+    // both with map-side partials.
+    "evt_drift_l1" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(Tables.propK().isNotNull)
+          .select(col("event_type"), Tables.propK().as("k"),
+            (col("ts") >= Tables.AnchorNs).as("late"))
+        val c = ev.groupBy(col("event_type"), col("k"))
+          .agg(count(when(!col("late"), 1)).as("c1"),
+            count(when(col("late"), 1)).as("c2"))
+        val t = c.groupBy(col("event_type"))
+          .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+        c.join(t, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("t1")).as("t1_events"),
+            max(col("t2")).as("t2_events"),
+            sum(abs(col("c1") * col("t2") - col("c2") * col("t1"))).as("d"))
+          .select(col("event_type"), col("t1_events"), col("t2_events"),
+            round(col("d").cast("double")
+              / (col("t1_events") * col("t2_events")).cast("double"), 4)
+              .as("l1_drift"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT event_type,
+              |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+              |    epoch_ns(ts) >= ${Tables.AnchorNs} AS late
+              |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+              |c AS (
+              |  SELECT event_type, k,
+              |    count(*) FILTER (WHERE NOT late) AS c1,
+              |    count(*) FILTER (WHERE late) AS c2
+              |  FROM e GROUP BY 1, 2),
+              |t AS (
+              |  SELECT event_type, CAST(sum(c1) AS BIGINT) AS t1,
+              |    CAST(sum(c2) AS BIGINT) AS t2
+              |  FROM c GROUP BY 1)
+              |SELECT c.event_type,
+              | max(t.t1) AS t1_events, max(t.t2) AS t2_events,
+              | round(CAST(sum(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
+              |   / CAST(max(t.t1) * max(t.t2) AS DOUBLE), 4) AS l1_drift
+              |FROM c JOIN t USING (event_type)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "integer-exact L1 distribution drift per event_type across the anchor"),
   )
 }

@@ -142,9 +142,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("boilerplate hot-list probes via broadcast, corpus shuffles only by doc") {
-    // the hot-gram list is bounded by construction (<= 20 grams per 5%
-    // df slice); the corpus side must meet it as a broadcast probe so
-    // the 100 TB scan is never re-shuffled by the hot list
+    // the hot-gram list is bounded by 20 x avg distinct grams per doc
+    // (corpus-size-independent); the corpus side must meet it as a
+    // broadcast probe so the 100 TB scan is never re-shuffled by it
     val p = planOf("text_boilerplate_share")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
@@ -206,6 +206,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastHashJoin"), p) // tiny sketch broadcast
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("drift monitor is pure keyed aggregation work") {
+    val p = planOf("evt_drift_l1")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p) // map-side combine on the scan
   }
 
   test("whole-stage codegen covers the aggregation pipelines") {

@@ -70,4 +70,17 @@ class ScaleOpsSpec extends SparkSpec {
       assert(r.getLong(4) == r.getLong(3) - r.getLong(2), r.toString)
     }
   }
+
+  test("L1 drift is a bounded distance and counts are conserved") {
+    val total = graft.Tables.events(spark, Sf)
+      .filter(graft.Tables.propK().isNotNull).count()
+    val rows = SparkEntry.queries("evt_drift_l1")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "every event lands in exactly one half")
+    rows.foreach { r =>
+      val d = r.getDouble(3)
+      assert(d >= 0.0 && d <= 2.0, s"L1 distance of two distributions is in [0,2]: $r")
+    }
+  }
 }
