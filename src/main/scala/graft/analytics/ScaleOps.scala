@@ -161,7 +161,7 @@ object ScaleOps extends QueryModule {
           .withColumn("slot", conv(substring(md5(
             concat(lit("bl"), col("j").cast("string"), lit(":"), col("key"))),
             1, 15), 16, 10).cast("long") % (col("mw") * 32L))
-          .withColumn("word", (col("slot") / 32).cast("long"))
+          .withColumn("word", expr("slot div 32"))
           .withColumn("mask",
             expr("shiftleft(CAST(1 AS BIGINT), CAST(slot % 32 AS INT))"))
         val bloom = slots(corpus).groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
@@ -270,7 +270,7 @@ object ScaleOps extends QueryModule {
              |top AS (
              |  SELECT * FROM (
              |    SELECT key, exact_cnt,
-             |      ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, key) AS rank
+             |      ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, key NULLS FIRST) AS rank
              |    FROM exact) WHERE rank <= 10),
              |tc AS (
              |  SELECT t.rank, t.key, t.exact_cnt, u.j AS r,
@@ -288,6 +288,9 @@ object ScaleOps extends QueryModule {
     // Distribution-drift monitor: L1 distance between each event_type's
     // props.k distribution before and after the anchor — the check a
     // training pipeline runs per ingest batch to catch upstream shifts.
+    // A type with events on only ONE side (a brand-new or vanished type
+    // — the sharpest upstream shift) reports the L1 maximum 2.0 rather
+    // than 0/0 NaN.
     // Exactness trick: Σ|c1/T1 − c2/T2| = Σ|c1·T2 − c2·T1| / (T1·T2),
     // so the whole statistic is 64-bit-integer arithmetic until ONE
     // final division (identical doubles on both engines; i64 holds to
@@ -312,8 +315,9 @@ object ScaleOps extends QueryModule {
             max(col("t2")).as("t2_events"),
             sum(abs(col("c1") * col("t2") - col("c2") * col("t1"))).as("d"))
           .select(col("event_type"), col("t1_events"), col("t2_events"),
-            round(col("d").cast("double")
-              / (col("t1_events") * col("t2_events")).cast("double"), 4)
+            when(col("t1_events") === 0L || col("t2_events") === 0L, lit(2.0))
+              .otherwise(round(col("d").cast("double")
+                / (col("t1_events") * col("t2_events")).cast("double"), 4))
               .as("l1_drift"))
           .orderBy(col("event_type"))
       },
@@ -333,8 +337,9 @@ object ScaleOps extends QueryModule {
               |  FROM c GROUP BY 1)
               |SELECT c.event_type,
               | max(t.t1) AS t1_events, max(t.t2) AS t2_events,
-              | round(CAST(sum(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
-              |   / CAST(max(t.t1) * max(t.t2) AS DOUBLE), 4) AS l1_drift
+              | CASE WHEN max(t.t1) = 0 OR max(t.t2) = 0 THEN 2.0e0
+              |   ELSE round(CAST(sum(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
+              |     / CAST(max(t.t1) * max(t.t2) AS DOUBLE), 4) END AS l1_drift
               |FROM c JOIN t USING (event_type)
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "integer-exact L1 distribution drift per event_type across the anchor"),

@@ -181,9 +181,18 @@ object Dedup extends QueryModule {
     * exists in a `flatMapGroupsWithState` pipeline. Bit-for-bit parity
     * with the SQL pipeline (same tokenizer regex, 3-token shingles, md5
     * "#seed" digests, min over the two 15-hex-char halves) is pinned in
-    * ExtSpec against `bandKeysOf` over the same corpus. */
+    * ExtSpec against `bandKeysOf` over the same corpus. Null text (a
+    * malformed record) yields no bands, matching the SQL path where
+    * `lower(null)` propagates to an empty gram array. Lowercasing uses
+    * Locale.ROOT — locale-independent, so the kernel is deterministic
+    * across a heterogeneous cluster; parity with Spark's `lower()` on
+    * NON-ASCII text additionally assumes a root-compatible default
+    * locale (tr/az/lt JVMs diverge on dotted-I — not exercised by any
+    * fixture, noted for operators shipping non-Latin corpora). */
   private[graft] def docBandKeys(text: String): Seq[(Int, String)] = {
-    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
+    if (text == null) return Seq.empty
+    val toks = TextAnalytics.TokenPattern.r
+      .findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
     if (toks.length < 3) return Seq.empty
     val shingles = (0 to toks.length - 3)
       .map(i => toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).distinct
@@ -540,7 +549,7 @@ object Dedup extends QueryModule {
       (s, dir) => {
         val toks = docs(s, dir)
           .select(col("doc_id"),
-            explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+            explode(expr(TextAnalytics.tokExpr)).as("token"))
           .withColumn("h", h60(col("token")))
         val bitCols = (0 until 16).map(b =>
           sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -555,7 +564,7 @@ object Dedup extends QueryModule {
       },
       Some(s"""WITH toks AS (
               |  SELECT doc_id, ${dH60("t")} AS h
-              |  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(t)),
+              |  FROM documents, UNNEST(${TextAnalytics.dTok}) AS u(t)),
               |sums AS (
               |  SELECT doc_id,
               |   ${(0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}

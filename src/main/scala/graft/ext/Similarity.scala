@@ -128,7 +128,7 @@ object Similarity extends QueryModule {
               |  FROM e JOIN q ON e.vec_id <> q.query_id)
               |SELECT query_id, rank, neighbor_id, sim FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY sim DESC, neighbor_id) AS rank
+              |    ORDER BY sim DESC, neighbor_id NULLS FIRST) AS rank
               |  FROM scored) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
       doc = "brute-force cosine top-k (correctness baseline for ANN)"),
@@ -256,7 +256,7 @@ object Similarity extends QueryModule {
               |  SELECT query_id, cell FROM (
               |    SELECT q.query_id, c.cell,
               |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-              |        ORDER BY ${dCos("q.qv", "c.centroid")} DESC, c.cell) AS cell_rank
+              |        ORDER BY ${dCos("q.qv", "c.centroid")} DESC, c.cell NULLS FIRST) AS cell_rank
               |    FROM q, cents c) WHERE cell_rank <= 3),
               |cand AS (
               |  SELECT p.query_id, e.vec_id AS neighbor_id,
@@ -266,7 +266,7 @@ object Similarity extends QueryModule {
               |  WHERE e.vec_id <> p.query_id)
               |SELECT query_id, rank, neighbor_id, sim FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY sim DESC, neighbor_id) AS rank
+              |    ORDER BY sim DESC, neighbor_id NULLS FIRST) AS rank
               |  FROM cand) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
       doc = "IVF ANN (centroid cells + nprobe=3 probing; oracle-replayed)"),
@@ -322,7 +322,7 @@ object Similarity extends QueryModule {
               |  JOIN e n ON n.vec_id = c.neighbor_id)
               |SELECT query_id, rank, neighbor_id, sim FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY sim DESC, neighbor_id) AS rank
+              |    ORDER BY sim DESC, neighbor_id NULLS FIRST) AS rank
               |  FROM scored) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
       doc = "random-hyperplane LSH ANN (bucket join; oracle-replayed, recall-tested)"),
@@ -448,7 +448,7 @@ object Similarity extends QueryModule {
               |topk AS (
               |  SELECT * FROM (
               |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |      ORDER BY sim DESC, neighbor_id) AS rank
+              |      ORDER BY sim DESC, neighbor_id NULLS FIRST) AS rank
               |    FROM scored) WHERE rank <= 5),
               |votes AS (
               |  SELECT query_id, actual_label, nbr_label, count(*) AS n_votes
@@ -458,7 +458,7 @@ object Similarity extends QueryModule {
               |   AS correct
               |FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY n_votes DESC, nbr_label) AS vrank
+              |    ORDER BY n_votes DESC, nbr_label NULLS FIRST) AS vrank
               |  FROM votes) WHERE vrank = 1
               |ORDER BY query_id""".stripMargin),
       doc = "kNN(5) label propagation over the embedding store (majority vote)"),
@@ -518,7 +518,7 @@ object Similarity extends QueryModule {
               |  SELECT vec_id, cluster_id, cos, v FROM (
               |    SELECT e.vec_id, s.cluster_id, e.v, ${dCos("e.v", "s.sv")} AS cos,
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-              |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id) AS rk
+              |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id NULLS FIRST) AS rk
               |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
               |cents AS (
               |  SELECT cluster_id, list(c ORDER BY d) AS centroid FROM (

@@ -17,8 +17,13 @@ object TextAnalytics extends QueryModule {
 
   /** Tokenizer shared by every text/dedup/corpus operator: lowercase
     * alnum runs. */
-  private[ext] val tokExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-  private[ext] val dTok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  /** THE canonical token character class — single definition feeding the
+    * Spark expression, the DuckDB oracle expression, and the JVM
+    * streaming kernel (`Dedup.docBandKeys`), so the three tokenizers
+    * cannot drift independently. */
+  private[graft] val TokenPattern = "[a-z0-9]+"
+  private[ext] val tokExpr = s"regexp_extract_all(lower(text), '$TokenPattern', 0)"
+  private[ext] val dTok = s"regexp_extract_all(lower(text), '$TokenPattern')"
   private[ext] val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
   private val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"
 

@@ -134,6 +134,14 @@ class StreamSpec extends SparkSpec {
     writeDocs("b2", Seq(
       (4L, dup),                                     // cross-batch duplicate
       (5L, "another unrelated document with fresh vocabulary only")))
+    // FileStreamSource orders batches by mtime (ms granularity): pin the
+    // order explicitly so same-millisecond writes can't flip b2 first
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/b1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/b2.json"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
