@@ -343,5 +343,63 @@ object ScaleOps extends QueryModule {
               |FROM c JOIN t USING (event_type)
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "integer-exact L1 distribution drift per event_type across the anchor"),
+
+    // Daily-count anomaly detection: z-score of each (event_type, day)
+    // count against its trailing 7-day window — the volume-monitoring
+    // alarm a pipeline runs on every ingest partition. Exactness: with
+    // window sums s1 = Σx and s2 = Σx², z = (7x − s1)/sqrt(7·s2 − s1²)
+    // — two exact integers into one IEEE sqrt (correctly rounded on
+    // both engines) and one division, so the doubles match bit-for-bit;
+    // the |z| > 3 flag compares those raw doubles. Warm-up rows (fewer
+    // than 7 prior days) emit NULL rather than a z against a short
+    // window. Scale shape: one grouped count, then a per-type window
+    // ordered by day — partition-parallel across types/key ranges, no
+    // join at all.
+    "evt_anomaly_daily" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+          .rowsBetween(-7, -1)
+        val scored = daily
+          .withColumn("n_prior", count(col("cnt")).over(w))
+          .withColumn("s1", sum(col("cnt")).over(w))
+          .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+          .withColumn("zr", when(col("n_prior") === 7L,
+            (col("cnt") * 7L - col("s1")).cast("double")
+              / sqrt((col("s2") * 7L - col("s1") * col("s1")).cast("double"))))
+        // flag on the RAW double (what the oracle compares), round only
+        // for output — a z of 3.00004 must flag identically on both sides
+        scored.select(col("event_type"), col("day_idx"), col("cnt"),
+            round(col("zr"), 4).as("z"),
+            when(col("zr").isNull, lit(null).cast("long"))
+              .otherwise(when(abs(col("zr")) > 3.0, 1L).otherwise(0L)).as("anomaly"))
+          .orderBy(col("event_type"), col("day_idx"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT event_type, day_idx, cnt,
+             |    count(cnt) OVER w AS n_prior,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS s1,
+             |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+             |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, day_idx, cnt,
+             | CASE WHEN n_prior = 7 THEN
+             |   round(CAST(cnt * 7 - s1 AS DOUBLE)
+             |     / sqrt(CAST(s2 * 7 - s1 * s1 AS DOUBLE)), 4) END AS z,
+             | CASE WHEN n_prior = 7 THEN
+             |   CAST(CASE WHEN abs(CAST(cnt * 7 - s1 AS DOUBLE)
+             |     / sqrt(CAST(s2 * 7 - s1 * s1 AS DOUBLE))) > 3.0e0
+             |     THEN 1 ELSE 0 END AS BIGINT) END AS anomaly
+             |FROM scored ORDER BY 1, 2""".stripMargin),
+      doc = "trailing-window z-score anomaly flags on daily counts (integer-exact)"),
   )
 }

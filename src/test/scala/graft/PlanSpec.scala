@@ -214,6 +214,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine on the scan
   }
 
+  test("anomaly detection is one grouped count + a keyed window, no joins") {
+    val p = planOf("evt_anomaly_daily")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") && p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the aggregation pipelines") {
     // codegen stages render as "*(n) " prefixes in the executed plan
     val p = planOf("evt_volume_summary")

@@ -83,4 +83,19 @@ class ScaleOpsSpec extends SparkSpec {
       assert(d >= 0.0 && d <= 2.0, s"L1 distance of two distributions is in [0,2]: $r")
     }
   }
+
+  test("anomaly z-scores: warm-up rows are null, flags match |z| > 3") {
+    val rows = SparkEntry.queries("evt_anomaly_daily")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { seq =>
+      // first 7 days per type have no full trailing window
+      seq.sortBy(_.getLong(1)).take(7).foreach(r => assert(r.isNullAt(3), r.toString))
+    }
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      val (z, flag) = (r.getDouble(3), r.getLong(4))
+      assert((math.abs(z) > 3.0) == (flag == 1L) || math.abs(math.abs(z) - 3.0) < 1e-3,
+        s"flag must track |z|>3 (rounded z may sit on the boundary): $r")
+    }
+  }
 }
