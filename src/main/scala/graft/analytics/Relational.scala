@@ -152,7 +152,7 @@ object Relational extends QueryModule {
       Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |   ROW_NUMBER() OVER (PARTITION BY o_custkey
-             |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |     ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST) AS rn
              |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
       doc = "SURVEY §2.5 ranking window (top-k per group)"),
 
@@ -215,7 +215,7 @@ object Relational extends QueryModule {
              |  SELECT c_nationkey, c_custkey, c_acctbal,
              |    DENSE_RANK() OVER w AS bal_rank, NTILE(4) OVER w AS quartile
              |  FROM customer
-             |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+             |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey NULLS FIRST))
              |WHERE bal_rank <= 3
              |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin),
       doc = "dense_rank + ntile window breadth"),

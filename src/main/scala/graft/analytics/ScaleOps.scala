@@ -362,44 +362,74 @@ object ScaleOps extends QueryModule {
           .groupBy(col("event_type"),
             expr("ts div 86400000000000").as("day_idx"))
           .agg(count(lit(1)).as("cnt"))
+        // densify: a day with ZERO events (the canonical outage) must
+        // still get a row, or it can never be flagged and gaps silently
+        // stretch the "7-day" window across calendar weeks. The spine is
+        // per-type min..max — a tiny broadcast join, never corpus-sized.
+        val spine = daily.groupBy(col("event_type"))
+          .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+          .select(col("event_type"),
+            explode(expr("sequence(d0, d1)")).as("day_idx"))
+        val dense = spine.join(daily, Seq("event_type", "day_idx"), "left")
+          .select(col("event_type"), col("day_idx"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
           .rowsBetween(-7, -1)
-        val scored = daily
+        val scored = dense
           .withColumn("n_prior", count(col("cnt")).over(w))
           .withColumn("s1", sum(col("cnt")).over(w))
           .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
-          .withColumn("zr", when(col("n_prior") === 7L,
+          // zero-variance guard: 7 identical prior days make the z
+          // denominator 0 — an INTEGER predicate (7·s2 = s1²) decides
+          // that case on both engines instead of shipping 0/0 NaN
+          .withColumn("varz", col("s2") * 7L === col("s1") * col("s1"))
+          .withColumn("zr", when(col("n_prior") === 7L && !col("varz"),
             (col("cnt") * 7L - col("s1")).cast("double")
               / sqrt((col("s2") * 7L - col("s1") * col("s1")).cast("double"))))
         // flag on the RAW double (what the oracle compares), round only
-        // for output — a z of 3.00004 must flag identically on both sides
+        // for output — a z of 3.00004 must flag identically on both
+        // sides. Zero-variance windows: z is NULL; any deviation from
+        // the constant baseline (7x ≠ s1, integer compare) flags.
         scored.select(col("event_type"), col("day_idx"), col("cnt"),
             round(col("zr"), 4).as("z"),
-            when(col("zr").isNull, lit(null).cast("long"))
-              .otherwise(when(abs(col("zr")) > 3.0, 1L).otherwise(0L)).as("anomaly"))
+            when(col("n_prior") =!= 7L, lit(null).cast("long"))
+              .otherwise(when(col("varz"),
+                when(col("cnt") * 7L =!= col("s1"), 1L).otherwise(0L))
+                .otherwise(when(abs(col("zr")) > 3.0, 1L).otherwise(0L)))
+              .as("anomaly"))
           .orderBy(col("event_type"), col("day_idx"))
       },
       Some("""WITH daily AS (
              |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_idx,
              |    count(*) AS cnt
              |  FROM events GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT event_type, d AS day_idx
+             |  FROM (SELECT event_type, min(day_idx) AS d0, max(day_idx) AS d1
+             |        FROM daily GROUP BY 1) b, UNNEST(generate_series(b.d0, b.d1)) AS u(d)),
+             |dense AS (
+             |  SELECT s.event_type, s.day_idx, coalesce(d.cnt, 0) AS cnt
+             |  FROM spine s LEFT JOIN daily d USING (event_type, day_idx)),
              |scored AS (
              |  SELECT event_type, day_idx, cnt,
              |    count(cnt) OVER w AS n_prior,
              |    CAST(sum(cnt) OVER w AS BIGINT) AS s1,
              |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2
-             |  FROM daily
+             |  FROM dense
              |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
              |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
              |SELECT event_type, day_idx, cnt,
-             | CASE WHEN n_prior = 7 THEN
+             | CASE WHEN n_prior = 7 AND s2 * 7 <> s1 * s1 THEN
              |   round(CAST(cnt * 7 - s1 AS DOUBLE)
              |     / sqrt(CAST(s2 * 7 - s1 * s1 AS DOUBLE)), 4) END AS z,
-             | CASE WHEN n_prior = 7 THEN
-             |   CAST(CASE WHEN abs(CAST(cnt * 7 - s1 AS DOUBLE)
-             |     / sqrt(CAST(s2 * 7 - s1 * s1 AS DOUBLE))) > 3.0e0
-             |     THEN 1 ELSE 0 END AS BIGINT) END AS anomaly
+             | CASE WHEN n_prior <> 7 THEN NULL
+             |   WHEN s2 * 7 = s1 * s1 THEN
+             |     CAST(CASE WHEN cnt * 7 <> s1 THEN 1 ELSE 0 END AS BIGINT)
+             |   ELSE
+             |     CAST(CASE WHEN abs(CAST(cnt * 7 - s1 AS DOUBLE)
+             |       / sqrt(CAST(s2 * 7 - s1 * s1 AS DOUBLE))) > 3.0e0
+             |       THEN 1 ELSE 0 END AS BIGINT) END AS anomaly
              |FROM scored ORDER BY 1, 2""".stripMargin),
-      doc = "trailing-window z-score anomaly flags on daily counts (integer-exact)"),
+      doc = "trailing-window z-score anomaly flags on dense daily counts (integer-exact)"),
   )
 }

@@ -97,7 +97,7 @@ object CorpusPipeline {
              |  SELECT doc_id, text FROM (
              |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keeper
              |    FROM norm) WHERE doc_id = keeper),
-             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}') AS ts
              |         FROM exact_kept),
              |sh0 AS (SELECT DISTINCT doc_id, s AS shingle
              |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
@@ -120,7 +120,7 @@ object CorpusPipeline {
              |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
              |quality_kept AS (
              |  SELECT doc_id FROM neardup_kept
-             |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 20 AND 500
+             |  WHERE len(regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}')) BETWEEN 20 AND 500
              |    AND len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) > 0),
              |staged AS (
              |  SELECT doc_id, 'exact_kept' AS stage FROM exact_kept

@@ -189,9 +189,12 @@ object Dedup extends QueryModule {
     * NON-ASCII text additionally assumes a root-compatible default
     * locale (tr/az/lt JVMs diverge on dotted-I — not exercised by any
     * fixture, noted for operators shipping non-Latin corpora). */
+  // compiled once — docBandKeys is the per-document streaming hot path
+  private val TokenRegex = TextAnalytics.TokenPattern.r
+
   private[graft] def docBandKeys(text: String): Seq[(Int, String)] = {
     if (text == null) return Seq.empty
-    val toks = TextAnalytics.TokenPattern.r
+    val toks = TokenRegex
       .findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
     if (toks.length < 3) return Seq.empty
     val shingles = (0 to toks.length - 3)
@@ -601,7 +604,7 @@ object Dedup extends QueryModule {
               |isl AS (
               |  SELECT d1, d2, p1 - p2 AS diag, p1,
               |    p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2
-              |      ORDER BY p1) AS grp
+              |      ORDER BY p1 NULLS FIRST) AS grp
               |  FROM pairs),
               |runs AS (
               |  SELECT d1, d2, diag, grp, count(*) AS nw, min(p1) AS s1

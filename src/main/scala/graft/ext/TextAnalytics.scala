@@ -131,7 +131,7 @@ object TextAnalytics extends QueryModule {
               |  FROM tf JOIN dfreq ON tf.term = dfreq.term, n)
               |SELECT doc_id, rank, term, round(tfidf, 4) AS tfidf FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-              |    ORDER BY tfidf DESC, term) AS rank
+              |    ORDER BY tfidf DESC, term NULLS FIRST) AS rank
               |  FROM scored) WHERE rank <= 3
               |ORDER BY doc_id, rank""".stripMargin),
       doc = "per-doc top-3 TF-IDF terms (tokenize once, df join, windowed top-k)"),
@@ -217,7 +217,7 @@ object TextAnalytics extends QueryModule {
               |  SELECT lang, doc_id, len($dTok) AS n_tok FROM documents),
               |r AS (SELECT lang, n_tok,
               |    ROW_NUMBER() OVER (PARTITION BY lang
-              |      ORDER BY n_tok NULLS FIRST, doc_id) AS rk,
+              |      ORDER BY n_tok NULLS FIRST, doc_id NULLS FIRST) AS rk,
               |    count(*) OVER (PARTITION BY lang) AS n
               |  FROM t)
               |SELECT lang, max(n) AS n_docs,
@@ -308,7 +308,7 @@ object TextAnalytics extends QueryModule {
               |  CROSS JOIN t1 CROSS JOIN t2)
               |SELECT rank, gram, n_pair, pmi FROM (
               |  SELECT gram, c2 AS n_pair, pmi,
-              |    ROW_NUMBER() OVER (ORDER BY pmi DESC, gram) AS rank
+              |    ROW_NUMBER() OVER (ORDER BY pmi DESC, gram NULLS FIRST) AS rank
               |  FROM scored) WHERE rank <= 20
               |ORDER BY rank""".stripMargin),
       doc = "top-20 adjacent-pair collocations by PMI (integer-exact ratio, ln once)"),

@@ -183,8 +183,8 @@ object TrainPrep extends QueryModule {
       Some("""WITH r AS (
              |  SELECT source, n_chars,
              |    ROW_NUMBER() OVER (PARTITION BY source
-             |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
-             |               doc_id) AS rk
+             |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT NULLS FIRST,
+             |               doc_id NULLS FIRST) AS rk
              |  FROM documents)
              |SELECT source, count(*) AS n_total,
              | count(*) FILTER (WHERE rk <= 10) AS n_kept,

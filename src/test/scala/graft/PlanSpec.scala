@@ -214,9 +214,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine on the scan
   }
 
-  test("anomaly detection is one grouped count + a keyed window, no joins") {
+  test("anomaly detection: grouped count + keyed window + spine-sized join only") {
+    // the day-densify spine (per-type min..max days) is tiny by
+    // construction; it must meet the daily counts as a keyed join,
+    // never a nested loop over events
     val p = planOf("evt_anomaly_daily")
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count") && p.contains("Window"), p)
   }
 
