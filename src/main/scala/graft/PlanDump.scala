@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the AQE-final executed plan of named queries (all
+  * queries when no names given) against a testdata dir — the source of
+  * the trimmed plan evidence in PLANS.md.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> [queryName...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // force AQE final plan
+      println(s"\n===== $n =====")
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

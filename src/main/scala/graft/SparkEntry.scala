@@ -15,6 +15,7 @@ object SparkEntry {
     analytics.SqlSurface,
     analytics.ScaleOps,
     analytics.Star,
+    analytics.Audit,
     ext.TextAnalytics,
     ext.QualityFilters,
     ext.Dedup,
@@ -22,6 +23,7 @@ object SparkEntry {
     ext.Multimodal,
     ext.CorpusPipelineModule,
     ext.TrainPrep,
+    ext.Graph,
     ingest.IngestQueries,
   )
 

@@ -529,5 +529,47 @@ object EventAnalytics extends QueryModule {
               | CAST(json_extract_string(props, '$$.k') AS INTEGER) AS instruction_index
               |FROM events ORDER BY slot""".stripMargin),
       doc = "ref events.rs:76-86 (deterministic sha256 event_id)"),
+
+    // Sliding-window WAU/DAU: exact distinct users over a trailing
+    // 7-day window, per day. Exact distinct-over-sliding-window has no
+    // window-function form; the scale shape is (1) collapse events to
+    // the user×day grain FIRST (the only pass over the fact table),
+    // (2) explode each activity day to the ≤7 window days it supports —
+    // a bounded 7× fan-out of the SMALL grain, never a range self-join —
+    // (3) one distinct aggregation per window day, semi-joined to the
+    // observed-day spine so trailing phantom days don't appear.
+    "evt_wau_sliding" -> Q(
+      (s, dir) => slidingWau(ev(s, dir)),
+      Some(s"""WITH ud AS (
+              |  SELECT DISTINCT user_id, $dNs // 86400000000000 AS dayn FROM events),
+              |spine AS (SELECT DISTINCT dayn AS d FROM ud),
+              |cover AS (
+              |  SELECT u.user_id, u.dayn, s.d
+              |  FROM ud u JOIN spine s ON s.d BETWEEN u.dayn AND u.dayn + 6)
+              |SELECT strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+              |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+              |  CAST(count(DISTINCT user_id) FILTER (WHERE dayn = d) AS BIGINT) AS dau
+              |FROM cover GROUP BY d ORDER BY day""".stripMargin),
+      doc = "trailing-7-day sliding WAU + DAU per day (exact distincts)"),
   )
+
+  /** Sliding WAU body (injectable for specs): see the `evt_wau_sliding`
+    * entry for the scale rationale. */
+  def slidingWau(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr("ts div 86400000000000").as("dayn"))
+      .distinct()
+    val spine = ud.select(col("dayn").as("d")).distinct()
+    ud.select(col("user_id"), col("dayn"),
+        explode(expr("sequence(dayn, dayn + 6)")).as("d"))
+      .join(broadcast(spine), Seq("d"), "left_semi")
+      .groupBy(col("d"))
+      .agg(
+        countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("dayn") === col("d"), col("user_id"))).as("dau"))
+      .select(
+        date_format(expr("timestamp_micros(d * 86400000000)"), "yyyy-MM-dd").as("day"),
+        col("wau"), col("dau"))
+      .orderBy(col("day"))
+  }
 }

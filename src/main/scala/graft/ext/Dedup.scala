@@ -430,10 +430,10 @@ object Dedup extends QueryModule {
     // fan-out at 100 TB.
     "dedup_jaccard_pairs" -> Q(
       (s, dir) =>
-        // No cache: the three consumers of the capped index (sizes + the
-        // two self-join sides) sit above IDENTICAL exchange subtrees, so
-        // ReuseExchange computes the shuffle once — library calls leave
-        // no persistent RDDs behind.
+        // No cache: the two self-join sides of the capped index share an
+        // exchange subtree (ReuseExchange computes that shuffle once; the
+        // sizes branch hashes by doc_id, a separate exchange — see
+        // jaccardOnCapped) — library calls leave no persistent RDDs behind.
         jaccardPairs(shingleRows(s, dir), 0.5).orderBy(col("d1"), col("d2")),
       Some(s"""WITH ${dJaccardCtes("jp", 0.5)}
               |SELECT d1, d2, common, jaccard FROM jp ORDER BY d1, d2""".stripMargin),

@@ -1,0 +1,160 @@
+package graft.ext
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the affinity graph implied by the event stream:
+  * users are nodes, and two users are adjacent when they share a
+  * DOMINANT token — each user contributes their top-2 tokens (`props.k`
+  * by event count, count-desc/key-asc tie-break), and users co-member
+  * in a token group are connected. The dominant-feature co-membership
+  * graph is the community structure behind account-cluster mining on
+  * chain data; raw co-interaction would be degenerate here (every token
+  * touches ~half the users, so the projection is a near-clique at any
+  * scale).
+  *
+  * Scale shape: the projection is the dangerous step — a token group of
+  * g members yields g² pairs — so each token keeps at most
+  * [[DefaultMaxTokenMembers]] members, chosen DETERMINISTICALLY by
+  * md5(user) order (the hash-ordered capping idiom of
+  * `prep_cap_per_source`): per-token pair fan-out is bounded at C(40,2)
+  * at ANY corpus size, and unlike drop-the-token capping the group
+  * keeps a stable representative subgraph as df grows. Everything
+  * downstream is equi-joins on edge endpoints: no all-pairs, no
+  * driver-side state beyond 1-row aggregates. Triangle counting keys
+  * every join on an endpoint; the `u < v < w` canonical ordering counts
+  * each triangle exactly once.
+  */
+object Graph extends QueryModule {
+
+  /** Deterministic per-token member cap (md5-ordered) — bounds the
+    * projection's per-token fan-out at C(cap, 2) forever. */
+  val DefaultMaxTokenMembers = 40
+
+  /** Each user's `topK` dominant tokens by event count (ties → smaller
+    * k), from mint-bearing events. */
+  private[ext] def topTokens(events: DataFrame, topK: Int): DataFrame = {
+    val cnts = events.filter(Tables.propK().isNotNull)
+      .groupBy(col("user_id"), Tables.propK().as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("k").asc)
+    cnts.withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= topK)
+      .select(col("user_id"), col("k"))
+  }
+
+  /** Canonical (u < v) co-membership edges over md5-capped token
+    * groups. */
+  def edges(events: DataFrame, topK: Int = 2,
+      maxMembers: Int = DefaultMaxTokenMembers): DataFrame = {
+    val inc = topTokens(events, topK)
+    val byTok = Window.partitionBy(col("k"))
+      .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+    val capped = inc.withColumn("mrn", row_number().over(byTok))
+      .filter(col("mrn") <= maxMembers)
+      .select(col("user_id"), col("k"))
+    capped.as("a").join(capped.as("b"), Seq("k"))
+      .filter(col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+  }
+
+  /** Degree histogram: how many nodes have each degree. */
+  def degreeHistogram(edgeDf: DataFrame): DataFrame =
+    edgeDf.select(col("u").as("node")).unionAll(edgeDf.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
+  /** Global triangle census: nodes, edges, wedges, triangles, and the
+    * global clustering coefficient 3·triangles / wedges. The edge set
+    * is cached for the four aggregates and unpersisted before return
+    * (loan scope); each aggregate is a 1-row driver value. */
+  def triangleCensus(edgeDf: DataFrame): DataFrame = {
+    val e = edgeDf.cache()
+    try {
+      val nNodes = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .distinct().count()
+      val nEdges = e.count()
+      // wedges: Σ deg·(deg−1)/2 over nodes (integer-exact)
+      val wedges = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("w"))
+        .head().getLong(0)
+      // triangles: for each wedge u<v<w with edges (u,v),(v,w), probe (u,w).
+      // Both joins are endpoint equi-joins; u<v<w counts each once.
+      val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+        .select(col("ab.u").as("u"), col("ab.v").as("v"), col("bc.v").as("w"))
+        .as("abw")
+        .join(e.as("ac"),
+          col("abw.u") === col("ac.u") && col("abw.w") === col("ac.v"),
+          "left_semi")
+        .count()
+      val spark = edgeDf.sparkSession
+      import spark.implicits._
+      Seq((nNodes, nEdges, wedges, tri,
+          if (wedges == 0) 0.0 else 3.0 * tri / wedges))
+        .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")
+        .withColumn("clustering", round(col("clustering"), 4))
+    } finally { e.unpersist() }
+  }
+
+  private def dEdges(topK: Int, maxMembers: Int) =
+    s"""cnts AS (
+       |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+       |         count(*) AS cnt
+       |  FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |inc AS (
+       |  SELECT user_id, k FROM (
+       |    SELECT user_id, k, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY cnt DESC, k ASC) AS rn
+       |    FROM cnts) WHERE rn <= $topK),
+       |capped AS (
+       |  SELECT user_id, k FROM (
+       |    SELECT user_id, k, row_number() OVER (
+       |      PARTITION BY k ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS mrn
+       |    FROM inc) WHERE mrn <= $maxMembers),
+       |edges AS (
+       |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+       |  FROM capped a JOIN capped b ON a.k = b.k AND a.user_id < b.user_id)""".stripMargin
+
+  override val defs: Seq[(String, Q)] = Seq(
+
+    // Degree distribution of the capped dominant-token graph.
+    "graph_degree_hist" -> Q(
+      (s, dir) => degreeHistogram(edges(Tables.events(s, dir))),
+      Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
+              |nodes AS (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges),
+              |deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
+              |SELECT degree, count(*) AS n_nodes FROM deg
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "degree histogram of the dominant-token co-membership graph"),
+
+    // Triangle census + global clustering coefficient.
+    "graph_triangles" -> Q(
+      (s, dir) => triangleCensus(edges(Tables.events(s, dir))),
+      Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
+              |nodes AS (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges),
+              |deg AS (SELECT node, count(*) AS deg FROM nodes GROUP BY 1),
+              |tri AS (
+              |  SELECT count(*) AS t FROM edges ab
+              |  JOIN edges bc ON ab.v = bc.u
+              |  WHERE EXISTS (SELECT 1 FROM edges ac
+              |                WHERE ac.u = ab.u AND ac.v = bc.v)),
+              |wed AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) AS w
+              |        FROM deg)
+              |SELECT
+              |  (SELECT count(DISTINCT node) FROM nodes) AS n_nodes,
+              |  (SELECT count(*) FROM edges) AS n_edges,
+              |  wed.w AS n_wedges,
+              |  tri.t AS n_triangles,
+              |  round(CASE WHEN wed.w = 0 THEN 0.0e0
+              |        ELSE 3.0e0 * tri.t / wed.w END, 4) AS clustering
+              |FROM tri, wed""".stripMargin),
+      doc = "triangle census of the co-membership graph (endpoint equi-joins only)"),
+  )
+}

@@ -393,5 +393,78 @@ object TrainPrep extends QueryModule {
               |     (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 4) AS mean_logprob
               |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "unigram LM importance filter (avg token log-prob, ordered folds)"),
+
+    // Z-order (Morton-curve) layout audit: interleave the bits of the
+    // two most-filtered dimensions (user bucket × day) and assign each
+    // cell to the file holding its 256-wide ALIGNED z-prefix — a 16×16
+    // quad of (u, d) space — versus a linear layout whose files are
+    // aligned 8-wide user stripes. Each file row reports the min/max
+    // range per dimension, i.e. exactly the parquet footer stats a
+    // min/max-pruning scan consults. The theorem the audit makes
+    // visible: z-order files bound BOTH dims (u_span ≤ 16 AND
+    // d_span ≤ 16), so a predicate on either dimension prunes; linear
+    // files bound only the leading dim (u_span ≤ 8, d_span = full
+    // range) — a day-only probe must read EVERY linear file. Aligned
+    // prefix bucketing needs no global sort for the audit (pure integer
+    // map + one grouped agg); the write-time layout it models is
+    // `repartitionByRange(z).sortWithinPartitions(z)`. All bit math is
+    // integer-exact on both engines (shifts as multiplication by
+    // literal powers of two).
+    "prep_zorder_layout" -> Q(
+      (s, dir) => zorderLayout(Tables.events(s, dir)),
+      Some(s"""WITH ud AS (
+              |  SELECT DISTINCT user_id % 256 AS u,
+              |         epoch_ns(ts) // 86400000000000 AS dayn FROM events),
+              |norm AS (
+              |  SELECT u, dayn - (SELECT min(dayn) FROM ud) AS d FROM ud),
+              |z AS (SELECT u, d, $zTermsSql AS z FROM norm)
+              |SELECT layout, fid, n_cells, u_min, u_max, d_min, d_max,
+              |  u_max - u_min + 1 AS u_span, d_max - d_min + 1 AS d_span
+              |FROM (
+              |  SELECT 'zorder' AS layout, z // 256 AS fid, count(*) AS n_cells,
+              |    min(u) AS u_min, max(u) AS u_max,
+              |    min(d) AS d_min, max(d) AS d_max FROM z GROUP BY 2
+              |  UNION ALL
+              |  SELECT 'linear', u // 8, count(*),
+              |    min(u), max(u), min(d), max(d) FROM z GROUP BY 2)
+              |ORDER BY layout, fid""".stripMargin),
+      doc = "Morton/z-order layout audit: per-file min-max pruning ranges vs linear sort"),
   )
+
+  /** SQL for the 8+8-bit Morton interleave (user bit i → position 2i+1,
+    * day bit i → position 2i), shared verbatim by both engines — shifts
+    * as multiplications by literal powers of two. */
+  private lazy val zTermsSql: String = (0 until 8).map { i =>
+    s"(((u >> $i) & 1) * ${1L << (2 * i + 1)}) + (((d >> $i) & 1) * ${1L << (2 * i)})"
+  }.mkString("(", " + ", ")")
+
+  /** Z-order layout audit body (injectable for specs): see the
+    * `prep_zorder_layout` entry. Files are aligned prefix buckets —
+    * z-prefix quads for the Morton layout, leading-dim stripes for the
+    * linear one. */
+  def zorderLayout(events: DataFrame): DataFrame = {
+    val ud = events.select(
+        (col("user_id") % 256).as("u"),
+        expr("ts div 86400000000000").as("dayn"))
+      .distinct()
+    val dmin = ud.agg(min(col("dayn")).as("dmin"))
+    val cells = ud.crossJoin(broadcast(dmin))
+      .select(col("u"), (col("dayn") - col("dmin")).as("d"))
+    val zTermsSpark = (0 until 8).map { i =>
+      s"((shiftright(u, $i) & 1) * ${1L << (2 * i + 1)}) + ((shiftright(d, $i) & 1) * ${1L << (2 * i)})"
+    }.mkString("(", " + ", ")")
+    val z = cells.withColumn("z", expr(zTermsSpark))
+    def fileStats(fid: org.apache.spark.sql.Column, layout: String) =
+      z.groupBy(fid.as("fid"))
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+          min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+        .select(lit(layout).as("layout"), col("fid"), col("n_cells"),
+          col("u_min"), col("u_max"), col("d_min"), col("d_max"))
+    fileStats(expr("z div 256"), "zorder")
+      .unionByName(fileStats(expr("u div 8"), "linear"))
+      .withColumn("u_span", col("u_max") - col("u_min") + 1)
+      .withColumn("d_span", col("d_max") - col("d_min") + 1)
+      .orderBy(col("layout"), col("fid"))
+  }
 }

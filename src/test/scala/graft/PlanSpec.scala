@@ -230,4 +230,43 @@ class PlanSpec extends SparkSpec {
     // and the aggregation is partial/final split (map-side combine)
     assert(p.contains("partial_count"), p)
   }
+
+  test("sliding WAU: bounded explode fan-out, no range self-join") {
+    val p = planOf("evt_wau_sliding")
+    assert(p.contains("Generate explode"), p) // the ≤7× window fan-out
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("FK audit: dim key-sets broadcast; no fact-side nested loop") {
+    val p = planOf("audit_referential")
+    // part/supplier/customer key sets broadcast against the fact scans;
+    // the only nested-loop join is the 1-row × 1-row scalar assembly
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("z-order audit needs no global sort: aligned prefix buckets, no Window") {
+    val p = planOf("prep_zorder_layout")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p) // the dmin probe is 1-row broadcast
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("graph queries are endpoint equi-joins only, never all-pairs") {
+    Seq("graph_degree_hist").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("SCD2 windows partition by program — never a global single-partition sort") {
+    val p = planOf("star_scd2_programs")
+    // every windowspecdefinition in the plan opens with the program_id
+    // partition column — a partitionless (single-partition) window would
+    // open with the ORDER column instead
+    val specs = "windowspecdefinition\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.startsWith("program_id")), specs.mkString(","))
+  }
 }

@@ -81,4 +81,31 @@ class QueriesSpec extends SparkSpec {
     val df = run("evt_canonical_events")
     assert(df.count() == df.select("event_hash").distinct().count())
   }
+
+  test("sliding WAU: a user counts for the 7 window days; DAU only on the day") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // u1 active day 1; u2 active day 4; observed spine = {1, 4}
+    val ev = Seq((1L * dayNs + 5L, 1L), (4L * dayNs + 5L, 2L))
+      .toDF("ts", "user_id")
+    val out = graft.analytics.EventAnalytics.slidingWau(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 2) // phantom days past the spine are absent
+    assert(out("1970-01-02") == ((1L, 1L))) // day 1: u1 only
+    assert(out("1970-01-05") == ((2L, 1L))) // day 4: u1 still in window, u2 active
+  }
+
+  test("sliding WAU matches a brute-force window recount on real data") {
+    val ud = graft.Tables.events(spark, Sf)
+      .select(col("user_id"), expr("ts div 86400000000000").as("dayn"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ud.map(_._2).distinct.sorted.map { d =>
+      d -> ud.filter(t => t._2 >= d - 6 && t._2 <= d).map(_._1).distinct.length.toLong
+    }.toMap
+    val got = graft.analytics.EventAnalytics
+      .slidingWau(graft.Tables.events(spark, Sf)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == expect.values.sum)
+    assert(got.size == expect.size)
+  }
 }

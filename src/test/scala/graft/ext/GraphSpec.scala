@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Planted-graph checks for the dominant-token projection, the
+  * deterministic member cap, and the triangle census (the oracle
+  * re-derives the same numbers in SQL; these pin hand-computed ground
+  * truth). */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** events with props.k: one row per (user, token) OCCURRENCE. */
+  private def evOf(occ: (Long, Int)*) =
+    occ.map { case (u, k) => (u, s"""{"k": $k}""") }.toDF("user_id", "props")
+
+  // Planted corpus: top-2 tokens per user are
+  //   u1: {7, 8}  (7×3, 8×2, 9×1 — 9 is cut by topK=2)
+  //   u2: {7, 9}  (tie 2–2 broken toward smaller k)
+  //   u3: {8, 9}
+  //   u4: {7}     (only token)
+  // Groups: 7:{1,2,4}, 8:{1,3}, 9:{2,3}
+  // Edges: (1,2),(1,4),(2,4),(1,3),(2,3)
+  private def planted = evOf(
+    (1L, 7), (1L, 7), (1L, 7), (1L, 8), (1L, 8), (1L, 9),
+    (2L, 7), (2L, 7), (2L, 9), (2L, 9),
+    (3L, 8), (3L, 9),
+    (4L, 7))
+
+  test("projection: top-2 tokens only, count-desc/key-asc tie-break") {
+    val tt = Graph.topTokens(planted, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(tt == Set((1L, 7), (1L, 8), (2L, 7), (2L, 9), (3L, 8), (3L, 9), (4L, 7)))
+  }
+
+  test("edges: co-membership cliques, canonical u<v, dedup'd") {
+    val e = Graph.edges(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L), (1L, 4L), (2L, 4L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("member cap keeps a deterministic subset, bounding pair fan-out") {
+    // token 7 has members {1,2,4}; cap 2 keeps exactly one pair
+    val e = Graph.edges(evOf((1L, 7), (2L, 7), (4L, 7)), maxMembers = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.length == 1)
+    // and the kept pair is stable run to run
+    val e2 = Graph.edges(evOf((1L, 7), (2L, 7), (4L, 7)), maxMembers = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.sameElements(e2))
+  }
+
+  test("triangle census: hand-computed wedges, triangles, clustering") {
+    val census = Graph.triangleCensus(Graph.edges(planted)).collect()(0)
+    assert(census.getLong(0) == 4L) // nodes
+    assert(census.getLong(1) == 5L) // edges
+    // degrees 1:3, 2:3, 3:2, 4:2 → wedges 3+3+1+1 = 8
+    assert(census.getLong(2) == 8L)
+    // triangles: (1,2,4) and (1,2,3)
+    assert(census.getLong(3) == 2L)
+    assert(census.getDouble(4) == 0.75) // 3·2/8
+  }
+
+  test("degree histogram counts nodes per degree") {
+    val h = Graph.degreeHistogram(Graph.edges(planted))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(2L -> 2L, 3L -> 2L))
+  }
+
+  test("empty graph: census is all zeros, not nulls") {
+    val census = Graph.triangleCensus(Graph.edges(evOf((1L, 7)))).collect()(0)
+    assert((0 to 3).map(census.getLong) == Seq(0L, 0L, 0L, 0L))
+    assert(census.getDouble(4) == 0.0)
+  }
+
+  test("census leaves no cached RDDs behind (loan-scoped cache)") {
+    Graph.triangleCensus(Graph.edges(planted)).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}

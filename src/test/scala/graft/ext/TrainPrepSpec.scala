@@ -160,4 +160,35 @@ class TrainPrepSpec extends SparkSpec {
       assert(cs >= -1.0 - 1e-9 && cs <= 1.0 + 1e-9, s"centroid sim in [-1,1]: $r")
     }
   }
+
+  test("z-order audit: Morton quads bound BOTH dims, linear only the leading") {
+    val rows = run("prep_zorder_layout").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(7), r.getLong(8)))
+    val (zf, lf) = rows.partition(_._1 == "zorder")
+    assert(zf.nonEmpty && lf.nonEmpty)
+    // aligned 256-wide z-prefixes are 16×16 quads: both spans bounded
+    zf.foreach { case (_, _, us, ds) => assert(us <= 16 && ds <= 16, s"$us×$ds") }
+    // linear stripes bound u at 8 but leave the day dimension unbounded:
+    // a day probe reads every file
+    lf.foreach { case (_, _, us, _) => assert(us <= 8) }
+    val fullDaySpan = lf.map(_._4).max
+    assert(lf.forall(_._4 == fullDaySpan), "every linear file spans all days")
+    assert(zf.map(_._4).max < fullDaySpan, "z quads prune on day")
+    // both layouts cover every cell exactly once
+    assert(zf.map(_._2).sum == lf.map(_._2).sum)
+  }
+
+  test("Morton interleave: hand-computed z for known (u, d) cells") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // users 1,0,3 active on days 0,1,1 → cells (u=1,d=0),(u=0,d=1),(u=3,d=1)
+    val ev = Seq((1L, 0L * dayNs), (0L, 1L * dayNs), (3L, 1L * dayNs))
+      .toDF("user_id", "ts")
+    val out = TrainPrep.zorderLayout(ev).filter(col("layout") === "zorder").collect()
+    // z(1,0)=2, z(0,1)=1, z(3,1)=11 — all in z-prefix file 0, spans 4×2
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 3L)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) == ((0L, 3L, 0L, 1L)))
+  }
 }

@@ -59,6 +59,20 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.orc(s"$base/orc_events").count() == viaParquet.count())
   }
 
+  test("warehouse dispatch axis: schema-inferring json sink stays idempotent") {
+    // json round-trips through TEXT + schema inference — the harshest
+    // backend for the replay guard, which only needs `slot` to survive
+    // as a comparable integer
+    val base = Files.createTempDirectory("graft_fmt_json").toString
+    Backfill.run(spark, 1L, 101L, workers = 4, s"$base/json_events", format = "json")
+    val viaJson = spark.read.json(s"$base/json_events")
+    val n = viaJson.count()
+    assert(n > 0)
+    assert(viaJson.select("event_id").distinct().count() == n)
+    Backfill.run(spark, 1L, 101L, workers = 4, s"$base/json_events", format = "json")
+    assert(spark.read.json(s"$base/json_events").count() == n, "replay must no-op")
+  }
+
   test("filterProcessed drops already-loaded slots (anti-join guard)") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("slot", "payload")
