@@ -551,7 +551,61 @@ object EventAnalytics extends QueryModule {
               |  CAST(count(DISTINCT user_id) FILTER (WHERE dayn = d) AS BIGINT) AS dau
               |FROM cover GROUP BY d ORDER BY day""".stripMargin),
       doc = "trailing-7-day sliding WAU + DAU per day (exact distincts)"),
+
+    // Interval (time-window) join: per purchase, the same user's clicks
+    // in the preceding hour. The naive form is a range join — a nested
+    // loop at scale — so the probe side explodes to its 2 candidate
+    // hour buckets and the join runs as a HASH equi-join on
+    // (user, bucket) with the exact interval re-checked on the pair;
+    // fan-out is a constant 2×, and a 1h window can only span 2 buckets.
+    // Purchases with no clicks survive via the left join (n=0, null
+    // last-click). Comparisons on raw int64 nanos; outputs on µs.
+    "evt_interval_join" -> Q(
+      (s, dir) => intervalJoin(ev(s, dir)),
+      Some(s"""WITH p AS (
+              |  SELECT event_id AS purchase_id, user_id, $dNs AS pts
+              |  FROM events WHERE event_type = 'purchase'),
+              |c AS (
+              |  SELECT user_id, $dNs AS cts FROM events WHERE event_type = 'click'),
+              |m AS (
+              |  SELECT p.purchase_id, count(*) AS n_clicks_1h,
+              |         max(c.cts) // 1000 AS last_click_us
+              |  FROM p JOIN c ON p.user_id = c.user_id
+              |   AND c.cts >= p.pts - 3600000000000 AND c.cts < p.pts
+              |  GROUP BY 1)
+              |SELECT p.purchase_id, p.user_id, p.pts // 1000 AS p_us,
+              |  COALESCE(m.n_clicks_1h, 0) AS n_clicks_1h, m.last_click_us
+              |FROM p LEFT JOIN m ON p.purchase_id = m.purchase_id
+              |ORDER BY p.purchase_id""".stripMargin),
+      doc = "1h interval join (clicks before each purchase) as a bucketed equi-join"),
   )
+
+  /** Interval-join body (injectable for specs): per purchase, clicks by
+    * the same user in the preceding hour — see the `evt_interval_join`
+    * entry for the scale rationale. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val HourNs = 3600L * 1000000000L
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        expr(s"ts div $HourNs").as("bucket"))
+    // each purchase probes its own hour bucket and the one before — the
+    // 2× explode of the probe side replaces a range nested-loop join
+    val probes = purchases.select(col("purchase_id"), col("user_id"), col("pts"),
+      explode(expr(s"array(pts div $HourNs, pts div $HourNs - 1)")).as("bucket"))
+    val matched = probes.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("cts") >= col("pts") - lit(HourNs) && col("cts") < col("pts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks_1h"),
+        expr("max(cts) div 1000").as("last_click_us"))
+    purchases.join(matched, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        expr("pts div 1000").as("p_us"),
+        coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"),
+        col("last_click_us"))
+      .orderBy(col("purchase_id"))
+  }
 
   /** Sliding WAU body (injectable for specs): see the `evt_wau_sliding`
     * entry for the scale rationale. */

@@ -431,5 +431,29 @@ object ScaleOps extends QueryModule {
              |       THEN 1 ELSE 0 END AS BIGINT) END AS anomaly
              |FROM scored ORDER BY 1, 2""".stripMargin),
       doc = "trailing-window z-score anomaly flags on dense daily counts (integer-exact)"),
+
+    // Equi-width value histogram per event type: one grouped pass,
+    // fixed 50-unit buckets (floor of one IEEE division — bit-identical
+    // bucketing on both engines), integer bucket bounds derived from
+    // the bucket id. The binned complement of evt_value_quantiles:
+    // histograms are the monitoring artifact that survives at 100 TB
+    // because the group count is bounded by range/width, not rows.
+    "evt_value_histogram" -> Q(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            floor(col("value") / lit(50.0)).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("lo", col("bucket") * 50)
+          .withColumn("hi", (col("bucket") + 1) * 50)
+          .select(col("event_type"), col("bucket"), col("lo"), col("hi"), col("n"))
+          .orderBy(col("event_type"), col("bucket")),
+      Some("""SELECT event_type,
+             |  CAST(floor(value / 50.0e0) AS BIGINT) AS bucket,
+             |  CAST(floor(value / 50.0e0) AS BIGINT) * 50 AS lo,
+             |  (CAST(floor(value / 50.0e0) AS BIGINT) + 1) * 50 AS hi,
+             |  count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "equi-width per-type value histogram (bounded group count)"),
   )
 }

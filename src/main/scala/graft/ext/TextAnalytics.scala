@@ -312,5 +312,71 @@ object TextAnalytics extends QueryModule {
               |  FROM scored) WHERE rank <= 20
               |ORDER BY rank""".stripMargin),
       doc = "top-20 adjacent-pair collocations by PMI (integer-exact ratio, ln once)"),
+
+    // BM25 keyword search: score every document against a fixed query
+    // ("hash join vector") with Okapi BM25 (k1=1.2, b=0.75, the +1 idf
+    // variant that keeps weights positive) and return the top 20. The
+    // text-retrieval complement of the vector ANN queries. Scale shape:
+    // the tf scan filters to the query's terms BEFORE grouping (per-doc
+    // work is O(|query|), not O(vocab)); df and the corpus length stats
+    // are tiny broadcasts; the per-doc term-score sum is an array_sort +
+    // fold in TERM order (the lm-filter discipline) so float addition
+    // order is engine- and cluster-size-independent; top-k is
+    // TakeOrderedAndProject on (rounded score, doc_id).
+    "text_bm25_search" -> Q(
+      (s, dir) => {
+        val qTerms = Seq("hash", "join", "vector")
+        val d = docs(s, dir)
+        val lens = d.select(col("doc_id"),
+          expr(s"size($tokExpr)").cast("long").as("dl"))
+        val corpus = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tdl"))
+        val tf = d.select(col("doc_id"), explode(expr(tokExpr)).as("term"))
+          .filter(col("term").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val termScores = tf
+          .join(broadcast(dfreq), Seq("term"))
+          .join(lens, Seq("doc_id"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("idf", log(
+            (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+              / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+          .withColumn("s", col("idf") * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") * col("n").cast("double")
+                  / col("tdl").cast("double")))))
+        termScores.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            array_sort(collect_list(struct(col("term"), col("s")))).as("ts"))
+          .select(col("doc_id"), col("n_hits"),
+            round(expr("aggregate(ts, CAST(0 AS DOUBLE), (a, q) -> a + q.s)"), 4)
+              .as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH lens AS (SELECT doc_id, len($dTok) AS dl FROM documents),
+              |corpus AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tdl FROM lens),
+              |tf AS (
+              |  SELECT doc_id, t AS term, count(*) AS tf
+              |  FROM documents, UNNEST($dTok) AS u(t)
+              |  WHERE t IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+              |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |ts AS (
+              |  SELECT tf.doc_id, tf.term,
+              |    ln((CAST(corpus.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5e0)
+              |       / (CAST(dfreq.df AS DOUBLE) + 0.5e0) + 1.0e0)
+              |    * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+              |    / (CAST(tf.tf AS DOUBLE) + 1.2e0 *
+              |       (0.25e0 + 0.75e0 *
+              |        (CAST(lens.dl AS DOUBLE) * CAST(corpus.n AS DOUBLE)
+              |         / CAST(corpus.tdl AS DOUBLE)))) AS s
+              |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), corpus)
+              |SELECT doc_id, count(*) AS n_hits,
+              |  round(list_reduce(list_prepend(0.0e0, list(s ORDER BY term)),
+              |    (a, x) -> a + x), 4) AS score
+              |FROM ts GROUP BY doc_id
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      doc = "Okapi BM25 keyword search over documents (fixed query, top-20)"),
   )
 }

@@ -252,6 +252,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("interval join runs as a bucketed hash equi-join, not a range nested loop") {
+    val p = planOf("evt_interval_join")
+    assert(p.contains("Generate explode"), p) // the 2× bucket probe fan-out
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("graph queries are endpoint equi-joins only, never all-pairs") {
     Seq("graph_degree_hist").foreach { q =>
       val p = planOf(q)

@@ -95,6 +95,24 @@ class QueriesSpec extends SparkSpec {
     assert(out("1970-01-05") == ((2L, 1L))) // day 4: u1 still in window, u2 active
   }
 
+  test("interval join: boundary-exact 1h window, zero-click purchases kept") {
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val ev = Seq(
+      (100L, 10L * H, 1L, "purchase"),       // probe
+      (2L, 9L * H + 60L * 1000000000L, 1L, "click"),  // 9:01 — in window
+      (3L, 9L * H, 1L, "click"),             // exactly pts−1h — inclusive
+      (4L, 10L * H, 1L, "click"),            // exactly pts — exclusive
+      (5L, 8L * H, 1L, "click"),             // too old
+      (6L, 9L * H + 30L * 1000000000L, 2L, "click"), // other user
+      (200L, 20L * H, 2L, "purchase"))       // no clicks in window
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.analytics.EventAnalytics.intervalJoin(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(100L) == ((2L, (9L * H + 60L * 1000000000L) / 1000L)))
+    assert(out(200L) == ((0L, -1L)))
+  }
+
   test("sliding WAU matches a brute-force window recount on real data") {
     val ud = graft.Tables.events(spark, Sf)
       .select(col("user_id"), expr("ts div 86400000000000").as("dayn"))

@@ -10,6 +10,21 @@ class ExtSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("BM25: more term hits outrank fewer at equal length; misses absent") {
+    val out = run("text_bm25_search").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // scores strictly ordered desc with doc_id tie-break
+    val scores = out.map(r => (r.getDouble(2), r.getLong(0)))
+    scores.zip(scores.drop(1)).foreach { case ((s1, d1), (s2, d2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2), s"order violated: $s1/$d1 vs $s2/$d2")
+    }
+    // every returned doc hits at least one query term, at most all three
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    // the winner hits all three terms on this corpus (query terms are
+    // common engine words, so a 3-hit doc must exist and outscore)
+    assert(out.head.getLong(1) == 3L)
+  }
+
   test("60-bit md5 hash parity with the DuckDB formula") {
     // DuckDB: SELECT ('0x'||substr(md5('abc'),1,15))::BIGINT = 648541476951500027
     import spark.implicits._
