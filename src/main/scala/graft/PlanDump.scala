@@ -23,7 +23,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save() // force AQE final plan
+      // materialize df's OWN QueryExecution so AQE finalizes join
+      // strategies (a noop-sink write would execute a separate
+      // QueryExecution and leave this one's plan pre-AQE)
+      df.collect()
       println(s"\n===== $n =====")
       println(df.queryExecution.executedPlan.toString)
     }

@@ -576,7 +576,7 @@ object EventAnalytics extends QueryModule {
               |SELECT p.purchase_id, p.user_id, p.pts // 1000 AS p_us,
               |  COALESCE(m.n_clicks_1h, 0) AS n_clicks_1h, m.last_click_us
               |FROM p LEFT JOIN m ON p.purchase_id = m.purchase_id
-              |ORDER BY p.purchase_id""".stripMargin),
+              |ORDER BY p.purchase_id NULLS FIRST""".stripMargin),
       doc = "1h interval join (clicks before each purchase) as a bucketed equi-join"),
   )
 

@@ -453,7 +453,8 @@ object ScaleOps extends QueryModule {
              |  CAST(floor(value / 50.0e0) AS BIGINT) * 50 AS lo,
              |  (CAST(floor(value / 50.0e0) AS BIGINT) + 1) * 50 AS hi,
              |  count(*) AS n
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+             |FROM events GROUP BY 1, 2
+             |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
       doc = "equi-width per-type value histogram (bounded group count)"),
   )
 }

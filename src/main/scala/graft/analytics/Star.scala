@@ -295,7 +295,7 @@ object Star extends QueryModule {
               |  COALESCE(old.old_tx, 0) AS old_tx,
               |  COALESCE(neu.new_tx, 0) AS new_tx
               |FROM old FULL OUTER JOIN neu ON old.program_id = neu.program_id
-              |ORDER BY 1""".stripMargin),
+              |ORDER BY 1 NULLS FIRST""".stripMargin),
       doc = "CDC snapshot diff of dim_programs: added/changed/unchanged rows"),
   )
 }

@@ -69,6 +69,19 @@ object Graph extends QueryModule {
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
 
+  /** The (u, v, w) triangle rows, u<v<w canonical: for each wedge with
+    * edges (u,v),(v,w), probe (u,w). Both joins are endpoint equi-joins
+    * — exposed separately so the plan can be GATED (the eager census
+    * below returns a LocalRelation, which hides these joins from any
+    * plan assertion on the final frame). */
+  private[ext] def triangleRows(e: DataFrame): DataFrame =
+    e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .select(col("ab.u").as("u"), col("ab.v").as("v"), col("bc.v").as("w"))
+      .as("abw")
+      .join(e.as("ac"),
+        col("abw.u") === col("ac.u") && col("abw.w") === col("ac.v"),
+        "left_semi")
+
   /** Global triangle census: nodes, edges, wedges, triangles, and the
     * global clustering coefficient 3·triangles / wedges. The edge set
     * is cached for the four aggregates and unpersisted before return
@@ -84,15 +97,7 @@ object Graph extends QueryModule {
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("w"))
         .head().getLong(0)
-      // triangles: for each wedge u<v<w with edges (u,v),(v,w), probe (u,w).
-      // Both joins are endpoint equi-joins; u<v<w counts each once.
-      val tri = e.as("ab").join(e.as("bc"), col("ab.v") === col("bc.u"))
-        .select(col("ab.u").as("u"), col("ab.v").as("v"), col("bc.v").as("w"))
-        .as("abw")
-        .join(e.as("ac"),
-          col("abw.u") === col("ac.u") && col("abw.w") === col("ac.v"),
-          "left_semi")
-        .count()
+      val tri = triangleRows(e).count()
       val spark = edgeDf.sparkSession
       import spark.implicits._
       Seq((nNodes, nEdges, wedges, tri,

@@ -416,7 +416,7 @@ object TrainPrep extends QueryModule {
               |  SELECT DISTINCT user_id % 256 AS u,
               |         epoch_ns(ts) // 86400000000000 AS dayn FROM events),
               |norm AS (
-              |  SELECT u, dayn - (SELECT min(dayn) FROM ud) AS d FROM ud),
+              |  SELECT u, (dayn - (SELECT min(dayn) FROM ud)) % 256 AS d FROM ud),
               |z AS (SELECT u, d, $zTermsSql AS z FROM norm)
               |SELECT layout, fid, n_cells, u_min, u_max, d_min, d_max,
               |  u_max - u_min + 1 AS u_span, d_max - d_min + 1 AS d_span
@@ -448,8 +448,13 @@ object TrainPrep extends QueryModule {
         expr("ts div 86400000000000").as("dayn"))
       .distinct()
     val dmin = ud.agg(min(col("dayn")).as("dmin"))
+    // both coordinates are 8-bit BUCKETS (user_id % 256 above, day
+    // offset % 256 here): without the clamp, a corpus spanning > 256
+    // days would alias day bits silently (d=256 encodes like d=0) and
+    // corrupt the per-file min/max audit — the mod makes the windowing
+    // into 256-day epochs explicit and symmetric with the user bucket
     val cells = ud.crossJoin(broadcast(dmin))
-      .select(col("u"), (col("dayn") - col("dmin")).as("d"))
+      .select(col("u"), ((col("dayn") - col("dmin")) % 256).as("d"))
     val zTermsSpark = (0 until 8).map { i =>
       s"((shiftright(u, $i) & 1) * ${1L << (2 * i + 1)}) + ((shiftright(d, $i) & 1) * ${1L << (2 * i)})"
     }.mkString("(", " + ", ")")

@@ -258,11 +258,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("graph queries are endpoint equi-joins only, never all-pairs") {
-    Seq("graph_degree_hist").foreach { q =>
-      val p = planOf(q)
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    }
+  test("graph degree histogram is endpoint equi-join work, never all-pairs") {
+    // the triangle census's internal joins are gated in GraphSpec on the
+    // exposed triangleRows plan (its final frame is an eager LocalRelation)
+    val p = planOf("graph_degree_hist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("SCD2 windows partition by program — never a global single-partition sort") {

@@ -117,13 +117,16 @@ class QueriesSpec extends SparkSpec {
     val ud = graft.Tables.events(spark, Sf)
       .select(col("user_id"), expr("ts div 86400000000000").as("dayn"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // key the expectation by the SAME day string the query emits, so a
+    // day-label off-by-one cannot hide in an aggregate compare
+    def dayStr(d: Long): String =
+      java.time.LocalDate.ofEpochDay(d).toString
     val expect = ud.map(_._2).distinct.sorted.map { d =>
-      d -> ud.filter(t => t._2 >= d - 6 && t._2 <= d).map(_._1).distinct.length.toLong
+      dayStr(d) -> ud.filter(t => t._2 >= d - 6 && t._2 <= d).map(_._1).distinct.length.toLong
     }.toMap
     val got = graft.analytics.EventAnalytics
       .slidingWau(graft.Tables.events(spark, Sf)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got.values.sum == expect.values.sum)
-    assert(got.size == expect.size)
+    assert(got == expect)
   }
 }

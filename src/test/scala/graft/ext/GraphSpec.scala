@@ -77,4 +77,13 @@ class GraphSpec extends SparkSpec {
     Graph.triangleCensus(Graph.edges(planted)).collect()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("triangle joins are hash equi-joins, never all-pairs (plan gate)") {
+    // the census's final frame is a LocalRelation (eager 1-row census),
+    // so the join stages must be gated on the exposed triangleRows plan
+    val rows = Graph.triangleRows(Graph.edges(graft.Tables.events(spark, Sf)))
+    rows.collect()
+    val p = rows.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
