@@ -115,6 +115,29 @@ object StreamAnalytics {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the PRECEDING hour — the streaming twin of the
+    * batch `evt_interval_join`. Both sides carry a watermark and the
+    * join condition bounds event-time reach in both directions, so
+    * Spark can evict buffered rows once the watermark passes their
+    * reach: join state is bounded, the requirement for an unbounded
+    * deployment (an unconstrained stream-stream join buffers forever).
+    */
+  def purchaseClickJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") < col("pts"))
+  }
+
   /** Start a windowed-volume query into an in-memory sink (smoke/test
     * harness; production would writeStream to parquet/Kafka). */
   def startToMemory(agg: DataFrame, name: String): StreamingQuery =

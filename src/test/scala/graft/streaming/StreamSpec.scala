@@ -118,6 +118,39 @@ class StreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream interval join matches clicks in the preceding hour only") {
+    val src = Files.createTempDirectory("graft_ssjoin").toString
+    val uschema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def writeRows(name: String, rows: Seq[(Long, String, Long, String)]): Unit = {
+      val lines = rows.map { case (id, ts, u, et) =>
+        s"""{"event_id":$id,"ts":"$ts","user_id":$u,"event_type":"$et"}"""
+      }
+      Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    writeRows("b1", Seq(
+      (100L, "2024-01-01T12:00:00Z", 1L, "purchase"),
+      (2L, "2024-01-01T11:10:00Z", 1L, "click"),   // in window
+      (3L, "2024-01-01T11:59:00Z", 1L, "click"),   // in window
+      (4L, "2024-01-01T12:00:00Z", 1L, "click"),   // = purchase instant → out
+      (5L, "2024-01-01T10:30:00Z", 1L, "click"),   // too old
+      (6L, "2024-01-01T11:30:00Z", 2L, "click")))  // other user
+
+    val stream = spark.readStream.schema(uschema).json(src)
+    val q = StreamAnalytics.startToMemory(
+      StreamAnalytics.purchaseClickJoin(stream), "ssjoin_out")
+    q.awaitTermination()
+
+    val pairs = spark.table("ssjoin_out")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 2L), (100L, 3L)))
+  }
+
   test("streaming band dedup: cross-batch candidates, capped state") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_banddedup").toString
