@@ -429,6 +429,68 @@ object TrainPrep extends QueryModule {
               |    min(u), max(u), min(d), max(d) FROM z GROUP BY 2)
               |ORDER BY layout, fid""".stripMargin),
       doc = "Morton/z-order layout audit: per-file min-max pruning ranges vs linear sort"),
+
+    // Outlier clipping (winsorization) at the exact per-type [p1, p99]:
+    // the prep step that tames heavy-tailed features before training.
+    // Bounds come from the same integer rank selection as
+    // evt_value_quantiles (type-1, no float rank math; per-type windows
+    // are the documented exact-twin tradeoff — the sketch quantiles are
+    // the 100 TB bound source, this is the oracle-checkable exact
+    // form), broadcast to one clipping pass. Null values stay null
+    // explicitly — Spark's and DuckDB's least/greatest disagree on
+    // null-skipping, so the CASE guard pins the semantics.
+    "prep_clip_outliers" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val ranked = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("event_type"))))
+        val bounds = ranked.groupBy(col("event_type")).agg(
+          max(when(col("rk") === expr("(n * 1 + 99) div 100"), col("value"))).as("p1"),
+          max(when(col("rk") === expr("(n * 99 + 99) div 100"), col("value"))).as("p99"))
+        Tables.events(s, dir)
+          .join(broadcast(bounds), Seq("event_type"))
+          .withColumn("clipped", when(col("value").isNull, lit(null))
+            .otherwise(least(greatest(col("value"), col("p1")), col("p99"))))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(when(col("value") < col("p1"), 1)).as("n_clip_lo"),
+            count(when(col("value") > col("p99"), 1)).as("n_clip_hi"),
+            round(max(col("p1")), 4).as("p1"),
+            round(max(col("p99")), 4).as("p99"),
+            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+              .as("sum_raw"),
+            round(sum(col("clipped").cast("decimal(18,2)")).cast("double"), 2)
+              .as("sum_clipped"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY value NULLS FIRST, event_id) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |b AS (
+             |  SELECT event_type,
+             |    max(CASE WHEN rk = (n * 1 + 99) // 100 THEN value END) AS p1,
+             |    max(CASE WHEN rk = (n * 99 + 99) // 100 THEN value END) AS p99
+             |  FROM r GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n_events,
+             |  count(*) FILTER (WHERE e.value < b.p1) AS n_clip_lo,
+             |  count(*) FILTER (WHERE e.value > b.p99) AS n_clip_hi,
+             |  round(max(b.p1), 4) AS p1, round(max(b.p99), 4) AS p99,
+             |  round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_raw,
+             |  round(CAST(sum(CAST(CASE WHEN e.value IS NULL THEN NULL
+             |    ELSE least(greatest(e.value, b.p1), b.p99) END
+             |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_clipped
+             |FROM events e JOIN b USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "winsorization at exact per-type [p1, p99] (broadcast bounds, one clip pass)"),
   )
 
   /** SQL for the 8+8-bit Morton interleave (user bit i → position 2i+1,

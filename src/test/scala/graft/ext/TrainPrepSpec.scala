@@ -178,6 +178,34 @@ class TrainPrepSpec extends SparkSpec {
     assert(zf.map(_._2).sum == lf.map(_._2).sum)
   }
 
+  test("winsorization: hand-computed clip bounds and sums on 1..100") {
+    val out = run("prep_clip_outliers").collect()
+    // contract on real data: clip counts bounded by the tail definition,
+    // clipped sum never exceeds raw by more than the lo-tail lift
+    out.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo <= n / 100 && hi <= n / 100 + 1, s"tails too fat: $r")
+      assert(r.getDouble(4) <= r.getDouble(5), "p1 <= p99")
+    }
+  }
+
+  test("winsorization on a planted 1..100 column") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_clip").toString
+    (1 to 100).map(i => (i.toLong, i.toLong * 1000000L, 1L, "t", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/events.parquet")
+    val out = graft.SparkEntry.queries("prep_clip_outliers")(spark, base).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // type-1 ranks: p1 = value@rk1 = 1, p99 = value@rk99 = 99
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 99.0)
+    assert(r.getLong(2) == 0L)       // nothing below 1
+    assert(r.getLong(3) == 1L)       // only 100 above 99
+    assert(r.getDouble(6) == 5050.0) // Σ 1..100
+    assert(r.getDouble(7) == 5049.0) // 100 clipped to 99
+  }
+
   test("Morton interleave: hand-computed z for known (u, d) cells") {
     import spark.implicits._
     val dayNs = 86400L * 1000000000L
