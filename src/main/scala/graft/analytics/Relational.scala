@@ -156,6 +156,28 @@ object Relational extends QueryModule {
              |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
       doc = "SURVEY §2.5 ranking window (top-k per group)"),
 
+    // The same top-3-per-customer through the engine's OWN whole
+    // operator (plans/TopKPerGroup.scala: custom LogicalPlan → strategy
+    // → bounded-heap partial/final SparkPlan pair): no sort of the
+    // input, map-side group-limit before the shuffle. Shares the
+    // window-form oracle — the differential gate proves the custom
+    // operator against DuckDB's ROW_NUMBER.
+    "rel_topk_native" -> Q(
+      (s, dir) =>
+        graft.plans.TopK.perGroup(
+            orders(s, dir).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+            3, Seq("o_custkey"),
+            Seq(("o_totalprice", false), ("o_orderkey", true)), rankName = "rn")
+          .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn")),
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |     ORDER BY o_totalprice DESC, o_orderkey NULLS FIRST) AS rn
+             |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+      doc = "top-k per group via the custom bounded-heap operator (no sort)"),
+
     // Window: lag/lead day-over-day delta on a monthly revenue series.
     "rel_monthly_revenue_delta" -> Q(
       (s, dir) => {

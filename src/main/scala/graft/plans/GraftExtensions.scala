@@ -13,10 +13,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator surface: bounded-heap top-k per group — the
+    // strategy plans the explicit TopKPerGroup node; the optimizer rule
+    // additionally rewrites idiomatic window top-k plans session-wide
+    // (an explicit choice at session build; live sessions opt in via
+    // TopK.registerRewrite)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => RewriteWindowTopK)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Minimal bridge into the `org.apache.spark.sql` package namespace:
+  * constructing a DataFrame from a custom LogicalPlan goes through
+  * `Dataset.ofRows`, which is `private[sql]`. This is the standard
+  * extension-library pattern (a one-method accessor, no copied code) —
+  * everything else in this repo stays on public API.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** The custom bounded-heap top-k operator: result parity with the
+  * window form, the partial/final plan shape, and the opt-in window
+  * rewrite rule. */
+class TopKSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("custom operator result equals the window form exactly") {
+    val window = SparkEntry.queries("rel_top_orders_per_cust")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val native = SparkEntry.queries("rel_topk_native")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(native.sameElements(window))
+  }
+
+  test("plan: partial + final heap pair around one exchange, no sort") {
+    val df = SparkEntry.queries("rel_topk_native")(spark, Sf)
+    df.collect()
+    // AQE prints the final AND initial plans; gate on the final section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the exec node prints as "TopKPerGroup" (TreeNode strips "Exec"):
+    // one partial (below the exchange) + one final (above it)
+    assert("TopKPerGroup \\d".r.findAllIn(p).size == 2, p)
+    assert(p.contains("Exchange hashpartitioning(o_custkey"), p)
+    // the input is never sorted — the final orderBy sorts only 3·|groups|
+    // ranked rows, so exactly one Sort (the output presentation) appears
+    assert("Sort \\[".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("k larger than every group ranks all rows") {
+    val df = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0))
+      .toDF("g", "v")
+    val out = TopK.perGroup(df, 10, Seq("g"), Seq(("v", false)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 10.0, 1), (1L, 5.0, 2), (2L, 7.0, 1)))
+  }
+
+  test("heap keeps the k best under the total order, ranks 1..k") {
+    val df = (1 to 100).map(i => ((i % 4).toLong, i.toLong)).toDF("g", "v")
+    val out = TopK.perGroup(df, 2, Seq("g"), Seq(("v", false)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // per residue class, the two largest values descending
+    assert(out == Set(
+      (0L, 100L, 1), (0L, 96L, 2), (1L, 97L, 1), (1L, 93L, 2),
+      (2L, 98L, 1), (2L, 94L, 2), (3L, 99L, 1), (3L, 95L, 2)))
+  }
+
+  test("opt-in rewrite: the idiomatic window top-k plans as the heap operator") {
+    TopK.registerRewrite(spark)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      def windowForm = graft.Tables.orders(spark, Sf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val df = windowForm
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"), p)
+      // neither a Window exec nor a leftover sort-based WindowGroupLimit
+      assert(!p.contains("Window"), p)
+      // and the rewritten plan returns exactly the window-form rows
+      val expect = SparkEntry.queries("rel_top_orders_per_cust")(spark, Sf)
+        .select("o_custkey", "o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = df.select(col("o_custkey"), col("o_orderkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect)
+    } finally TopK.unregisterRewrite(spark)
+  }
+
+  test("rewrite leaves non-matching windows alone (rank(), conjunct filters)") {
+    TopK.registerRewrite(spark)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      // rank() is not row_number: must NOT rewrite
+      val r1 = graft.Tables.orders(spark, Sf)
+        .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      assert(!r1.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+      // a disjunctive filter cannot be split into a pure rank limit:
+      // must NOT rewrite (a conjunct WOULD split, push down, and then
+      // legitimately rewrite)
+      val r2 = graft.Tables.orders(spark, Sf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 || col("o_totalprice") < 0)
+      assert(!r2.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+    } finally TopK.unregisterRewrite(spark)
+  }
+}
