@@ -111,12 +111,13 @@ object TextAnalytics extends QueryModule {
         val scored = tf.join(dfreq, Seq("term"))
           .withColumn("tfidf", col("tf").cast("double") *
             log(lit(nDocs).cast("double") / col("df").cast("double")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("tfidf").desc, col("term"))
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-          .select(col("doc_id"), col("rank"), col("term"),
+        // top-3 per doc through the engine's bounded-heap operator
+        // (plans/TopKPerGroup.scala): no sort of the (doc, term) rows,
+        // map-side group limit before the shuffle. (tfidf desc, term)
+        // is a total order per doc, so the heap is deterministic.
+        graft.plans.TopK
+          .perGroup(scored, 3, Seq("doc_id"), Seq(("tfidf", false), ("term", true)))
+          .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
             round(col("tfidf"), 4).as("tfidf"))
           .orderBy(col("doc_id"), col("rank"))
       },
