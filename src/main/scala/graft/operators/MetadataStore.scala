@@ -44,6 +44,23 @@ object MetadataStore {
     snapshot(spark, path).filter(col("key") === key)
       .select("value").collect().headOption.map(_.getString(0))
 
+  /** Version-travel read: the store as it stood at `asOfVersion`
+    * (inclusive) — the append-only log IS the history, so time travel
+    * is one filter before the last-write-wins collapse. Valid until a
+    * [[compact]] rewrites history to the live snapshot (document the
+    * retention trade exactly as table formats do). */
+  def snapshotAt(spark: SparkSession, path: String, asOfVersion: Long): DataFrame = {
+    StoreOps.recoverInterrupted(spark, path, StoreOps.ReadHealGraceMs)
+    try Upsert.lastWriteWins(
+      spark.read.parquet(path).filter(col("updated_at") <= asOfVersion),
+      "key", "updated_at")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        import spark.implicits._
+        Seq.empty[(String, String, Long)].toDF("key", "value", "updated_at")
+    }
+  }
+
   /** Compact the append-only log to one live row per key, bounding read
     * cost after many updates (crash-safe swap via [[StoreOps]]). */
   def compact(spark: SparkSession, path: String): Unit =

@@ -126,8 +126,16 @@ case class TopKPerGroupExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     // locals only — the closure must not capture the SparkPlan itself
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
     val kLocal = k
     val part = partitionExprs
     val ord = order
@@ -153,7 +161,9 @@ case class TopKPerGroupExec(
             heaps.put(key.copy(), heap)
         }
       }
+      numGroups += heaps.size
       if (!ranked) heaps.valuesIterator.flatMap(_.iterator)
+        .map { r => numOutputRows += 1; r }
       else {
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
@@ -163,6 +173,7 @@ case class TopKPerGroupExec(
           val sorted = heap.dequeueAll.reverse
           sorted.iterator.zipWithIndex.map { case (r, i) =>
             rankRow.update(0, i + 1)
+            numOutputRows += 1
             outProj(joined(r, rankRow))
           }
         }

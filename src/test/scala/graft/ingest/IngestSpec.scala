@@ -73,6 +73,22 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.json(s"$base/json_events").count() == n, "replay must no-op")
   }
 
+  test("date-partitioned sink: a block_date predicate prunes at the file index") {
+    val base = Files.createTempDirectory("graft_prune").toString
+    // synthetic slots are 60 s apart → ~1440 per day; 2001 spans 2 dates
+    Backfill.run(spark, 1L, 2001L, workers = 8, s"$base/events")
+    val all = spark.read.parquet(s"$base/events")
+    val dates = all.select("block_date").distinct().collect().map(_.getDate(0))
+    assert(dates.length > 1, "need multiple date partitions to prove pruning")
+    val one = all.filter(col("block_date") === lit(dates.min))
+    one.collect()
+    val p = one.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // NOT PushedFilters (row-group skipping after listing everything)
+    assert(p.contains("PartitionFilters: [isnotnull(block_date"), p)
+    assert(one.count() > 0 && one.count() < all.count())
+  }
+
   test("filterProcessed drops already-loaded slots (anti-join guard)") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("slot", "payload")

@@ -100,6 +100,25 @@ class MetadataStoreSpec extends SparkSpec {
     assert(MetadataStore.lastSlot(spark, path).contains(7L))
   }
 
+  test("version travel: snapshotAt replays the store as of any version") {
+    val path = Files.createTempDirectory("graft_meta_tt").toString + "/kv"
+    MetadataStore.updateLastSlot(spark, path, 100L)
+    val v1 = MetadataStore.snapshot(spark, path)
+      .select("updated_at").collect()(0).getLong(0)
+    MetadataStore.updateLastSlot(spark, path, 250L)
+    MetadataStore.set(spark, path, "warehouse_type", "orc")
+    // as-of v1: only the first write is visible
+    val at1 = MetadataStore.snapshotAt(spark, path, v1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at1 == Map("last_confirmed_slot" -> "100"))
+    // as-of the far future == current snapshot
+    val now = MetadataStore.snapshotAt(spark, path, Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(now == Map("last_confirmed_slot" -> "250", "warehouse_type" -> "orc"))
+    // before any write: empty, not an error
+    assert(MetadataStore.snapshotAt(spark, path, 0L).count() == 0)
+  }
+
   test("same-millisecond updates never resolve to the stale write") {
     // "9" > "10" lexically: with a wall-clock-only version, two writes
     // inside one millisecond would tie on updated_at and Upsert's
