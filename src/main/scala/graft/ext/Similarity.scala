@@ -540,5 +540,78 @@ object Similarity extends QueryModule {
               |JOIN cents c USING (cluster_id) JOIN seeds s USING (cluster_id)
               |ORDER BY cluster_id""".stripMargin),
       doc = "one spherical k-means step (assign + ordered-fold centroid update)"),
+
+    // Semantic dedup (SemDeDup shape): assign every embedding to its
+    // max-cosine seed cluster, then find near-duplicates ONLY within
+    // each cluster and keep one representative per duplicate relation
+    // (a vector is dropped iff a smaller-id cluster-mate sits within
+    // the cosine threshold — deterministic, and the cluster's min-id
+    // member always survives). The clustering is what makes semantic
+    // dedup tractable at 100 TB: the quadratic pair comparison runs
+    // within size-bounded clusters via a cluster-keyed equi-join, never
+    // across the corpus; oversized clusters would sub-split (larger k)
+    // or fall back to the sim_neardup_lsh bucket path. Assignment,
+    // cosine, and tie-breaks replay bit-exactly in the oracle (the
+    // emb_kmeans_step construction).
+    "sim_semdedup" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cluster_id"), col("v").as("sv"))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("cluster_id"))
+        val asg = e.join(broadcast(seeds), lit(true))
+          .withColumn("cos",
+            graft.functions.VectorExpressions.vector_cosine(col("v"), col("sv")))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cluster_id"), col("v"))
+        val pairs = asg.as("a")
+          .join(asg.as("b"),
+            col("a.cluster_id") === col("b.cluster_id")
+              && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("pcos", graft.functions.VectorExpressions
+            .vector_cosine(col("a.v"), col("b.v")))
+          .filter(col("pcos") >= 0.4)
+          .select(col("a.cluster_id").as("cluster_id"),
+            col("b.vec_id").as("drop_id"))
+        val dropped = pairs.distinct()
+        asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
+          .join(pairs.groupBy(col("cluster_id"))
+            .agg(count(lit(1)).as("n_dup_pairs")), Seq("cluster_id"), "left")
+          .join(dropped.groupBy(col("cluster_id"))
+            .agg(count(lit(1)).as("n_dropped")), Seq("cluster_id"), "left")
+          .select(col("cluster_id"), col("n_vecs"),
+            coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |seeds AS (SELECT vec_id AS cluster_id, v AS sv FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT vec_id, cluster_id, v FROM (
+              |    SELECT e.vec_id, s.cluster_id, e.v,
+              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id NULLS FIRST) AS rk
+              |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+              |p AS (
+              |  SELECT a.cluster_id, b.vec_id AS drop_id
+              |  FROM asg a JOIN asg b
+              |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+              |  WHERE ${dCos("a.v", "b.v")} >= 0.4e0),
+              |d AS (SELECT DISTINCT cluster_id, drop_id FROM p),
+              |n AS (SELECT cluster_id, count(*) AS n_vecs FROM asg GROUP BY 1),
+              |np AS (SELECT cluster_id, count(*) AS n_dup_pairs FROM p GROUP BY 1),
+              |nd AS (SELECT cluster_id, count(*) AS n_dropped FROM d GROUP BY 1)
+              |SELECT n.cluster_id, n.n_vecs,
+              |  CAST(COALESCE(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+              |  CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+              |  n.n_vecs - CAST(COALESCE(nd.n_dropped, 0) AS BIGINT) AS n_kept
+              |FROM n LEFT JOIN np USING (cluster_id)
+              |LEFT JOIN nd USING (cluster_id)
+              |ORDER BY 1""".stripMargin),
+      doc = "semantic dedup: within-cluster cosine near-dups, one representative kept"),
   )
 }

@@ -10,6 +10,22 @@ class ExtSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("semantic dedup: partition invariants, min-id survivor per cluster") {
+    val rows = run("sim_semdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 8, "one row per seed cluster")
+    val corpus = graft.Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_._2).sum == corpus, "every vector assigned exactly once")
+    rows.foreach { case (c, n, pairs, dropped, kept) =>
+      assert(kept + dropped == n, s"cluster $c: kept+dropped must partition")
+      assert(kept >= 1, s"cluster $c: the min-id member always survives")
+      assert(dropped <= pairs, "each drop needs at least one witnessing pair")
+    }
+    // the synthetic corpus has SOME near-dups (sim_neardup_pairs is
+    // non-empty), so semantic dedup must fire somewhere
+    assert(rows.map(_._4).sum > 0, "expected at least one semantic duplicate")
+  }
+
   test("BM25: more term hits outrank fewer at equal length; misses absent") {
     val out = run("text_bm25_search").collect()
     assert(out.nonEmpty && out.length <= 20)
