@@ -439,6 +439,35 @@ object Dedup extends QueryModule {
               |SELECT d1, d2, common, jaccard FROM jp ORDER BY d1, d2""".stripMargin),
       doc = "n-gram Jaccard near-dup (df-capped inverted-index candidate join)"),
 
+    // Cross-source contamination matrix: verified near-dup pairs rolled
+    // up by the (source, source) edge — the report that shows which
+    // crawl snapshots / corpus shards duplicate each other (diagonal =
+    // within-source dup rate). Pure composition: the df-capped jaccard
+    // pair machinery + two broadcast dims; the pair endpoints are
+    // canonicalized (least, greatest) so the matrix is one triangle.
+    "dedup_source_matrix" -> Q(
+      (s, dir) => {
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        jaccardPairs(shingleRows(s, dir), 0.5)
+          .select(col("d1"), col("d2"))
+          .join(broadcast(src.select(col("doc_id").as("d1"), col("source").as("src1"))), Seq("d1"))
+          .join(broadcast(src.select(col("doc_id").as("d2"), col("source").as("src2"))), Seq("d2"))
+          .groupBy(
+            least(col("src1"), col("src2")).as("source_a"),
+            greatest(col("src1"), col("src2")).as("source_b"))
+          .agg(count(lit(1)).as("n_dup_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH ${dJaccardCtes("jp", 0.5)}
+              |SELECT least(da.source, db.source) AS source_a,
+              |       greatest(da.source, db.source) AS source_b,
+              |       count(*) AS n_dup_pairs
+              |FROM jp
+              |JOIN documents da ON jp.d1 = da.doc_id
+              |JOIN documents db ON jp.d2 = db.doc_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "near-dup contamination matrix by (source, source) edge"),
+
     // MinHash + LSH: 8 min-hashes per doc, banded 4×2; docs sharing any
     // band bucket are candidate near-dups. The banding join is the piece
     // that survives 100 TB — candidates are found by equi-join on the
