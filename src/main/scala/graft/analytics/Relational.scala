@@ -242,6 +242,35 @@ object Relational extends QueryModule {
              |ORDER BY c_nationkey, bal_rank, c_custkey""".stripMargin),
       doc = "dense_rank + ntile window breadth"),
 
+    // Window: percent_rank + cume_dist — the percentile-rank feature
+    // normalization a training pipeline applies to heavy-tailed
+    // columns. (rank−1)/(n−1) and rank/n are evaluated by the identical
+    // formula in both engines on the same total order, so the doubles
+    // match bit-for-bit; top-5 per nation keeps the oracle small.
+    "rel_percentile_ranks" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        customer(s, dir)
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("c_nationkey"), col("rn"), col("c_custkey"),
+            col("c_acctbal"), col("pr"), col("cd"))
+          .orderBy(col("c_nationkey"), col("rn"))
+      },
+      Some("""SELECT c_nationkey, rn, c_custkey, c_acctbal, pr, cd FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |    round(PERCENT_RANK() OVER w, 6) AS pr,
+             |    round(CUME_DIST() OVER w, 6) AS cd,
+             |    ROW_NUMBER() OVER w AS rn
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_nationkey
+             |               ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST))
+             |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin),
+      doc = "percent_rank + cume_dist window breadth (percentile-rank normalization)"),
+
     // Window: first/last value over an explicit full-partition frame
     // (the SURVEY §2.5 first_seen/last_seen-with-row-context case).
     "rel_first_last_order" -> Q(
