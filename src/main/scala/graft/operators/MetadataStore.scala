@@ -30,15 +30,8 @@ object MetadataStore {
     * subsequent compact would snapshot that emptiness over the data.
     * Read path, so healing is grace-gated: see [[StoreOps.recoverInterrupted]]
     * on the reader-vs-live-compactor race. */
-  def snapshot(spark: SparkSession, path: String): DataFrame = {
-    StoreOps.recoverInterrupted(spark, path, StoreOps.ReadHealGraceMs)
-    try Upsert.lastWriteWins(spark.read.parquet(path), "key", "updated_at")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        import spark.implicits._
-        Seq.empty[(String, String, Long)].toDF("key", "value", "updated_at")
-    }
-  }
+  def snapshot(spark: SparkSession, path: String): DataFrame =
+    snapshotAt(spark, path, Long.MaxValue)
 
   def get(spark: SparkSession, path: String, key: String): Option[String] =
     snapshot(spark, path).filter(col("key") === key)
@@ -46,9 +39,10 @@ object MetadataStore {
 
   /** Version-travel read: the store as it stood at `asOfVersion`
     * (inclusive) — the append-only log IS the history, so time travel
-    * is one filter before the last-write-wins collapse. Valid until a
-    * [[compact]] rewrites history to the live snapshot (document the
-    * retention trade exactly as table formats do). */
+    * is one filter before the last-write-wins collapse; [[snapshot]] is
+    * this at `Long.MaxValue` (one shared implementation). History is
+    * valid until a [[compact]] rewrites it to the live snapshot (the
+    * standard table-format retention trade). */
   def snapshotAt(spark: SparkSession, path: String, asOfVersion: Long): DataFrame = {
     StoreOps.recoverInterrupted(spark, path, StoreOps.ReadHealGraceMs)
     try Upsert.lastWriteWins(

@@ -137,34 +137,66 @@ case class TopKPerGroupExec(
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
     val kLocal = k
-    val part = partitionExprs
+    // group keys must canonicalize -0.0/NaN like every built-in keyed
+    // operator (NormalizeFloatingNumbers doesn't visit custom nodes)
+    val part = partitionExprs.map(org.apache.spark.sql.graft.GraftSqlBridge.normalizeFloats)
     val ord = order
     val childOutput = child.output
     val outAttrs = output
     val ranked = rankAttr.isDefined
+    val maxGroups = TopKPerGroupExec.MaxPartialGroups
     child.execute().mapPartitions { iter =>
       val grpProj = UnsafeProjection.create(part, childOutput)
       val rowOrd = new LazilyGeneratedOrdering(ord, childOutput)
       // max-first heap per group: head = worst kept row
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = grpProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kLocal) heap.enqueue(row.copy())
-            else if (rowOrd.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
-            }
-          case None =>
-            val heap = new mutable.PriorityQueue[InternalRow]()(rowOrd)
-            heap.enqueue(row.copy())
-            heaps.put(key.copy(), heap)
+      if (!ranked) {
+        // PARTIAL: streaming. The heap map is bounded at maxGroups live
+        // groups — past the cap, rows of NEW groups pass through to the
+        // shuffle un-limited (a superset is always correct; the final
+        // pass enforces k). This keeps the partial a pure optimization
+        // instead of an OOM risk on near-unique group keys, where
+        // map-side limiting can't help anyway.
+        val streamed = iter.flatMap { row =>
+          val key = grpProj(row)
+          heaps.get(key) match {
+            case Some(heap) =>
+              if (heap.size < kLocal) heap.enqueue(row.copy())
+              else if (rowOrd.compare(row, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(row.copy())
+              }
+              Iterator.empty
+            case None if heaps.size < maxGroups =>
+              val heap = new mutable.PriorityQueue[InternalRow]()(rowOrd)
+              heap.enqueue(row.copy())
+              heaps.put(key.copy(), heap)
+              Iterator.empty
+            case None =>
+              Iterator.single(row)
+          }
         }
-      }
-      numGroups += heaps.size
-      if (!ranked) heaps.valuesIterator.flatMap(_.iterator)
-        .map { r => numOutputRows += 1; r }
-      else {
+        // ++ is by-name: heaps flush only after the input is drained
+        (streamed ++ heaps.valuesIterator.flatMap(_.iterator))
+          .map { r => numOutputRows += 1; r }
+      } else {
+        // FINAL: post-shuffle, clustered on the group keys — every row
+        // of a group is in this partition, so the map holds the
+        // partition's own groups only (k rows each).
+        iter.foreach { row =>
+          val key = grpProj(row)
+          heaps.get(key) match {
+            case Some(heap) =>
+              if (heap.size < kLocal) heap.enqueue(row.copy())
+              else if (rowOrd.compare(row, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(row.copy())
+              }
+            case None =>
+              val heap = new mutable.PriorityQueue[InternalRow]()(rowOrd)
+              heap.enqueue(row.copy())
+              heaps.put(key.copy(), heap)
+          }
+        }
+        numGroups += heaps.size
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
@@ -182,6 +214,15 @@ case class TopKPerGroupExec(
   }
 }
 
+object TopKPerGroupExec {
+  /** Live-group cap for the map-side partial pass: past this many
+    * groups in one input partition, new groups' rows flow to the
+    * shuffle un-limited instead of growing the heap map — near-unique
+    * keys get no benefit from map-side limiting, so the cap converts an
+    * OOM risk into a no-op. */
+  val MaxPartialGroups: Int = 1 << 17
+}
+
 /** User-facing API + per-session registration. */
 object TopK {
 
@@ -193,11 +234,16 @@ object TopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
 
-  /** Opt-in: enable the window-top-k rewrite session-wide. */
-  def registerRewrite(spark: SparkSession): Unit =
+  /** Opt-in: enable the window-top-k rewrite session-wide. The rewrite
+    * emits [[TopKPerGroup]] nodes, so the strategy that plans them must
+    * ride along — without it a fresh session would rewrite into an
+    * unplannable node. */
+  def registerRewrite(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
     if (!spark.experimental.extraOptimizations.contains(RewriteWindowTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteWindowTopK
+  }
 
   def unregisterRewrite(spark: SparkSession): Unit =
     spark.experimental.extraOptimizations =
@@ -212,9 +258,14 @@ object TopK {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
-    val byName = analyzed.output.map(a => a.name -> a).toMap
+    val byName = analyzed.output.groupBy(_.name)
     def attr(n: String): Attribute = byName.getOrElse(n,
-      throw new IllegalArgumentException(s"no column '$n' in ${byName.keys.mkString(",")}"))
+      throw new IllegalArgumentException(
+        s"no column '$n' in ${analyzed.output.map(_.name).mkString(",")}")) match {
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column '$n' (${many.size} matches) — disambiguate before TopK.perGroup")
+    }
     val sortOrders = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Canonicalize -0.0/0.0 and NaN bit patterns in an expression used
+    * as a grouping/join key (no-op for non-floating types). Spark's
+    * NormalizeFloatingNumbers rule covers built-in Aggregate/Join/
+    * Window nodes but not custom operators, which must apply it
+    * themselves. */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -51,6 +51,55 @@ class TopKSpec extends SparkSpec {
       (2L, 98L, 1), (2L, 94L, 2), (3L, 99L, 1), (3L, 95L, 2)))
   }
 
+  test("float group keys: -0.0 and 0.0 (and NaN bit patterns) are one group") {
+    val df = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L), (Double.NaN, 4L))
+      .toDF("g", "v")
+    val out = TopK.perGroup(df, 10, Seq("g"), Seq(("v", true)))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getInt(2)))
+    // two groups only: {0.0, -0.0} and {NaN, NaN}
+    assert(out.length == 4)
+    assert(out.map(_._3).count(_ == 1) == 2, out.mkString(";"))
+    assert(out.map(_._3).count(_ == 2) == 2, out.mkString(";"))
+  }
+
+  test("ambiguous column names are rejected, not silently bound") {
+    val a = Seq((1L, 2.0)).toDF("id", "v")
+    val b = Seq((1L, 3.0)).toDF("id2", "v")
+    val joined = a.join(b, a("id") === b("id2"))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(joined, 1, Seq("id"), Seq(("v", false)))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
+  test("near-unique group keys: the partial cap passes overflow through correctly") {
+    // more distinct groups than MaxPartialGroups in one partition —
+    // map-side limiting is useless here and must degrade to a no-op,
+    // never to wrong results
+    val n = TopKPerGroupExec.MaxPartialGroups + 50000
+    val df = spark.range(n.toLong).toDF("g").withColumn("v", col("g") * 2)
+      .coalesce(1)
+    val out = TopK.perGroup(df, 1, Seq("g"), Seq(("v", true)))
+    assert(out.count() == n.toLong)
+    assert(out.filter(col("rank") =!= 1).count() == 0)
+  }
+
+  test("registerRewrite on a session without the strategy still plans") {
+    val saved = spark.experimental.extraStrategies
+    try {
+      spark.experimental.extraStrategies = Seq.empty
+      TopK.registerRewrite(spark)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = graft.Tables.orders(spark, Sf)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      assert(df.count() > 0) // would throw "no plan for TopKPerGroup" unfixed
+    } finally {
+      TopK.unregisterRewrite(spark)
+      spark.experimental.extraStrategies = saved
+    }
+  }
+
   test("opt-in rewrite: the idiomatic window top-k plans as the heap operator") {
     TopK.registerRewrite(spark)
     try {
