@@ -578,6 +578,41 @@ object EventAnalytics extends QueryModule {
               |FROM p LEFT JOIN m ON p.purchase_id = m.purchase_id
               |ORDER BY p.purchase_id NULLS FIRST""".stripMargin),
       doc = "1h interval join (clicks before each purchase) as a bucketed equi-join"),
+
+    // RANGE window frame: per purchase, the same user's trailing-1h
+    // purchase value sum INCLUDING the row itself — a true event-time
+    // RANGE frame (peers by value distance on the µs timeline), the one
+    // frame family rows-based windows can't express. Frame bounds are
+    // integer µs, sums go through decimal, so both engines agree
+    // bit-for-bit. Per-user partitions keep the window keyed (never a
+    // global single-partition sort).
+    "evt_rolling_1h_value" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val HourUs = 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+          .rangeBetween(-HourUs, 0L)
+        ev(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+            col("value"))
+          .withColumn("rolling_1h", round(
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double"), 2))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("tus"),
+            col("rolling_1h"), col("n_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, user_id, tus,
+              |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+              |    AS rolling_1h,
+              |  count(*) OVER w AS n_1h
+              |FROM (
+              |  SELECT event_id, user_id, $dNs // 1000 AS tus, value
+              |  FROM events WHERE event_type = 'purchase')
+              |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+              |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin),
+      doc = "event-time RANGE frame: trailing-1h per-user purchase value sum"),
   )
 
   /** Interval-join body (injectable for specs): per purchase, clicks by
