@@ -271,6 +271,25 @@ object Relational extends QueryModule {
              |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin),
       doc = "percent_rank + cume_dist window breadth (percentile-rank normalization)"),
 
+    // Pivot: order counts spread across status columns per priority —
+    // Spark's groupBy().pivot() with EXPLICIT values (dynamic value
+    // discovery would need an extra pass and nondeterministic column
+    // order); the oracle is the portable conditional-aggregation form.
+    "rel_pivot_status" -> Q(
+      (s, dir) =>
+        orders(s, dir)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("F", "O", "P"))
+          .orderBy(col("priority")),
+      Some("""SELECT o_orderpriority AS priority,
+             | count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             | count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             | count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "pivot with explicit values (conditional-aggregation oracle)"),
+
     // Window: first/last value over an explicit full-partition frame
     // (the SURVEY §2.5 first_seen/last_seen-with-row-context case).
     "rel_first_last_order" -> Q(

@@ -64,5 +64,19 @@ object SqlSurface extends QueryModule {
         |WHERE c.c_custkey IN (SELECT o_custkey FROM busy)
         |GROUP BY n.n_name ORDER BY n_busy_custs DESC, n.n_name""".stripMargin,
       doc = "CTE + IN-subquery + HAVING"),
+
+    // WITH RECURSIVE (Spark 4 surface): a recursively generated month
+    // spine LEFT-joined to orders, so months with zero orders still get
+    // a row — the recursion-based densify, same text on both engines.
+    "sql_recursive_ladder" -> sqlQ(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT months.m AS month, count(o.o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders o
+        |  ON CAST(month(o.o_orderdate) AS INTEGER) = months.m
+        |GROUP BY months.m ORDER BY months.m""".stripMargin,
+      doc = "WITH RECURSIVE spine + left-join densify (SQL surface)"),
   )
 }
