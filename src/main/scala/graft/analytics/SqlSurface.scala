@@ -78,5 +78,44 @@ object SqlSurface extends QueryModule {
         |  ON CAST(month(o.o_orderdate) AS INTEGER) = months.m
         |GROUP BY months.m ORDER BY months.m""".stripMargin,
       doc = "WITH RECURSIVE spine + left-join densify (SQL surface)"),
+
+    // LATERAL correlated subquery: each nation's single highest-balance
+    // customer — the per-row subquery form of top-1-per-group.
+    "sql_lateral_top_customer" -> sqlQ(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c.c_name, c.c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin,
+      doc = "LATERAL correlated subquery (top-1 per row)"),
+
+    // Explicit GROUPING SETS with grouping_id: status totals, priority
+    // totals, and the grand total in one pass.
+    "sql_grouping_sets" -> sqlQ(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+      doc = "explicit GROUPING SETS + grouping() markers"),
+
+    // Bag semantics: INTERSECT ALL / EXCEPT ALL on order-status rows —
+    // multiplicities matter, unlike the distinct set ops in rel_set_ops.
+    "sql_set_ops_all" -> sqlQ(
+      """SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'except_all', count(*) FROM (
+        |  SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY op""".stripMargin,
+      doc = "INTERSECT ALL / EXCEPT ALL bag semantics"),
   )
 }
