@@ -297,5 +297,63 @@ object Star extends QueryModule {
               |FROM old FULL OUTER JOIN neu ON old.program_id = neu.program_id
               |ORDER BY 1 NULLS FIRST""".stripMargin),
       doc = "CDC snapshot diff of dim_programs: added/changed/unchanged rows"),
+
+    // Temporal (versioned) dimension join: every event enriched with
+    // the SCD2 tier that was VALID AT ITS TIMESTAMP — the point of
+    // keeping dimension history. The join is program-keyed (hash/
+    // broadcast equi-join; the dim is tiny) with the validity-range
+    // predicate applied on the matched pair; rolled up to (program,
+    // tier) event counts so the oracle stays small. Every event must
+    // land in exactly one version — QueriesSpec pins the partition.
+    "star_scd2_enrich" -> Q(
+      (s, dir) => {
+        val hist = scd2Programs(ev(s, dir))
+          .select(col("program_id"), col("version"), col("tier"),
+            col("valid_from"), col("valid_to"))
+        ev(s, dir)
+          .select(col("event_type").as("program_id"), tsDay().as("day"))
+          .join(broadcast(hist), Seq("program_id"))
+          .filter(col("day") >= col("valid_from") && col("day") <= col("valid_to"))
+          .groupBy(col("program_id"), col("version"), col("tier"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("program_id"), col("version"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT event_type AS program_id,
+              |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+              |         count(*) AS cnt
+              |  FROM events GROUP BY 1, 2),
+              |totals AS (
+              |  SELECT program_id, CAST(sum(cnt) AS BIGINT) AS total,
+              |         count(*) AS n_days
+              |  FROM daily GROUP BY 1),
+              |tiered AS (
+              |  SELECT d.program_id, d.day, d.cnt,
+              |    CASE WHEN d.cnt * t.n_days * 4 >= t.total * 5 THEN 'high'
+              |         WHEN d.cnt * t.n_days * 4 <= t.total * 3 THEN 'low'
+              |         ELSE 'mid' END AS tier
+              |  FROM daily d JOIN totals t USING (program_id)),
+              |flagged AS (
+              |  SELECT program_id, day, cnt, tier,
+              |    CASE WHEN lag(tier) OVER w IS NULL
+              |           OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+              |  FROM tiered WINDOW w AS (PARTITION BY program_id ORDER BY day)),
+              |versioned AS (
+              |  SELECT program_id, day, cnt, tier,
+              |    CAST(sum(chg) OVER (PARTITION BY program_id ORDER BY day
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+              |  FROM flagged),
+              |hist AS (
+              |  SELECT program_id, version, tier,
+              |         min(day) AS valid_from, max(day) AS valid_to
+              |  FROM versioned GROUP BY 1, 2, 3)
+              |SELECT e.program_id, h.version, h.tier, count(*) AS n_events
+              |FROM (SELECT event_type AS program_id,
+              |        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+              |      FROM events) e
+              |JOIN hist h ON e.program_id = h.program_id
+              | AND e.day >= h.valid_from AND e.day <= h.valid_to
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
+      doc = "temporal SCD2 join: events enriched with the tier valid at their time"),
   )
 }

@@ -95,6 +95,13 @@ class QueriesSpec extends SparkSpec {
     assert(out("1970-01-05") == ((2L, 1L))) // day 4: u1 still in window, u2 active
   }
 
+  test("SCD2 temporal join: every event lands in exactly one version") {
+    val enriched = run("star_scd2_enrich").collect()
+    val total = graft.Tables.events(spark, Sf).count()
+    assert(enriched.map(_.getLong(3)).sum == total,
+      "validity windows must partition the event stream")
+  }
+
   test("interval join: boundary-exact 1h window, zero-click purchases kept") {
     import spark.implicits._
     val H = 3600L * 1000000000L
