@@ -59,4 +59,87 @@ object TextExpressions {
 
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
+
+  // ---- simhash16: the dedup_simhash pipeline as ONE codegen'd pass ----
+
+  private val TokenRegex =
+    graft.ext.TextAnalytics.TokenPattern.r
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit SimHash of a document, bit-for-bit equal to the
+    * explode/groupBy `dedup_simhash` formulation (TextExpressionsSpec
+    * pins the equivalence): tokenize (the shared [[graft.ext.
+    * TextAnalytics.TokenPattern]], ALL occurrences), 60-bit md5-prefix
+    * hash per token (the `h60` construction), signed bit votes, sign
+    * collapse. Returns null for token-less docs — the grouped form
+    * emits no row for them. Boxed Long because the null case exists. */
+  def simhash16Impl(s: UTF8String): java.lang.Long = {
+    val toks = TokenRegex
+      .findAllIn(s.toString.toLowerCase(java.util.Locale.ROOT)).toArray
+    if (toks.isEmpty) return null
+    val md = mdLocal.get()
+    val sums = new Array[Int](16)
+    toks.foreach { t =>
+      val b = md.digest(t.getBytes("UTF-8"))
+      // first 15 hex chars = high 60 bits; keep as Long exactly like
+      // conv(substring(md5(tok), 1, 15), 16, 10)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+      h = h >>> 4 // 64 accumulated bits → the leading 15 nibbles
+      var bit = 0
+      while (bit < 16) {
+        sums(bit) += (if (((h >>> bit) & 1L) == 1L) 1 else -1)
+        bit += 1
+      }
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < 16) {
+      if (sums(bit) > 0) sim |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
+  case class SimHash16(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+    }
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // token-less docs
+    override def prettyName: String = "simhash16"
+
+    override def nullSafeEval(input: Any): Any =
+      simhash16Impl(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // nullable result: can't use defineCodeGen (non-null contract)
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val childGen = child.genCode(ctx)
+      val boxed = ctx.freshName("boxed")
+      ev.copy(code =
+        code"""
+          ${childGen.code}
+          boolean ${ev.isNull} = true;
+          long ${ev.value} = 0L;
+          if (!${childGen.isNull}) {
+            java.lang.Long $boxed =
+              graft.functions.TextExpressions.simhash16Impl(${childGen.value});
+            if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+          }
+        """)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def simhash16(c: Column): Column =
+    Bridge.column(SimHash16(Bridge.expression(c)))
 }

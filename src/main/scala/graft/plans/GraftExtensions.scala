@@ -45,6 +45,9 @@ object GraftExtensions {
     ("rolling_hash",
       info("rolling_hash", "rolling_hash(str) - polynomial rolling hash (document fingerprint)"),
       (es: Seq[Expression]) => TextExpressions.RollingHash(es.head)),
+    ("simhash16",
+      info("simhash16", "simhash16(str) - 16-bit SimHash signature (null for token-less input)"),
+      (es: Seq[Expression]) => TextExpressions.SimHash16(es.head)),
     ("base58_encode",
       info("base58_encode", "base58_encode(bin) - Base58 (Bitcoin/Solana alphabet)"),
       (es: Seq[Expression]) => Base58Expressions.Base58Encode(es.head)),

@@ -46,4 +46,27 @@ class TextExpressionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("graft\nengine"))
     assert(v == nativeHash(Seq("graft\nengine")).head)
   }
+
+  test("simhash16 expression equals the explode/groupBy pipeline on real docs") {
+    import org.apache.spark.sql.functions._
+    val viaExpr = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextExpressions.simhash16(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPipeline = graft.SparkEntry.queries("dedup_simhash")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaPipeline)
+  }
+
+  test("simhash16: null for token-less input, stable for permuted tokens") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Seq("", "!!! ???", "alpha beta gamma", "gamma alpha beta")
+      .toDF("text")
+      .select(TextExpressions.simhash16(col("text")).as("s"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    // simhash is bag-of-tokens: order must not matter
+    assert(out(2).getLong(0) == out(3).getLong(0))
+  }
 }
