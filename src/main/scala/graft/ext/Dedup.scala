@@ -606,6 +606,30 @@ object Dedup extends QueryModule {
               |FROM sums ORDER BY doc_id""".stripMargin),
       doc = "SimHash(16-bit) signatures (integer-exact)"),
 
+    // The SAME signatures through the native codegen'd expression
+    // (functions/TextExpressions.SimHash16) — one pass over the string,
+    // no explode/shuffle — sharing dedup_simhash's DuckDB oracle, so
+    // the custom expression sits under the differential gate exactly
+    // like the custom top-k operator does.
+    "dedup_simhash_expr" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextExpressions.simhash16(col("text")).as("simhash"))
+          .filter(col("simhash").isNotNull)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, ${dH60("t")} AS h
+              |  FROM documents, UNNEST(${TextAnalytics.dTok}) AS u(t)),
+              |sums AS (
+              |  SELECT doc_id,
+              |   ${(0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
+              |  FROM toks GROUP BY doc_id)
+              |SELECT doc_id,
+              | CAST(${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+              |FROM sums ORDER BY doc_id""".stripMargin),
+      doc = "native simhash16 expression under the differential gate"),
+
     // Substring-level dedup: find maximal duplicated token RUNS across
     // documents (the exact-substring mode the shingle family can't see —
     // a 40-token verbatim block inside two otherwise-different docs).
