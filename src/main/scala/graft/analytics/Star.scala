@@ -180,6 +180,37 @@ object Star extends QueryModule {
       .orderBy(col("program_id"))
   }
 
+  /** THE SCD2 history CTE chain (daily counts → integer-exact tiers →
+    * change flags → versions) — shared verbatim by the
+    * `star_scd2_programs` and `star_scd2_enrich` oracles so the tier
+    * rule and versioning logic exist in exactly one SQL copy. */
+  private val dScd2Ctes: String =
+    """daily AS (
+      |  SELECT event_type AS program_id,
+      |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT program_id, CAST(sum(cnt) AS BIGINT) AS total,
+      |         count(*) AS n_days
+      |  FROM daily GROUP BY 1),
+      |tiered AS (
+      |  SELECT d.program_id, d.day, d.cnt,
+      |    CASE WHEN d.cnt * t.n_days * 4 >= t.total * 5 THEN 'high'
+      |         WHEN d.cnt * t.n_days * 4 <= t.total * 3 THEN 'low'
+      |         ELSE 'mid' END AS tier
+      |  FROM daily d JOIN totals t USING (program_id)),
+      |flagged AS (
+      |  SELECT program_id, day, cnt, tier,
+      |    CASE WHEN lag(tier) OVER w IS NULL
+      |           OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      |  FROM tiered WINDOW w AS (PARTITION BY program_id ORDER BY day)),
+      |versioned AS (
+      |  SELECT program_id, day, cnt, tier,
+      |    CAST(sum(chg) OVER (PARTITION BY program_id ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM flagged)""".stripMargin
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // The dim_programs build as an oracle row: one grouped pass, all
@@ -237,31 +268,7 @@ object Star extends QueryModule {
     // builds.
     "star_scd2_programs" -> Q(
       (s, dir) => scd2Programs(ev(s, dir)),
-      Some("""WITH daily AS (
-             |  SELECT event_type AS program_id,
-             |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-             |         count(*) AS cnt
-             |  FROM events GROUP BY 1, 2),
-             |totals AS (
-             |  SELECT program_id, CAST(sum(cnt) AS BIGINT) AS total,
-             |         count(*) AS n_days
-             |  FROM daily GROUP BY 1),
-             |tiered AS (
-             |  SELECT d.program_id, d.day, d.cnt,
-             |    CASE WHEN d.cnt * t.n_days * 4 >= t.total * 5 THEN 'high'
-             |         WHEN d.cnt * t.n_days * 4 <= t.total * 3 THEN 'low'
-             |         ELSE 'mid' END AS tier
-             |  FROM daily d JOIN totals t USING (program_id)),
-             |flagged AS (
-             |  SELECT program_id, day, cnt, tier,
-             |    CASE WHEN lag(tier) OVER w IS NULL
-             |           OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
-             |  FROM tiered WINDOW w AS (PARTITION BY program_id ORDER BY day)),
-             |versioned AS (
-             |  SELECT program_id, day, cnt, tier,
-             |    CAST(sum(chg) OVER (PARTITION BY program_id ORDER BY day
-             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-             |  FROM flagged),
+      Some(s"""WITH $dScd2Ctes,
              |ranges AS (
              |  SELECT program_id, version, tier,
              |         min(day) AS valid_from, max(day) AS valid_to,
@@ -318,31 +325,7 @@ object Star extends QueryModule {
           .agg(count(lit(1)).as("n_events"))
           .orderBy(col("program_id"), col("version"))
       },
-      Some(s"""WITH daily AS (
-              |  SELECT event_type AS program_id,
-              |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-              |         count(*) AS cnt
-              |  FROM events GROUP BY 1, 2),
-              |totals AS (
-              |  SELECT program_id, CAST(sum(cnt) AS BIGINT) AS total,
-              |         count(*) AS n_days
-              |  FROM daily GROUP BY 1),
-              |tiered AS (
-              |  SELECT d.program_id, d.day, d.cnt,
-              |    CASE WHEN d.cnt * t.n_days * 4 >= t.total * 5 THEN 'high'
-              |         WHEN d.cnt * t.n_days * 4 <= t.total * 3 THEN 'low'
-              |         ELSE 'mid' END AS tier
-              |  FROM daily d JOIN totals t USING (program_id)),
-              |flagged AS (
-              |  SELECT program_id, day, cnt, tier,
-              |    CASE WHEN lag(tier) OVER w IS NULL
-              |           OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
-              |  FROM tiered WINDOW w AS (PARTITION BY program_id ORDER BY day)),
-              |versioned AS (
-              |  SELECT program_id, day, cnt, tier,
-              |    CAST(sum(chg) OVER (PARTITION BY program_id ORDER BY day
-              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-              |  FROM flagged),
+      Some(s"""WITH $dScd2Ctes,
               |hist AS (
               |  SELECT program_id, version, tier,
               |         min(day) AS valid_from, max(day) AS valid_to

@@ -194,8 +194,11 @@ object Dedup extends QueryModule {
 
   private[graft] def docBandKeys(text: String): Seq[(Int, String)] = {
     if (text == null) return Seq.empty
+    // lowercase through UTF8String — the same function as Spark's
+    // lower(), so the JVM-twin contract holds on any default locale
     val toks = TokenRegex
-      .findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toArray
+      .findAllIn(org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString).toArray
     if (toks.length < 3) return Seq.empty
     val shingles = (0 to toks.length - 3)
       .map(i => toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).distinct
@@ -317,6 +320,21 @@ object Dedup extends QueryModule {
   /** Shared 60-bit md5-derived hash (DuckDB-reproducible). */
   private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
   private def dH60(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** THE simhash oracle — shared verbatim by `dedup_simhash` (grouped
+    * pipeline) and `dedup_simhash_expr` (native expression), so the two
+    * queries are provably gated against the identical SQL. */
+  private lazy val dSimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${dH60("t")} AS h
+       |  FROM documents, UNNEST(${TextAnalytics.dTok}) AS u(t)),
+       |sums AS (
+       |  SELECT doc_id,
+       |   ${(0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id,
+       | CAST(${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of the full verified-jaccard chain over `documents`
     * (shingle → df-cap → candidate counts → threshold), ending in CTE
@@ -594,16 +612,7 @@ object Dedup extends QueryModule {
               .reduce(_ + _).as("simhash"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH toks AS (
-              |  SELECT doc_id, ${dH60("t")} AS h
-              |  FROM documents, UNNEST(${TextAnalytics.dTok}) AS u(t)),
-              |sums AS (
-              |  SELECT doc_id,
-              |   ${(0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
-              |  FROM toks GROUP BY doc_id)
-              |SELECT doc_id,
-              | CAST(${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
-              |FROM sums ORDER BY doc_id""".stripMargin),
+      Some(dSimhashSql),
       doc = "SimHash(16-bit) signatures (integer-exact)"),
 
     // The SAME signatures through the native codegen'd expression
@@ -618,16 +627,7 @@ object Dedup extends QueryModule {
             graft.functions.TextExpressions.simhash16(col("text")).as("simhash"))
           .filter(col("simhash").isNotNull)
           .orderBy(col("doc_id")),
-      Some(s"""WITH toks AS (
-              |  SELECT doc_id, ${dH60("t")} AS h
-              |  FROM documents, UNNEST(${TextAnalytics.dTok}) AS u(t)),
-              |sums AS (
-              |  SELECT doc_id,
-              |   ${(0 until 16).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
-              |  FROM toks GROUP BY doc_id)
-              |SELECT doc_id,
-              | CAST(${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS simhash
-              |FROM sums ORDER BY doc_id""".stripMargin),
+      Some(dSimhashSql),
       doc = "native simhash16 expression under the differential gate"),
 
     // Substring-level dedup: find maximal duplicated token RUNS across

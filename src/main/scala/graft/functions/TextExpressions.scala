@@ -78,8 +78,11 @@ object TextExpressions {
     * collapse. Returns null for token-less docs — the grouped form
     * emits no row for them. Boxed Long because the null case exists. */
   def simhash16Impl(s: UTF8String): java.lang.Long = {
-    val toks = TokenRegex
-      .findAllIn(s.toString.toLowerCase(java.util.Locale.ROOT)).toArray
+    // lowercase through UTF8String — the SAME function Spark's lower()
+    // applies in the grouped pipeline, so equivalence cannot depend on
+    // the JVM default locale (String.toLowerCase would diverge on e.g.
+    // Turkish dotted/dotless I whenever the input has non-ASCII bytes)
+    val toks = TokenRegex.findAllIn(s.toLowerCase.toString).toArray
     if (toks.isEmpty) return null
     val md = mdLocal.get()
     val sums = new Array[Int](16)
