@@ -58,6 +58,98 @@ object Similarity extends QueryModule {
   private[ext] val LshTables = 4
   private[ext] val LshBits = 6
 
+  /** Embedding dimensionality of the testdata store. */
+  private[ext] val Dims = 64
+
+  /** Pair-stage membership cap for semantic dedup: at most this many
+    * members per cluster enter the quadratic within-cluster comparison,
+    * chosen deterministically by md5 order (the `Graph.edges` cap
+    * idiom). At the test SFs every cluster sits far below the cap, so
+    * the cap is inert there — and the oracle replays it verbatim anyway,
+    * so it stays oracle-checked even when it fires. At 100 TB it bounds
+    * the self-join fan-out at C(cap, 2) per cluster instead of
+    * O((n/k)²) — the round-5 scale hazard. Members past the cap are
+    * never compared, hence always kept: the standard
+    * recall-for-boundedness trade (a capped member can still be dropped
+    * in a LATER pass — re-cluster with more seeds, or route the residue
+    * through the sim_neardup_lsh masked-key path — but never silently
+    * compared quadratically). */
+  val SemDedupMaxMembers = 20000
+
+  /** Max-cosine seed assignment (ties to the smaller cluster id): the k
+    * seed vectors broadcast against one corpus pass — the shared
+    * assignment kernel of emb_kmeans_step and sim_semdedup. */
+  private[ext] def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame = {
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cluster_id"))
+    e.join(broadcast(seeds), lit(true))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.vector_cosine(col("v"), col("sv")))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cluster_id"), col("cos"), col("v"))
+  }
+
+  /** Deterministic md5-ordered membership cap per cluster (see
+    * [[SemDedupMaxMembers]]). */
+  private[ext] def cappedClusterMembers(asg: DataFrame, maxMembers: Int): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(md5(concat(lit("sd_"), col("vec_id").cast("string"))), col("vec_id"))
+    asg.withColumn("mrn", row_number().over(byCluster))
+      .filter(col("mrn") <= maxMembers)
+      .select(col("vec_id"), col("cluster_id"), col("v"))
+  }
+
+  /** Within-cluster candidate pairs above `threshold`, over a (possibly
+    * capped) membership — the semdedup pair stage, exposed so the spec
+    * can prove the fan-out bound under an adversarial mega-cluster. */
+  private[ext] def semdedupPairs(members: DataFrame, threshold: Double): DataFrame =
+    members.as("a")
+      .join(members.as("b"),
+        col("a.cluster_id") === col("b.cluster_id")
+          && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("pcos", graft.functions.VectorExpressions
+        .vector_cosine(col("a.v"), col("b.v")))
+      .filter(col("pcos") >= threshold)
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("b.vec_id").as("drop_id"))
+
+  /** Per-group centroids as exact fixed-point means. Each coordinate
+    * widens to DECIMAL(38,18) — a deterministic per-element rounding the
+    * oracle replays — and decimal addition is EXACT, hence commutative
+    * and associative, so a plain partial/final `sum` is
+    * order-independent with O(1) aggregation state per (group, dim).
+    * This replaces the round-5 `collect_list` + vec_id-ordered fold,
+    * which held every member value in one aggregation buffer (O(n/k)
+    * memory per group — the flagged scale hazard). The 64 sums run as
+    * one wide hash aggregate over the raw scan: no posexplode (so no
+    * 64× row shuffle), no member buffering; the mean divides in DOUBLE
+    * after the exact sum, so the only float ops are one deterministic
+    * cast and one IEEE division per (group, dim) on both engines. */
+  private[ext] def centroids(df: DataFrame, keyCol: String): DataFrame = {
+    val sums = (0 until Dims).map(d =>
+      sum(element_at(col("v"), d + 1).cast("decimal(38,18)")).as(s"_s$d"))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(col(keyCol),
+        array((0 until Dims).map(d =>
+          col(s"_s$d").cast("double") / col("_n")): _*).as("centroid"))
+  }
+
+  // DuckDB mirror of [[centroids]] (subquery body over a CTE named
+  // `src(key, …, v)`): same DECIMAL(38,18) widening, exact decimal sum,
+  // then one double division per (group, dim).
+  private def dCentroids(src: String, key: String, outKey: String): String =
+    s"""SELECT $key AS $outKey, list(c ORDER BY d) AS centroid FROM (
+       |    SELECT $src.$key, gs.d,
+       |      CAST(sum(CAST($src.v[gs.d + 1] AS DECIMAL(38,18))) AS DOUBLE)
+       |        / count(*) AS c
+       |    FROM $src, generate_series(0, ${Dims - 1}) AS gs(d)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1""".stripMargin
+
   /** Sign sketches (vec_id, v, table_id, bucket) for every row of
     * `e(vec_id, v)`. Bit p of table t = sign(w_{t·k+p} · v), w a
     * deterministic ±1 hyperplane. The dot is the codegen'd native
@@ -199,23 +291,13 @@ object Similarity extends QueryModule {
         val nprobe = 3
         val e = emb(s, dir).select(col("vec_id"), col("label"),
           vecD(col("embedding")).as("v"))
-        // centroid per (cell, dim): members sorted by vec_id, then a
-        // strict left-to-right double fold divided by the member count.
-        // A plain avg() would sum in partition order — nondeterministic
-        // bits — while this sequence is replayed exactly by the oracle's
-        // ORDER BY vec_id list + list_dot_product(xs, ones) fold. The
-        // extra sort is per (cell, dim) group and tiny next to the scan.
-        val cents = e
-          .select(col("label"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy(col("label"), col("d"))
-          .agg(array_sort(collect_list(struct(col("vec_id"), col("x")))).as("vx"))
-          .select(col("label"), col("d"),
-            expr("aggregate(vx, CAST(0 AS DOUBLE), (acc, p) -> acc + p.x) / size(vx)")
-              .as("c"))
-          .groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
-          .select(col("label").as("cell"),
-            expr("transform(dc, p -> p.c)").as("centroid"))
+        // centroid per cell via [[centroids]]: exact DECIMAL(38,18)
+        // sums (order-independent, O(1) state per (cell, dim)) — a
+        // plain avg() would sum doubles in partition order
+        // (nondeterministic bits), and the round-5 ordered-fold form
+        // buffered whole clusters per group.
+        val cents = centroids(e.select(col("label"), col("v")), "label")
+          .withColumnRenamed("label", "cell")
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         // rank cells per query, keep nprobe
@@ -243,14 +325,7 @@ object Similarity extends QueryModule {
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
               |cents AS (
-              |  SELECT label AS cell, list(c ORDER BY d) AS centroid FROM (
-              |    SELECT label, d,
-              |      list_dot_product(xs, list_transform(xs, x -> 1.0e0)) / len(xs) AS c
-              |    FROM (
-              |      SELECT e.label, gs.d, list(e.v[gs.d + 1] ORDER BY e.vec_id) AS xs
-              |      FROM e, generate_series(0, 63) AS gs(d)
-              |      GROUP BY 1, 2))
-              |  GROUP BY 1),
+              |  ${dCentroids("e", "label", "cell")}),
               |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
               |probed AS (
               |  SELECT query_id, cell FROM (
@@ -467,44 +542,31 @@ object Similarity extends QueryModule {
     // store — the kernel of semantic clustering for diversity-aware
     // sampling. Seeds are the 8 lowest vec_ids (deterministic); each
     // vector joins its max-cosine seed (ties to the smaller cluster);
-    // new centroids are per-dimension means via the vec_id-ordered fold
-    // (the sim_ann_ivf discipline — never a partition-order float sum),
-    // and the step reports per-cluster size, cohesion (ordered sum of
-    // member cosines), and old-seed→new-centroid similarity. At scale:
-    // seeds broadcast (k rows), assignment is one pass over the store,
-    // the update is a (cluster, dim)-keyed aggregation — the exact plan
-    // a full Lloyd's loop would run per iteration.
+    // new centroids are exact DECIMAL(38,18) means via [[centroids]]
+    // (order-independent partial/final sums — never a partition-order
+    // float sum, never a whole-cluster buffer), and the step reports
+    // per-cluster size, cohesion (exact decimal sum of member cosines),
+    // and old-seed→new-centroid similarity. At scale: seeds broadcast
+    // (k rows), assignment is one pass over the store, the update is a
+    // cluster-keyed wide aggregation — the exact plan a full Lloyd's
+    // loop would run per iteration.
     "emb_kmeans_step" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
         val seeds = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cluster_id"), col("v").as("sv"))
-        val wA = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("cluster_id"))
-        val asg = e.join(broadcast(seeds), lit(true))
-          .withColumn("cos",
-            graft.functions.VectorExpressions.vector_cosine(col("v"), col("sv")))
-          .withColumn("rk", row_number().over(wA))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("cluster_id"), col("cos"), col("v"))
-        val cents = asg
-          .select(col("cluster_id"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy(col("cluster_id"), col("d"))
-          .agg(array_sort(collect_list(struct(col("vec_id"), col("x")))).as("vx"))
-          .select(col("cluster_id"), col("d"),
-            expr("aggregate(vx, CAST(0 AS DOUBLE), (acc, p) -> acc + p.x) / size(vx)")
-              .as("c"))
-          .groupBy(col("cluster_id"))
-          .agg(array_sort(collect_list(struct(col("d"), col("c")))).as("dc"))
-          .select(col("cluster_id"), expr("transform(dc, p -> p.c)").as("centroid"))
+        val asg = assignToSeeds(e, seeds)
+        val cents = centroids(asg.select(col("cluster_id"), col("v")), "cluster_id")
+        // cohesion: decimal addition is exact ⇒ the sum of the (bit-
+        // identical-across-engines) cosines is order-independent with
+        // O(1) state — the collect_list of (vec_id, cos) this replaces
+        // held every member in one buffer.
         val stats = asg.groupBy(col("cluster_id"))
           .agg(
             count(lit(1)).as("n_assigned"),
-            array_sort(collect_list(struct(col("vec_id"), col("cos")))).as("vc"))
+            sum(col("cos").cast("decimal(38,18)")).as("csum"))
           .select(col("cluster_id"), col("n_assigned"),
-            round(expr("aggregate(vc, CAST(0 AS DOUBLE), (acc, p) -> acc + p.cos)"), 4)
-              .as("cohesion"))
+            round(col("csum").cast("double"), 4).as("cohesion"))
         stats.join(cents, Seq("cluster_id"))
           .join(broadcast(seeds), Seq("cluster_id"))
           .select(col("cluster_id"), col("n_assigned"), col("cohesion"),
@@ -521,18 +583,10 @@ object Similarity extends QueryModule {
               |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id NULLS FIRST) AS rk
               |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
               |cents AS (
-              |  SELECT cluster_id, list(c ORDER BY d) AS centroid FROM (
-              |    SELECT cluster_id, d,
-              |      list_dot_product(xs, list_transform(xs, x -> 1.0e0)) / len(xs) AS c
-              |    FROM (
-              |      SELECT a.cluster_id, gs.d, list(a.v[gs.d + 1] ORDER BY a.vec_id) AS xs
-              |      FROM asg a, generate_series(0, 63) AS gs(d)
-              |      GROUP BY 1, 2))
-              |  GROUP BY 1),
+              |  ${dCentroids("asg", "cluster_id", "cluster_id")}),
               |stats AS (
               |  SELECT cluster_id, count(*) AS n_assigned,
-              |    round(list_dot_product(list(cos ORDER BY vec_id),
-              |      list_transform(list(cos ORDER BY vec_id), x -> 1.0e0)), 4) AS cohesion
+              |    round(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE), 4) AS cohesion
               |  FROM asg GROUP BY 1)
               |SELECT t.cluster_id, t.n_assigned, t.cohesion,
               | round(${dCos("s.sv", "c.centroid")}, 4) AS centroid_sim
@@ -548,34 +602,22 @@ object Similarity extends QueryModule {
     // the cosine threshold — deterministic, and the cluster's min-id
     // member always survives). The clustering is what makes semantic
     // dedup tractable at 100 TB: the quadratic pair comparison runs
-    // within size-bounded clusters via a cluster-keyed equi-join, never
-    // across the corpus; oversized clusters would sub-split (larger k)
-    // or fall back to the sim_neardup_lsh bucket path. Assignment,
-    // cosine, and tie-breaks replay bit-exactly in the oracle (the
-    // emb_kmeans_step construction).
+    // within clusters via a cluster-keyed equi-join, never across the
+    // corpus — and the [[SemDedupMaxMembers]] md5-ordered cap bounds
+    // each cluster's pair fan-out at C(cap, 2) even when the seed
+    // geometry collapses most of the corpus into one cluster (the
+    // adversarial case ExtSpec pins). Assignment, cosine, tie-breaks
+    // AND the cap replay bit-exactly in the oracle (the emb_kmeans_step
+    // construction plus a shared md5 member ranking).
     "sim_semdedup" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
         val seeds = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cluster_id"), col("v").as("sv"))
-        val wA = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("cluster_id"))
-        val asg = e.join(broadcast(seeds), lit(true))
-          .withColumn("cos",
-            graft.functions.VectorExpressions.vector_cosine(col("v"), col("sv")))
-          .withColumn("rk", row_number().over(wA))
-          .filter(col("rk") === 1)
+        val asg = assignToSeeds(e, seeds)
           .select(col("vec_id"), col("cluster_id"), col("v"))
-        val pairs = asg.as("a")
-          .join(asg.as("b"),
-            col("a.cluster_id") === col("b.cluster_id")
-              && col("a.vec_id") < col("b.vec_id"))
-          .withColumn("pcos", graft.functions.VectorExpressions
-            .vector_cosine(col("a.v"), col("b.v")))
-          .filter(col("pcos") >= 0.4)
-          .select(col("a.cluster_id").as("cluster_id"),
-            col("b.vec_id").as("drop_id"))
+        val capped = cappedClusterMembers(asg, SemDedupMaxMembers)
+        val pairs = semdedupPairs(capped, 0.4)
         val dropped = pairs.distinct()
         asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
           .join(pairs.groupBy(col("cluster_id"))
@@ -596,9 +638,15 @@ object Similarity extends QueryModule {
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
               |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id NULLS FIRST) AS rk
               |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+              |capped AS (
+              |  SELECT vec_id, cluster_id, v FROM (
+              |    SELECT vec_id, cluster_id, v,
+              |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |        ORDER BY md5('sd_' || vec_id::VARCHAR), vec_id) AS mrn
+              |    FROM asg) WHERE mrn <= $SemDedupMaxMembers),
               |p AS (
               |  SELECT a.cluster_id, b.vec_id AS drop_id
-              |  FROM asg a JOIN asg b
+              |  FROM capped a JOIN capped b
               |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
               |  WHERE ${dCos("a.v", "b.v")} >= 0.4e0),
               |d AS (SELECT DISTINCT cluster_id, drop_id FROM p),

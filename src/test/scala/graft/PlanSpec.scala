@@ -190,9 +190,22 @@ class PlanSpec extends SparkSpec {
   test("k-means step broadcasts the k seeds against one store pass") {
     val p = planOf("emb_kmeans_step")
     // assignment is seed-broadcast (8 rows x full store: BNLJ by design);
-    // the centroid update shuffles only by (cluster, dim)
+    // the centroid update is a cluster-keyed wide aggregate
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("centroid builds hold O(1) aggregation state: no member-buffering collect_list") {
+    // the r5 form buffered whole clusters per (cell, dim) group via
+    // collect_list + ordered fold — the flagged 100 TB hazard; the
+    // decimal-sum form must keep every aggregate a plain partial/final
+    // sum (and kmeans' cohesion likewise, not a (vec_id, cos) buffer)
+    for (q <- Seq("sim_ann_ivf", "emb_kmeans_step")) {
+      val p = planOf(q)
+      assert(!p.contains("collect_list"), s"$q buffers members:\n$p")
+      assert(p.contains("partial_sum") || p.contains("partial_finalmerge_sum")
+        || p.contains("sum("), s"$q: expected sum-based centroid aggregate:\n$p")
+    }
   }
 
   test("bloom filter broadcasts to the probe side; corpus builds it in one scan") {

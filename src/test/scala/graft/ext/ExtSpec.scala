@@ -26,6 +26,42 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_._4).sum > 0, "expected at least one semantic duplicate")
   }
 
+  test("semdedup pair stage: md5 cap bounds fan-out under a 90% mega-cluster") {
+    import spark.implicits._
+    val dims = 64
+    // 90 vectors hugging axis 0 (one mega-cluster after assignment),
+    // 10 hugging axis 2 — the adversarial seed-geometry collapse the
+    // SemDedupMaxMembers cap exists for
+    val rows =
+      (0L until 90L).map(i => (i, Array.tabulate(dims)(d =>
+        if (d == 0) 1.0 else if (d == 1) 0.001 * i else 0.0))) ++
+      (90L until 100L).map(i => (i, Array.tabulate(dims)(d =>
+        if (d == 2) 1.0 else if (d == 3) 0.001 * i else 0.0)))
+    val e = rows.toDF("vec_id", "v")
+    val seeds = Seq(
+      (0L, Array.tabulate(dims)(d => if (d == 0) 1.0 else 0.0)),
+      (1L, Array.tabulate(dims)(d => if (d == 2) 1.0 else 0.0)))
+      .toDF("cluster_id", "sv")
+    val asg = Similarity.assignToSeeds(e, seeds)
+      .select(col("vec_id"), col("cluster_id"), col("v"))
+    val sizes = asg.groupBy("cluster_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 90L, 1L -> 10L), s"unexpected geometry: $sizes")
+    val cap = 5
+    val capped = Similarity.cappedClusterMembers(asg, cap)
+    assert(capped.groupBy("cluster_id").count().collect()
+      .forall(_.getLong(1) <= cap))
+    // candidate fan-out with the threshold fully open: ≤ C(cap, 2) per
+    // cluster — never C(90, 2) ≈ 4000 from the mega-cluster
+    val nPairs = Similarity.semdedupPairs(capped, -1.0).count()
+    assert(nPairs == 2L * cap * (cap - 1) / 2, s"pair fan-out $nPairs not capped")
+    // and the cap is deterministic: same input, same surviving members
+    val m1 = capped.select("vec_id").as[Long].collect().sorted
+    val m2 = Similarity.cappedClusterMembers(asg, cap)
+      .select("vec_id").as[Long].collect().sorted
+    assert(m1.sameElements(m2))
+  }
+
   test("BM25: more term hits outrank fewer at equal length; misses absent") {
     val out = run("text_bm25_search").collect()
     assert(out.nonEmpty && out.length <= 20)
