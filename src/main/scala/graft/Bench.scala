@@ -34,20 +34,32 @@ object Bench {
     dt
   }
 
-  /** The two emitted JSON lines: the full per-query map (failures as
-    * -1.0 + an `errors` list, excluded from the total), then a short
-    * trailer. The trailer goes AFTER the long line because the driver
-    * captures the output TAIL, which truncates the long line's head once
-    * the query map grows — the trailer is what always survives. */
-  private[graft] def emitLines(results: Map[String, Double], sfDir: String,
-      fatal: Boolean = false): (String, String) = {
-    val failed = results.collect { case (name, t) if t < 0 => name }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+  /** Per-query chunk size for the emitted JSON lines. The driver
+    * captures the output TAIL: round 5 proved that one long line with
+    * all ~117 timings gets its HEAD truncated, hiding ~65 per-query
+    * numbers from the round-over-round regression audit. ~20 entries
+    * keep every line well under 1 KB. */
+  private[graft] val ChunkSize = 20
+
+  /** The emitted JSON lines, ALL short enough to survive tail capture:
+    * per-query timings in chunks of [[ChunkSize]] (registration order,
+    * newest-added queries last — failures as -1.0), then one
+    * self-contained trailer with the totals (failures excluded from the
+    * total) LAST so a parser taking the final line still gets a valid
+    * summary. */
+  private[graft] def emitLines(results: Seq[(String, Double)], sfDir: String,
+      fatal: Boolean = false): Seq[String] = {
+    val failed = results.collect { case (name, t) if t < 0 => name }.sorted
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    val nChunks = (results.size + ChunkSize - 1) / ChunkSize
+    val chunks = results.grouped(ChunkSize).zipWithIndex.map { case (chunk, i) =>
+      val qs = chunk.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"queries_chunk","chunk":${i + 1},"n_chunks":$nChunks,"queries":$qs,"sf":"$sfDir"}"""
+    }.toSeq
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"fatal":$fatal,"sf":"$sfDir"}""",
-     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"fatal":$fatal,"sf":"$sfDir"}""")
+    chunks :+
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs,"fatal":$fatal,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,12 +80,10 @@ object Bench {
     // overhead, not per-query throughput, and at toy SFs they would
     // otherwise dominate and add ±30% run-to-run noise.
     val fatal = new AtomicBoolean // set by any fatal error, warmup included
-    SparkEntry.queries.foreach { case (n, f) => execOne(spark, sfDir, n, f, fatal) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    SparkEntry.orderedQueries.foreach { case (n, f) => execOne(spark, sfDir, n, f, fatal) }
+    val results = SparkEntry.orderedQueries.map { case (name, fn) =>
       name -> execOne(spark, sfDir, name, fn, fatal) }
-    val (longLine, trailer) = emitLines(results, sfDir, fatal.get)
-    println(longLine)
-    println(trailer)
+    emitLines(results, sfDir, fatal.get).foreach(println)
     spark.stop()
   }
 }

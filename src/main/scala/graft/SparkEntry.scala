@@ -37,6 +37,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap
 
+  /** `queries` in module registration order (stable round-over-round,
+    * newest additions last) — what Bench iterates, so the emitted
+    * per-query chunks keep a diffable order. */
+  def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    all.map { case (n, q) => n -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -367,6 +367,23 @@ object Dedup extends QueryModule {
     * immediately, and EVERY cache is dropped when `use` returns (the
     * loan discipline). The driver holds only a convergence counter per
     * round, never the data. */
+  /** Release a loop frame's storage: the cache-manager entry AND, for a
+    * `localCheckpoint()`'d frame, the checkpoint RDD itself — Dataset
+    * .unpersist only covers the former (checkpoint storage is persisted
+    * outside the cache manager), so without this every truncation round
+    * would leak one persisted RDD past the loan scope (ExtSpec pins
+    * that no cached RDDs survive the library call). Only the plan ROOT
+    * is matched: a checkpoint frame is exactly a LogicalRDD leaf, while
+    * matching arbitrary leaves could unpersist RDDs the CALLER owns
+    * inside `pairs`' lineage. */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   private[ext] def withComponents[T](pairs: DataFrame, maxIter: Int = 30)
       (use: DataFrame => T): T = {
     // cached: every round joins against edges, and without this each
@@ -392,18 +409,28 @@ object Dedup extends QueryModule {
         // the change flag rides along in the SAME update pass (labels
         // only ever decrease, so changed ⟺ nbr < label) — no extra
         // updated×labels join per round just to count convergence
-        val updated = labels
+        val updatedPlan = labels
           .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
             (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
-          .cache()
+        // caching truncates RECOMPUTATION but not the LOGICAL plan: each
+        // round nests the previous round's join+agg, so by a deep
+        // iteration analysis/planning cost alone grows quadratically. A
+        // localCheckpoint every 8 rounds cuts the lineage to an RDD leaf
+        // (eager, so it is materialized — and persisted — right here,
+        // exactly like the cache it replaces; executor loss would lose
+        // the truncated lineage, which local mode cannot hit and a
+        // cluster run would absorb by rerunning the component loop).
+        val updated =
+          if ((iter + 1) % 8 == 0) updatedPlan.localCheckpoint()
+          else updatedPlan.cache()
         retired += updated
         // the count materializes `updated`, after which the prior
         // round's CACHED frame (not the derived view) has no consumers —
         // drop it NOW so one (id, label) frame is live, not diameter-many
         changed = updated.filter(col("chg")).count()
-        cached.unpersist()
+        release(cached)
         cached = updated
         labels = updated.select(col("id"), col("label"))
         iter += 1
@@ -411,7 +438,7 @@ object Dedup extends QueryModule {
       require(changed == 0L,
         s"connected components did not converge in $maxIter rounds")
       use(labels)
-    } finally retired.foreach(_.unpersist())
+    } finally retired.foreach(release)
   }
 
   override val defs: Seq[(String, Q)] = Seq(

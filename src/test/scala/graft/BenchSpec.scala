@@ -24,17 +24,16 @@ class BenchSpec extends SparkSpec {
       (_, _) => throw new OutOfMemoryError("deliberate"), fatal)
     assert(bad == -1.0)
     assert(fatal.get, "OutOfMemoryError must set the fatal taint")
-    val (longLine, trailer) = Bench.emitLines(Map("oom" -> bad), "/sf", fatal.get)
-    assert(longLine.contains("\"fatal\":true"))
-    assert(trailer.contains("\"fatal\":true"))
+    val lines = Bench.emitLines(Seq("oom" -> bad), "/sf", fatal.get)
+    assert(lines.last.contains("\"fatal\":true"))
   }
 
   test("emitted lines: failures listed, excluded from total, trailer counts") {
-    val (longLine, trailer) = Bench.emitLines(
-      Map("q_ok" -> 1.5, "q_boom" -> -1.0, "q_also_ok" -> 0.5), "/sf")
-    assert(longLine.contains("\"q_boom\":-1.0"))
-    assert(longLine.contains("\"errors\":[\"q_boom\"]"))
-    assert(longLine.contains("\"value\":2.0"))
+    val lines = Bench.emitLines(
+      Seq("q_ok" -> 1.5, "q_boom" -> -1.0, "q_also_ok" -> 0.5), "/sf")
+    val (chunks, trailer) = (lines.init, lines.last)
+    assert(chunks.exists(_.contains("\"q_boom\":-1.0")))
+    assert(trailer.contains("\"errors\":[\"q_boom\"]"))
     assert(trailer.contains("\"n_queries\":3") && trailer.contains("\"n_errors\":1"))
     assert(trailer.contains("\"value\":2.0"))
     // trailer is self-contained (short, truncation-proof): no query map
@@ -42,9 +41,28 @@ class BenchSpec extends SparkSpec {
   }
 
   test("no failures: empty errors array, zero n_errors, untainted") {
-    val (longLine, trailer) = Bench.emitLines(Map("a" -> 1.0), "/sf")
-    assert(longLine.contains("\"errors\":[]"))
-    assert(trailer.contains("\"n_errors\":0"))
-    assert(longLine.contains("\"fatal\":false") && trailer.contains("\"fatal\":false"))
+    val lines = Bench.emitLines(Seq("a" -> 1.0), "/sf")
+    assert(lines.last.contains("\"errors\":[]"))
+    assert(lines.last.contains("\"n_errors\":0"))
+    assert(lines.last.contains("\"fatal\":false"))
+  }
+
+  test("per-query timings chunk at ChunkSize; every line stays tail-safe") {
+    // 117-query scale: every name must appear in exactly one chunk line,
+    // every line short enough that the driver's tail window keeps all
+    val results = (1 to 117).map(i => f"q_$i%03d" -> (i / 100.0))
+    val lines = Bench.emitLines(results, "/sf")
+    val chunks = lines.init
+    assert(chunks.size == (117 + Bench.ChunkSize - 1) / Bench.ChunkSize)
+    results.foreach { case (name, _) =>
+      assert(chunks.count(_.contains("\"" + name + "\":")) == 1, name)
+    }
+    // registration order preserved: first chunk holds the first queries,
+    // last chunk the newest-added ones
+    assert(chunks.head.contains("\"q_001\":") && chunks.last.contains("\"q_117\":"))
+    lines.foreach(l => assert(l.length < 1200, s"line too long (${l.length})"))
+    // each chunk line is itself valid JSON with chunk bookkeeping
+    assert(chunks.forall(c => c.contains("\"metric\":\"queries_chunk\"")
+      && c.contains("\"n_chunks\":" + chunks.size)))
   }
 }

@@ -100,6 +100,26 @@ class DedupProps extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("connected components: 30-round chain converges through lineage truncation") {
+    // a 31-node path has diameter 30: min-label propagation needs the
+    // full 30 rounds, crossing the every-8-rounds localCheckpoint
+    // lineage truncation several times — the adversarial depth where,
+    // uncheckpointed, the nested plan alone made analysis quadratic
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("d1", "d2")
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    val labels = Dedup.withComponents(pairs, maxIter = 32)(
+      _.as[(Long, Long)].collect().toMap)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(labels == (0L to 30L).map(_ -> 0L).toMap)
+    // truncation keeps per-round planning flat: the whole 30-round loop
+    // must stay interactive (uncheckpointed it blows past this locally)
+    assert(sec < 120.0, s"30-round CC took ${sec}s — lineage truncation broken?")
+    // the loan releases every per-round cache AND checkpoint RDD
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("identical posting sets always band together and verify at 1.0") {
     // doc 100 and 101 share an identical 6-shingle set → every band key
     // matches → candidate with jaccard exactly 1.0
