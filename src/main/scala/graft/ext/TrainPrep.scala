@@ -438,43 +438,21 @@ object TrainPrep extends QueryModule {
     // the 100 TB bound source, this is the oracle-checkable exact
     // form), broadcast to one clipping pass. Null values stay null
     // explicitly — Spark's and DuckDB's least/greatest disagree on
-    // null-skipping, so the CASE guard pins the semantics.
+    // null-skipping, so the CASE guard pins the semantics — and the
+    // RANKS run over non-null values only: with >1% null rows a
+    // nulls-first rank would land the p1 selection ON a null, making
+    // the bounds themselves null and reopening the exact null-skip
+    // divergence the guard closed. (A type whose values are ALL null
+    // has no definable bounds and drops from the summary on both
+    // engines — the inner join on the bounds table.)
     "prep_clip_outliers" -> Q(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("value"), col("event_id"))
-        val ranked = Tables.events(s, dir)
-          .select(col("event_type"), col("event_id"), col("value"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1))
-            .over(Window.partitionBy(col("event_type"))))
-        val bounds = ranked.groupBy(col("event_type")).agg(
-          max(when(col("rk") === expr("(n * 1 + 99) div 100"), col("value"))).as("p1"),
-          max(when(col("rk") === expr("(n * 99 + 99) div 100"), col("value"))).as("p99"))
-        Tables.events(s, dir)
-          .join(broadcast(bounds), Seq("event_type"))
-          .withColumn("clipped", when(col("value").isNull, lit(null))
-            .otherwise(least(greatest(col("value"), col("p1")), col("p99"))))
-          .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            count(when(col("value") < col("p1"), 1)).as("n_clip_lo"),
-            count(when(col("value") > col("p99"), 1)).as("n_clip_hi"),
-            round(max(col("p1")), 4).as("p1"),
-            round(max(col("p99")), 4).as("p99"),
-            round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
-              .as("sum_raw"),
-            round(sum(col("clipped").cast("decimal(18,2)")).cast("double"), 2)
-              .as("sum_clipped"))
-          .orderBy(col("event_type"))
-      },
+      (s, dir) => clipOutliers(Tables.events(s, dir)),
       Some("""WITH r AS (
              |  SELECT event_type, value,
              |    ROW_NUMBER() OVER (PARTITION BY event_type
-             |      ORDER BY value NULLS FIRST, event_id) AS rk,
+             |      ORDER BY value, event_id) AS rk,
              |    count(*) OVER (PARTITION BY event_type) AS n
-             |  FROM events),
+             |  FROM events WHERE value IS NOT NULL),
              |b AS (
              |  SELECT event_type,
              |    max(CASE WHEN rk = (n * 1 + 99) // 100 THEN value END) AS p1,
@@ -492,6 +470,41 @@ object TrainPrep extends QueryModule {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "winsorization at exact per-type [p1, p99] (broadcast bounds, one clip pass)"),
   )
+
+  /** Winsorization body (injectable for specs — see the
+    * `prep_clip_outliers` entry for the full rationale). Bounds rank
+    * over NON-NULL values only so p1/p99 are never null; the clip pass
+    * still sees every row (nulls stay null via the CASE guard). */
+  def clipOutliers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .filter(col("value").isNotNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked.groupBy(col("event_type")).agg(
+      max(when(col("rk") === expr("(n * 1 + 99) div 100"), col("value"))).as("p1"),
+      max(when(col("rk") === expr("(n * 99 + 99) div 100"), col("value"))).as("p99"))
+    events
+      .join(broadcast(bounds), Seq("event_type"))
+      .withColumn("clipped", when(col("value").isNull, lit(null))
+        .otherwise(least(greatest(col("value"), col("p1")), col("p99"))))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("value") < col("p1"), 1)).as("n_clip_lo"),
+        count(when(col("value") > col("p99"), 1)).as("n_clip_hi"),
+        round(max(col("p1")), 4).as("p1"),
+        round(max(col("p99")), 4).as("p99"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_raw"),
+        round(sum(col("clipped").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_clipped"))
+      .orderBy(col("event_type"))
+  }
 
   /** SQL for the 8+8-bit Morton interleave (user bit i → position 2i+1,
     * day bit i → position 2i), shared verbatim by both engines — shifts

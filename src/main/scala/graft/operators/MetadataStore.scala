@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object MetadataStore {
 
+  /** Reserved key recording the version floor of the last [[compact]]:
+    * history at or above it survives compaction (the live row per key),
+    * history below it is gone. Hidden from every read view; [[set]]
+    * rejects it. */
+  val FloorKey = "_compaction_floor"
+
   def set(spark: SparkSession, path: String, key: String, value: String): Unit = {
     import spark.implicits._
+    require(key != FloorKey, s"'$FloorKey' is reserved for compaction bookkeeping")
     // Strictly monotonic version (StoreOps): two updates inside one
     // millisecond would tie on wall-clock alone, and Upsert's descending
     // STRING tiebreak on value could then snapshot the stale write
@@ -40,25 +47,58 @@ object MetadataStore {
   /** Version-travel read: the store as it stood at `asOfVersion`
     * (inclusive) — the append-only log IS the history, so time travel
     * is one filter before the last-write-wins collapse; [[snapshot]] is
-    * this at `Long.MaxValue` (one shared implementation). History is
-    * valid until a [[compact]] rewrites it to the live snapshot (the
-    * standard table-format retention trade). */
+    * this at `Long.MaxValue` (one shared implementation). History below
+    * the [[compact]]ion floor is GONE (the standard table-format
+    * retention trade), and reading past it fails loudly — the compacted
+    * rows filtered to an old version would silently impersonate the
+    * historical state (or an empty store). */
   def snapshotAt(spark: SparkSession, path: String, asOfVersion: Long): DataFrame = {
     StoreOps.recoverInterrupted(spark, path, StoreOps.ReadHealGraceMs)
-    try Upsert.lastWriteWins(
-      spark.read.parquet(path).filter(col("updated_at") <= asOfVersion),
+    val raw = rawLog(spark, path)
+    val floor = floorOf(raw)
+    require(asOfVersion >= floor,
+      s"asOfVersion $asOfVersion precedes the compaction floor $floor of $path: " +
+        "history before the last compact() is unrecoverable")
+    Upsert.lastWriteWins(
+      raw.filter(col("updated_at") <= asOfVersion && col("key") =!= FloorKey),
       "key", "updated_at")
+  }
+
+  private def rawLog(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
     catch {
       case _: org.apache.spark.sql.AnalysisException =>
         import spark.implicits._
         Seq.empty[(String, String, Long)].toDF("key", "value", "updated_at")
     }
-  }
+
+  /** The recorded compaction floor (0 for a never-compacted store). */
+  private def floorOf(raw: DataFrame): Long =
+    raw.filter(col("key") === FloorKey)
+      .agg(max(col("value").cast("long"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
 
   /** Compact the append-only log to one live row per key, bounding read
-    * cost after many updates (crash-safe swap via [[StoreOps]]). */
-  def compact(spark: SparkSession, path: String): Unit =
-    StoreOps.replaceWith(spark, path, snapshot(spark, path))
+    * cost after many updates (crash-safe swap via [[StoreOps]]). The
+    * surviving max version is recorded under [[FloorKey]] so
+    * [[snapshotAt]] can refuse (instead of silently misanswering)
+    * version-travel reads into the discarded history. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val snap = snapshot(spark, path)
+    // floor is MONOTONIC: max of the prior floor and the surviving max
+    // version — an emptied-but-previously-compacted store must not
+    // forget that its early history is gone
+    val floor = math.max(
+      floorOf(rawLog(spark, path)),
+      snap.agg(max(col("updated_at"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
+    val withMarker =
+      if (floor == 0L) snap // never written: nothing discarded, no floor
+      else snap.unionByName(
+        Seq((FloorKey, floor.toString, floor)).toDF("key", "value", "updated_at"))
+    StoreOps.replaceWith(spark, path, withMarker)
+  }
 
   /** last_confirmed_slot accessors (warehouse.rs:251-285 semantics). */
   def lastSlot(spark: SparkSession, path: String): Option[Long] =

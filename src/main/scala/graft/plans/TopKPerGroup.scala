@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window => LogicalWindow}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator top-k-per-group (SURVEY §7.3 preference (c): custom
@@ -50,12 +50,18 @@ case class TopKPerGroup(
   * expression, plain `row_number` over the default running frame, a
   * non-empty PARTITION BY (a global top-k belongs to
   * TakeOrderedAndProject), and a filter that is a single rank-vs-
-  * integer-literal comparison. Opt-in per session (it changes plans
-  * session-wide): injected by [[GraftExtensions]] for `withExtensions`
-  * builders, or via `TopK.registerRewrite`. */
+  * integer-literal comparison. DOUBLY opt-in: the rule must be
+  * injected ([[GraftExtensions]] / `TopK.registerRewrite`) AND the
+  * [[RewriteWindowTopK.EnabledKey]] conf set — a session built
+  * withExtensions just for the SQL function surface must not silently
+  * get session-wide plan rewrites of every `row_number() <= k` window. */
 object RewriteWindowTopK extends Rule[LogicalPlan] {
 
   val MaxK = 10000
+
+  /** Session conf enabling the window rewrite once the rule is
+    * injected; `TopK.registerRewrite` sets it. */
+  val EnabledKey = "spark.graft.topk.rewrite"
 
   private def rankLimit(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v)
@@ -78,7 +84,9 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
+    plan.transformUp {
     case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
         LogicalWindow(
           Seq(alias @ Alias(WindowExpression(RowNumber(),
@@ -92,6 +100,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
             stripGroupLimit(child, partitionSpec, orderSpec))
         case _ => f
       }
+    }
   }
 }
 
@@ -130,12 +139,15 @@ case class TopKPerGroupExec(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of groups"))
+      .createMetric(sparkContext, "number of groups"),
+    "numSortFallbacks" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "final passes spilled to external sort"))
 
   protected override def doExecute(): RDD[InternalRow] = {
     // locals only — the closure must not capture the SparkPlan itself
     val numOutputRows = longMetric("numOutputRows")
     val numGroups = longMetric("numGroups")
+    val numSortFallbacks = longMetric("numSortFallbacks")
     val kLocal = k
     // group keys must canonicalize -0.0/NaN like every built-in keyed
     // operator (NormalizeFloatingNumbers doesn't visit custom nodes)
@@ -145,6 +157,9 @@ case class TopKPerGroupExec(
     val outAttrs = output
     val ranked = rankAttr.isDefined
     val maxGroups = TopKPerGroupExec.MaxPartialGroups
+    val maxBuffered = session.sessionState.conf.getConfString(
+      TopKPerGroupExec.MaxFinalBufferedRowsKey,
+      TopKPerGroupExec.DefaultMaxFinalBufferedRows.toString).toLong
     child.execute().mapPartitions { iter =>
       val grpProj = UnsafeProjection.create(part, childOutput)
       val rowOrd = new LazilyGeneratedOrdering(ord, childOutput)
@@ -181,12 +196,31 @@ case class TopKPerGroupExec(
       } else {
         // FINAL: post-shuffle, clustered on the group keys — every row
         // of a group is in this partition, so the map holds the
-        // partition's own groups only (k rows each).
-        iter.foreach { row =>
+        // partition's own groups only (k rows each). That footprint is
+        // O(groups·k): the partial-aggregation class for the bounded-
+        // group case the operator targets, but with high-cardinality
+        // keys (exactly where the partial's MaxPartialGroups cap
+        // deliberately passes rows through uncapped) it approaches the
+        // whole partition on-heap — where the sort-based Window this
+        // operator replaces would have SPILLED. So past `maxBuffered`
+        // buffered rows the pass falls back: the heaps' survivors and
+        // the rest of the input drain into a spillable external sort on
+        // (group keys, order), and ranks stream off the sorted run one
+        // group at a time — O(1) heap, disk-backed, never OOM. Rows a
+        // heap already evicted are provably outside their group's top-k
+        // (k better rows were in-heap), so dropping them pre-fallback
+        // is sound.
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        var buffered = 0L
+        var fellBack = false
+        while (iter.hasNext && !fellBack) {
+          val row = iter.next()
           val key = grpProj(row)
           heaps.get(key) match {
             case Some(heap) =>
-              if (heap.size < kLocal) heap.enqueue(row.copy())
+              if (heap.size < kLocal) { heap.enqueue(row.copy()); buffered += 1 }
               else if (rowOrd.compare(row, heap.head) < 0) {
                 heap.dequeue(); heap.enqueue(row.copy())
               }
@@ -194,19 +228,63 @@ case class TopKPerGroupExec(
               val heap = new mutable.PriorityQueue[InternalRow]()(rowOrd)
               heap.enqueue(row.copy())
               heaps.put(key.copy(), heap)
+              buffered += 1
           }
+          if (buffered > maxBuffered) fellBack = true
         }
-        numGroups += heaps.size
-        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-        val joined = new JoinedRow
-        val rankRow = new GenericInternalRow(1)
-        heaps.valuesIterator.flatMap { heap =>
-          // dequeueAll is max-first; reversed = rank order
-          val sorted = heap.dequeueAll.reverse
-          sorted.iterator.zipWithIndex.map { case (r, i) =>
-            rankRow.update(0, i + 1)
-            numOutputRows += 1
-            outProj(joined(r, rankRow))
+        if (!fellBack) {
+          numGroups += heaps.size
+          heaps.valuesIterator.flatMap { heap =>
+            // dequeueAll is max-first; reversed = rank order
+            val sorted = heap.dequeueAll.reverse
+            sorted.iterator.zipWithIndex.map { case (r, i) =>
+              rankRow.update(0, i + 1)
+              numOutputRows += 1
+              outProj(joined(r, rankRow))
+            }
+          }
+        } else {
+          numSortFallbacks += 1
+          val schema = org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(childOutput)
+          val fullOrd = new LazilyGeneratedOrdering(
+            part.map(SortOrder(_, Ascending)) ++ ord, childOutput)
+          // no usable sort prefix (leading key is an arbitrary grouping
+          // expression): every comparison goes through the full
+          // ordering, which only costs the fallback path
+          val prefixComparator =
+            new org.apache.spark.util.collection.unsafe.sort.PrefixComparator {
+              override def compare(a: Long, b: Long): Int = 0
+            }
+          val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+            private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow)
+                : UnsafeExternalRowSorter.PrefixComputer.Prefix = zero
+          }
+          val sorter = UnsafeExternalRowSorter.create(
+            schema, fullOrd, prefixComparator, prefixComputer,
+            org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes, false)
+          val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+          def unsafe(r: InternalRow): UnsafeRow = r match {
+            case u: UnsafeRow => u
+            case other => toUnsafe(other)
+          }
+          heaps.valuesIterator.foreach(_.foreach(r => sorter.insertRow(unsafe(r))))
+          heaps.clear()
+          iter.foreach(r => sorter.insertRow(unsafe(r)))
+          // streaming group limit over the sorted run
+          var curKey: UnsafeRow = null
+          var curRank = 0
+          sorter.sort().flatMap { row =>
+            val key = grpProj(row)
+            if (curKey == null || key != curKey) {
+              curKey = key.copy(); curRank = 1; numGroups += 1
+            } else curRank += 1
+            if (curRank <= kLocal) {
+              rankRow.update(0, curRank)
+              numOutputRows += 1
+              Some(outProj(joined(row, rankRow)))
+            } else None
           }
         }
       }
@@ -221,6 +299,15 @@ object TopKPerGroupExec {
     * keys get no benefit from map-side limiting, so the cap converts an
     * OOM risk into a no-op. */
   val MaxPartialGroups: Int = 1 << 17
+
+  /** Session conf bounding the FINAL pass's in-memory heap footprint
+    * (rows buffered across all of a partition's group heaps); past it
+    * the pass falls back to a spillable external sort + streaming
+    * group limit. Row count is a proxy for bytes — the default (~1M
+    * rows) keeps typical rows within a few hundred MB of heap, the
+    * same class as a hash aggregate's buffer before IT spills. */
+  val MaxFinalBufferedRowsKey = "spark.graft.topk.maxFinalBufferedRows"
+  val DefaultMaxFinalBufferedRows: Long = 1L << 20
 }
 
 /** User-facing API + per-session registration. */
@@ -234,20 +321,26 @@ object TopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
 
-  /** Opt-in: enable the window-top-k rewrite session-wide. The rewrite
-    * emits [[TopKPerGroup]] nodes, so the strategy that plans them must
-    * ride along — without it a fresh session would rewrite into an
-    * unplannable node. */
+  /** Opt-in: enable the window-top-k rewrite session-wide — injects
+    * the rule AND flips [[RewriteWindowTopK.EnabledKey]] (the rule is
+    * inert without the conf, so sessions that inject GraftExtensions
+    * only for the function surface keep idiomatic window plans). The
+    * rewrite emits [[TopKPerGroup]] nodes, so the strategy that plans
+    * them must ride along — without it a fresh session would rewrite
+    * into an unplannable node. */
   def registerRewrite(spark: SparkSession): Unit = {
     ensureStrategy(spark)
+    spark.conf.set(RewriteWindowTopK.EnabledKey, "true")
     if (!spark.experimental.extraOptimizations.contains(RewriteWindowTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteWindowTopK
   }
 
-  def unregisterRewrite(spark: SparkSession): Unit =
+  def unregisterRewrite(spark: SparkSession): Unit = {
+    spark.conf.set(RewriteWindowTopK.EnabledKey, "false")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == RewriteWindowTopK)
+  }
 
   /** Top-k rows per group, ranked 1..k, via the bounded-heap operator.
     * `orderBy` is (column, ascending) pairs and MUST form a total order
@@ -258,14 +351,24 @@ object TopK {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
-    val byName = analyzed.output.groupBy(_.name)
-    def attr(n: String): Attribute = byName.getOrElse(n,
-      throw new IllegalArgumentException(
-        s"no column '$n' in ${analyzed.output.map(_.name).mkString(",")}")) match {
-      case Seq(one) => one
-      case many => throw new IllegalArgumentException(
-        s"ambiguous column '$n' (${many.size} matches) — disambiguate before TopK.perGroup")
-    }
+    // resolve with the session resolver so lookup semantics follow
+    // spark.sql.caseSensitive (default case-insensitive), matching how
+    // df("name") and SQL text bind — a hand-rolled exact-name map would
+    // reject valid names differing only in case
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute =
+      (try analyzed.resolve(Seq(n), resolver)
+       catch {
+         case e: org.apache.spark.sql.AnalysisException =>
+           throw new IllegalArgumentException(
+             s"ambiguous column '$n' — disambiguate before TopK.perGroup", e)
+       }) match {
+        case Some(a: Attribute) => a
+        case Some(other) => throw new IllegalArgumentException(
+          s"'$n' resolves to ${other.getClass.getSimpleName}; TopK.perGroup needs a top-level column")
+        case None => throw new IllegalArgumentException(
+          s"no column '$n' in ${analyzed.output.map(_.name).mkString(",")}")
+      }
     val sortOrders = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

@@ -10,6 +10,27 @@ class TrainPrepSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("winsorize bounds ignore nulls: 33% null values, p1/p99 stay defined") {
+    import spark.implicits._
+    // a third of the rows carry null values — a nulls-first rank would
+    // land the p1 selection on a null and null both bounds, reopening
+    // the Spark-vs-DuckDB least/greatest null-skip divergence
+    val rows = (1 to 100).map { i =>
+      ("swap", i.toLong, if (i % 3 == 0) None else Some(i.toDouble))
+    }
+    val out = TrainPrep.clipOutliers(rows.toDF("event_type", "event_id", "value"))
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // 67 non-null values → p1 rank 1 (min = 1.0), p99 rank 67 (max = 100.0)
+    assert(r.getDouble(r.fieldIndex("p1")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("p99")) == 100.0)
+    // the clip pass still sees every row, nulls included
+    assert(r.getLong(r.fieldIndex("n_events")) == 100)
+    assert(r.getLong(r.fieldIndex("n_clip_lo")) == 0)
+    assert(r.getLong(r.fieldIndex("n_clip_hi")) == 0)
+  }
+
   test("gram5Rows: short docs yield nothing, 5+ tokens yield n-4 grams") {
     import spark.implicits._
     val d = Seq(

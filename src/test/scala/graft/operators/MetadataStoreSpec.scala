@@ -29,12 +29,44 @@ class MetadataStoreSpec extends SparkSpec {
     MetadataStore.set(spark, path, "warehouse_type", "orc")
     assert(spark.read.parquet(path).count() == 6) // full audit log
     MetadataStore.compact(spark, path)
-    assert(spark.read.parquet(path).count() == 2) // one row per live key
+    // one row per live key + the hidden compaction-floor marker
+    assert(spark.read.parquet(path).count() == 3)
+    assert(MetadataStore.snapshot(spark, path).count() == 2)
     assert(MetadataStore.lastSlot(spark, path).contains(500L))
     assert(MetadataStore.get(spark, path, "warehouse_type").contains("orc"))
     // post-compact writes keep layering normally
     MetadataStore.updateLastSlot(spark, path, 600L)
     assert(MetadataStore.lastSlot(spark, path).contains(600L))
+  }
+
+  test("version travel below the compaction floor fails loudly, not silently") {
+    val path = Files.createTempDirectory("graft_meta_floor").toString + "/kv"
+    MetadataStore.updateLastSlot(spark, path, 100L)
+    val v1 = MetadataStore.snapshot(spark, path)
+      .select("updated_at").collect()(0).getLong(0)
+    MetadataStore.updateLastSlot(spark, path, 250L)
+    // pre-compact: history intact, v1 readable
+    assert(MetadataStore.snapshotAt(spark, path, v1).count() == 1)
+    MetadataStore.compact(spark, path)
+    // post-compact: v1's history is gone — truncation must not read as
+    // a (filtered, possibly empty) fake snapshot
+    val e = intercept[IllegalArgumentException] {
+      MetadataStore.snapshotAt(spark, path, v1).collect()
+    }
+    assert(e.getMessage.contains("compaction floor"))
+    // the floor itself and anything newer still read fine
+    val floor = MetadataStore.snapshot(spark, path)
+      .select("updated_at").collect().map(_.getLong(0)).max
+    assert(MetadataStore.snapshotAt(spark, path, floor).count() == 1)
+    assert(MetadataStore.lastSlot(spark, path).contains(250L))
+    // the reserved marker key is invisible to reads and unwritable
+    assert(MetadataStore.get(spark, path, MetadataStore.FloorKey).isEmpty)
+    intercept[IllegalArgumentException] {
+      MetadataStore.set(spark, path, MetadataStore.FloorKey, "0")
+    }
+    // repeated compaction keeps the floor monotonic
+    MetadataStore.compact(spark, path)
+    assert(MetadataStore.snapshotAt(spark, path, floor).count() == 1)
   }
 
   test("crash between compaction renames: store heals instead of losing data") {
@@ -62,7 +94,7 @@ class MetadataStoreSpec extends SparkSpec {
     MetadataStore.compact(spark, path)
     assert(MetadataStore.lastSlot(spark, path).contains(123L))
     assert(MetadataStore.get(spark, path, "warehouse_type").contains("parquet"))
-    assert(spark.read.parquet(path).count() == 2)
+    assert(spark.read.parquet(path).count() == 3) // 2 live keys + floor marker
 
     // and a torn swap followed by a WRITE keeps the prior keys too
     assert(fs.rename(new org.apache.hadoop.fs.Path(path),

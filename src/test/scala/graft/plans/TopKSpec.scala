@@ -125,6 +125,98 @@ class TopKSpec extends SparkSpec {
     } finally TopK.unregisterRewrite(spark)
   }
 
+  private def collectTopK(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[TopKPerGroupExec] = {
+    val here = p match { case t: TopKPerGroupExec => Seq(t); case _ => Nil }
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(collectTopK)
+  }
+
+  test("adversarial skew: partial pass cuts shuffle rows to ≤ k·groups·partitions") {
+    // one group holds 90% of all rows — the distribution where the
+    // operator's pre-shuffle cutting claim has to earn its keep: the
+    // mega-group must contribute k rows per input partition to the
+    // shuffle, not 90% of the dataset
+    val nRows = 40000L
+    val k = 3
+    val df = spark.range(nRows).toDF("i")
+      .withColumn("g",
+        when(col("i") % 10 =!= 0, lit(999L)).otherwise(col("i") % 200))
+      .withColumn("v", col("i"))
+      .repartition(4, col("i"))
+    val out = TopK.perGroup(df, k, Seq("g"), Seq(("v", false), ("i", true)))
+    out.collect()
+    val partials = collectTopK(out.queryExecution.executedPlan)
+      .filter(_.rankAttr.isEmpty)
+    assert(partials.nonEmpty, out.queryExecution.executedPlan.toString)
+    val shuffled = partials.map(_.longMetric("numOutputRows").value).sum
+    val nGroups = 21L // 999 + the 20 residues {0,10,…,190}
+    val nInputPartitions = 4L
+    assert(shuffled <= k * nGroups * nInputPartitions,
+      s"partial pass leaked $shuffled rows to the shuffle (40k input)")
+    // and the results still match the window form exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("i"))
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select("g", "v", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = out.select("g", "v", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+  }
+
+  test("final pass spills to external sort past the buffer bound, same results") {
+    // high-cardinality groups: the partial's group cap passes rows
+    // through, so the final pass would buffer ~|partition| rows in its
+    // heap map — past the conf bound it must fall back to the
+    // spillable sort + streaming group limit, not OOM
+    val saved = spark.conf.getOption(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+    spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, "64")
+    try {
+      val df = spark.range(10000L).toDF("i")
+        .withColumn("g", col("i") % 5000).withColumn("v", col("i"))
+      val out = TopK.perGroup(df, 1, Seq("g"), Seq(("v", false)))
+      val rows = out.collect().map(r => (r.getLong(1), r.getLong(2))) // (g, v)
+      // per group g: rows v=g and v=g+5000 → the max is g+5000
+      assert(rows.length == 5000)
+      assert(rows.forall { case (g, v) => v == g + 5000 })
+      val finals = collectTopK(out.queryExecution.executedPlan)
+        .filter(_.rankAttr.isDefined)
+      assert(finals.map(_.longMetric("numSortFallbacks").value).sum >= 1,
+        "expected the external-sort fallback to trigger")
+    } finally saved match {
+      case Some(v) => spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, v)
+      case None => spark.conf.unset(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+    }
+  }
+
+  test("column names resolve with the session resolver (case-insensitive default)") {
+    val df = Seq((1L, 2.0), (1L, 3.0)).toDF("gKey", "vAl")
+    val out = TopK.perGroup(df, 1, Seq("GKEY"), Seq(("val", false)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(out.toSet == Set((1L, 3.0, 1)))
+  }
+
+  test("injected-but-unconfigured rewrite is inert (function-only extension users)") {
+    // a session that injects GraftExtensions for the SQL functions must
+    // not silently get plan rewrites: rule present, conf unset → no-op
+    val savedOpts = spark.experimental.extraOptimizations
+    spark.conf.set(RewriteWindowTopK.EnabledKey, "false")
+    spark.experimental.extraOptimizations = savedOpts :+ RewriteWindowTopK
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      val df = graft.Tables.orders(spark, Sf)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"))
+    } finally spark.experimental.extraOptimizations = savedOpts
+  }
+
   test("rewrite leaves non-matching windows alone (rank(), conjunct filters)") {
     TopK.registerRewrite(spark)
     try {
