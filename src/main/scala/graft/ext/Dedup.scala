@@ -357,16 +357,20 @@ object Dedup extends QueryModule {
        |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= $threshold)""".stripMargin
 
   /** Connected components over an undirected pair list (d1, d2) by
-    * iterative min-label propagation — the distributed-CC shape (each
-    * round: one keyed join + one grouped min, labels monotonically
-    * decrease, fixpoint = per-component minimum id). Iterations are
-    * bounded by the component diameter (a log-diameter pointer-jumping
-    * variant is the upgrade path for adversarially long chains); the
-    * edge list is cached once so no round recomputes the upstream pair
-    * generation, each round's labels replace the previous round's cache
-    * immediately, and EVERY cache is dropped when `use` returns (the
-    * loan discipline). The driver holds only a convergence counter per
-    * round, never the data. */
+    * hook + compress (pointer jumping) — the distributed-CC shape. Each
+    * round HOOKS (label ← min of own and neighbors' labels: one keyed
+    * join + one grouped min) then COMPRESSES (label ← label's label:
+    * one label-keyed self-join), so reach squares per round and the
+    * fixpoint — every node labeled with its component's minimum id —
+    * arrives in O(log diameter) rounds, not diameter rounds (round 6;
+    * the propagation-only form needed 5000 rounds for a 5000-long
+    * chain, DedupProps pins the log bound). Labels decrease
+    * monotonically, so the convergence flag rides the update passes.
+    * The edge list is cached once so no round recomputes the upstream
+    * pair generation, each round's labels replace the previous round's
+    * cache immediately, and EVERY cache is dropped when `use` returns
+    * (the loan discipline). The driver holds only a convergence counter
+    * per round, never the data. */
   /** Release a loop frame's storage: the cache-manager entry AND, for a
     * `localCheckpoint()`'d frame, the checkpoint RDD itself — Dataset
     * .unpersist only covers the former (checkpoint storage is persisted
@@ -407,24 +411,44 @@ object Dedup extends QueryModule {
           .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr"))
         // the change flag rides along in the SAME update pass (labels
-        // only ever decrease, so changed ⟺ nbr < label) — no extra
-        // updated×labels join per round just to count convergence
-        val updatedPlan = labels
+        // only ever decrease, so changed ⟺ the label decreased) — no
+        // extra updated×labels join per round just to count convergence
+        val hooked = labels
           .join(nbrMin.select(col("src").as("id"), col("nbr")), Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
             (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
-        // caching truncates RECOMPUTATION but not the LOGICAL plan: each
-        // round nests the previous round's join+agg, so by a deep
-        // iteration analysis/planning cost alone grows quadratically. A
-        // localCheckpoint every 8 rounds cuts the lineage to an RDD leaf
-        // (eager, so it is materialized — and persisted — right here,
-        // exactly like the cache it replaces; executor loss would lose
-        // the truncated lineage, which local mode cannot hit and a
-        // cluster run would absorb by rerunning the component loop).
-        val updated =
-          if ((iter + 1) % 8 == 0) updatedPlan.localCheckpoint()
-          else updatedPlan.cache()
+        // POINTER JUMP (compress): label ← label's label. Hooking alone
+        // moves the min one hop per round — diameter-many rounds, which
+        // a 100 TB corpus with chain-shaped near-dup relations (paged
+        // documents, serial boilerplate) can make adversarially deep.
+        // Compression squares the reach of every round instead:
+        // convergence in O(log diameter) rounds total. A label is
+        // always itself a node id (init: own id; hook: min of node
+        // ids; jump: a node's label), so the lookup is an equi-join of
+        // the label table against itself — the popular-label probe side
+        // is the dimension-join shape, no skew hazard on the build
+        // side. The left join keeps nodes whose label has no row only
+        // in theory (labels ⊆ ids by the invariant), and chg picks up
+        // compression moves so the fixpoint test stays exact.
+        val updatedPlan = hooked.as("h")
+          .join(hooked.select(col("id").as("lid"), col("label").as("llabel")).as("m"),
+            col("h.label") === col("m.lid"), "left")
+          .select(col("h.id").as("id"),
+            coalesce(col("m.llabel"), col("h.label")).as("label"),
+            (col("h.chg") ||
+              coalesce(col("m.llabel"), col("h.label")) < col("h.label")).as("chg"))
+        // caching truncates RECOMPUTATION but not the LOGICAL plan, and
+        // each round references `labels` FOUR times (hook's join+agg,
+        // compress's two sides) — uncheckpointed, the nested plan would
+        // grow 4^rounds and OOM the optimizer on the driver before any
+        // data moves. localCheckpoint EVERY round cuts the lineage to
+        // an RDD leaf, keeping per-round analysis cost constant (eager,
+        // so it is materialized — and persisted — right here, exactly
+        // like the cache it replaces; executor loss would lose the
+        // truncated lineage, which local mode cannot hit and a cluster
+        // run would absorb by rerunning the component loop).
+        val updated = updatedPlan.localCheckpoint()
         retired += updated
         // the count materializes `updated`, after which the prior
         // round's CACHED frame (not the derived view) has no consumers —

@@ -100,21 +100,22 @@ class DedupProps extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
-  test("connected components: 30-round chain converges through lineage truncation") {
-    // a 31-node path has diameter 30: min-label propagation needs the
-    // full 30 rounds, crossing the every-8-rounds localCheckpoint
-    // lineage truncation several times — the adversarial depth where,
-    // uncheckpointed, the nested plan alone made analysis quadratic
-    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("d1", "d2")
+  test("connected components: diameter-5000 chain converges in O(log d) rounds") {
+    // a 5001-node path is the adversarial long-chain shape (paged
+    // documents, serial boilerplate): pure min-label propagation would
+    // need 5000 rounds — converging under maxIter=30 at all PROVES the
+    // pointer-jumping compress step squares reach per round
+    // (⌈log₂ 5000⌉ ≈ 13 hook+compress rounds), under the per-round
+    // localCheckpoint lineage truncation that keeps planning flat
+    val pairs = (0L until 5000L).map(i => (i, i + 1)).toDF("d1", "d2")
     spark.catalog.clearCache()
     val t0 = System.nanoTime()
-    val labels = Dedup.withComponents(pairs, maxIter = 32)(
+    val labels = Dedup.withComponents(pairs, maxIter = 30)(
       _.as[(Long, Long)].collect().toMap)
     val sec = (System.nanoTime() - t0) / 1e9
-    assert(labels == (0L to 30L).map(_ -> 0L).toMap)
-    // truncation keeps per-round planning flat: the whole 30-round loop
-    // must stay interactive (uncheckpointed it blows past this locally)
-    assert(sec < 120.0, s"30-round CC took ${sec}s — lineage truncation broken?")
+    assert(labels.size == 5001 && labels.values.forall(_ == 0L))
+    // log-diameter rounds + truncation keep the loop interactive
+    assert(sec < 120.0, s"diameter-5000 CC took ${sec}s")
     // the loan releases every per-round cache AND checkpoint RDD
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
