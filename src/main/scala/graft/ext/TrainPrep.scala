@@ -260,6 +260,54 @@ object TrainPrep extends QueryModule {
              |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "deterministic hash train/valid/test split + 8-way sharding"),
 
+    // Split-aware decontamination audit: the held-out split is only as
+    // clean as its NEAR-DUP isolation — a test doc whose near-duplicate
+    // sits in train leaks the answer even though the doc ids differ.
+    // This composes the verified-jaccard near-dup machinery (same
+    // threshold/df-cap as dedup_jaccard_pairs — ONE shared definition,
+    // so the notion of "near-dup" cannot drift between the dedup and
+    // split worlds) with the deterministic hash split of
+    // prep_split_shuffle, and reports the pair matrix by (split_a ≤
+    // split_b) with cross-split pairs flagged as leaks. At 100 TB:
+    // split assignment is pure map-side expression work, the pair list
+    // is the df-capped band machinery (never all-pairs), and the final
+    // rollup is ≤ 6 rows. The actionable output: route each leaky
+    // pair's smaller-id doc to train (or drop it) before export.
+    "prep_split_leakage" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(Dedup.shingleRowsOf(docs(s, dir)), 0.5)
+          .select(col("d1"), col("d2"))
+        def key(c: org.apache.spark.sql.Column) = conv(substring(md5(concat(lit("split:"),
+          c.cast("string"))), 1, 15), 16, 10).cast("long") % 100L
+        val splits = docs(s, dir).select(col("doc_id"),
+          when(key(col("doc_id")) < 80, "train")
+            .when(key(col("doc_id")) < 90, "valid")
+            .otherwise("test").as("split"))
+        pairs
+          .join(splits.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+          .join(splits.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+          .select(least(col("s1"), col("s2")).as("split_a"),
+            greatest(col("s1"), col("s2")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_leak", col("split_a") =!= col("split_b"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH ${Dedup.dJaccardCtes("nd", 0.5)},
+              |sp AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+              |         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+              |         ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT least(a.split, b.split) AS split_a,
+              |  greatest(a.split, b.split) AS split_b,
+              |  count(*) AS n_pairs,
+              |  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+              |FROM nd JOIN sp a ON nd.d1 = a.doc_id JOIN sp b ON nd.d2 = b.doc_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "near-dup pairs straddling the train/valid/test split (leak audit)"),
+
     // Fixed-point int8-style embedding quantization (code = ⌊x·64⌋, i.e.
     // Q1.6: |x| ≤ 0.53 on this corpus so every code fits int8 with
     // headroom) + exact reconstruction-error accounting per label. All

@@ -210,6 +210,23 @@ class ExtSpec extends SparkSpec {
     assert(hammings.forall(_ <= 4), s"hammings too large: ${hammings.toSeq}")
   }
 
+  test("recall-eval query agrees with the independently computed recall") {
+    import spark.implicits._
+    val brute = run("sim_knn_brute")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = run("sim_ann_lsh")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val evalRows = run("sim_ann_recall_eval").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(evalRows.keySet == (0L until 8L).toSet)
+    evalRows.foreach { case (q, (nTrue, nHit, recall)) =>
+      assert(nTrue == 5L)
+      val expectHit = brute.count { case (bq, bn) => bq == q && ann((bq, bn)) }
+      assert(nHit == expectHit, s"query $q: eval says $nHit, recomputed $expectHit")
+      assert(recall == nHit / 5.0)
+    }
+  }
+
   test("ANN LSH recall vs brute-force top-5 is usable") {
     import spark.implicits._
     val brute = run("sim_knn_brute")

@@ -10,6 +10,23 @@ class TrainPrepSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("split-leakage audit: pair matrix conserves the near-dup pair count") {
+    val rows = run("prep_split_leakage").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // every row canonically ordered, leak flag consistent
+    rows.foreach { case (a, b, n, leak) =>
+      assert(a <= b && n >= 1)
+      assert(leak == (a != b), s"leak flag wrong for ($a,$b)")
+    }
+    // the matrix partitions EXACTLY the verified near-dup pair set —
+    // same threshold/cap as dedup_jaccard_pairs by construction
+    val totalPairs = run("dedup_jaccard_pairs").count()
+    assert(rows.map(_._3).sum == totalPairs)
+    // the synthetic corpus plants near-dups across the hash split, so
+    // the audit must actually catch a leak
+    assert(rows.exists(_._4), "expected at least one cross-split leaky pair")
+  }
+
   test("winsorize bounds ignore nulls: 33% null values, p1/p99 stay defined") {
     import spark.implicits._
     // a third of the rows carry null values — a nulls-first rank would
