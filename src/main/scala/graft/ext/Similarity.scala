@@ -408,6 +408,70 @@ object Similarity extends QueryModule {
               |ORDER BY query_id, rank""".stripMargin),
       doc = "random-hyperplane LSH ANN (bucket join; oracle-replayed, recall-tested)"),
 
+    // Incremental IVF index maintenance: an incoming batch (the 1-in-25
+    // held-out slice) is assigned to the EXISTING centroids — built from
+    // the already-indexed corpus via the decimal-sum [[centroids]] — and
+    // the query reports per-cell occupancy before/after plus the mean
+    // assignment cosine (an assignment-quality monitor: a falling mean
+    // sim says the index needs re-training). The scale shape is the
+    // whole point: k centroid rows broadcast against ONE pass over the
+    // batch, the corpus itself is never rescanned and the index never
+    // rebuilt — the per-batch cost of keeping an ANN index live under a
+    // streaming ingest.
+    "sim_ivf_upsert" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"),
+          vecD(col("embedding")).as("v"))
+        val indexed = e.filter(col("vec_id") % 25 =!= 0)
+        val incoming = e.filter(col("vec_id") % 25 === 0)
+        val cents = centroids(indexed.select(col("label"), col("v")), "label")
+          .withColumnRenamed("label", "cell")
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cell"))
+        val asg = incoming.join(broadcast(cents), lit(true))
+          .withColumn("sim", graft.functions.VectorExpressions
+            .vector_cosine(col("v"), col("centroid")))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("cell"), col("sim"))
+        val occ = indexed.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_indexed"))
+          .withColumnRenamed("label", "cell")
+        val delta = asg.groupBy(col("cell")).agg(
+          count(lit(1)).as("n_new"),
+          sum(col("sim").cast("decimal(38,18)")).as("ssum"))
+        occ.join(delta, Seq("cell"), "left")
+          .select(col("cell"), col("n_indexed"),
+            coalesce(col("n_new"), lit(0L)).as("n_assigned"),
+            (col("n_indexed") + coalesce(col("n_new"), lit(0L))).as("n_total"),
+            round(col("ssum").cast("double") / col("n_new"), 4)
+              .as("mean_assign_sim"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |ix AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+              |inc AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+              |cents AS (
+              |  ${dCentroids("ix", "label", "cell")}),
+              |asg AS (
+              |  SELECT vec_id, cell, sim FROM (
+              |    SELECT i.vec_id, c.cell, ${dCos("i.v", "c.centroid")} AS sim,
+              |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
+              |        ORDER BY ${dCos("i.v", "c.centroid")} DESC, c.cell NULLS FIRST) AS rk
+              |    FROM inc i CROSS JOIN cents c) WHERE rk = 1),
+              |occ AS (SELECT label AS cell, count(*) AS n_indexed FROM ix GROUP BY 1),
+              |d AS (
+              |  SELECT cell, count(*) AS n_new,
+              |    sum(CAST(sim AS DECIMAL(38,18))) AS ssum
+              |  FROM asg GROUP BY 1)
+              |SELECT occ.cell, occ.n_indexed,
+              |  CAST(COALESCE(d.n_new, 0) AS BIGINT) AS n_assigned,
+              |  occ.n_indexed + CAST(COALESCE(d.n_new, 0) AS BIGINT) AS n_total,
+              |  round(CAST(d.ssum AS DOUBLE) / d.n_new, 4) AS mean_assign_sim
+              |FROM occ LEFT JOIN d USING (cell) ORDER BY 1""".stripMargin),
+      doc = "incremental IVF maintenance: batch assigned to existing centroids, no rebuild"),
+
     // Evaluation as a first-class query: per-query recall of the LSH
     // ANN against the brute-force ground truth — the metric every index
     // rollout decision hangs on, computed by the ENGINE (one keyed

@@ -210,6 +210,27 @@ class ExtSpec extends SparkSpec {
     assert(hammings.forall(_ <= 4), s"hammings too large: ${hammings.toSeq}")
   }
 
+  test("IVF upsert: batch fully assigned, occupancy conserved, sims bounded") {
+    val corpus = graft.Tables.embeddings(spark, Sf)
+    val nIncoming = corpus.filter(col("vec_id") % 25 === 0).count()
+    val nIndexed = corpus.count() - nIncoming
+    val rows = run("sim_ivf_upsert").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every incoming vector lands in exactly one cell; nothing rebuilt
+    assert(rows.map(_._3).sum == nIncoming)
+    assert(rows.map(_._2).sum == nIndexed)
+    rows.foreach { case (cell, idx, asg, total) =>
+      assert(total == idx + asg, s"cell $cell occupancy mismatch")
+    }
+    // assignment quality is a valid cosine wherever a vector landed
+    run("sim_ivf_upsert").collect().foreach { r =>
+      if (!r.isNullAt(4)) {
+        val m = r.getDouble(4)
+        assert(m >= -1.0001 && m <= 1.0001, s"mean sim $m out of range")
+      }
+    }
+  }
+
   test("recall-eval query agrees with the independently computed recall") {
     import spark.implicits._
     val brute = run("sim_knn_brute")
