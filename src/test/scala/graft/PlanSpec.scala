@@ -195,6 +195,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("split-leakage audit: keyed equi-joins only, never all-pairs") {
+    val p = planOf("prep_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("IVF upsert broadcasts the k centroids against one batch pass") {
+    val p = planOf("sim_ivf_upsert")
+    // batch × k-row centroid table: broadcast nested loop by design
+    // (the kmeans assignment shape); the corpus side is scanned for the
+    // centroid build and occupancy only — no cartesian anywhere
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
   test("centroid builds hold O(1) aggregation state: no member-buffering collect_list") {
     // the r5 form buffered whole clusters per (cell, dim) group via
     // collect_list + ordered fold — the flagged 100 TB hazard; the
