@@ -57,7 +57,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"queries_chunk","chunk":${i + 1},"n_chunks":$nChunks,"queries":$qs,"sf":"$sfDir"}"""
     }.toSeq
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the trailer must stay tail-safe even in a mass-failure run, so
+    // the errors list is capped; the full failure set is recoverable
+    // from the chunk lines (every failed query carries the -1.0
+    // sentinel there) and n_errors always has the true count
+    val errHead = failed.take(20).map("\"" + _ + "\"")
+    val errs = (if (failed.size > 20) errHead :+ "\"...\"" else errHead)
+      .mkString("[", ",", "]")
     chunks :+
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs,"fatal":$fatal,"sf":"$sfDir"}"""
   }

@@ -418,6 +418,12 @@ object Dedup extends QueryModule {
           .select(col("id"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
             (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
+        // hooked feeds BOTH sides of the compress self-join below: cache
+        // it for the round so the hook join+agg (the heavy per-round
+        // work) computes once, not once per side — released as soon as
+        // the round's result materializes
+        hooked.cache()
+        retired += hooked
         // POINTER JUMP (compress): label ← label's label. Hooking alone
         // moves the min one hop per round — diameter-many rounds, which
         // a 100 TB corpus with chain-shaped near-dup relations (paged
@@ -454,6 +460,7 @@ object Dedup extends QueryModule {
         // round's CACHED frame (not the derived view) has no consumers —
         // drop it NOW so one (id, label) frame is live, not diameter-many
         changed = updated.filter(col("chg")).count()
+        release(hooked)
         release(cached)
         cached = updated
         labels = updated.select(col("id"), col("label"))

@@ -116,36 +116,52 @@ object Similarity extends QueryModule {
       .select(col("a.cluster_id").as("cluster_id"),
         col("b.vec_id").as("drop_id"))
 
+  /** Fixed-point grain for order-free float accumulation: Q24 — one
+    * part in 2^24, the float32 mantissa width, so quantizing a
+    * float-derived coordinate loses nothing beyond the input's own
+    * precision class. Chosen over DECIMAL sums deliberately: Spark
+    * casts double→decimal through the SHORTEST string representation
+    * while DuckDB converts through double multiplication, so their
+    * per-element decimals can differ by ~1e-17 — a drift the
+    * differential gate could false-fail on at scale. Integer
+    * quantization has no such seam: `round(x·2^24)` is one exact
+    * power-of-two multiply + one tie-away-from-zero rounding (Spark
+    * HALF_UP ≡ DuckDB's double `round`, verified on the tie cases),
+    * and int64 sums are EXACT on both engines. */
+  private[ext] val FpScale = 1L << 24
+
   /** Per-group centroids as exact fixed-point means. Each coordinate
-    * widens to DECIMAL(38,18) — a deterministic per-element rounding the
-    * oracle replays — and decimal addition is EXACT, hence commutative
-    * and associative, so a plain partial/final `sum` is
-    * order-independent with O(1) aggregation state per (group, dim).
-    * This replaces the round-5 `collect_list` + vec_id-ordered fold,
+    * quantizes to the Q24 integer grid ([[FpScale]]) and accumulates in
+    * plain int64 `sum`s — integer addition is exact, hence order-free,
+    * so partial/final aggregation needs O(1) state per (group, dim) and
+    * the result is bit-identical across engines AT ANY SCALE (overflow
+    * bound: |x| ≤ 8 ⇒ |q| ≤ 2^27 ⇒ int64 holds ~7·10^10 members per
+    * cell). This replaces the round-5 `collect_list` + ordered fold,
     * which held every member value in one aggregation buffer (O(n/k)
     * memory per group — the flagged scale hazard). The 64 sums run as
     * one wide hash aggregate over the raw scan: no posexplode (so no
-    * 64× row shuffle), no member buffering; the mean divides in DOUBLE
-    * after the exact sum, so the only float ops are one deterministic
-    * cast and one IEEE division per (group, dim) on both engines. */
+    * 64× row shuffle), no member buffering; the mean then descales by
+    * an EXACT power-of-two division and performs exactly one IEEE
+    * division per (group, dim) — the same two ops on both engines. */
   private[ext] def centroids(df: DataFrame, keyCol: String): DataFrame = {
     val sums = (0 until Dims).map(d =>
-      sum(element_at(col("v"), d + 1).cast("decimal(38,18)")).as(s"_s$d"))
+      sum(round(element_at(col("v"), d + 1) * FpScale).cast("long")).as(s"_s$d"))
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("_n"), sums: _*)
       .select(col(keyCol),
         array((0 until Dims).map(d =>
-          col(s"_s$d").cast("double") / col("_n")): _*).as("centroid"))
+          col(s"_s$d").cast("double") / lit(FpScale.toDouble) / col("_n")): _*)
+          .as("centroid"))
   }
 
   // DuckDB mirror of [[centroids]] (subquery body over a CTE named
-  // `src(key, …, v)`): same DECIMAL(38,18) widening, exact decimal sum,
-  // then one double division per (group, dim).
+  // `src(key, …, v)`): same Q24 quantization, exact integer sum, exact
+  // power-of-two descale, one double division per (group, dim).
   private def dCentroids(src: String, key: String, outKey: String): String =
     s"""SELECT $key AS $outKey, list(c ORDER BY d) AS centroid FROM (
        |    SELECT $src.$key, gs.d,
-       |      CAST(sum(CAST($src.v[gs.d + 1] AS DECIMAL(38,18))) AS DOUBLE)
-       |        / count(*) AS c
+       |      CAST(sum(CAST(round($src.v[gs.d + 1] * $FpScale.0) AS BIGINT)) AS DOUBLE)
+       |        / $FpScale.0 / count(*) AS c
        |    FROM $src, generate_series(0, ${Dims - 1}) AS gs(d)
        |    GROUP BY 1, 2)
        |  GROUP BY 1""".stripMargin
@@ -319,8 +335,8 @@ object Similarity extends QueryModule {
         val nprobe = 3
         val e = emb(s, dir).select(col("vec_id"), col("label"),
           vecD(col("embedding")).as("v"))
-        // centroid per cell via [[centroids]]: exact DECIMAL(38,18)
-        // sums (order-independent, O(1) state per (cell, dim)) — a
+        // centroid per cell via [[centroids]]: exact Q24 fixed-point
+        // sums (order-free, O(1) state per (cell, dim)) — a
         // plain avg() would sum doubles in partition order
         // (nondeterministic bits), and the round-5 ordered-fold form
         // buffered whole clusters per group.
@@ -410,7 +426,7 @@ object Similarity extends QueryModule {
 
     // Incremental IVF index maintenance: an incoming batch (the 1-in-25
     // held-out slice) is assigned to the EXISTING centroids — built from
-    // the already-indexed corpus via the decimal-sum [[centroids]] — and
+    // the already-indexed corpus via the fixed-point [[centroids]] — and
     // the query reports per-cell occupancy before/after plus the mean
     // assignment cosine (an assignment-quality monitor: a falling mean
     // sim says the index needs re-training). The scale shape is the
@@ -440,12 +456,12 @@ object Similarity extends QueryModule {
           .withColumnRenamed("label", "cell")
         val delta = asg.groupBy(col("cell")).agg(
           count(lit(1)).as("n_new"),
-          sum(col("sim").cast("decimal(38,18)")).as("ssum"))
+          sum(round(col("sim") * FpScale).cast("long")).as("ssum"))
         occ.join(delta, Seq("cell"), "left")
           .select(col("cell"), col("n_indexed"),
             coalesce(col("n_new"), lit(0L)).as("n_assigned"),
             (col("n_indexed") + coalesce(col("n_new"), lit(0L))).as("n_total"),
-            round(col("ssum").cast("double") / col("n_new"), 4)
+            round(col("ssum").cast("double") / lit(FpScale.toDouble) / col("n_new"), 4)
               .as("mean_assign_sim"))
           .orderBy(col("cell"))
       },
@@ -463,12 +479,12 @@ object Similarity extends QueryModule {
               |occ AS (SELECT label AS cell, count(*) AS n_indexed FROM ix GROUP BY 1),
               |d AS (
               |  SELECT cell, count(*) AS n_new,
-              |    sum(CAST(sim AS DECIMAL(38,18))) AS ssum
+              |    sum(CAST(round(sim * $FpScale.0) AS BIGINT)) AS ssum
               |  FROM asg GROUP BY 1)
               |SELECT occ.cell, occ.n_indexed,
               |  CAST(COALESCE(d.n_new, 0) AS BIGINT) AS n_assigned,
               |  occ.n_indexed + CAST(COALESCE(d.n_new, 0) AS BIGINT) AS n_total,
-              |  round(CAST(d.ssum AS DOUBLE) / d.n_new, 4) AS mean_assign_sim
+              |  round(CAST(d.ssum AS DOUBLE) / $FpScale.0 / d.n_new, 4) AS mean_assign_sim
               |FROM occ LEFT JOIN d USING (cell) ORDER BY 1""".stripMargin),
       doc = "incremental IVF maintenance: batch assigned to existing centroids, no rebuild"),
 
@@ -669,7 +685,7 @@ object Similarity extends QueryModule {
     // store — the kernel of semantic clustering for diversity-aware
     // sampling. Seeds are the 8 lowest vec_ids (deterministic); each
     // vector joins its max-cosine seed (ties to the smaller cluster);
-    // new centroids are exact DECIMAL(38,18) means via [[centroids]]
+    // new centroids are exact Q24 fixed-point means via [[centroids]]
     // (order-independent partial/final sums — never a partition-order
     // float sum, never a whole-cluster buffer), and the step reports
     // per-cluster size, cohesion (exact decimal sum of member cosines),
@@ -684,16 +700,17 @@ object Similarity extends QueryModule {
           .select(col("vec_id").as("cluster_id"), col("v").as("sv"))
         val asg = assignToSeeds(e, seeds)
         val cents = centroids(asg.select(col("cluster_id"), col("v")), "cluster_id")
-        // cohesion: decimal addition is exact ⇒ the sum of the (bit-
-        // identical-across-engines) cosines is order-independent with
-        // O(1) state — the collect_list of (vec_id, cos) this replaces
-        // held every member in one buffer.
+        // cohesion: Q24-quantized cosines summed in exact int64 ⇒
+        // order-free with O(1) state and bit-identical across engines —
+        // the collect_list of (vec_id, cos) this replaces held every
+        // member in one buffer.
         val stats = asg.groupBy(col("cluster_id"))
           .agg(
             count(lit(1)).as("n_assigned"),
-            sum(col("cos").cast("decimal(38,18)")).as("csum"))
+            sum(round(col("cos") * FpScale).cast("long")).as("csum"))
           .select(col("cluster_id"), col("n_assigned"),
-            round(col("csum").cast("double"), 4).as("cohesion"))
+            round(col("csum").cast("double") / lit(FpScale.toDouble), 4)
+              .as("cohesion"))
         stats.join(cents, Seq("cluster_id"))
           .join(broadcast(seeds), Seq("cluster_id"))
           .select(col("cluster_id"), col("n_assigned"), col("cohesion"),
@@ -713,7 +730,8 @@ object Similarity extends QueryModule {
               |  ${dCentroids("asg", "cluster_id", "cluster_id")}),
               |stats AS (
               |  SELECT cluster_id, count(*) AS n_assigned,
-              |    round(CAST(sum(CAST(cos AS DECIMAL(38,18))) AS DOUBLE), 4) AS cohesion
+              |    round(CAST(sum(CAST(round(cos * $FpScale.0) AS BIGINT)) AS DOUBLE)
+              |      / $FpScale.0, 4) AS cohesion
               |  FROM asg GROUP BY 1)
               |SELECT t.cluster_id, t.n_assigned, t.cohesion,
               | round(${dCos("s.sv", "c.centroid")}, 4) AS centroid_sim

@@ -85,16 +85,26 @@ object MetadataStore {
     * version-travel reads into the discarded history. */
   def compact(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    val raw = rawLog(spark, path).filter(col("key") =!= FloorKey)
+    // The floor is the exact as-of horizon compaction destroys: a key
+    // with a SINGLE version keeps its full history (the one row answers
+    // every as-of), so only keys holding ≥ 2 versions lose anything —
+    // and for such a key every asOfVersion below its surviving latest
+    // is unanswerable (the overwritten rows are gone, so a filtered
+    // read would impersonate absence). Hence floor = max(latest) over
+    // multi-version keys; a routine compact of an append-mostly store
+    // rejects nothing it can still answer. Monotonic via the prior
+    // floor — an emptied-but-previously-compacted store must not forget
+    // that its early history is gone.
+    val discardedCeil = raw.groupBy(col("key"))
+      .agg(max(col("updated_at")).as("latest"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(max(col("latest"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    val floor = math.max(floorOf(rawLog(spark, path)), discardedCeil)
     val snap = snapshot(spark, path)
-    // floor is MONOTONIC: max of the prior floor and the surviving max
-    // version — an emptied-but-previously-compacted store must not
-    // forget that its early history is gone
-    val floor = math.max(
-      floorOf(rawLog(spark, path)),
-      snap.agg(max(col("updated_at"))).collect().headOption
-        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L))
     val withMarker =
-      if (floor == 0L) snap // never written: nothing discarded, no floor
+      if (floor == 0L) snap // nothing ever discarded: no floor to record
       else snap.unionByName(
         Seq((FloorKey, floor.toString, floor)).toDF("key", "value", "updated_at"))
     StoreOps.replaceWith(spark, path, withMarker)

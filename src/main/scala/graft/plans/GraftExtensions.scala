@@ -18,10 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     // whole-operator surface: bounded-heap top-k per group — the
-    // strategy plans the explicit TopKPerGroup node; the optimizer rule
-    // additionally rewrites idiomatic window top-k plans session-wide
-    // (an explicit choice at session build; live sessions opt in via
-    // TopK.registerRewrite)
+    // strategy plans the explicit TopKPerGroup node (matches nothing
+    // else, so it cannot affect other plans). The optimizer rule CAN
+    // rewrite idiomatic window top-k plans session-wide, but is inert
+    // until spark.graft.topk.rewrite=true (RewriteWindowTopK.EnabledKey)
+    // — injecting this extension just for the SQL functions must not
+    // silently change plans; TopK.registerRewrite flips the conf for
+    // live sessions.
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
   }

@@ -166,25 +166,35 @@ case class TopKPerGroupExec(
       // max-first heap per group: head = worst kept row
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       if (!ranked) {
-        // PARTIAL: streaming. The heap map is bounded at maxGroups live
-        // groups — past the cap, rows of NEW groups pass through to the
+        // PARTIAL: streaming. The heap map is bounded BOTH at maxGroups
+        // live groups AND at maxBuffered total buffered rows (k can be
+        // up to MaxK, so a group bound alone still permits groups·k
+        // rows on-heap) — past either cap, rows pass through to the
         // shuffle un-limited (a superset is always correct; the final
-        // pass enforces k). This keeps the partial a pure optimization
-        // instead of an OOM risk on near-unique group keys, where
-        // map-side limiting can't help anyway.
+        // pass enforces k). Replacements never grow the footprint, so
+        // already-full heaps keep cutting even after the caps hit. This
+        // keeps the partial a pure optimization instead of an OOM risk
+        // on near-unique group keys, where map-side limiting can't help
+        // anyway.
+        var buffered = 0L
         val streamed = iter.flatMap { row =>
           val key = grpProj(row)
           heaps.get(key) match {
             case Some(heap) =>
-              if (heap.size < kLocal) heap.enqueue(row.copy())
-              else if (rowOrd.compare(row, heap.head) < 0) {
+              if (heap.size < kLocal) {
+                if (buffered < maxBuffered) {
+                  heap.enqueue(row.copy()); buffered += 1
+                  Iterator.empty
+                } else Iterator.single(row)
+              } else if (rowOrd.compare(row, heap.head) < 0) {
                 heap.dequeue(); heap.enqueue(row.copy())
-              }
-              Iterator.empty
-            case None if heaps.size < maxGroups =>
+                Iterator.empty
+              } else Iterator.empty
+            case None if heaps.size < maxGroups && buffered < maxBuffered =>
               val heap = new mutable.PriorityQueue[InternalRow]()(rowOrd)
               heap.enqueue(row.copy())
               heaps.put(key.copy(), heap)
+              buffered += 1
               Iterator.empty
             case None =>
               Iterator.single(row)

@@ -65,4 +65,20 @@ class BenchSpec extends SparkSpec {
     assert(chunks.forall(c => c.contains("\"metric\":\"queries_chunk\"")
       && c.contains("\"n_chunks\":" + chunks.size)))
   }
+
+  test("mass failure: trailer stays tail-safe, true count kept, sentinels in chunks") {
+    // a fatal cascade failing every query must not blow the trailer —
+    // the one line the tail parser depends on — past the tail window
+    val results = (1 to 117).map(i => f"q_$i%03d" -> -1.0)
+    val lines = Bench.emitLines(results, "/sf", fatal = true)
+    val trailer = lines.last
+    assert(trailer.length < 1200, s"trailer too long (${trailer.length})")
+    assert(trailer.contains("\"n_errors\":117"))
+    assert(trailer.contains("\"...\"")) // truncation marker
+    assert(trailer.contains("\"value\":0.0"))
+    // every failure still visible as a sentinel in its chunk line
+    results.foreach { case (name, _) =>
+      assert(lines.init.exists(_.contains("\"" + name + "\":-1.0")), name)
+    }
+  }
 }

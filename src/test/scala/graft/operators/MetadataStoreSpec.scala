@@ -69,6 +69,22 @@ class MetadataStoreSpec extends SparkSpec {
     assert(MetadataStore.snapshotAt(spark, path, floor).count() == 1)
   }
 
+  test("compacting single-version keys discards nothing: every as-of stays readable") {
+    // the floor tracks what compaction DESTROYS, not merely when it
+    // ran: one version per key means the compacted row IS the full
+    // history, so even pre-write as-of reads must keep working
+    val path = Files.createTempDirectory("graft_meta_nofloor").toString + "/kv"
+    MetadataStore.updateLastSlot(spark, path, 42L)
+    val v1 = MetadataStore.snapshot(spark, path)
+      .select("updated_at").collect()(0).getLong(0)
+    MetadataStore.compact(spark, path)
+    assert(MetadataStore.snapshotAt(spark, path, v1 - 1).count() == 0) // pre-write: empty, not an error
+    assert(MetadataStore.snapshotAt(spark, path, v1).count() == 1)
+    assert(MetadataStore.lastSlot(spark, path).contains(42L))
+    // and no marker row was materialized for the no-op floor
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("crash between compaction renames: store heals instead of losing data") {
     // Simulate StoreOps.replaceWith dying between `rename(dst, prev)` and
     // `rename(staged, dst)`: dst is gone, prev holds the ONLY copy. Every
@@ -94,7 +110,8 @@ class MetadataStoreSpec extends SparkSpec {
     MetadataStore.compact(spark, path)
     assert(MetadataStore.lastSlot(spark, path).contains(123L))
     assert(MetadataStore.get(spark, path, "warehouse_type").contains("parquet"))
-    assert(spark.read.parquet(path).count() == 3) // 2 live keys + floor marker
+    // both keys are single-version: nothing discarded, so no floor marker
+    assert(spark.read.parquet(path).count() == 2)
 
     // and a torn swap followed by a WRITE keeps the prior keys too
     assert(fs.rename(new org.apache.hadoop.fs.Path(path),
