@@ -78,18 +78,25 @@ object Similarity extends QueryModule {
 
   /** Max-cosine seed assignment (ties to the smaller cluster id): the k
     * seed vectors broadcast against one corpus pass — the shared
-    * assignment kernel of emb_kmeans_step and sim_semdedup. */
-  private[ext] def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame = {
-    val wA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cluster_id"))
+    * assignment kernel of emb_kmeans_step, sim_semdedup, and
+    * sim_ivf_upsert. The argmax is a `max_by` HASH AGGREGATE, not a
+    * `row_number` window: the window form shuffles all k·n scored rows
+    * and sorts them per vec, while `max_by` partially aggregates
+    * map-side — k rows collapse to 1 before the exchange, so the
+    * shuffle carries n rows and nothing is ever sorted. The ordering
+    * struct (cos, -cluster_id) is total (ids unique), so the argmax is
+    * deterministic and identical to the oracle's ROW_NUMBER
+    * formulation: ties on cos go to the SMALLER cluster id. */
+  private[ext] def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame =
     e.join(broadcast(seeds), lit(true))
       .withColumn("cos",
         graft.functions.VectorExpressions.vector_cosine(col("v"), col("sv")))
-      .withColumn("rk", row_number().over(wA))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cluster_id"), col("cos"), col("v"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cluster_id"), col("cos"), col("v")),
+        struct(col("cos"), (-col("cluster_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
+        col("best.cos").as("cos"), col("best.v").as("v"))
 
   /** Deterministic md5-ordered membership cap per cluster (see
     * [[SemDedupMaxMembers]]). */
@@ -442,15 +449,16 @@ object Similarity extends QueryModule {
         val incoming = e.filter(col("vec_id") % 25 === 0)
         val cents = centroids(indexed.select(col("label"), col("v")), "label")
           .withColumnRenamed("label", "cell")
-        val wA = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cell"))
+        // same max_by hash-aggregate argmax as [[assignToSeeds]]: k
+        // centroid rows collapse map-side, nothing sorted
         val asg = incoming.join(broadcast(cents), lit(true))
           .withColumn("sim", graft.functions.VectorExpressions
             .vector_cosine(col("v"), col("centroid")))
-          .withColumn("rk", row_number().over(wA))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("cell"), col("sim"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cell"), col("sim")),
+            struct(col("sim"), (-col("cell")).as("nc"))).as("best"))
+          .select(col("vec_id"), col("best.cell").as("cell"),
+            col("best.sim").as("sim"))
         val occ = indexed.groupBy(col("label"))
           .agg(count(lit(1)).as("n_indexed"))
           .withColumnRenamed("label", "cell")

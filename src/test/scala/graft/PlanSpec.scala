@@ -190,9 +190,13 @@ class PlanSpec extends SparkSpec {
   test("k-means step broadcasts the k seeds against one store pass") {
     val p = planOf("emb_kmeans_step")
     // assignment is seed-broadcast (8 rows x full store: BNLJ by design);
-    // the centroid update is a cluster-keyed wide aggregate
+    // the argmax is a max_by HASH aggregate (map-side partial collapses
+    // the k scored rows per vec before the exchange) — never a
+    // row_number window, which would shuffle k·n rows and sort them
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("max_by"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("split-leakage audit: keyed equi-joins only, never all-pairs") {
