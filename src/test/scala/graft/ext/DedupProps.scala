@@ -121,6 +121,38 @@ class DedupProps extends SparkSpec {
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("connected components agree with union-find ground truth on random graphs") {
+    // hook+compress must produce exactly the per-component minimum for
+    // ANY topology, not just the planted chains/cycles — random sparse
+    // graphs exercise mixed shapes (stars, trees, multi-cycles,
+    // isolated pairs) where pointer-jumping bugs (stale jumps, missed
+    // fixpoints) would surface as split or mislabeled components
+    for (seed <- Seq(11L, 23L, 57L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 400
+      val edges = (0 until 300).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> {
+          // component min = min node id reachable; root of union-find
+          // with min-merge IS the component minimum among TOUCHED nodes
+          find(v.toInt).toLong
+        }).toMap
+      val got = Dedup.withComponents(edges.toDF("d1", "d2"))(
+        _.as[(Long, Long)].collect().toMap)
+      assert(got == expected, s"seed $seed: CC disagrees with union-find")
+    }
+  }
+
   test("identical posting sets always band together and verify at 1.0") {
     // doc 100 and 101 share an identical 6-shingle set → every band key
     // matches → candidate with jaccard exactly 1.0

@@ -26,6 +26,35 @@ class SimilarityProps extends SparkSpec {
     d
   }
 
+  test("Q24 centroids equal an exact BigInt reference on random vectors") {
+    import spark.implicits._
+    // the fixed-point accumulation claims BIT-exact, order-free means:
+    // recompute them with arbitrary-precision integers on the driver
+    // and require equality to the last bit of every double
+    val rnd = new scala.util.Random(3L)
+    val dims = 64
+    val rows = (0L until 60L).map { i =>
+      (i % 5L, Array.fill(dims)((rnd.nextFloat() * 2 - 1).toDouble))
+    }
+    def q24(x: Double): Long =
+      new java.math.BigDecimal(x * (1L << 24).toDouble)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val expected: Map[Long, Array[Double]] = rows.groupBy(_._1).map {
+      case (cell, rs) =>
+        cell -> (0 until dims).map { d =>
+          val s = rs.map(r => BigInt(q24(r._2(d)))).sum
+          s.toDouble / (1L << 24).toDouble / rs.size
+        }.toArray
+    }
+    val got = Similarity.centroids(rows.toDF("cell", "v"), "cell")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (cell, arr) =>
+      assert(arr.sameElements(expected(cell)), s"cell $cell centroid diverged")
+    }
+  }
+
   test("zero-norm embeddings never surface from the NaN guard; clones always do") {
     import spark.implicits._
     val out = SparkEntry.queries("sim_neardup_lsh")(spark, dir)

@@ -217,6 +217,35 @@ class TopKSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = savedOpts
   }
 
+  test("property: random data parity with the window form, heap and fallback paths") {
+    val rnd = new scala.util.Random(7)
+    // trial 3 forces the external-sort fallback via the tiny row bound
+    val trials = Seq((3, 1, None), (50, 4, None), (1500, 7, Some("32")))
+    for (((nGroups, k, bound), trial) <- trials.zipWithIndex) {
+      val saved = spark.conf.getOption(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+      bound.foreach(spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, _))
+      try {
+        val n = 2000 + rnd.nextInt(2000)
+        // deliberately collision-heavy values: ties resolved by id
+        val data = (0 until n).map(i =>
+          (rnd.nextInt(nGroups).toLong, rnd.nextInt(50).toLong, i.toLong))
+        val df = data.toDF("g", "v", "id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+        val expect = df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+        val got = TopK.perGroup(df, k, Seq("g"), Seq(("v", false), ("id", true)))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+        assert(got == expect, s"trial $trial diverged from the window form")
+      } finally saved match {
+        case Some(v) => spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, v)
+        case None => spark.conf.unset(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+      }
+    }
+  }
+
   test("rewrite leaves non-matching windows alone (rank(), conjunct filters)") {
     TopK.registerRewrite(spark)
     try {
