@@ -260,6 +260,35 @@ object TrainPrep extends QueryModule {
              |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "deterministic hash train/valid/test split + 8-way sharding"),
 
+    // One BPE merge iteration (the tokenizer-training kernel) as a
+    // distributed query: word-frequency table → initial character
+    // symbol state → adjacent-pair counts weighted by word frequency →
+    // top merge candidates (the first row IS the merge BPE would
+    // perform; a full training loop repeats this with the winning pair
+    // fused into the symbol table). The 100 TB shape: the corpus is
+    // touched ONCE to build the word-frequency table (one shuffle on
+    // the word), after which every iteration runs at VOCABULARY scale —
+    // Zipf keeps the distinct-word set millions, not trillions, which
+    // is exactly why real tokenizer trainers operate on word counts.
+    // Shares the canonical [[TextAnalytics.TokenPattern]] tokenizer;
+    // ties at the top-10 boundary break on the pair string, so the
+    // candidate list is deterministic and oracle-replayed.
+    "prep_bpe_merge_pairs" -> Q(
+      (s, dir) => bpeMergePairs(docs(s, dir)),
+      Some(s"""WITH t AS (
+              |  SELECT tok AS w FROM documents,
+              |    UNNEST(${TextAnalytics.dTok}) AS u(tok)),
+              |wf AS (SELECT w, count(*) AS freq FROM t GROUP BY 1),
+              |p AS (
+              |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair,
+              |    sum(freq) AS pair_count
+              |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+              |        FROM wf WHERE length(w) >= 2)
+              |  GROUP BY 1)
+              |SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+              |FROM p ORDER BY pair_count DESC, pair LIMIT 10""".stripMargin),
+      doc = "one BPE merge iteration: frequency-weighted adjacent symbol pairs, top-10"),
+
     // Split-aware decontamination audit: the held-out split is only as
     // clean as its NEAR-DUP isolation — a test doc whose near-duplicate
     // sits in train leaks the answer even though the doc ids differ.
@@ -518,6 +547,22 @@ object TrainPrep extends QueryModule {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "winsorization at exact per-type [p1, p99] (broadcast bounds, one clip pass)"),
   )
+
+  /** BPE merge-iteration body (injectable for specs — see the
+    * `prep_bpe_merge_pairs` entry for the full rationale). */
+  def bpeMergePairs(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(explode(expr(TextAnalytics.tokExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(10)
+  }
 
   /** Winsorization body (injectable for specs — see the
     * `prep_clip_outliers` entry for the full rationale). Bounds rank

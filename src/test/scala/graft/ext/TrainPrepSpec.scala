@@ -10,6 +10,16 @@ class TrainPrepSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("BPE merge pairs: hand-computed frequency-weighted counts") {
+    import spark.implicits._
+    // vocab: ab ×2, cab ×1, x ×1 (single char: no pairs)
+    // pairs: 'ab' from "ab"(freq 2) + "cab"(freq 1) = 3; 'ca' = 1
+    val d = Seq((1L, "ab X ab"), (2L, "cab")).toDF("doc_id", "text")
+    val out = TrainPrep.bpeMergePairs(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ab", 3L), ("ca", 1L)))
+  }
+
   test("split-leakage audit: pair matrix conserves the near-dup pair count") {
     val rows = run("prep_split_leakage").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
