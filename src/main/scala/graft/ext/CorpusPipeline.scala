@@ -129,6 +129,103 @@ object CorpusPipeline {
              |SELECT stage, count(*) AS n_docs FROM staged
              |GROUP BY stage ORDER BY stage""".stripMargin),
       doc = "composed cleaning pipeline: exact dedup → near-dup → quality"),
+
+    // The END of the funnel: what actually ships to training. Quality
+    // survivors → benchmark decontamination (the prep_decontaminate
+    // rule: the doc_id%10=0 eval slice is excluded outright and any
+    // survivor sharing ≥ 3 word-5-grams with it drops) → deterministic
+    // hash split → per-split doc/token/char budget. This is the number
+    // a data team actually reports ("how many tokens of train after
+    // cleaning?"), and it exercises every stage as ONE composed DAG —
+    // each stage keeps its standalone query's exact definition (shared
+    // builders), so the composition cannot drift from the parts. Scale:
+    // the stages are the already-audited shapes (band equi-joins,
+    // broadcast gram probe, map-side split); the rollup is 3 rows.
+    "corpus_train_export" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val rows = withCleanedDocs(s, dir) { staged =>
+          val kept = staged.filter(col("stage") === "quality_kept")
+            .select(col("doc_id"))
+          val grams = TrainPrep.gram5Rows(d)
+          val bench = grams.filter(col("doc_id") % 10 === 0)
+            .select(col("h")).distinct()
+          val contaminated = grams.filter(col("doc_id") % 10 =!= 0)
+            .join(broadcast(bench), Seq("h"))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+            .filter(col("n") >= 3).select(col("doc_id"))
+          val split = conv(substring(md5(concat(lit("split:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100L
+          kept.filter(col("doc_id") % 10 =!= 0)
+            .join(contaminated, Seq("doc_id"), "left_anti")
+            .join(d.select(col("doc_id"), col("text"), col("n_chars")), Seq("doc_id"))
+            .withColumn("split",
+              when(split < 80, "train").when(split < 90, "valid").otherwise("test"))
+            .groupBy(col("split"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(expr(s"size($tok)").cast("long")).as("n_tokens"),
+              sum(col("n_chars")).as("n_chars"))
+            .orderBy(col("split"))
+            .as[(String, Long, Long, Long)].collect().toSeq
+        }
+        rows.toDF("split", "n_docs", "n_tokens", "n_chars").orderBy(col("split"))
+      },
+      Some(s"""WITH norm AS (
+             |  SELECT doc_id, text,
+             |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+             |  FROM documents),
+             |exact_kept AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keeper
+             |    FROM norm) WHERE doc_id = keeper),
+             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}') AS ts
+             |         FROM exact_kept),
+             |sh0 AS (SELECT DISTINCT doc_id, s AS shingle
+             |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+             |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(s)),
+             |${Dedup.dCapCtes("sh0", "sh", Dedup.DefaultMaxShingleDf)},
+             |${Dedup.dBandCtes("sh")},
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |pairs AS (
+             |  SELECT c.d1, c.d2, count(*) AS common
+             |  FROM band_cand c
+             |  JOIN sh a ON a.doc_id = c.d1
+             |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+             |  GROUP BY 1, 2),
+             |dups AS (
+             |  SELECT DISTINCT d2 AS doc_id FROM pairs
+             |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
+             |neardup_kept AS (
+             |  SELECT doc_id, text FROM exact_kept
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+             |quality_kept AS (
+             |  SELECT doc_id FROM neardup_kept
+             |  WHERE len(regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}')) BETWEEN 20 AND 500
+             |    AND len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) > 0),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+             |  FROM documents, UNNEST(${TrainPrep.dGram5}) AS u(g)),
+             |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0),
+             |contam AS (
+             |  SELECT gr.doc_id FROM grams gr JOIN bench b USING (h)
+             |  WHERE gr.doc_id % 10 <> 0
+             |  GROUP BY 1 HAVING count(*) >= 3),
+             |exp AS (
+             |  SELECT q.doc_id, d.n_chars,
+             |    len(regexp_extract_all(lower(d.text), '${TextAnalytics.TokenPattern}')) AS n_toks,
+             |    CASE WHEN ('0x' || substr(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+             |         WHEN ('0x' || substr(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+             |         ELSE 'test' END AS split
+             |  FROM quality_kept q JOIN documents d USING (doc_id)
+             |  WHERE q.doc_id % 10 <> 0
+             |    AND q.doc_id NOT IN (SELECT doc_id FROM contam))
+             |SELECT split, count(*) AS n_docs,
+             |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM exp GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "end of funnel: clean → decontaminate → split → per-split training budget"),
   )
 }
 

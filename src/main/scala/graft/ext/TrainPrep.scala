@@ -32,7 +32,7 @@ object TrainPrep extends QueryModule {
   // wants high-precision matches — a 5-token span shared with an eval
   // benchmark is strong evidence of leakage, while 3-grams collide on
   // ordinary phrasing.
-  private val dGram5 = Dedup.dNGrams(5)
+  private[ext] val dGram5 = Dedup.dNGrams(5)
 
   /** Distinct (doc_id, 60-bit 5-gram hash) pairs — [[Dedup.nGramRowsOf]]
     * at n=5, hashed to the shared md5-60-bit key so the decon join runs

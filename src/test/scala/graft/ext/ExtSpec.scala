@@ -292,6 +292,25 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("train export: funnel consistent with the clean summary, split, and quality floor") {
+    val summary = run("corpus_clean_summary").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = run("corpus_train_export").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(exp.map(_._1).toSet == Set("train", "valid", "test"))
+    // export ⊆ quality survivors (decon + benchmark exclusion only shrink)
+    assert(exp.map(_._2).sum <= summary("quality_kept"))
+    exp.foreach { case (split, n, toks, chars) =>
+      assert(n > 0, s"$split empty")
+      // quality filter floor: every surviving doc has ≥ 20 tokens
+      assert(toks >= 20 * n, s"$split breaks the token floor")
+      assert(chars > 0)
+    }
+    val bySplit = exp.map(e => e._1 -> e._2).toMap
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"),
+      s"80/10/10 shape violated: $bySplit")
+  }
+
   test("dedup/corpus library calls leave no cached RDDs behind") {
     // the caches inside the corpus loan scope and the (now uncached)
     // jaccard query must not outlive the call — library users don't run
