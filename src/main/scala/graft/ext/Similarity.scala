@@ -99,15 +99,47 @@ object Similarity extends QueryModule {
         col("best.cos").as("cos"), col("best.v").as("v"))
 
   /** Deterministic md5-ordered membership cap per cluster (see
-    * [[SemDedupMaxMembers]]). */
+    * [[SemDedupMaxMembers]]), in TWO stages so the capping mechanism
+    * itself survives the mega-cluster it defends against:
+    *
+    *  1. map-side THINNING — keep members whose 60-bit md5 key falls in
+    *     the lowest 2·cap/n fraction of their cluster (sizes are a
+    *     k-row broadcast). A one-task `row_number` sort of a cluster
+    *     holding 90% of the corpus is exactly the skew the cap exists
+    *     to prevent; the threshold filter needs no shuffle at all and
+    *     cuts that cluster to ~2·cap rows with overwhelming
+    *     probability (binomial, margin 2×).
+    *  2. exact md5-ordered `row_number ≤ cap` over the thinned
+    *     survivors — restoring the STRICT ≤ cap guarantee on a
+    *     per-cluster set that is now ~2·cap rows, so the sort is
+    *     trivial everywhere.
+    *
+    * For n ≤ 2·cap the threshold keeps everything (key·n < 2^60·n ≤
+    * 2^60·2·cap), so the thinning is inert at the test SFs and the
+    * two-stage definition — replayed verbatim by the oracle, both
+    * stages md5-derived — degenerates to the plain rank cap. */
   private[ext] def cappedClusterMembers(asg: DataFrame, maxMembers: Int): DataFrame = {
+    val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("_csz"))
+    val key = conv(substring(
+      md5(concat(lit("sd_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val thinned = asg.join(broadcast(sizes), Seq("cluster_id"))
+      .filter(key.cast("double") * col("_csz").cast("double") <
+        lit(thinningBound(maxMembers)))
+      .select(col("vec_id"), col("cluster_id"), col("v"))
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(md5(concat(lit("sd_"), col("vec_id").cast("string"))), col("vec_id"))
-    asg.withColumn("mrn", row_number().over(byCluster))
+    thinned.withColumn("mrn", row_number().over(byCluster))
       .filter(col("mrn") <= maxMembers)
       .select(col("vec_id"), col("cluster_id"), col("v"))
   }
+
+  /** Stage-1 threshold: keep iff key·n < 2·cap·2^60 (all doubles; the
+    * single literal is computed here and embedded verbatim in the
+    * oracle so both engines compare against the identical value). */
+  private[ext] def thinningBound(maxMembers: Int): Double =
+    2.0 * maxMembers * (1L << 60).toDouble
 
   /** Within-cluster candidate pairs above `threshold`, over a (possibly
     * capped) membership — the semdedup pair stage, exposed so the spec
@@ -214,6 +246,20 @@ object Similarity extends QueryModule {
     (s"($src.bucket)" +: (0 until LshBits).map(p =>
       s"(xor($src.bucket, ${1L << p}))")).mkString(", ")
 
+  /** Top-5 per query via the engine's OWN bounded-heap operator
+    * (`TopK.perGroup`) instead of a `row_number` window: the window
+    * form sorts each query's FULL scored set on a single task (per-
+    * query-id partitions — the worst sort skew possible when the
+    * candidate set is corpus-sized), while the heap operator cuts to 5
+    * rows per (query × input partition) map-side and never sorts.
+    * Identical output: the heap ranks under the same total order
+    * (sim DESC, neighbor_id ASC) the oracle's ROW_NUMBER uses. */
+  private def topPerQuery(scored: DataFrame): DataFrame =
+    graft.plans.TopK
+      .perGroup(scored, 5, Seq("query_id"), Seq(("sim", false), ("neighbor_id", true)))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+
   /** Brute-force cosine top-5 for the 8 fixed query vectors (the
     * sim_knn_brute body; ground truth for the recall eval). */
   private def knnBruteTop(s: SparkSession, dir: String): DataFrame = {
@@ -224,12 +270,7 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
           .as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topPerQuery(scored)
   }
 
   /** Multi-probe LSH top-5 for the same queries (the sim_ann_lsh
@@ -249,12 +290,7 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
           .as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    topPerQuery(cand)
   }
 
   override val defs: Seq[(String, Q)] = Seq(
@@ -360,19 +396,14 @@ object Similarity extends QueryModule {
               .orderBy(col("cell_sim").desc, col("cell"))))
           .filter(col("cell_rank") <= nprobe)
           .select(col("query_id"), col("qv"), col("cell"))
-        // exact re-rank inside the probed cells only
+        // exact re-rank inside the probed cells only — via the
+        // bounded-heap operator (no per-query sort; see [[topPerQuery]])
         val cand = e.join(broadcast(probed), col("label") === col("cell") &&
             col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
               .as("sim"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        cand.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-          .orderBy(col("query_id"), col("rank"))
+        topPerQuery(cand).orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
               |cents AS (
@@ -645,11 +676,10 @@ object Similarity extends QueryModule {
             col("label").as("nbr_label"), col("vec_id").as("neighbor_id"),
             round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
               .as("sim"))
-        val wR = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id"))
-        val votes = scored.withColumn("rank", row_number().over(wR))
-          .filter(col("rank") <= 5)
+        // top-5 via the bounded-heap operator: no per-query sort of the
+        // corpus-sized scored set (see [[topPerQuery]])
+        val votes = graft.plans.TopK
+          .perGroup(scored, 5, Seq("query_id"), Seq(("sim", false), ("neighbor_id", true)))
           .groupBy(col("query_id"), col("actual_label"), col("nbr_label"))
           .agg(count(lit(1)).as("n_votes"))
         val wV = org.apache.spark.sql.expressions.Window
@@ -791,12 +821,18 @@ object Similarity extends QueryModule {
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
               |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id NULLS FIRST) AS rk
               |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+              |sz AS (SELECT cluster_id, count(*) AS csz FROM asg GROUP BY 1),
+              |thin AS (
+              |  SELECT a.vec_id, a.cluster_id, a.v
+              |  FROM asg a JOIN sz USING (cluster_id)
+              |  WHERE CAST(('0x' || substr(md5('sd_' || a.vec_id::VARCHAR), 1, 15))::BIGINT AS DOUBLE)
+              |        * CAST(sz.csz AS DOUBLE) < ${thinningBound(SemDedupMaxMembers)}),
               |capped AS (
               |  SELECT vec_id, cluster_id, v FROM (
               |    SELECT vec_id, cluster_id, v,
               |      ROW_NUMBER() OVER (PARTITION BY cluster_id
               |        ORDER BY md5('sd_' || vec_id::VARCHAR), vec_id) AS mrn
-              |    FROM asg) WHERE mrn <= $SemDedupMaxMembers),
+              |    FROM thin) WHERE mrn <= $SemDedupMaxMembers),
               |p AS (
               |  SELECT a.cluster_id, b.vec_id AS drop_id
               |  FROM capped a JOIN capped b
