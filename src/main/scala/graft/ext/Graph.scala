@@ -47,13 +47,29 @@ object Graph extends QueryModule {
   }
 
   /** Canonical (u < v) co-membership edges over md5-capped token
-    * groups. */
+    * groups. The cap is TWO-STAGE (the `Similarity.cappedClusterMembers`
+    * idiom): a map-side md5-threshold thinning against broadcast
+    * per-token sizes cuts a hot token's membership to ~2·cap rows with
+    * no shuffle — a plain per-token `row_number` would sort the whole
+    * hot membership on one task, the exact skew the cap defends
+    * against — then the exact md5-ordered rank restores the strict
+    * ≤ cap bound on the trivially small survivor set. Inert for
+    * memberships ≤ 2·cap; both stages replay in the oracle. (The sizes
+    * broadcast is token-domain-sized — mint addresses, not open text
+    * vocabulary — small by construction.) */
   def edges(events: DataFrame, topK: Int = 2,
       maxMembers: Int = DefaultMaxTokenMembers): DataFrame = {
     val inc = topTokens(events, topK)
+    val sizes = inc.groupBy(col("k")).agg(count(lit(1)).as("_ksz"))
+    val ukey = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val thinned = inc.join(broadcast(sizes), Seq("k"))
+      .filter(ukey.cast("double") * col("_ksz").cast("double") <
+        lit(Similarity.thinningBound(maxMembers)))
+      .select(col("user_id"), col("k"))
     val byTok = Window.partitionBy(col("k"))
       .orderBy(md5(col("user_id").cast("string")), col("user_id"))
-    val capped = inc.withColumn("mrn", row_number().over(byTok))
+    val capped = thinned.withColumn("mrn", row_number().over(byTok))
       .filter(col("mrn") <= maxMembers)
       .select(col("user_id"), col("k"))
     capped.as("a").join(capped.as("b"), Seq("k"))
@@ -118,11 +134,16 @@ object Graph extends QueryModule {
        |    SELECT user_id, k, row_number() OVER (
        |      PARTITION BY user_id ORDER BY cnt DESC, k ASC) AS rn
        |    FROM cnts) WHERE rn <= $topK),
+       |ksz AS (SELECT k, count(*) AS n FROM inc GROUP BY 1),
+       |thin AS (
+       |  SELECT i.user_id, i.k FROM inc i JOIN ksz USING (k)
+       |  WHERE CAST(('0x' || substr(md5(CAST(i.user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |        * CAST(ksz.n AS DOUBLE) < ${Similarity.thinningBound(maxMembers)}),
        |capped AS (
        |  SELECT user_id, k FROM (
        |    SELECT user_id, k, row_number() OVER (
        |      PARTITION BY k ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS mrn
-       |    FROM inc) WHERE mrn <= $maxMembers),
+       |    FROM thin) WHERE mrn <= $maxMembers),
        |edges AS (
        |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
        |  FROM capped a JOIN capped b ON a.k = b.k AND a.user_id < b.user_id)""".stripMargin
