@@ -260,6 +260,39 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"))
 
+  /** IVF top-5 for the same queries (the sim_ann_ivf body): Q24
+    * fixed-point centroids per label cell, nprobe=3 probing, exact
+    * re-rank inside the probed cells via the heap operator — a plain
+    * avg() centroid would sum doubles in partition order
+    * (nondeterministic bits), and the round-5 ordered-fold form
+    * buffered whole clusters per group. */
+  private def annIvfTop(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = 3
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      vecD(col("embedding")).as("v"))
+    val cents = centroids(e.select(col("label"), col("v")), "label")
+      .withColumnRenamed("label", "cell")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // rank cells per query, keep nprobe (k cells per query: tiny window)
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("cell_sim",
+        graft.functions.VectorExpressions.vector_cosine(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cell_sim").desc, col("cell"))))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // exact re-rank inside the probed cells only — via the
+    // bounded-heap operator (no per-query sort; see [[topPerQuery]])
+    val cand = e.join(broadcast(probed), col("label") === col("cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
+          .as("sim"))
+    topPerQuery(cand)
+  }
+
   /** Brute-force cosine top-5 for the 8 fixed query vectors (the
     * sim_knn_brute body; ground truth for the recall eval). */
   private def knnBruteTop(s: SparkSession, dir: String): DataFrame = {
@@ -374,37 +407,7 @@ object Similarity extends QueryModule {
     // closest cells and re-rank exactly within them. The cell equi-join
     // is the scale story: a query touches nprobe/k of the corpus.
     "sim_ann_ivf" -> Q(
-      (s, dir) => {
-        val nprobe = 3
-        val e = emb(s, dir).select(col("vec_id"), col("label"),
-          vecD(col("embedding")).as("v"))
-        // centroid per cell via [[centroids]]: exact Q24 fixed-point
-        // sums (order-free, O(1) state per (cell, dim)) — a
-        // plain avg() would sum doubles in partition order
-        // (nondeterministic bits), and the round-5 ordered-fold form
-        // buffered whole clusters per group.
-        val cents = centroids(e.select(col("label"), col("v")), "label")
-          .withColumnRenamed("label", "cell")
-        val q = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        // rank cells per query, keep nprobe
-        val probed = q.join(broadcast(cents), lit(true))
-          .withColumn("cell_sim",
-            graft.functions.VectorExpressions.vector_cosine(col("qv"), col("centroid")))
-          .withColumn("cell_rank", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-              .orderBy(col("cell_sim").desc, col("cell"))))
-          .filter(col("cell_rank") <= nprobe)
-          .select(col("query_id"), col("qv"), col("cell"))
-        // exact re-rank inside the probed cells only — via the
-        // bounded-heap operator (no per-query sort; see [[topPerQuery]])
-        val cand = e.join(broadcast(probed), col("label") === col("cell") &&
-            col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")), 4)
-              .as("sim"))
-        topPerQuery(cand).orderBy(col("query_id"), col("rank"))
-      },
+      (s, dir) => annIvfTop(s, dir).orderBy(col("query_id"), col("rank")),
       Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
               |cents AS (
               |  ${dCentroids("e", "label", "cell")}),
@@ -526,6 +529,60 @@ object Similarity extends QueryModule {
               |  round(CAST(d.ssum AS DOUBLE) / $FpScale.0 / d.n_new, 4) AS mean_assign_sim
               |FROM occ LEFT JOIN d USING (cell) ORDER BY 1""".stripMargin),
       doc = "incremental IVF maintenance: batch assigned to existing centroids, no rebuild"),
+
+    // The IVF twin of sim_ann_recall_eval: same keyed-left-join eval
+    // shape, measuring the centroid index instead of the hash index —
+    // together the two evals are the side-by-side table an index
+    // rollout decision reads.
+    "sim_ivf_recall_eval" -> Q(
+      (s, dir) => {
+        val brute = knnBruteTop(s, dir).select(col("query_id"), col("neighbor_id"))
+        val ivf = annIvfTop(s, dir)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_true"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+              |bs AS (
+              |  SELECT query_id, e.vec_id AS neighbor_id,
+              |    round(${dCos("qv", "e.v")}, 4) AS sim
+              |  FROM e JOIN q ON e.vec_id <> q.query_id),
+              |bt AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY sim DESC, neighbor_id NULLS FIRST) AS rank
+              |    FROM bs) WHERE rank <= 5),
+              |cents AS (
+              |  ${dCentroids("e", "label", "cell")}),
+              |probed AS (
+              |  SELECT query_id, cell FROM (
+              |    SELECT q.query_id, c.cell,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.qv", "c.centroid")} DESC, c.cell NULLS FIRST) AS cell_rank
+              |    FROM q, cents c) WHERE cell_rank <= 3),
+              |ic AS (
+              |  SELECT p.query_id, e.vec_id AS neighbor_id,
+              |    round(${dCos("q.qv", "e.v")}, 4) AS sim
+              |  FROM probed p JOIN e ON e.label = p.cell
+              |  JOIN q ON q.query_id = p.query_id
+              |  WHERE e.vec_id <> p.query_id),
+              |it AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY sim DESC, neighbor_id NULLS FIRST) AS rank
+              |    FROM ic) WHERE rank <= 5)
+              |SELECT bt.query_id, count(*) AS n_true,
+              |  count(it.neighbor_id) AS n_hit,
+              |  round(CAST(count(it.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+              |FROM bt LEFT JOIN it
+              |  ON bt.query_id = it.query_id AND bt.neighbor_id = it.neighbor_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "per-query recall of IVF ANN vs brute-force ground truth (eval-as-query)"),
 
     // Evaluation as a first-class query: per-query recall of the LSH
     // ANN against the brute-force ground truth — the metric every index
