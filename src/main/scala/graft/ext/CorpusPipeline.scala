@@ -75,6 +75,47 @@ object CorpusPipeline {
     finally Seq(exactKept, sh, neardupKept).foreach(_.unpersist())
   }
 
+  /** DuckDB mirror of [[withCleanedDocs]]'s stage chain, ending in the
+    * CTEs `exact_kept(doc_id, text)`, `neardup_kept(doc_id, text)`,
+    * `quality_kept(doc_id)` — ONE definition shared by every oracle
+    * that consumes the cleaned corpus (`corpus_clean_summary`,
+    * `corpus_train_export`), so the stage semantics cannot drift
+    * between the summary and the export. */
+  private def dCleanCtes: String =
+    s"""norm AS (
+       |  SELECT doc_id, text,
+       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM documents),
+       |exact_kept AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keeper
+       |    FROM norm) WHERE doc_id = keeper),
+       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}') AS ts
+       |         FROM exact_kept),
+       |sh0 AS (SELECT DISTINCT doc_id, s AS shingle
+       |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(s)),
+       |${Dedup.dCapCtes("sh0", "sh", Dedup.DefaultMaxShingleDf)},
+       |${Dedup.dBandCtes("sh")},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT c.d1, c.d2, count(*) AS common
+       |  FROM band_cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |dups AS (
+       |  SELECT DISTINCT d2 AS doc_id FROM pairs
+       |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
+       |neardup_kept AS (
+       |  SELECT doc_id, text FROM exact_kept
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+       |quality_kept AS (
+       |  SELECT doc_id FROM neardup_kept
+       |  WHERE len(regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}')) BETWEEN 20 AND 500
+       |    AND len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) > 0)""".stripMargin
+
   val defs: Seq[(String, Q)] = Seq(
     "corpus_clean_summary" -> Q(
       (s, dir) => {
@@ -89,39 +130,7 @@ object CorpusPipeline {
             .as[(String, Long)].collect().toSeq)
         counts.toDF("stage", "n_docs").orderBy(col("stage"))
       },
-      Some(s"""WITH norm AS (
-             |  SELECT doc_id, text,
-             |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
-             |  FROM documents),
-             |exact_kept AS (
-             |  SELECT doc_id, text FROM (
-             |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keeper
-             |    FROM norm) WHERE doc_id = keeper),
-             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}') AS ts
-             |         FROM exact_kept),
-             |sh0 AS (SELECT DISTINCT doc_id, s AS shingle
-             |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
-             |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(s)),
-             |${Dedup.dCapCtes("sh0", "sh", Dedup.DefaultMaxShingleDf)},
-             |${Dedup.dBandCtes("sh")},
-             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-             |pairs AS (
-             |  SELECT c.d1, c.d2, count(*) AS common
-             |  FROM band_cand c
-             |  JOIN sh a ON a.doc_id = c.d1
-             |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-             |  GROUP BY 1, 2),
-             |dups AS (
-             |  SELECT DISTINCT d2 AS doc_id FROM pairs
-             |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-             |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
-             |neardup_kept AS (
-             |  SELECT doc_id, text FROM exact_kept
-             |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
-             |quality_kept AS (
-             |  SELECT doc_id FROM neardup_kept
-             |  WHERE len(regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}')) BETWEEN 20 AND 500
-             |    AND len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) > 0),
+      Some(s"""WITH $dCleanCtes,
              |staged AS (
              |  SELECT doc_id, 'exact_kept' AS stage FROM exact_kept
              |  UNION ALL SELECT doc_id, 'neardup_kept' FROM neardup_kept
@@ -155,13 +164,10 @@ object CorpusPipeline {
             .join(broadcast(bench), Seq("h"))
             .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
             .filter(col("n") >= 3).select(col("doc_id"))
-          val split = conv(substring(md5(concat(lit("split:"),
-            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100L
           kept.filter(col("doc_id") % 10 =!= 0)
             .join(contaminated, Seq("doc_id"), "left_anti")
             .join(d.select(col("doc_id"), col("text"), col("n_chars")), Seq("doc_id"))
-            .withColumn("split",
-              when(split < 80, "train").when(split < 90, "valid").otherwise("test"))
+            .withColumn("split", TrainPrep.splitCol(col("doc_id")))
             .groupBy(col("split"))
             .agg(count(lit(1)).as("n_docs"),
               sum(expr(s"size($tok)").cast("long")).as("n_tokens"),
@@ -171,53 +177,12 @@ object CorpusPipeline {
         }
         rows.toDF("split", "n_docs", "n_tokens", "n_chars").orderBy(col("split"))
       },
-      Some(s"""WITH norm AS (
-             |  SELECT doc_id, text,
-             |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
-             |  FROM documents),
-             |exact_kept AS (
-             |  SELECT doc_id, text FROM (
-             |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keeper
-             |    FROM norm) WHERE doc_id = keeper),
-             |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}') AS ts
-             |         FROM exact_kept),
-             |sh0 AS (SELECT DISTINCT doc_id, s AS shingle
-             |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
-             |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(s)),
-             |${Dedup.dCapCtes("sh0", "sh", Dedup.DefaultMaxShingleDf)},
-             |${Dedup.dBandCtes("sh")},
-             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-             |pairs AS (
-             |  SELECT c.d1, c.d2, count(*) AS common
-             |  FROM band_cand c
-             |  JOIN sh a ON a.doc_id = c.d1
-             |  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-             |  GROUP BY 1, 2),
-             |dups AS (
-             |  SELECT DISTINCT d2 AS doc_id FROM pairs
-             |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-             |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
-             |neardup_kept AS (
-             |  SELECT doc_id, text FROM exact_kept
-             |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
-             |quality_kept AS (
-             |  SELECT doc_id FROM neardup_kept
-             |  WHERE len(regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}')) BETWEEN 20 AND 500
-             |    AND len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) > 0),
-             |grams AS (
-             |  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
-             |  FROM documents, UNNEST(${TrainPrep.dGram5}) AS u(g)),
-             |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0),
-             |contam AS (
-             |  SELECT gr.doc_id FROM grams gr JOIN bench b USING (h)
-             |  WHERE gr.doc_id % 10 <> 0
-             |  GROUP BY 1 HAVING count(*) >= 3),
+      Some(s"""WITH $dCleanCtes,
+             |${TrainPrep.dContamCtes},
              |exp AS (
              |  SELECT q.doc_id, d.n_chars,
              |    len(regexp_extract_all(lower(d.text), '${TextAnalytics.TokenPattern}')) AS n_toks,
-             |    CASE WHEN ('0x' || substr(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-             |         WHEN ('0x' || substr(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
-             |         ELSE 'test' END AS split
+             |    ${TrainPrep.dSplitExpr("q.doc_id")} AS split
              |  FROM quality_kept q JOIN documents d USING (doc_id)
              |  WHERE q.doc_id % 10 <> 0
              |    AND q.doc_id NOT IN (SELECT doc_id FROM contam))

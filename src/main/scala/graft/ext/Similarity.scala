@@ -79,14 +79,23 @@ object Similarity extends QueryModule {
   /** Max-cosine seed assignment (ties to the smaller cluster id): the k
     * seed vectors broadcast against one corpus pass — the shared
     * assignment kernel of emb_kmeans_step, sim_semdedup, and
-    * sim_ivf_upsert. The argmax is a `max_by` HASH AGGREGATE, not a
-    * `row_number` window: the window form shuffles all k·n scored rows
-    * and sorts them per vec, while `max_by` partially aggregates
-    * map-side — k rows collapse to 1 before the exchange, so the
-    * shuffle carries n rows and nothing is ever sorted. The ordering
-    * struct (cos, -cluster_id) is total (ids unique), so the argmax is
-    * deterministic and identical to the oracle's ROW_NUMBER
-    * formulation: ties on cos go to the SMALLER cluster id. */
+    * sim_ivf_upsert. The argmax is a `max_by` AGGREGATE, not a
+    * `row_number` window. What that buys (and what it doesn't): the
+    * window form shuffled all k·n scored rows and ranked them inside
+    * per-vec partitions; `max_by` partially aggregates map-side — the k
+    * candidates per vector collapse to 1 BEFORE the exchange, so the
+    * shuffle carries n rows, and there is no per-key partition skew.
+    * Because the max_by buffer is struct-typed, Spark plans it as a
+    * SortAggregate (HashAggregate needs fixed-width mutable buffers),
+    * so each map task still sorts ITS OWN slice by vec_id — but that
+    * input arrives from the broadcast join already clustered by vec_id
+    * (k consecutive rows per vector), which TimSort consumes as
+    * near-sorted runs; the load-bearing properties are the k× shuffle
+    * reduction and the partial/final split, and PlanSpec pins
+    * `partial_max_by`. The ordering struct (cos, -cluster_id) is total
+    * (ids unique), so the argmax is deterministic and identical to the
+    * oracle's ROW_NUMBER formulation: ties on cos go to the SMALLER
+    * cluster id. */
   private[ext] def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame =
     e.join(broadcast(seeds), lit(true))
       .withColumn("cos",
@@ -483,8 +492,8 @@ object Similarity extends QueryModule {
         val incoming = e.filter(col("vec_id") % 25 === 0)
         val cents = centroids(indexed.select(col("label"), col("v")), "label")
           .withColumnRenamed("label", "cell")
-        // same max_by hash-aggregate argmax as [[assignToSeeds]]: k
-        // centroid rows collapse map-side, nothing sorted
+        // same max_by argmax as [[assignToSeeds]]: the k centroid
+        // candidates per vector collapse map-side before the exchange
         val asg = incoming.join(broadcast(cents), lit(true))
           .withColumn("sim", graft.functions.VectorExpressions
             .vector_cosine(col("v"), col("centroid")))

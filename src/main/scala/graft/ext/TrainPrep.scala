@@ -34,6 +34,41 @@ object TrainPrep extends QueryModule {
   // ordinary phrasing.
   private[ext] val dGram5 = Dedup.dNGrams(5)
 
+  /** THE train/valid/test split assignment (80/10/10 on an md5-derived
+    * key) — ONE definition for every query that must agree on split
+    * membership (`prep_split_shuffle`, `prep_split_leakage`,
+    * `corpus_train_export`): salt, key width, and thresholds can only
+    * change for all of them at once. */
+  private[ext] def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = conv(substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 15),
+      16, 10).cast("long") % 100L
+    when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+  }
+
+  /** DuckDB mirror of [[splitCol]] over a doc_id reference. */
+  private[ext] def dSplitExpr(ref: String): String = {
+    val b = s"('0x' || substr(md5('split:' || CAST($ref AS VARCHAR)), 1, 15))::BIGINT % 100"
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' ELSE 'test' END"
+  }
+
+  /** Benchmark 5-gram index CTEs (`grams`, `bench`) — the shared first
+    * half of the decontamination rule. */
+  private[ext] def dGramBenchCtes: String =
+    s"""grams AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+       |  FROM documents, UNNEST($dGram5) AS u(g)),
+       |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Benchmark-decontamination CTE bodies (the `prep_decontaminate`
+    * rule), ending in `contam(doc_id)` — shared with
+    * `corpus_train_export` so the decon notion cannot drift. */
+  private[ext] def dContamCtes: String =
+    s"""$dGramBenchCtes,
+       |contam AS (
+       |  SELECT gr.doc_id FROM grams gr JOIN bench b USING (h)
+       |  WHERE gr.doc_id % 10 <> 0
+       |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+
   /** Distinct (doc_id, 60-bit 5-gram hash) pairs — [[Dedup.nGramRowsOf]]
     * at n=5, hashed to the shared md5-60-bit key so the decon join runs
     * on fixed-width ints, not 5-word strings. */
@@ -84,10 +119,7 @@ object TrainPrep extends QueryModule {
             when(col("n_shared_grams") >= 3, 1L).otherwise(0L))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH grams AS (
-              |  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
-              |  FROM documents, UNNEST($dGram5) AS u(g)),
-              |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0)
+      Some(s"""WITH $dGramBenchCtes
               |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams,
               | CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
               |FROM grams gr JOIN bench b USING (h)
@@ -235,10 +267,8 @@ object TrainPrep extends QueryModule {
       (s, dir) => {
         def key(salt: String) = conv(substring(md5(concat(lit(salt),
           col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-        val b = key("split:") % 100L
         docs(s, dir)
-          .withColumn("split",
-            when(b < 80, "train").when(b < 90, "valid").otherwise("test"))
+          .withColumn("split", splitCol(col("doc_id")))
           .withColumn("shard", key("shard:") % 8L)
           .groupBy(col("split"), col("shard"))
           .agg(
@@ -248,14 +278,12 @@ object TrainPrep extends QueryModule {
             max(col("doc_id")).as("max_doc"))
           .orderBy(col("split"), col("shard"))
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, n_chars,
-             |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, n_chars, ${dSplitExpr("doc_id")} AS split,
              |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
              |  FROM documents)
-             |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
-             |            ELSE 'test' END AS split,
-             | shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |SELECT split, shard, count(*) AS n_docs,
+             | CAST(sum(n_chars) AS BIGINT) AS n_chars,
              | min(doc_id) AS min_doc, max(doc_id) AS max_doc
              |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "deterministic hash train/valid/test split + 8-way sharding"),
@@ -306,12 +334,8 @@ object TrainPrep extends QueryModule {
       (s, dir) => {
         val pairs = Dedup.jaccardPairs(Dedup.shingleRowsOf(docs(s, dir)), 0.5)
           .select(col("d1"), col("d2"))
-        def key(c: org.apache.spark.sql.Column) = conv(substring(md5(concat(lit("split:"),
-          c.cast("string"))), 1, 15), 16, 10).cast("long") % 100L
         val splits = docs(s, dir).select(col("doc_id"),
-          when(key(col("doc_id")) < 80, "train")
-            .when(key(col("doc_id")) < 90, "valid")
-            .otherwise("test").as("split"))
+          splitCol(col("doc_id")).as("split"))
         pairs
           .join(splits.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
           .join(splits.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
@@ -324,10 +348,7 @@ object TrainPrep extends QueryModule {
       },
       Some(s"""WITH ${Dedup.dJaccardCtes("nd", 0.5)},
               |sp AS (
-              |  SELECT doc_id,
-              |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-              |         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
-              |         ELSE 'test' END AS split
+              |  SELECT doc_id, ${dSplitExpr("doc_id")} AS split
               |  FROM documents)
               |SELECT least(a.split, b.split) AS split_a,
               |  greatest(a.split, b.split) AS split_b,

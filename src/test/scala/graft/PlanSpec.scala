@@ -190,12 +190,14 @@ class PlanSpec extends SparkSpec {
   test("k-means step broadcasts the k seeds against one store pass") {
     val p = planOf("emb_kmeans_step")
     // assignment is seed-broadcast (8 rows x full store: BNLJ by design);
-    // the argmax is a max_by HASH aggregate (map-side partial collapses
-    // the k scored rows per vec before the exchange) — never a
-    // row_number window, which would shuffle k·n rows and sort them
+    // the argmax is a PARTIAL/FINAL max_by aggregate — the k scored rows
+    // per vec collapse map-side before the exchange, so the shuffle
+    // carries n rows, unlike the row_number window which shuffled k·n
+    // into per-vec partitions. (Struct buffers make it a SortAggregate,
+    // not Hash — the pinned claims are the partial split and no Window.)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("max_by"), p)
+    assert(p.contains("partial_max_by"), p)
     assert(!p.contains("Window"), p)
   }
 
