@@ -138,6 +138,36 @@ object StreamAnalytics {
         col("cts") < col("pts"))
   }
 
+  /** Streaming ANN-index maintenance: assign each incoming embedding
+    * (`v: array<double>`) to its max-cosine cell from a FIXED centroid
+    * set — the streaming twin of the batch `sim_ivf_upsert`. The
+    * centroid table is collected once into a literal array (IVF
+    * centroid sets are k rows by construction — the same data
+    * `broadcast()` would ship), so the per-row argmax is a pure
+    * codegen'd HOF fold with NO join and NO aggregation: the stream
+    * stays map-only, which is what lets the caller chain the one
+    * streaming aggregation Spark allows (e.g. per-cell occupancy
+    * counts) on top. Ties break to the smaller cell id, matching the
+    * batch assignment exactly. */
+  def assignToCells(stream: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val centArr = array(cents.sortBy(_._1).map { case (cell, c) =>
+      struct(lit(cell).as("cell"),
+        array(c.map(lit(_)): _*).as("centroid"))
+    }: _*)
+    stream
+      .withColumn("_cents", centArr)
+      .withColumn("cell", expr(
+        """aggregate(_cents,
+          |  named_struct('cell', CAST(-1 AS BIGINT), 'best', CAST(-2.0 AS DOUBLE)),
+          |  (acc, c) -> CASE WHEN vector_cosine(v, c.centroid) > acc.best
+          |                   THEN named_struct('cell', c.cell,
+          |                                     'best', vector_cosine(v, c.centroid))
+          |                   ELSE acc END,
+          |  acc -> acc.cell)""".stripMargin))
+      .drop("_cents")
+  }
+
   /** Start a windowed-volume query into an in-memory sink (smoke/test
     * harness; production would writeStream to parquet/Kafka). */
   def startToMemory(agg: DataFrame, name: String): StreamingQuery =

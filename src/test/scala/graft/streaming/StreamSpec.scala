@@ -151,6 +151,50 @@ class StreamSpec extends SparkSpec {
     assert(pairs == Set((100L, 2L), (100L, 3L)))
   }
 
+  test("streaming IVF assignment: map-only argmax, one occupancy aggregation") {
+    // the streaming twin of sim_ivf_upsert: incoming embeddings assign
+    // to a fixed centroid set as PURE MAP work (literal centroid fold,
+    // no join, no agg), so the per-cell occupancy rollup is the single
+    // streaming aggregation Spark allows
+    graft.plans.GraftExtensions.register(spark) // vector_cosine in SQL
+    val src = Files.createTempDirectory("graft_stream_ivf").toString
+    val rows = Seq(
+      // vectors hugging axis 0 → cell 0; axis 2 → cell 7
+      (1L, Seq(1.0, 0.1, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.0, 0.1, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.1)),
+      (4L, Seq(0.0, 0.1, 0.8, 0.0)),
+      (5L, Seq(1.0, 0.0, 0.0, 0.2)))
+    val lines = rows.map { case (id, v) =>
+      s"""{"vec_id":$id,"v":[${v.mkString(",")}]}"""
+    }
+    Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val vSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val cents = Seq(
+      0L -> Array(1.0, 0.0, 0.0, 0.0),
+      7L -> Array(0.0, 0.0, 1.0, 0.0))
+    val stream = spark.readStream.schema(vSchema).json(src)
+    val assigned = StreamAnalytics.assignToCells(stream, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val q = assigned.writeStream
+      .outputMode("complete").format("memory").queryName("ivf_occ")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("ivf_occ").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 7L -> 2L), out.toString)
+    // and the assignment matches the batch argmax rule on the same rows
+    import spark.implicits._
+    val batch = rows.toDF("vec_id", "v")
+    val batchAsg = StreamAnalytics.assignToCells(batch, cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchAsg == Map(1L -> 0L, 2L -> 0L, 3L -> 7L, 4L -> 7L, 5L -> 0L))
+  }
+
   test("streaming band dedup: cross-batch candidates, capped state") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_banddedup").toString
