@@ -111,6 +111,30 @@ object Main {
       }
       spark.stop()
 
+    // the whole registered query surface from the CLI: list names, or
+    // run one by name against a testdata-layout dir (show to stdout, or
+    // parquet when an output path is given) — what makes every operator
+    // in COVERAGE.md reachable without writing a driver program
+    case "queries" :: Nil =>
+      SparkEntry.orderedQueries.map(_._1).foreach(println)
+
+    case "query" :: name :: sfDir :: rest if rest.length <= 1 =>
+      SparkEntry.queries.get(name) match {
+        case None =>
+          usageExit(s"unknown query: $name (run `queries` for the " +
+            s"${SparkEntry.queries.size} registered names)")
+        case Some(fn) =>
+          val spark = session()
+          val df = fn(spark, sfDir)
+          rest.headOption match {
+            case Some(out) =>
+              df.write.mode("overwrite").parquet(out)
+              println(s"$name -> $out: ${spark.read.parquet(out).count()} rows")
+            case None => df.show(50, truncate = false)
+          }
+          spark.stop()
+      }
+
     case other =>
       usageExit(s"unknown command: ${other.mkString(" ")}")
   }
@@ -135,7 +159,9 @@ object Main {
          |       incremental <src_dir> <sink> <ckpt> [intervalSec]
          |       incremental-blocks <startSlot> <tipSlot> <sink> <ckpt>
          |       analytics <fact_path> <out_dir> [anchorTimestamp]
-         |       health <fact_path> [chainTipSlot [maxSlotLag]]""".stripMargin)
+         |       health <fact_path> [chainTipSlot [maxSlotLag]]
+         |       queries
+         |       query <name> <sf_dir> [out_parquet]""".stripMargin)
     sys.exit(2)
   }
 }

@@ -84,6 +84,29 @@ class TopKSpec extends SparkSpec {
     assert(out.filter(col("rank") =!= 1).count() == 0)
   }
 
+  test("partial pass row bound: large k over many groups passes through correctly") {
+    // the group cap alone admits groups*k buffered rows at large k; the
+    // row bound must convert that into pass-through without changing
+    // results (the final pass enforces k — here via its own fallback)
+    val saved = spark.conf.getOption(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+    spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, "64")
+    try {
+      val df = spark.range(4000L).toDF("i")
+        .withColumn("g", col("i") % 100).withColumn("v", col("i"))
+        .coalesce(1)
+      val k = 50
+      val out = TopK.perGroup(df, k, Seq("g"), Seq(("v", false)))
+        .collect().map(r => (r.getLong(1), r.getLong(2))) // (g, v)
+      // per group g: 40 rows (i ≡ g mod 100); k=50 > 40 keeps all 40
+      assert(out.length == 4000)
+      val byG = out.groupBy(_._1)
+      assert(byG.size == 100 && byG.values.forall(_.length == 40))
+    } finally saved match {
+      case Some(v) => spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, v)
+      case None => spark.conf.unset(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+    }
+  }
+
   test("registerRewrite on a session without the strategy still plans") {
     val saved = spark.experimental.extraStrategies
     try {
