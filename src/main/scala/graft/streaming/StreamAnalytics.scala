@@ -148,9 +148,14 @@ object StreamAnalytics {
     * stays map-only, which is what lets the caller chain the one
     * streaming aggregation Spark allows (e.g. per-cell occupancy
     * counts) on top. Ties break to the smaller cell id, matching the
-    * batch assignment exactly. */
+    * batch assignment exactly. Dirty rows whose cosine is NaN (zero-
+    * norm embeddings) are routed to the sentinel cell -1 by the finish
+    * clause — Spark SQL orders NaN ABOVE every value in comparisons
+    * (unlike Java IEEE), so without the explicit check a NaN row would
+    * silently win the first centroid instead of being quarantined. */
   def assignToCells(stream: DataFrame,
       cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "assignToCells needs at least one centroid")
     val centArr = array(cents.sortBy(_._1).map { case (cell, c) =>
       struct(lit(cell).as("cell"),
         array(c.map(lit(_)): _*).as("centroid"))
@@ -164,7 +169,8 @@ object StreamAnalytics {
           |                   THEN named_struct('cell', c.cell,
           |                                     'best', vector_cosine(v, c.centroid))
           |                   ELSE acc END,
-          |  acc -> acc.cell)""".stripMargin))
+          |  acc -> CASE WHEN isnan(acc.best) THEN CAST(-1 AS BIGINT)
+          |              ELSE acc.cell END)""".stripMargin))
       .drop("_cents")
   }
 

@@ -193,6 +193,12 @@ class StreamSpec extends SparkSpec {
     val batchAsg = StreamAnalytics.assignToCells(batch, cents)
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batchAsg == Map(1L -> 0L, 2L -> 0L, 3L -> 7L, 4L -> 7L, 5L -> 0L))
+    // zero-norm (NaN-cosine) rows land in the -1 quarantine cell, never
+    // a silent arbitrary assignment
+    val dirty = Seq((9L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val q9 = StreamAnalytics.assignToCells(dirty, cents)
+      .select("cell").collect()(0).getLong(0)
+    assert(q9 == -1L)
   }
 
   test("streaming band dedup: cross-batch candidates, capped state") {
