@@ -58,7 +58,19 @@ object Graph extends QueryModule {
     * broadcast is token-domain-sized — mint addresses, not open text
     * vocabulary — small by construction.) */
   def edges(events: DataFrame, topK: Int = 2,
-      maxMembers: Int = DefaultMaxTokenMembers): DataFrame = {
+      maxMembers: Int = DefaultMaxTokenMembers): DataFrame =
+    edgePlan(events, topK, maxMembers)._3
+
+  /** The edge construction, with its two REUSED intermediates exposed:
+    * `inc` feeds both cap stages (the broadcast `sizes` build and the
+    * thinning probe) and `capped` feeds both sides of the projection
+    * self-join — left uncached, each executes once per consumer side
+    * (for `inc` that is the full events scan + shuffle agg + per-user
+    * window, twice: the round-6 graph-family regression). Both are
+    * bounded — `inc` at topK rows per user, `capped` at maxMembers rows
+    * per token — so [[withEdges]] below loan-caches exactly these two. */
+  private def edgePlan(events: DataFrame, topK: Int, maxMembers: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val inc = topTokens(events, topK)
     val sizes = inc.groupBy(col("k")).agg(count(lit(1)).as("_ksz"))
     val ukey = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
@@ -72,15 +84,33 @@ object Graph extends QueryModule {
     val capped = thinned.withColumn("mrn", row_number().over(byTok))
       .filter(col("mrn") <= maxMembers)
       .select(col("user_id"), col("k"))
-    capped.as("a").join(capped.as("b"), Seq("k"))
+    val e = capped.as("a").join(capped.as("b"), Seq("k"))
       .filter(col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
       .distinct()
+    (inc, capped, e)
   }
 
-  /** Degree histogram: how many nodes have each degree. */
+  /** Loan-scoped edge builder: caches the two bounded intermediates of
+    * [[edgePlan]], runs `f`, and unpersists them before returning —
+    * the module's queries keep the census/histogram loan discipline
+    * (no cached RDDs outlive the query). `f` must FULLY materialize
+    * whatever it returns (both query defs below return bounded local
+    * results); a lazily-returned frame would re-execute the then-
+    * uncached plan. */
+  private[ext] def withEdges[T](events: DataFrame, topK: Int = 2,
+      maxMembers: Int = DefaultMaxTokenMembers)(f: DataFrame => T): T = {
+    val (inc, capped, e) = edgePlan(events, topK, maxMembers)
+    inc.cache(); capped.cache()
+    try f(e) finally { capped.unpersist(); inc.unpersist() }
+  }
+
+  /** Degree histogram: how many nodes have each degree. One pass over
+    * the edge list — each edge contributes both endpoints via
+    * `explode(array(u, v))` — so the (possibly uncached) edge plan
+    * evaluates once, not once per endpoint column. */
   def degreeHistogram(edgeDf: DataFrame): DataFrame =
-    edgeDf.select(col("u").as("node")).unionAll(edgeDf.select(col("v").as("node")))
+    edgeDf.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("degree"))
@@ -105,11 +135,12 @@ object Graph extends QueryModule {
   def triangleCensus(edgeDf: DataFrame): DataFrame = {
     val e = edgeDf.cache()
     try {
-      val nNodes = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      val nNodes = e.select(explode(array(col("u"), col("v"))).as("n"))
         .distinct().count()
       val nEdges = e.count()
-      // wedges: Σ deg·(deg−1)/2 over nodes (integer-exact)
-      val wedges = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      // wedges: Σ deg·(deg−1)/2 over nodes (integer-exact); one cache
+      // scan via explode rather than a two-scan union
+      val wedges = e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("w"))
         .head().getLong(0)
@@ -150,9 +181,16 @@ object Graph extends QueryModule {
 
   override val defs: Seq[(String, Q)] = Seq(
 
-    // Degree distribution of the capped dominant-token graph.
+    // Degree distribution of the capped dominant-token graph. Eager
+    // within the loan: a node's degree is ≤ topK·(maxMembers−1) (its
+    // ≤ topK groups × (cap−1) co-members each), so the histogram has
+    // that many rows at most — a bounded driver-side result, same
+    // class as the 1-row census.
     "graph_degree_hist" -> Q(
-      (s, dir) => degreeHistogram(edges(Tables.events(s, dir))),
+      (s, dir) => withEdges(Tables.events(s, dir)) { e =>
+        val h = degreeHistogram(e)
+        s.createDataFrame(java.util.Arrays.asList(h.collect(): _*), h.schema)
+      },
       Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
               |nodes AS (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges),
               |deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY 1)
@@ -162,7 +200,7 @@ object Graph extends QueryModule {
 
     // Triangle census + global clustering coefficient.
     "graph_triangles" -> Q(
-      (s, dir) => triangleCensus(edges(Tables.events(s, dir))),
+      (s, dir) => withEdges(Tables.events(s, dir))(triangleCensus),
       Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
               |nodes AS (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges),
               |deg AS (SELECT node, count(*) AS deg FROM nodes GROUP BY 1),

@@ -326,9 +326,10 @@ object TrainPrep extends QueryModule {
     // split worlds) with the deterministic hash split of
     // prep_split_shuffle, and reports the pair matrix by (split_a ≤
     // split_b) with cross-split pairs flagged as leaks. At 100 TB:
-    // split assignment is pure map-side expression work, the pair list
-    // is the df-capped band machinery (never all-pairs), and the final
-    // rollup is ≤ 6 rows. The actionable output: route each leaky
+    // split assignment is pure map-side expression work, the pair
+    // list's fan-out is bounded by the df cap (≤ df·maxDf candidates
+    // per shingle of the capped inverted index — never all-pairs), and
+    // the final rollup is ≤ 6 rows. The actionable output: route each leaky
     // pair's smaller-id doc to train (or drop it) before export.
     "prep_split_leakage" -> Q(
       (s, dir) => {

@@ -92,8 +92,11 @@ object MetadataStore {
     // and for such a key every asOfVersion below its surviving latest
     // is unanswerable (the overwritten rows are gone, so a filtered
     // read would impersonate absence). Hence floor = max(latest) over
-    // multi-version keys; a routine compact of an append-mostly store
-    // rejects nothing it can still answer. Monotonic via the prior
+    // multi-version keys — deliberately CONSERVATIVE: it also rejects
+    // reads below a key's first-ever write, which the compacted log
+    // could still answer correctly (key simply absent). Fail-loud over
+    // wrong-answer; a routine compact of an append-mostly store still
+    // rejects almost nothing it can answer. Monotonic via the prior
     // floor — an emptied-but-previously-compacted store must not forget
     // that its early history is gone.
     val discardedCeil = raw.groupBy(col("key"))

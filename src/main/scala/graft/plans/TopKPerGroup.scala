@@ -158,8 +158,8 @@ case class TopKPerGroupExec(
     val ranked = rankAttr.isDefined
     val maxGroups = TopKPerGroupExec.MaxPartialGroups
     val maxBuffered = session.sessionState.conf.getConfString(
-      TopKPerGroupExec.MaxFinalBufferedRowsKey,
-      TopKPerGroupExec.DefaultMaxFinalBufferedRows.toString).toLong
+      TopKPerGroupExec.MaxBufferedRowsKey,
+      TopKPerGroupExec.DefaultMaxBufferedRows.toString).toLong
     child.execute().mapPartitions { iter =>
       val grpProj = UnsafeProjection.create(part, childOutput)
       val rowOrd = new LazilyGeneratedOrdering(ord, childOutput)
@@ -310,14 +310,16 @@ object TopKPerGroupExec {
     * OOM risk into a no-op. */
   val MaxPartialGroups: Int = 1 << 17
 
-  /** Session conf bounding the FINAL pass's in-memory heap footprint
-    * (rows buffered across all of a partition's group heaps); past it
-    * the pass falls back to a spillable external sort + streaming
-    * group limit. Row count is a proxy for bytes — the default (~1M
-    * rows) keeps typical rows within a few hundred MB of heap, the
-    * same class as a hash aggregate's buffer before IT spills. */
-  val MaxFinalBufferedRowsKey = "spark.graft.topk.maxFinalBufferedRows"
-  val DefaultMaxFinalBufferedRows: Long = 1L << 20
+  /** Session conf bounding EITHER pass's in-memory heap footprint
+    * (rows buffered across all of a partition's group heaps). Past it
+    * the PARTIAL pass lets excess rows flow to the shuffle un-limited
+    * (a superset is always correct) and the FINAL pass falls back to a
+    * spillable external sort + streaming group limit. Row count is a
+    * proxy for bytes — the default (~1M rows) keeps typical rows
+    * within a few hundred MB of heap, the same class as a hash
+    * aggregate's buffer before IT spills. */
+  val MaxBufferedRowsKey = "spark.graft.topk.maxBufferedRows"
+  val DefaultMaxBufferedRows: Long = 1L << 20
 }
 
 /** User-facing API + per-session registration. */

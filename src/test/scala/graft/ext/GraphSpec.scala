@@ -78,6 +78,16 @@ class GraphSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("withEdges releases its intermediate caches and matches edges()") {
+    val viaLoan = Graph.withEdges(planted) { e =>
+      e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val direct = Graph.edges(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLoan == direct)
+  }
+
   test("triangle joins are hash equi-joins, never all-pairs (plan gate)") {
     // the census's final frame is a LocalRelation (eager 1-row census),
     // so the join stages must be gated on the exposed triangleRows plan

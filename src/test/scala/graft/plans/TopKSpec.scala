@@ -88,8 +88,8 @@ class TopKSpec extends SparkSpec {
     // the group cap alone admits groups*k buffered rows at large k; the
     // row bound must convert that into pass-through without changing
     // results (the final pass enforces k — here via its own fallback)
-    val saved = spark.conf.getOption(TopKPerGroupExec.MaxFinalBufferedRowsKey)
-    spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, "64")
+    val saved = spark.conf.getOption(TopKPerGroupExec.MaxBufferedRowsKey)
+    spark.conf.set(TopKPerGroupExec.MaxBufferedRowsKey, "64")
     try {
       val df = spark.range(4000L).toDF("i")
         .withColumn("g", col("i") % 100).withColumn("v", col("i"))
@@ -102,8 +102,8 @@ class TopKSpec extends SparkSpec {
       val byG = out.groupBy(_._1)
       assert(byG.size == 100 && byG.values.forall(_.length == 40))
     } finally saved match {
-      case Some(v) => spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, v)
-      case None => spark.conf.unset(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+      case Some(v) => spark.conf.set(TopKPerGroupExec.MaxBufferedRowsKey, v)
+      case None => spark.conf.unset(TopKPerGroupExec.MaxBufferedRowsKey)
     }
   }
 
@@ -198,8 +198,8 @@ class TopKSpec extends SparkSpec {
     // through, so the final pass would buffer ~|partition| rows in its
     // heap map — past the conf bound it must fall back to the
     // spillable sort + streaming group limit, not OOM
-    val saved = spark.conf.getOption(TopKPerGroupExec.MaxFinalBufferedRowsKey)
-    spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, "64")
+    val saved = spark.conf.getOption(TopKPerGroupExec.MaxBufferedRowsKey)
+    spark.conf.set(TopKPerGroupExec.MaxBufferedRowsKey, "64")
     try {
       val df = spark.range(10000L).toDF("i")
         .withColumn("g", col("i") % 5000).withColumn("v", col("i"))
@@ -213,8 +213,8 @@ class TopKSpec extends SparkSpec {
       assert(finals.map(_.longMetric("numSortFallbacks").value).sum >= 1,
         "expected the external-sort fallback to trigger")
     } finally saved match {
-      case Some(v) => spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, v)
-      case None => spark.conf.unset(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+      case Some(v) => spark.conf.set(TopKPerGroupExec.MaxBufferedRowsKey, v)
+      case None => spark.conf.unset(TopKPerGroupExec.MaxBufferedRowsKey)
     }
   }
 
@@ -245,8 +245,8 @@ class TopKSpec extends SparkSpec {
     // trial 3 forces the external-sort fallback via the tiny row bound
     val trials = Seq((3, 1, None), (50, 4, None), (1500, 7, Some("32")))
     for (((nGroups, k, bound), trial) <- trials.zipWithIndex) {
-      val saved = spark.conf.getOption(TopKPerGroupExec.MaxFinalBufferedRowsKey)
-      bound.foreach(spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, _))
+      val saved = spark.conf.getOption(TopKPerGroupExec.MaxBufferedRowsKey)
+      bound.foreach(spark.conf.set(TopKPerGroupExec.MaxBufferedRowsKey, _))
       try {
         val n = 2000 + rnd.nextInt(2000)
         // deliberately collision-heavy values: ties resolved by id
@@ -263,8 +263,8 @@ class TopKSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
         assert(got == expect, s"trial $trial diverged from the window form")
       } finally saved match {
-        case Some(v) => spark.conf.set(TopKPerGroupExec.MaxFinalBufferedRowsKey, v)
-        case None => spark.conf.unset(TopKPerGroupExec.MaxFinalBufferedRowsKey)
+        case Some(v) => spark.conf.set(TopKPerGroupExec.MaxBufferedRowsKey, v)
+        case None => spark.conf.unset(TopKPerGroupExec.MaxBufferedRowsKey)
       }
     }
   }
