@@ -86,6 +86,31 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
   }
 
+  /** The per-query timing map of a bench_last/bench_baseline file,
+    * with its SF tag — None when the text has no queries map. */
+  private[graft] def parseTimings(text: String): Option[(String, Map[String, Double])] = {
+    val qIdx = text.indexOf("\"queries\"")
+    if (qIdx < 0) return None
+    val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+    val entry = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+    val times = entry.findAllMatchIn(text.drop(qIdx))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    sf.map(_ -> times)
+  }
+
+  /** The 2× tripwire predicate: queries whose new time exceeds twice
+    * the baseline AND by more than one absolute second (toy-SF
+    * sub-second entries jitter past any ratio). Failures (sentinel
+    * −1.0) and baseline-absent queries are not regressions — they have
+    * their own channels. */
+  private[graft] def regressions(results: Seq[(String, Double)],
+      base: Map[String, Double]): Seq[(String, Double, Double)] =
+    results.flatMap { case (name, t) =>
+      base.get(name).collect {
+        case b if b > 0 && t > 2 * b && t - b > 1.0 => (name, t, b)
+      }
+    }
+
   /** Loud 2× tripwire against the committed baseline (if present):
     * prints one stderr line per regressed query so a round-6-style
     * regression cannot land silently. Compares only same-SF runs —
@@ -95,16 +120,12 @@ object Bench {
       sfDir: String): Unit = {
     val base = java.nio.file.Paths.get("bench_baseline.json")
     if (!java.nio.file.Files.exists(base)) return
-    val text = java.nio.file.Files.readString(base)
-    if (!text.contains("\"sf\":\"" + sfDir + "\"")) return
-    val entry = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
-    val baseTimes = entry.findAllMatchIn(
-      text.drop(text.indexOf("\"queries\""))).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    results.foreach { case (name, t) =>
-      baseTimes.get(name).foreach { b =>
-        if (b > 0 && t > 2 * b && t - b > 1.0)
+    parseTimings(java.nio.file.Files.readString(base)) match {
+      case Some((sf, baseTimes)) if sf == sfDir =>
+        regressions(results, baseTimes).foreach { case (name, t, b) =>
           System.err.println(f"[bench] REGRESSION $name: $t%.2f s vs baseline $b%.2f s (${t / b}%.1fx)")
-      }
+        }
+      case _ => ()
     }
   }
 

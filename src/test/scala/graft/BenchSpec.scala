@@ -66,6 +66,45 @@ class BenchSpec extends SparkSpec {
       && c.contains("\"n_chunks\":" + chunks.size)))
   }
 
+  test("regression tripwire: 2x-and-1s rule, sentinels and new queries exempt") {
+    val base = Map("a" -> 2.0, "b" -> 0.3, "c" -> 5.0, "gone" -> 1.0)
+    val now = Seq(
+      "a" -> 5.0,   // 2.5x and +3s → regression
+      "b" -> 0.9,   // 3x but only +0.6s → jitter, exempt
+      "c" -> -1.0,  // failure sentinel → its own channel, exempt
+      "new_q" -> 9.0) // no baseline → exempt
+    assert(Bench.regressions(now, base) == Seq(("a", 5.0, 2.0)))
+  }
+
+  test("parseTimings reads writeBenchLast's artifact format") {
+    val text =
+      s"""{"metric":"bench_last","total_sec":1.25,"n_queries":2,"fatal":false,"sf":"/sf0.1",
+         |"queries":{"q_one":1.25,"q_two":-1.0}}""".stripMargin
+    val Some((sf, times)) = Bench.parseTimings(text)
+    assert(sf == "/sf0.1")
+    assert(times == Map("q_one" -> 1.25, "q_two" -> -1.0))
+    assert(Bench.parseTimings("{}").isEmpty)
+  }
+
+  test("committed bench artifacts: tripwire audit (warn-only, driver rewrites last)") {
+    // deterministic given the committed files; warn-only because the
+    // driver regenerates bench_last.json between commits — Bench.main
+    // prints the same REGRESSION lines at run time
+    val last = java.nio.file.Paths.get("bench_last.json")
+    val base = java.nio.file.Paths.get("bench_baseline.json")
+    if (java.nio.file.Files.exists(last) && java.nio.file.Files.exists(base)) {
+      (Bench.parseTimings(java.nio.file.Files.readString(last)),
+        Bench.parseTimings(java.nio.file.Files.readString(base))) match {
+        case (Some((sfL, lastT)), Some((sfB, baseT))) if sfL == sfB =>
+          Bench.regressions(lastT.toSeq.sortBy(_._1), baseT).foreach {
+            case (name, t, b) =>
+              alert(f"BENCH REGRESSION $name: $t%.2f s vs baseline $b%.2f s (${t / b}%.1fx)")
+          }
+        case _ => ()
+      }
+    }
+  }
+
   test("mass failure: trailer stays tail-safe, true count kept, sentinels in chunks") {
     // a fatal cascade failing every query must not blow the trailer —
     // the one line the tail parser depends on — past the tail window
