@@ -421,7 +421,9 @@ object Dedup extends QueryModule {
         // hooked feeds BOTH sides of the compress self-join below: cache
         // it for the round so the hook join+agg (the heavy per-round
         // work) computes once, not once per side — released as soon as
-        // the round's result materializes
+        // the round's result materializes. (Round-7 profile: skipping
+        // this cache and recomputing the hook per side is ~35% SLOWER
+        // at sf0.1 — the cache write/read is cheaper than the join+agg.)
         hooked.cache()
         retired += hooked
         // POINTER JUMP (compress): label ← label's label. Hooking alone
@@ -453,8 +455,11 @@ object Dedup extends QueryModule {
         // so it is materialized — and persisted — right here, exactly
         // like the cache it replaces; executor loss would lose the
         // truncated lineage, which local mode cannot hit and a cluster
-        // run would absorb by rerunning the component loop).
-        val updated = updatedPlan.localCheckpoint()
+        // run would absorb by rerunning the component loop). LAZY, so
+        // the chg-count below materializes the checkpoint in the SAME
+        // job — eager checkpointing would run one extra full pass per
+        // round just to then count over the stored blocks.
+        val updated = updatedPlan.localCheckpoint(false)
         retired += updated
         // the count materializes `updated`, after which the prior
         // round's CACHED frame (not the derived view) has no consumers —
