@@ -191,15 +191,21 @@ object Similarity extends QueryModule {
     * 64× row shuffle), no member buffering; the mean then descales by
     * an EXACT power-of-two division and performs exactly one IEEE
     * division per (group, dim) — the same two ops on both engines. */
-  private[ext] def centroids(df: DataFrame, keyCol: String): DataFrame = {
-    val sums = (0 until Dims).map(d =>
+  private[ext] def centroids(df: DataFrame, keyCol: String): DataFrame =
+    centroidsK(df, Seq(keyCol), Dims)
+
+  /** [[centroids]] generalized to a composite key and dimensionality —
+    * the PQ codebook update groups by (subspace, code) over subvector
+    * dims; same Q24 int64 sums, same exact descale. */
+  private[ext] def centroidsK(df: DataFrame, keys: Seq[String], dims: Int): DataFrame = {
+    val sums = (0 until dims).map(d =>
       sum(round(element_at(col("v"), d + 1) * FpScale).cast("long")).as(s"_s$d"))
-    df.groupBy(col(keyCol))
+    df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_n"), sums: _*)
-      .select(col(keyCol),
-        array((0 until Dims).map(d =>
+      .select(keys.map(col) :+
+        array((0 until dims).map(d =>
           col(s"_s$d").cast("double") / lit(FpScale.toDouble) / col("_n")): _*)
-          .as("centroid"))
+          .as("centroid"): _*)
   }
 
   // DuckDB mirror of [[centroids]] (subquery body over a CTE named
@@ -334,6 +340,108 @@ object Similarity extends QueryModule {
           .as("sim"))
     topPerQuery(cand)
   }
+
+  // ──────────────────── product quantization (PQ) ────────────────────
+
+  /** PQ geometry: 64-dim vectors split into M=4 contiguous subspaces
+    * of 16 dims, each quantized against its own K=8-entry codebook. An
+    * encoded vector is M small code ids instead of 64 floats — the
+    * memory cut (here 64 × f32 → 4 × int ≈ 16–64×) that lets a 100 TB
+    * embedding store sit in executor RAM as codes with the codebook
+    * (M·K tiny vectors) broadcast; search then never touches raw
+    * vectors, only per-query lookup tables (ADC). K is toy-sized for
+    * the testdata (it would be 256 per byte-code in production); every
+    * shape below is K-independent. */
+  private[ext] val PqSubspaces = 4
+  private[ext] val PqSubDim: Int = Dims / PqSubspaces
+  private[ext] val PqCodes = 8
+
+  private def vdot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vector_dot(a, b)
+
+  /** Squared L2 distance as dot(a,a) − 2·dot(a,b) + dot(b,b): three
+    * strict left-to-right folds combined by three IEEE double ops —
+    * the exact operation sequence of the oracle's list_dot_product
+    * formulation, so assignment argmins and ADC table entries are
+    * bit-identical across engines. */
+  private def l2sq(a: Column, b: Column): Column =
+    vdot(a, a) - lit(2.0) * vdot(a, b) + vdot(b, b)
+
+  private def dL2sq(a: String, b: String): String =
+    s"list_dot_product($a, $a) - 2.0*list_dot_product($a, $b) + list_dot_product($b, $b)"
+
+  /** (vec_id, m, sv): each vector exploded into its M subvectors —
+    * constant M× fan-out, map-side only. */
+  private[ext] def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until PqSubspaces).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  // DuckDB mirror of [[pqSubvectors]]; list_slice is 1-based inclusive,
+  // matching Spark slice(v, start, length) = list_slice(v, start, start+length−1).
+  private def dPqSub: String =
+    s"""sub AS (
+       |  SELECT e.vec_id, gs.m,
+       |    list_slice(e.v, gs.m * $PqSubDim + 1, gs.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM e, generate_series(0, ${PqSubspaces - 1}) AS gs(m))""".stripMargin
+
+  /** Seed codebook: code c of subspace m = the m-th subvector of the
+    * vector with vec_id = c (the deterministic first-K idiom of every
+    * clustering query here). */
+  private[ext] def pqCodebook0(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("code_id"), col("sv").as("cv"))
+
+  private def dPqCb0: String =
+    s"""cb0 AS (SELECT m, CAST(vec_id AS INTEGER) AS code_id, sv AS cv
+       |  FROM sub WHERE vec_id < $PqCodes)""".stripMargin
+
+  /** Nearest-code assignment per (vector, subspace): argmin of L2²
+    * against the M·K-row broadcast codebook — the `max_by` partial-agg
+    * shape of [[assignToSeeds]] (the K candidates per (vec, m) collapse
+    * map-side BEFORE the exchange; no per-key window skew), ties to the
+    * smaller code id. Carries d2 and sv for the centroid/distortion
+    * update. */
+  private[ext] def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(
+        struct(col("code_id"), col("d2"), col("sv")),
+        struct((-col("d2")).as("nd"), (-col("code_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.code_id").as("code_id"),
+        col("best.d2").as("d2"), col("best.sv").as("sv"))
+
+  private def dPqAssign(name: String, cb: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, m, code_id, d2, sv FROM (
+       |    SELECT s.vec_id, s.m, c.code_id, s.sv, ${dL2sq("s.sv", "c.cv")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${dL2sq("s.sv", "c.cv")} ASC, c.code_id ASC) AS rk
+       |    FROM sub s JOIN $cb c USING (m)) WHERE rk = 1)""".stripMargin
+
+  /** One-Lloyd-step codebook from the seed codes (shared by the train
+    * query and the ADC search so the two cannot drift): assign every
+    * subvector to its seed code, then Q24 exact means per (m, code). */
+  private[ext] def pqTrainedCodebook(sub: DataFrame): DataFrame =
+    centroidsK(
+      pqAssign(sub, pqCodebook0(sub))
+        .select(col("m"), col("code_id"), col("sv").as("v")),
+      Seq("m", "code_id"), PqSubDim)
+      .select(col("m"), col("code_id"), col("centroid").as("cv"))
+
+  // DuckDB mirror of [[pqTrainedCodebook]] (expects sub + cb0 + an
+  // asg CTE from dPqAssign("asg", "cb0")).
+  private def dPqCents: String =
+    s"""cents AS (
+       |  SELECT m, code_id, list(c ORDER BY d) AS centroid FROM (
+       |    SELECT a.m, a.code_id, gs.d,
+       |      CAST(sum(CAST(round(a.sv[gs.d + 1] * $FpScale.0) AS BIGINT)) AS DOUBLE)
+       |        / $FpScale.0 / count(*) AS c
+       |    FROM asg a, generate_series(0, ${PqSubDim - 1}) AS gs(d)
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2)""".stripMargin
 
   override val defs: Seq[(String, Q)] = Seq(
 
@@ -916,5 +1024,114 @@ object Similarity extends QueryModule {
               |LEFT JOIN nd USING (cluster_id)
               |ORDER BY 1""".stripMargin),
       doc = "semantic dedup: within-cluster cosine near-dups, one representative kept"),
+
+    // PQ codebook training, one Lloyd step per subspace: every vector
+    // splits into M=4 subvectors, each assigned to its nearest of K=8
+    // seed codes (L2², argmin via the map-side max_by collapse), and
+    // the codebook updates as exact Q24 fixed-point means per
+    // (subspace, code) — the [[centroids]] guarantees (order-free int64
+    // sums, O(1) agg state, bit-identical cross-engine) on the composite
+    // key. Per-cell distortion (Q24-summed L2²) is the quantization-
+    // quality metric a production trainer would iterate on. At 100 TB:
+    // the M× subvector fan-out is map-side, assignment is one broadcast
+    // join + partial-agg pass, and the update groups on M·K cells —
+    // the identical plan each further Lloyd iteration would run.
+    "emb_pq_train_step" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val sub = pqSubvectors(e)
+        val asg = pqAssign(sub, pqCodebook0(sub))
+        val cents = centroidsK(
+          asg.select(col("m"), col("code_id"), col("sv").as("v")),
+          Seq("m", "code_id"), PqSubDim)
+        val stats = asg.groupBy(col("m"), col("code_id"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(round(col("d2") * FpScale).cast("long")).as("dsum"))
+          .select(col("m"), col("code_id"), col("n_assigned"),
+            round(col("dsum").cast("double") / lit(FpScale.toDouble), 4)
+              .as("distortion"))
+        stats.join(cents, Seq("m", "code_id"))
+          .select(col("m").as("subspace"), col("code_id"), col("n_assigned"),
+            col("distortion"), col("centroid"))
+          .orderBy(col("subspace"), col("code_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |$dPqSub,
+              |$dPqCb0,
+              |${dPqAssign("asg", "cb0")},
+              |$dPqCents,
+              |stats AS (
+              |  SELECT m, code_id, count(*) AS n_assigned,
+              |    round(CAST(sum(CAST(round(d2 * $FpScale.0) AS BIGINT)) AS DOUBLE)
+              |      / $FpScale.0, 4) AS distortion
+              |  FROM asg GROUP BY 1, 2)
+              |SELECT s.m AS subspace, s.code_id, s.n_assigned, s.distortion,
+              |  c.centroid
+              |FROM stats s JOIN cents c USING (m, code_id)
+              |ORDER BY subspace, code_id""".stripMargin),
+      doc = "PQ codebook Lloyd step: per-subspace argmin assign + Q24 centroid update"),
+
+    // PQ ANN search via asymmetric distance computation (ADC): the
+    // corpus is ENCODED (each vector → M code ids against the trained
+    // codebook — the compressed form that fits 100 TB in RAM), each
+    // query builds an M·K lookup table of partial L2² to every code,
+    // and a candidate's distance is the M-way LUT sum — no raw corpus
+    // vector is touched at query time. The LUT entries quantize to Q24
+    // int64 so the M-way sum is exact and order-free; ranking runs on
+    // the bounded-heap TopK operator (no per-query sort). Composes
+    // train → encode → search in one DAG so the oracle replays the
+    // whole path; in production the codebook/codes are trained and
+    // persisted once (the sim_ivf_upsert pattern), and search touches
+    // only codes + LUT.
+    "sim_ann_pq" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val sub = pqSubvectors(e)
+        val cb = pqTrainedCodebook(sub)
+        val codes = pqAssign(sub, cb)
+          .select(col("vec_id"), col("m"), col("code_id"))
+        val q = sub.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
+        val lut = q.join(broadcast(cb), Seq("m"))
+          .select(col("query_id"), col("m"), col("code_id"),
+            round(l2sq(col("qv"), col("cv")) * FpScale).cast("long").as("pq"))
+        val adc = codes.join(broadcast(lut), Seq("m", "code_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pq")).as("dsum"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(col("dsum").cast("double") / lit(FpScale.toDouble), 4)
+              .as("adc_dist"))
+        graft.plans.TopK.perGroup(adc, 5, Seq("query_id"),
+            Seq(("adc_dist", true), ("neighbor_id", true)))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("adc_dist"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |$dPqSub,
+              |$dPqCb0,
+              |${dPqAssign("asg", "cb0")},
+              |$dPqCents,
+              |cb AS (SELECT m, code_id, centroid AS cv FROM cents),
+              |${dPqAssign("enc", "cb")},
+              |codes AS (SELECT vec_id, m, code_id FROM enc),
+              |q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 8),
+              |lut AS (
+              |  SELECT q.query_id, q.m, c.code_id,
+              |    CAST(round((${dL2sq("q.qv", "c.cv")}) * $FpScale.0) AS BIGINT) AS pq
+              |  FROM q JOIN cb c USING (m)),
+              |adc AS (
+              |  SELECT l.query_id, k.vec_id AS neighbor_id,
+              |    round(CAST(sum(l.pq) AS DOUBLE) / $FpScale.0, 4) AS adc_dist
+              |  FROM codes k JOIN lut l ON k.m = l.m AND k.code_id = l.code_id
+              |  WHERE k.vec_id <> l.query_id
+              |  GROUP BY 1, 2)
+              |SELECT query_id, rank, neighbor_id, adc_dist FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+              |  FROM adc) WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "PQ ANN: encoded corpus + per-query ADC lookup tables, heap top-5"),
   )
 }

@@ -201,6 +201,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("PQ ADC search: broadcast codebook/LUT equi-joins, partial argmin, no window") {
+    val p = planOf("sim_ann_pq")
+    // codebook + LUT are broadcast; codes join them on (m, code) keys;
+    // the argmin is the map-side partial max_by collapse; ranking runs
+    // on the heap operator, never a per-query window sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_max_by"), p)
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("split-leakage audit: keyed equi-joins only, never all-pairs") {
     val p = planOf("prep_split_leakage")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

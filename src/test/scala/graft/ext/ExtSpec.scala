@@ -231,6 +231,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("PQ: Lloyd step never increases distortion; encoding covers the corpus") {
+    val e = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sub = Similarity.pqSubvectors(e)
+    val n = e.count()
+    // the k-means contract: argmin-assign to the UPDATED centroids costs
+    // no more than the assignment the update was computed from
+    val d0 = Similarity.pqAssign(sub, Similarity.pqCodebook0(sub))
+      .agg(sum(col("d2"))).head().getDouble(0)
+    val codes = Similarity.pqAssign(sub, Similarity.pqTrainedCodebook(sub))
+    val d1 = codes.agg(sum(col("d2"))).head().getDouble(0)
+    assert(d1 <= d0 + 1e-9, s"Lloyd step increased distortion: $d0 -> $d1")
+    // every vector encodes to exactly M codes, all in [0, K)
+    assert(codes.count() == n * Similarity.PqSubspaces)
+    assert(codes.filter(col("code_id") < 0 ||
+      col("code_id") >= Similarity.PqCodes).count() == 0)
+  }
+
+  test("PQ ADC top-5: complete ranked lists, distances ascend with rank") {
+    val rows = run("sim_ann_pq").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to 5L))
+      val ds = ordered.map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted), s"ADC not ascending: ${ds.toSeq}")
+      assert(ds.forall(_ >= -1e-9), s"negative squared distance: ${ds.toSeq}")
+    }
+  }
+
   test("recall-eval query agrees with the independently computed recall") {
     import spark.implicits._
     val brute = run("sim_knn_brute")
