@@ -443,6 +443,15 @@ object Similarity extends QueryModule {
        |    GROUP BY 1, 2, 3)
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Elementwise residual v − c (exact IEEE subtraction per element —
+    * order-free, so Spark `zip_with` and the oracle's indexed
+    * list_transform agree bit-for-bit). */
+  private def vsub(v: Column, c: Column): Column =
+    zip_with(v, c, (a, b) => a - b)
+
+  private def dVsub(v: String, c: String): String =
+    s"list_transform(generate_series(1, $Dims), i -> $v[i] - $c[i])"
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // Brute-force cosine top-k: 8 query vectors × all vectors, ranked per
@@ -1133,5 +1142,127 @@ object Similarity extends QueryModule {
               |  FROM adc) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
       doc = "PQ ANN: encoded corpus + per-query ADC lookup tables, heap top-5"),
+
+    // IVF-PQ, the production ANN composition (coarse cells bound the
+    // COMPUTE a query touches; PQ residual codes bound the MEMORY the
+    // index occupies): every vector's RESIDUAL against its cell's Q24
+    // centroid is PQ-encoded with one corpus-shared codebook (residuals
+    // concentrate near zero, which is why PQ quantizes them better than
+    // raw vectors — the classic IVFADC layout); a query ranks cells by
+    // cosine, probes nprobe=3, builds one Q24 ADC lookup table per
+    // probed cell from its OWN residual against that cell's centroid,
+    // and scores only the probed cells' members by exact int64 LUT
+    // sums. At 100 TB: the index is codes + two tiny broadcast tables
+    // (cell centroids, codebook); a query reads nprobe/k of the code
+    // rows and touches no raw vector.
+    "sim_ann_ivfpq" -> Q(
+      (s, dir) => {
+        val nprobe = 3
+        val base = emb(s, dir).select(col("vec_id"), col("label"),
+          vecD(col("embedding")).as("v"))
+        val ccents = centroids(base.select(col("label"), col("v")), "label")
+          .withColumnRenamed("label", "cell")
+        // residual corpus: v − centroid[cell], cell kept for probing.
+        // Loan-cached: it feeds the codebook build, the encode pass, and
+        // the candidate list — uncached, the base scan + centroid agg +
+        // join would run once per consumer (the Graph.withEdges lesson);
+        // the ≤ 40-row result below is materialized eagerly inside the
+        // loan, then the cache is released.
+        val resid = base.join(broadcast(ccents), col("label") === col("cell"))
+          .select(col("vec_id"), col("cell"),
+            vsub(col("v"), col("centroid")).as("v"))
+          .cache()
+        val sub = pqSubvectors(resid.select(col("vec_id"), col("v")))
+        val cb = pqTrainedCodebook(sub)
+        val codes = pqAssign(sub, cb)
+          .select(col("vec_id"), col("m"), col("code_id"))
+        val q = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        // rank cells per query (k cells: tiny window), keep nprobe,
+        // carry the probed cell's centroid for the query residual
+        val probed = q.join(broadcast(ccents), lit(true))
+          .withColumn("cell_sim",
+            graft.functions.VectorExpressions.vector_cosine(col("qv"), col("centroid")))
+          .withColumn("cell_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+              .orderBy(col("cell_sim").desc, col("cell"))))
+          .filter(col("cell_rank") <= nprobe)
+          .select(col("query_id"), col("cell"),
+            vsub(col("qv"), col("centroid")).as("rv"))
+        // per-(query, probed cell) ADC table against the shared codebook
+        val qsub = probed.select(col("query_id"), col("cell"),
+            explode(array((0 until PqSubspaces).map(m =>
+              struct(lit(m).as("m"),
+                slice(col("rv"), m * PqSubDim + 1, PqSubDim).as("qsv"))): _*)).as("s"))
+          .select(col("query_id"), col("cell"), col("s.m").as("m"), col("s.qsv").as("qsv"))
+        val lut = qsub.join(broadcast(cb), Seq("m"))
+          .select(col("query_id"), col("cell"), col("m"), col("code_id"),
+            round(l2sq(col("qsv"), col("cv")) * FpScale).cast("long").as("pq"))
+        // candidates: members of the probed cells (codes join brings M rows)
+        val cand = resid.select(col("vec_id"), col("cell"))
+          .join(broadcast(probed.select(col("query_id"), col("cell"))), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+        val adc = cand.join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "cell", "m", "code_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("pq")).as("dsum"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(col("dsum").cast("double") / lit(FpScale.toDouble), 4)
+              .as("adc_dist"))
+        val ranked = graft.plans.TopK.perGroup(adc, 5, Seq("query_id"),
+            Seq(("adc_dist", true), ("neighbor_id", true)))
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("adc_dist"))
+          .orderBy(col("query_id"), col("rank"))
+        try s.createDataFrame(
+          java.util.Arrays.asList(ranked.collect(): _*), ranked.schema)
+        finally resid.unpersist()
+      },
+      Some(s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |ccents AS (
+              |  ${dCentroids("base", "label", "cell")}),
+              |e AS (
+              |  SELECT b.vec_id, c.cell, ${dVsub("b.v", "c.centroid")} AS v
+              |  FROM base b JOIN ccents c ON b.label = c.cell),
+              |$dPqSub,
+              |$dPqCb0,
+              |${dPqAssign("asg", "cb0")},
+              |$dPqCents,
+              |cb AS (SELECT m, code_id, centroid AS cv FROM cents),
+              |${dPqAssign("enc", "cb")},
+              |codes AS (SELECT vec_id, m, code_id FROM enc),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8),
+              |probed AS (
+              |  SELECT query_id, cell, ${dVsub("qv", "centroid")} AS rv FROM (
+              |    SELECT q.query_id, c.cell, q.qv, c.centroid,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.qv", "c.centroid")} DESC, c.cell NULLS FIRST) AS cell_rank
+              |    FROM q, ccents c) WHERE cell_rank <= 3),
+              |qsub AS (
+              |  SELECT p.query_id, p.cell, gs.m,
+              |    list_slice(p.rv, gs.m * $PqSubDim + 1, gs.m * $PqSubDim + $PqSubDim) AS qsv
+              |  FROM probed p, generate_series(0, ${PqSubspaces - 1}) AS gs(m)),
+              |lut AS (
+              |  SELECT s.query_id, s.cell, s.m, c.code_id,
+              |    CAST(round((${dL2sq("s.qsv", "c.cv")}) * $FpScale.0) AS BIGINT) AS pq
+              |  FROM qsub s JOIN cb c USING (m)),
+              |cand AS (
+              |  SELECT p.query_id, e.vec_id, e.cell
+              |  FROM probed p JOIN e ON e.cell = p.cell
+              |  WHERE e.vec_id <> p.query_id),
+              |adc AS (
+              |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+              |    round(CAST(sum(l.pq) AS DOUBLE) / $FpScale.0, 4) AS adc_dist
+              |  FROM cand cd
+              |  JOIN codes k ON k.vec_id = cd.vec_id
+              |  JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+              |    AND l.m = k.m AND l.code_id = k.code_id
+              |  GROUP BY 1, 2)
+              |SELECT query_id, rank, neighbor_id, adc_dist FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+              |  FROM adc) WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "IVF-PQ ANN: nprobe cells + residual PQ codes + per-cell ADC tables"),
   )
 }

@@ -249,16 +249,18 @@ class ExtSpec extends SparkSpec {
       col("code_id") >= Similarity.PqCodes).count() == 0)
   }
 
-  test("PQ ADC top-5: complete ranked lists, distances ascend with rank") {
-    val rows = run("sim_ann_pq").collect()
-    val byQ = rows.groupBy(_.getLong(0))
-    assert(byQ.size == 8 && byQ.values.forall(_.length == 5))
-    byQ.values.foreach { rs =>
-      val ordered = rs.sortBy(_.getLong(1))
-      assert(ordered.map(_.getLong(1)).toSeq == (1L to 5L))
-      val ds = ordered.map(_.getDouble(3))
-      assert(ds.sameElements(ds.sorted), s"ADC not ascending: ${ds.toSeq}")
-      assert(ds.forall(_ >= -1e-9), s"negative squared distance: ${ds.toSeq}")
+  test("PQ/IVF-PQ ADC top-5: complete ranked lists, distances ascend with rank") {
+    for (qname <- Seq("sim_ann_pq", "sim_ann_ivfpq")) {
+      val rows = run(qname).collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.size == 8 && byQ.values.forall(_.length == 5), qname)
+      byQ.values.foreach { rs =>
+        val ordered = rs.sortBy(_.getLong(1))
+        assert(ordered.map(_.getLong(1)).toSeq == (1L to 5L), qname)
+        val ds = ordered.map(_.getDouble(3))
+        assert(ds.sameElements(ds.sorted), s"$qname ADC not ascending: ${ds.toSeq}")
+        assert(ds.forall(_ >= -1e-9), s"$qname negative squared distance: ${ds.toSeq}")
+      }
     }
   }
 
