@@ -174,6 +174,45 @@ object StreamAnalytics {
       .drop("_cents")
   }
 
+  /** Streaming PQ encoding: each incoming embedding row
+    * (`v: array<double>`) → its M PQ code ids against a FIXED codebook
+    * — the streaming twin of the batch encode inside `sim_ann_pq`.
+    * The codebook is M·K tiny rows by construction, so it inlines as a
+    * literal (the same data `broadcast()` would ship) and the encode is
+    * PURE MAP work: per subspace, an argmin fold over that subspace's
+    * codes on L2² = dot(a,a) − 2·dot(a,b) + dot(b,b) — no join, no
+    * aggregation, so callers can still chain the one streaming
+    * aggregation Spark allows (e.g. per-code occupancy counts). Ties
+    * break to the SMALLER code id exactly like the batch argmin (codes
+    * fold in ascending id order under a strict `<`), and a row whose
+    * distance folds to NaN keeps the sentinel −1 code: Spark orders
+    * NaN above every double, so NaN never wins a `<` argmin — the
+    * quarantine falls out of the +Infinity init. */
+  def encodePq(stream: DataFrame,
+      codebook: Seq[(Int, Int, Array[Double])], subDim: Int): DataFrame = {
+    require(codebook.nonEmpty, "encodePq needs a non-empty codebook")
+    val nSub = codebook.map(_._1).max + 1
+    val cbArr = array(codebook.sortBy(c => (c._1, c._2)).map { case (m, code, c) =>
+      struct(lit(m).as("m"), lit(code).as("code"),
+        array(c.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val sv = s"slice(v, m * $subDim + 1, $subDim)"
+    val d2 = s"(vector_dot($sv, $sv) - 2.0D * vector_dot($sv, c.cv)" +
+      " + vector_dot(c.cv, c.cv))"
+    stream
+      .withColumn("_cb", cbArr)
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${nSub - 1}), m ->
+           |  aggregate(filter(_cb, c -> c.m = m),
+           |    named_struct('code', CAST(-1 AS INT),
+           |                 'best', CAST('Infinity' AS DOUBLE)),
+           |    (acc, c) -> CASE WHEN $d2 < acc.best
+           |                     THEN named_struct('code', c.code, 'best', $d2)
+           |                     ELSE acc END,
+           |    acc -> acc.code))""".stripMargin))
+      .drop("_cb")
+  }
+
   /** Start a windowed-volume query into an in-memory sink (smoke/test
     * harness; production would writeStream to parquet/Kafka). */
   def startToMemory(agg: DataFrame, name: String): StreamingQuery =

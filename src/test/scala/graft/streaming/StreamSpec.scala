@@ -201,6 +201,50 @@ class StreamSpec extends SparkSpec {
     assert(q9 == -1L)
   }
 
+  test("streaming PQ encode: map-only codes, batch tie-break parity, NaN quarantine") {
+    import spark.implicits._
+    // 4-dim vectors, M=2 subspaces of 2 dims, K=2 codes per subspace
+    val cb = Seq(
+      (0, 0, Array(1.0, 0.0)), (0, 1, Array(0.0, 1.0)),
+      (1, 0, Array(1.0, 0.0)), (1, 1, Array(0.0, 1.0)))
+    val src = java.nio.file.Files.createTempDirectory("graft_pqenc").toString
+    val rows = Seq(
+      (1L, Seq(0.9, 0.1, 0.1, 0.9)),  // sub0 → code 0, sub1 → code 1
+      (2L, Seq(0.0, 1.0, 1.0, 0.0)),  // sub0 → code 1, sub1 → code 0
+      (3L, Seq(0.5, 0.5, 0.5, 0.5)))  // equidistant: ties → code 0 both
+    val lines = rows.map { case (id, v) =>
+      s"""{"vec_id":$id,"v":[${v.mkString(",")}]}""" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/b1.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val vSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val stream = spark.readStream.schema(vSchema).json(src)
+    // per-code occupancy of subspace 0 — the one streaming agg still works
+    val occ = StreamAnalytics.encodePq(stream, cb, subDim = 2)
+      .select(col("vec_id"), element_at(col("codes"), 1).as("c0"))
+      .groupBy(col("c0")).agg(count(lit(1)).as("n"))
+    val q = occ.writeStream
+      .outputMode("complete").format("memory").queryName("pq_occ")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("pq_occ").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(0 -> 2, 1 -> 1), out.toString)
+    // batch run of the same encode: exact codes, tie to the smaller id
+    val batch = rows.toDF("vec_id", "v")
+    val got = StreamAnalytics.encodePq(batch, cb, subDim = 2)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == Map(1L -> Seq(0, 1), 2L -> Seq(1, 0), 3L -> Seq(0, 0)), got.toString)
+    // a NaN-distance row (NaN coordinates) quarantines to code −1
+    val dirty = Seq((9L, Seq(Double.NaN, 0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val q9 = StreamAnalytics.encodePq(dirty, cb, subDim = 2)
+      .select(col("codes")).collect()(0).getSeq[Int](0)
+    assert(q9 == Seq(-1, 0), q9.toString)
+  }
+
   test("streaming band dedup: cross-batch candidates, capped state") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_banddedup").toString
