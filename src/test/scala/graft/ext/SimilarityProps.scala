@@ -55,6 +55,24 @@ class SimilarityProps extends SparkSpec {
     }
   }
 
+  test("PQ: clones encode to identical codes; zero-norm rows are legal under L2") {
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sub = Similarity.pqSubvectors(e)
+    val codes = Similarity.pqAssign(sub, Similarity.pqTrainedCodebook(sub))
+      .select(col("vec_id"), col("m"), col("code_id"))
+    def codesOf(id: Long): Seq[Int] = codes.filter(col("vec_id") === id)
+      .orderBy(col("m")).collect().map(_.getInt(2)).toSeq
+    // the planted clone pair must compress identically — PQ cannot
+    // tell identical vectors apart, by construction
+    assert(codesOf(1L) == codesOf(2L))
+    // the all-zero vector has FINITE L2² to every code (unlike cosine,
+    // which NaNs on zero norm): it encodes to a full, valid code tuple
+    val c5 = codesOf(5L)
+    assert(c5.length == Similarity.PqSubspaces &&
+      c5.forall(c => c >= 0 && c < Similarity.PqCodes), c5.toString)
+  }
+
   test("zero-norm embeddings never surface from the NaN guard; clones always do") {
     import spark.implicits._
     val out = SparkEntry.queries("sim_neardup_lsh")(spark, dir)
