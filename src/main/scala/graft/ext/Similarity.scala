@@ -343,18 +343,19 @@ object Similarity extends QueryModule {
 
   // ──────────────────── product quantization (PQ) ────────────────────
 
-  /** PQ geometry: 64-dim vectors split into M=4 contiguous subspaces
-    * of 16 dims, each quantized against its own K=8-entry codebook. An
-    * encoded vector is M small code ids instead of 64 floats — the
-    * memory cut (here 64 × f32 → 4 × int ≈ 16–64×) that lets a 100 TB
-    * embedding store sit in executor RAM as codes with the codebook
-    * (M·K tiny vectors) broadcast; search then never touches raw
-    * vectors, only per-query lookup tables (ADC). K is toy-sized for
-    * the testdata (it would be 256 per byte-code in production); every
-    * shape below is K-independent. */
-  private[ext] val PqSubspaces = 4
+  /** PQ geometry: 64-dim vectors split into M=8 contiguous subspaces
+    * of 8 dims (the standard PQ shape — finer subspaces buy more
+    * accuracy than more codes), each quantized against its own
+    * K=16-entry codebook. An encoded vector is M small code ids
+    * instead of 64 floats — 32 bits vs 2048, the memory cut that lets
+    * a 100 TB embedding store sit in executor RAM as codes with the
+    * codebook (M·K tiny vectors) broadcast; the ADC stage then reads
+    * only codes + per-query lookup tables. K is toy-sized for the
+    * testdata (it would be 256 per byte-code in production); every
+    * shape below is M/K-independent. */
+  private[ext] val PqSubspaces = 8
   private[ext] val PqSubDim: Int = Dims / PqSubspaces
-  private[ext] val PqCodes = 8
+  private[ext] val PqCodes = 16
 
   private def vdot(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vector_dot(a, b)
@@ -442,6 +443,73 @@ object Similarity extends QueryModule {
        |    FROM asg a, generate_series(0, ${PqSubDim - 1}) AS gs(d)
        |    GROUP BY 1, 2, 3)
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** ADC shortlist width: exact distances are recomputed for only this
+    * many PQ candidates per query (the standard refine stage — Faiss
+    * IVFPQ+refine). Bounds the raw-vector reads at R·queries however
+    * large the corpus. */
+  private[ext] val PqRefine = 20
+
+  /** PQ top-5 for the 8 fixed queries (the sim_ann_pq body; also the
+    * measured index of sim_pq_recall_eval), two-stage: (1) ADC — encode
+    * the corpus against the one-Lloyd-step codebook, broadcast each
+    * query's M·K Q24 lookup table, sum the M entries in exact int64,
+    * shortlist the best [[PqRefine]] on the bounded heap; (2) REFINE —
+    * exact L2² against the raw vectors of the shortlist only. Stage 1
+    * never touches a raw vector; stage 2 touches exactly R per query —
+    * the composition that keeps recall usable when quantized distances
+    * concentrate (this testdata's uniform vectors are that worst case)
+    * while preserving the memory story. */
+  private def annPqTop(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val sub = pqSubvectors(e)
+    val cb = pqTrainedCodebook(sub)
+    val codes = pqAssign(sub, cb)
+      .select(col("vec_id"), col("m"), col("code_id"))
+    val q = sub.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
+    val lut = q.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code_id"),
+        round(l2sq(col("qv"), col("cv")) * FpScale).cast("long").as("pq"))
+    val adc = codes.join(broadcast(lut), Seq("m", "code_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pq")).as("dsum"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("dsum").cast("double") / lit(FpScale.toDouble), 4)
+          .as("adc_dist"))
+    val shortlist = graft.plans.TopK.perGroup(adc, PqRefine, Seq("query_id"),
+        Seq(("adc_dist", true), ("vec_id", true)))
+      .select(col("query_id"), col("vec_id"))
+    val qv = emb(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), vecD(col("embedding")).as("qv"))
+    val refined = shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(l2sq(col("qv"), col("v")), 4).as("dist"))
+    graft.plans.TopK.perGroup(refined, 5, Seq("query_id"),
+        Seq(("dist", true), ("neighbor_id", true)))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact squared-L2 brute top-5 (ground truth for the PQ recall
+    * eval — METRIC-CONSISTENT with ADC, which approximates L2², not
+    * cosine). */
+  private def knnBruteL2Top(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .filter(col("query_id") < 8)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(l2sq(col("qv"), col("v")), 4).as("dist"))
+    graft.plans.TopK.perGroup(scored, 5, Seq("query_id"),
+        Seq(("dist", true), ("neighbor_id", true)))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist"))
+  }
 
   /** Elementwise residual v − c (exact IEEE subtraction per element —
     * order-free, so Spark `zip_with` and the oracle's indexed
@@ -1080,43 +1148,22 @@ object Similarity extends QueryModule {
               |ORDER BY subspace, code_id""".stripMargin),
       doc = "PQ codebook Lloyd step: per-subspace argmin assign + Q24 centroid update"),
 
-    // PQ ANN search via asymmetric distance computation (ADC): the
-    // corpus is ENCODED (each vector → M code ids against the trained
-    // codebook — the compressed form that fits 100 TB in RAM), each
-    // query builds an M·K lookup table of partial L2² to every code,
-    // and a candidate's distance is the M-way LUT sum — no raw corpus
-    // vector is touched at query time. The LUT entries quantize to Q24
-    // int64 so the M-way sum is exact and order-free; ranking runs on
-    // the bounded-heap TopK operator (no per-query sort). Composes
-    // train → encode → search in one DAG so the oracle replays the
-    // whole path; in production the codebook/codes are trained and
-    // persisted once (the sim_ivf_upsert pattern), and search touches
-    // only codes + LUT.
+    // PQ ANN search, the production two-stage shape: (1) asymmetric
+    // distance computation — the corpus is ENCODED (each vector → M
+    // code ids against the trained codebook, the compressed form that
+    // fits 100 TB in RAM), each query builds an M·K lookup table of
+    // partial L2² to every code, and a candidate's ADC distance is the
+    // M-way LUT sum in exact Q24 int64, shortlisting the best R=20 on
+    // the bounded-heap TopK operator with NO raw-vector access; (2)
+    // refine — exact L2² is recomputed for the R shortlisted raw
+    // vectors only (Faiss IVFPQ+refine), which is what keeps recall
+    // usable when quantized distances concentrate (uniform testdata is
+    // that worst case) while raw reads stay bounded at R per query.
+    // Composes train → encode → search in one DAG so the oracle replays
+    // the whole path; in production the codebook/codes are trained and
+    // persisted once (the sim_ivf_upsert pattern).
     "sim_ann_pq" -> Q(
-      (s, dir) => {
-        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-        val sub = pqSubvectors(e)
-        val cb = pqTrainedCodebook(sub)
-        val codes = pqAssign(sub, cb)
-          .select(col("vec_id"), col("m"), col("code_id"))
-        val q = sub.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
-        val lut = q.join(broadcast(cb), Seq("m"))
-          .select(col("query_id"), col("m"), col("code_id"),
-            round(l2sq(col("qv"), col("cv")) * FpScale).cast("long").as("pq"))
-        val adc = codes.join(broadcast(lut), Seq("m", "code_id"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("vec_id"))
-          .agg(sum(col("pq")).as("dsum"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(col("dsum").cast("double") / lit(FpScale.toDouble), 4)
-              .as("adc_dist"))
-        graft.plans.TopK.perGroup(adc, 5, Seq("query_id"),
-            Seq(("adc_dist", true), ("neighbor_id", true)))
-          .select(col("query_id"), col("rank").cast("long").as("rank"),
-            col("neighbor_id"), col("adc_dist"))
-          .orderBy(col("query_id"), col("rank"))
-      },
+      (s, dir) => annPqTop(s, dir),
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |$dPqSub,
               |$dPqCb0,
@@ -1131,17 +1178,28 @@ object Similarity extends QueryModule {
               |    CAST(round((${dL2sq("q.qv", "c.cv")}) * $FpScale.0) AS BIGINT) AS pq
               |  FROM q JOIN cb c USING (m)),
               |adc AS (
-              |  SELECT l.query_id, k.vec_id AS neighbor_id,
+              |  SELECT l.query_id, k.vec_id,
               |    round(CAST(sum(l.pq) AS DOUBLE) / $FpScale.0, 4) AS adc_dist
               |  FROM codes k JOIN lut l ON k.m = l.m AND k.code_id = l.code_id
               |  WHERE k.vec_id <> l.query_id
-              |  GROUP BY 1, 2)
-              |SELECT query_id, rank, neighbor_id, adc_dist FROM (
+              |  GROUP BY 1, 2),
+              |short AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY adc_dist ASC, vec_id ASC) AS srank
+              |    FROM adc) WHERE srank <= $PqRefine),
+              |qraw AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+              |ref AS (
+              |  SELECT s.query_id, s.vec_id AS neighbor_id,
+              |    round(${dL2sq("qr.qv", "e.v")}, 4) AS dist
+              |  FROM short s JOIN e ON e.vec_id = s.vec_id
+              |  JOIN qraw qr ON qr.query_id = s.query_id)
+              |SELECT query_id, rank, neighbor_id, dist FROM (
               |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              |    ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
-              |  FROM adc) WHERE rank <= 5
+              |    ORDER BY dist ASC, neighbor_id ASC) AS rank
+              |  FROM ref) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
-      doc = "PQ ANN: encoded corpus + per-query ADC lookup tables, heap top-5"),
+      doc = "PQ ANN: ADC shortlist over encoded corpus, exact refine of R candidates"),
 
     // IVF-PQ, the production ANN composition (coarse cells bound the
     // COMPUTE a query touches; PQ residual codes bound the MEMORY the
@@ -1264,5 +1322,77 @@ object Similarity extends QueryModule {
               |  FROM adc) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
       doc = "IVF-PQ ANN: nprobe cells + residual PQ codes + per-cell ADC tables"),
+
+    // The PQ twin of sim_ann_recall_eval / sim_ivf_recall_eval, closing
+    // the eval loop for the quantized index: per-query recall of the
+    // refined PQ top-5 against the exact squared-L2 brute top-5 —
+    // METRIC-CONSISTENT ground truth (ADC approximates L2², not
+    // cosine). With the refine stage exact, the number measures
+    // SHORTLIST recall: did the true neighbors survive the R=20 ADC
+    // cut — the thing a wider R, more codebook iterations, or finer
+    // subspaces would buy back. Same keyed left-join eval shape as the
+    // other two; computed by the engine at any corpus size.
+    "sim_pq_recall_eval" -> Q(
+      (s, dir) => {
+        val brute = knnBruteL2Top(s, dir).select(col("query_id"), col("neighbor_id"))
+        val pq = annPqTop(s, dir)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_true"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+              |bs AS (
+              |  SELECT query_id, e.vec_id AS neighbor_id,
+              |    round(${dL2sq("qv", "e.v")}, 4) AS dist
+              |  FROM e JOIN q ON e.vec_id <> q.query_id),
+              |bt AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY dist ASC, neighbor_id ASC) AS rank
+              |    FROM bs) WHERE rank <= 5),
+              |$dPqSub,
+              |$dPqCb0,
+              |${dPqAssign("asg", "cb0")},
+              |$dPqCents,
+              |cb AS (SELECT m, code_id, centroid AS cv FROM cents),
+              |${dPqAssign("enc", "cb")},
+              |codes AS (SELECT vec_id, m, code_id FROM enc),
+              |qs AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 8),
+              |lut AS (
+              |  SELECT qs.query_id, qs.m, c.code_id,
+              |    CAST(round((${dL2sq("qs.qv", "c.cv")}) * $FpScale.0) AS BIGINT) AS pq
+              |  FROM qs JOIN cb c USING (m)),
+              |adc AS (
+              |  SELECT l.query_id, k.vec_id,
+              |    round(CAST(sum(l.pq) AS DOUBLE) / $FpScale.0, 4) AS adc_dist
+              |  FROM codes k JOIN lut l ON k.m = l.m AND k.code_id = l.code_id
+              |  WHERE k.vec_id <> l.query_id
+              |  GROUP BY 1, 2),
+              |short AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY adc_dist ASC, vec_id ASC) AS srank
+              |    FROM adc) WHERE srank <= $PqRefine),
+              |ref AS (
+              |  SELECT s.query_id, s.vec_id AS neighbor_id,
+              |    round(${dL2sq("q.qv", "e.v")}, 4) AS dist
+              |  FROM short s JOIN e ON e.vec_id = s.vec_id
+              |  JOIN q ON q.query_id = s.query_id),
+              |pt AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY dist ASC, neighbor_id ASC) AS rank
+              |    FROM ref) WHERE rank <= 5)
+              |SELECT bt.query_id, count(*) AS n_true,
+              |  CAST(count(pt.neighbor_id) AS BIGINT) AS n_hit,
+              |  round(CAST(count(pt.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+              |FROM bt LEFT JOIN pt USING (query_id, neighbor_id)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "PQ recall eval: ADC top-5 vs exact L2 brute top-5 (quantization loss)"),
   )
 }
