@@ -156,6 +156,47 @@ object TrainPrep extends QueryModule {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "deterministic hash-keyed stratified sampling per lang"),
 
+    // Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    // Spirakis A-Res, public algorithm): doc d draws a deterministic
+    // uniform u_d from md5 and wins a slot iff its key u_d^(1/w_d)
+    // ranks in the global top-n. Ranking by the monotone-equivalent
+    // ln(u_d)/w_d avoids pow() entirely — pow carries no cross-engine
+    // rounding guarantee, while ln on BIT-IDENTICAL inputs is the
+    // already-gated tf-idf precedent, and the rest is exact: u_d =
+    // (h52+1)/2^52 (52-bit md5 prefix → every step float-exact),
+    // w_d = 1/sqrt(n_chars) (sqrt is IEEE correctly-rounded on both
+    // engines), so ln(u)·sqrt(n_chars) multiplies two exact/parity
+    // doubles. The 1/sqrt(length) weight is the token-budget debiaser:
+    // long docs stop dominating the sampled token mass. At 100 TB the
+    // plan is one scan + TakeOrderedAndProject(n) — no shuffle beyond
+    // the top-n, no RNG, no partition-order dependence; the same 100
+    // docs win on every run, engine, and cluster size.
+    "prep_sample_weighted" -> Q(
+      (s, dir) => {
+        val h52 = conv(substring(md5(concat(lit("ws:"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+        val u = (h52 + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+        docs(s, dir)
+          .withColumn("skey", log(u) * sqrt(col("n_chars").cast("double")))
+          .orderBy(col("skey").desc, col("doc_id"))
+          .limit(100)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("skey").desc, col("doc_id"))))
+          .select(col("rank").cast("long").as("rank"), col("doc_id"),
+            col("source"), col("n_chars"))
+      },
+      Some("""SELECT rank, doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    ROW_NUMBER() OVER (ORDER BY
+             |      ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+             |          / 4503599627370496.0)
+             |        * sqrt(CAST(n_chars AS DOUBLE)) DESC,
+             |      doc_id ASC) AS rank
+             |  FROM documents) WHERE rank <= 100
+             |ORDER BY rank""".stripMargin),
+      doc = "deterministic weighted sampling (A-Res keys, 1/sqrt(len) weights, top-n)"),
+
     // Temperature-weighted domain mixing: w_s ∝ sqrt(tokens_s) (α = 0.5
     // resampling — upweights small domains, the standard multi-corpus
     // mixing rule). Token counts are integer-exact; sqrt is IEEE

@@ -213,6 +213,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("weighted sampling plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("prep_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("split-leakage audit: keyed equi-joins only, never all-pairs") {
     val p = planOf("prep_split_leakage")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -105,6 +105,21 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("weighted sampling: deterministic, complete ranks, length-debiased") {
+    val a = run("prep_sample_weighted").collect()
+    val b = run("prep_sample_weighted").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // no RNG anywhere
+    assert(a.length == 100)
+    assert(a.map(_.getLong(0)).toSeq == (1L to 100L))
+    // the 1/sqrt(n_chars) weight must pull the sampled mean length BELOW
+    // the corpus mean — the token-budget debias the weight exists for
+    val sampledMean = a.map(_.getLong(3)).sum.toDouble / a.length
+    val corpusMean = graft.Tables.documents(spark, Sf)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampledMean < corpusMean,
+      s"sampled mean $sampledMean not below corpus mean $corpusMean")
+  }
+
   test("per-source cap: at most K kept, deterministic, totals preserved") {
     val a = run("prep_cap_per_source").collect().toSeq
     assert(a == run("prep_cap_per_source").collect().toSeq, "hash order is run-stable")
