@@ -201,6 +201,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("PQ training: broadcast codebook, partial argmin, hash-agg Q24 update") {
+    val p = planOf("emb_pq_train_step")
+    // seed codebook broadcasts; the K candidates per (vec, subspace)
+    // collapse map-side; the centroid update is the O(1)-state Q24
+    // int64 HashAggregate, never a member-buffering ObjectHashAggregate
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_max_by"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("PQ ADC search: broadcast codebook/LUT equi-joins, partial argmin, no window") {
     val p = planOf("sim_ann_pq")
     // codebook + LUT are broadcast; codes join them on (m, code) keys;

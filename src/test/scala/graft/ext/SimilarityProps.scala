@@ -55,6 +55,37 @@ class SimilarityProps extends SparkSpec {
     }
   }
 
+  test("Q24 composite-key centroids (centroidsK) equal the BigInt reference") {
+    import spark.implicits._
+    // same exactness contract as the single-key property above, on the
+    // PQ codebook's composite (subspace, code) grouping and subvector
+    // dimensionality
+    val rnd = new scala.util.Random(7L)
+    val dims = 8
+    val rows = (0L until 96L).map { i =>
+      ((i % 4L).toInt, (i % 3L).toInt,
+        Array.fill(dims)((rnd.nextFloat() * 2 - 1).toDouble))
+    }
+    def q24(x: Double): Long =
+      new java.math.BigDecimal(x * (1L << 24).toDouble)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val expected: Map[(Int, Int), Array[Double]] = rows.groupBy(r => (r._1, r._2)).map {
+      case (k, rs) =>
+        k -> (0 until dims).map { d =>
+          val s = rs.map(r => BigInt(q24(r._3(d)))).sum
+          s.toDouble / (1L << 24).toDouble / rs.size
+        }.toArray
+    }
+    val got = Similarity.centroidsK(rows.toDF("m", "code_id", "v"),
+        Seq("m", "code_id"), dims)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getSeq[Double](2).toArray).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, arr) =>
+      assert(arr.sameElements(expected(k)), s"cell $k centroid diverged")
+    }
+  }
+
   test("PQ: clones encode to identical codes; zero-norm rows are legal under L2") {
     val e = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
