@@ -25,6 +25,7 @@ object SparkEntry {
     ext.TrainPrep,
     ext.Graph,
     ingest.IngestQueries,
+    operators.LakeQueries,
   )
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.defs)

@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A minimal copy-on-write table with `MERGE INTO` semantics, snapshot
+  * isolation, and version time travel — the lakehouse sink SURVEY.md
+  * §7.3 marks optional (the reference's warehouse is plain
+  * `INSERT … ON CONFLICT`, warehouse.rs:220-231; Delta/Iceberg jars are
+  * absent from this container, so the commit protocol is implemented
+  * directly on the filesystem, following the publicly documented
+  * Delta-style recipe: immutable data files + an ordered log of
+  * add/remove actions, committed by one atomic rename).
+  *
+  * Layout under `root/`:
+  *   - `data/v<NNNNN>/part-*.parquet` — immutable; written once by the
+  *     version that created them, never mutated.
+  *   - `_log/v<…20 digits…>/` — one parquet manifest per version holding
+  *     `(version, op∈add|remove, file, min_key, max_key, n_rows)` rows.
+  *     A writer stages the manifest at `_log/.tmp-v…` and COMMITS by
+  *     renaming it to its final name — the rename is the commit point,
+  *     so a crash at any step leaves only unreferenced garbage (a data
+  *     dir and/or a `.tmp` manifest no reader ever looks at), never a
+  *     torn table. A failed rename (destination exists) means another
+  *     writer won that version — surfaced as an error, not silent loss.
+  *   - `_floor/` — the vacuum horizon (via [[StoreOps.replaceWith]]'s
+  *     crash-safe swap): time travel below it fails loudly instead of
+  *     reading files vacuum physically deleted (same fail-loud contract
+  *     as [[MetadataStore]]'s compaction floor).
+  *
+  * Scale design (100 TB): MERGE rewrites ONLY the files whose
+  * `[min_key, max_key]` span overlaps an update key — the manifest's
+  * per-file stats make file skipping a broadcast join against a frame
+  * whose size is the file COUNT, not the data; a merge batch touching
+  * one day of a date-keyed table rewrites that day's files and carries
+  * every other file forward by reference (zero data movement). Reads
+  * plan from the manifest (driver-side metadata, the same planning step
+  * every table format performs) and hand Spark an explicit bounded file
+  * list. All data-sized work — the anti-join of touched rows against
+  * update keys, the stats read-back over just-written files — is
+  * distributed and proportional to the TOUCHED byte count, never the
+  * table.
+  */
+object MergeTable {
+
+  private val DataDir = "data"
+  private val LogDir = "_log"
+  private val FloorDir = "_floor"
+
+  private def fmtLog(v: Long) = f"v$v%020d"
+  private def fmtData(v: Long) = f"v$v%05d"
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val manifestSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("min_key", StringType, nullable = true),
+    StructField("max_key", StringType, nullable = true),
+    StructField("n_rows", LongType, nullable = true)))
+
+  /** Committed versions, ascending (a `.tmp` manifest is not a version). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val log = new Path(root, LogDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(log)) return Seq.empty
+    fs.listStatus(log).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{20}")).map(_.drop(1).toLong).sorted
+  }
+
+  /** All manifest rows for committed versions ≤ `asOf` (all if None). */
+  private def manifest(spark: SparkSession, root: String,
+      asOf: Option[Long]): DataFrame = {
+    val vs = versions(spark, root)
+    val take = asOf.map(v => vs.filter(_ <= v)).getOrElse(vs)
+    if (take.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), manifestSchema)
+    else
+      spark.read.schema(manifestSchema)
+        .parquet(take.map(v => s"$root/$LogDir/${fmtLog(v)}"): _*)
+  }
+
+  /** The live file set as of a version: adds not yet removed, with their
+    * key stats. Manifest-sized (rows = file count), never data-sized. */
+  def liveFiles(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, asOf)
+    m.filter(col("op") === "add")
+      .join(m.filter(col("op") === "remove").select(col("file")),
+        Seq("file"), "left_anti")
+      .select(col("file"), col("min_key"), col("max_key"), col("n_rows"))
+  }
+
+  /** Read the table as of `asOf` (latest if None). Fails loudly below
+    * the vacuum floor — those versions' files are physically gone, and
+    * an empty read would impersonate history. */
+  def snapshot(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val fl = vacuumFloor(spark, root)
+    asOf.foreach { v =>
+      require(v >= fl,
+        s"version $v predates the vacuum floor $fl: its files were " +
+          "physically deleted; time travel below the floor cannot answer")
+    }
+    val files = liveFiles(spark, root, asOf).select(col("file"))
+      .collect().map(r => s"$root/${r.getString(0)}")
+    require(files.nonEmpty,
+      s"merge table at $root has no live files" +
+        asOf.map(v => s" as of version $v").getOrElse(""))
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Pure insert: add `df` as new files; no existing file is touched. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      key: String): Long =
+    commit(spark, root, df, key, removes = Seq.empty)
+
+  /** `MERGE INTO root USING updates ON root.key = updates.key
+    *  WHEN MATCHED [AND deleteCol] THEN DELETE
+    *  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`.
+    * `updates` must be key-unique (checked; a batch with two rows per
+    * key has no defined merge order) and schema-compatible with the
+    * table. Matched rows are replaced whole; with `deleteCol` (a
+    * boolean column on `updates`), flagged matches are dropped and
+    * flagged non-matches are ignored — the CDC-apply shape. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      key: String, deleteCol: Option[String] = None): Long = {
+    val dups = updates.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).count()
+    require(dups == 0L, s"merge batch is not unique on '$key'")
+
+    val inserts = deleteCol match {
+      case Some(c) => updates.filter(!col(c)).drop(c)
+      case None => updates
+    }
+    val live = liveFiles(spark, root)
+    if (versions(spark, root).isEmpty)
+      return commit(spark, root, inserts, key, removes = Seq.empty)
+
+    val tableCols = snapshot(spark, root).columns.toSet
+    require(inserts.columns.toSet == tableCols,
+      s"merge batch columns ${inserts.columns.sorted.mkString(",")} != " +
+        s"table columns ${tableCols.toSeq.sorted.mkString(",")}")
+
+    // File skipping: a file can hold a matched key only if some update
+    // key falls inside its [min_key, max_key] span. Stats are stored as
+    // strings; cast back to the key's own type for a correctly-ordered
+    // comparison — a failed cast (or an all-null-key file) yields null
+    // and is treated as overlapping, so pruning errs only toward
+    // rewriting more, never toward missing a match. SQL MERGE null
+    // semantics: a null update key matches nothing (pure insert).
+    val keyType = updates.schema(key).dataType
+    val stats = live.select(col("file"),
+      col("min_key").cast(keyType).as("mn"),
+      col("max_key").cast(keyType).as("mx"))
+    val touched = updates.select(col(key)).filter(col(key).isNotNull)
+      .join(broadcast(stats),
+        col("mn").isNull || col("mx").isNull ||
+          col(key).between(col("mn"), col("mx")), "inner")
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+
+    val survivors =
+      if (touched.isEmpty) inserts.limit(0)
+      else spark.read.parquet(touched.map(f => s"$root/$f"): _*)
+        .join(updates.select(col(key)), Seq(key), "left_anti")
+    commit(spark, root, survivors.unionByName(inserts), key,
+      removes = touched)
+  }
+
+  /** Write `df` as the next version's data files and commit a manifest
+    * adding them and removing `removes`. The commit point is the single
+    * manifest rename at the end. */
+  private def commit(spark: SparkSession, root: String, df: DataFrame,
+      key: String, removes: Seq[String]): Long = {
+    val fs = fsOf(spark, root)
+    val version = versions(spark, root).lastOption.getOrElse(0L) + 1L
+    val dataRel = s"$DataDir/${fmtData(version)}"
+    val dataPath = new Path(root, dataRel)
+    // a dir for this version can only be a crashed writer's uncommitted
+    // leftover (no manifest references it) — safe to clear
+    fs.delete(dataPath, true)
+    df.write.parquet(dataPath.toString)
+
+    // per-file key stats, computed over just-written files only (page-
+    // cache-hot, bounded by ONE write's output). min/max run in the
+    // key's own type — casting to string first would rank numerics
+    // lexicographically and corrupt pruning.
+    val adds = spark.read.parquet(dataPath.toString)
+      .groupBy(col("_metadata.file_name").as("fn"))
+      .agg(min(col(key)).cast("string").as("min_key"),
+        max(col(key)).cast("string").as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+      .map(r => Row(version, "add", s"$dataRel/${r.getString(0)}",
+        r.getString(1), r.getString(2), r.getLong(3)))
+    val rems = removes.map(f => Row(version, "remove", f, null, null, null))
+    val rows = new java.util.ArrayList[Row]()
+    (adds ++ rems).foreach(rows.add)
+
+    val tmp = new Path(root, s"$LogDir/.tmp-${fmtLog(version)}")
+    val fin = new Path(root, s"$LogDir/${fmtLog(version)}")
+    fs.delete(tmp, true)
+    spark.createDataFrame(rows, manifestSchema).coalesce(1)
+      .write.parquet(tmp.toString)
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(tmp, true)
+      fs.delete(dataPath, true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $root was committed by another writer")
+    }
+    version
+  }
+
+  /** Versions below this are unanswerable (their files were vacuumed). */
+  def vacuumFloor(spark: SparkSession, root: String): Long = {
+    val p = s"$root/$FloorDir"
+    StoreOps.recoverInterrupted(spark, root + "/" + FloorDir,
+      StoreOps.ReadHealGraceMs)
+    if (!fsOf(spark, root).exists(new Path(p))) return 0L
+    val r = spark.read.parquet(p).agg(max(col("floor"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Physically delete what no retained version references: data files
+    * whose remove-version ≤ `horizon`, data dirs no manifest ever
+    * committed (crashed writers), and stale `.tmp` manifests. Records
+    * `horizon` as the time-travel floor FIRST — if the floor write
+    * lands and the deletes crash, reads are conservatively refused; the
+    * reverse order could read half-deleted versions. */
+  def vacuum(spark: SparkSession, root: String, horizon: Long): Long = {
+    val fs = fsOf(spark, root)
+    import spark.implicits._
+    val prior = vacuumFloor(spark, root)
+    val floor = math.max(prior, horizon)
+    val floorPath = s"$root/$FloorDir"
+    if (fs.exists(new Path(floorPath)))
+      StoreOps.replaceWith(spark, floorPath, Seq(floor).toDF("floor"))
+    else // first floor: no prior copy to stage aside, plain write suffices
+      Seq(floor).toDF("floor").write.parquet(floorPath)
+
+    val m = manifest(spark, root, None)
+    val removable = m.filter(col("op") === "remove" && col("version") <= horizon)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0))
+    var n = 0L
+    removable.foreach { f =>
+      if (fs.delete(new Path(root, f), false)) n += 1
+    }
+    val committed = versions(spark, root).toSet
+    val dataRoot = new Path(root, DataDir)
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.matches("v\\d{5}") && !committed.contains(name.drop(1).toLong)) {
+        fs.delete(st.getPath, true); n += 1
+      }
+    }
+    val logRoot = new Path(root, LogDir)
+    if (fs.exists(logRoot)) fs.listStatus(logRoot).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-")) {
+        fs.delete(st.getPath, true); n += 1
+      }
+    }
+    n
+  }
+}

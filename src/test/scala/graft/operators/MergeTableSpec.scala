@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-mt").resolve("t").toString
+
+  private def rowsOf(df: DataFrame): Set[(Long, String)] =
+    df.select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("merge = update matched, insert unmatched, delete flagged") {
+    val root = tmpRoot()
+    MergeTable.append(spark,
+      root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k")
+    MergeTable.merge(spark, root,
+      Seq((2L, "B", false), (4L, "d", false), (3L, "x", true),
+        (9L, "ghost", true)).toDF("k", "v", "deleted"),
+      "k", deleteCol = Some("deleted"))
+    // 2 updated, 4 inserted, 3 deleted, 9 (deleted non-match) ignored
+    assert(rowsOf(MergeTable.snapshot(spark, root)) ==
+      Set((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("merge ≡ the Upsert.merge relational reference on real orders") {
+    val root = tmpRoot()
+    val base = graft.Tables.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val upd = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    MergeTable.append(spark, root, base, "o_orderkey")
+    MergeTable.merge(spark, root, upd, "o_orderkey")
+    val expected = base.join(upd.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(upd)
+    assert(MergeTable.snapshot(spark, root).except(expected).isEmpty
+      && expected.except(MergeTable.snapshot(spark, root)).isEmpty)
+  }
+
+  test("file skipping: a merge outside a file's key span carries it by reference") {
+    val root = tmpRoot()
+    // two appends → two disjoint key-span file sets
+    MergeTable.append(spark,
+      root, (0L until 100L).map(i => (i, "lo")).toDF("k", "v"), "k")
+    MergeTable.append(spark,
+      root, (100L until 200L).map(i => (i, "hi")).toDF("k", "v"), "k")
+    val before = MergeTable.liveFiles(spark, root)
+      .select("file").as[String].collect().toSet
+    val loFiles = MergeTable.liveFiles(spark, root)
+      .filter(col("max_key").cast("long") < 100L)
+      .select("file").as[String].collect().toSet
+    assert(loFiles.nonEmpty && loFiles != before)
+
+    MergeTable.merge(spark, root,
+      Seq((150L, "HI")).toDF("k", "v"), "k")
+    val after = MergeTable.liveFiles(spark, root)
+      .select("file").as[String].collect().toSet
+    // every lo-span file survives UNTOUCHED (same physical path);
+    // at least one hi-span file was rewritten
+    assert(loFiles.subsetOf(after))
+    assert((before -- after).nonEmpty)
+    assert((before -- after).forall(!loFiles.contains(_)))
+    assert(rowsOf(MergeTable.snapshot(spark, root))
+      .contains((150L, "HI")))
+  }
+
+  test("time travel returns each version's exact state; floor fails loudly after vacuum") {
+    val root = tmpRoot()
+    val v1 = MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    val v2 = MergeTable.merge(spark, root, Seq((1L, "b")).toDF("k", "v"), "k")
+    assert(rowsOf(MergeTable.snapshot(spark, root, Some(v1))) == Set((1L, "a")))
+    assert(rowsOf(MergeTable.snapshot(spark, root, Some(v2))) == Set((1L, "b")))
+
+    val n = MergeTable.vacuum(spark, root, horizon = v2)
+    assert(n >= 1L) // v1's rewritten file is physically gone
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "b")))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.snapshot(spark, root, Some(v1))
+    }
+    assert(e.getMessage.contains("vacuum floor"))
+  }
+
+  test("a crashed commit is invisible to readers and cleaned by vacuum") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    // simulate a writer that wrote data + staged manifest but died
+    // before the commit rename
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((99L, "ghost")).toDF("k", "v")
+      .write.parquet(s"$root/data/v00002")
+    Seq((99L, "ghost")).toDF("k", "v")
+      .write.parquet(s"$root/_log/.tmp-v00000000000000000002")
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a")))
+    assert(MergeTable.versions(spark, root) == Seq(1L))
+
+    // the next writer takes version 2 and clobbers only the garbage
+    val v2 = MergeTable.merge(spark, root, Seq((2L, "b")).toDF("k", "v"), "k")
+    assert(v2 == 2L)
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a"), (2L, "b")))
+
+    MergeTable.vacuum(spark, root, horizon = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_log/.tmp-v00000000000000000002")))
+    // vacuum at horizon 0 deleted no referenced file: table still reads
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("a non-key-unique batch is refused") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("merge into an empty (never-written) table is a plain insert") {
+    val root = tmpRoot()
+    val v = MergeTable.merge(spark, root,
+      Seq((5L, "e", false), (6L, "gone", true)).toDF("k", "v", "deleted"),
+      "k", deleteCol = Some("deleted"))
+    assert(v == 1L)
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((5L, "e")))
+  }
+}
