@@ -45,4 +45,20 @@ class UpsertSpec extends SparkSpec {
     val once = Upsert.merge(batch, batch, "event_id", "updated_at")
     assert(once.count() == 2)
   }
+
+  test("mergeIntoTable: replayed multi-version batch lands last-write-wins on the MergeTable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-up")
+      .resolve("t").toString
+    Upsert.mergeIntoTable(spark, root,
+      Seq(("e1", 1L, "v1"), ("e2", 1L, "v1")).toDF("event_id", "updated_at", "payload"),
+      "event_id", "updated_at")
+    // a retried range re-delivers e2 at two versions plus a new key
+    Upsert.mergeIntoTable(spark, root,
+      Seq(("e2", 2L, "v2"), ("e2", 3L, "v3"), ("e3", 1L, "v1"))
+        .toDF("event_id", "updated_at", "payload"),
+      "event_id", "updated_at")
+    val got = MergeTable.snapshot(spark, root)
+      .select("event_id", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("e1" -> "v1", "e2" -> "v3", "e3" -> "v1"))
+  }
 }
