@@ -48,6 +48,7 @@ object MergeTable {
   private val DataDir = "data"
   private val LogDir = "_log"
   private val FloorDir = "_floor"
+  private val CheckpointDir = "_checkpoint"
 
   private def fmtLog(v: Long) = f"v$v%020d"
   private def fmtData(v: Long) = f"v$v%05d"
@@ -72,16 +73,38 @@ object MergeTable {
       .filter(_.matches("v\\d{20}")).map(_.drop(1).toLong).sorted
   }
 
-  /** All manifest rows for committed versions ≤ `asOf` (all if None). */
+  /** Committed checkpoint versions, ascending. */
+  def checkpointVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val cp = new Path(root, CheckpointDir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(cp)) return Seq.empty
+    fs.listStatus(cp).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{20}")).map(_.drop(1).toLong).sorted
+  }
+
+  /** The manifest view as of `asOf` (latest if None): with a usable
+    * checkpoint C ≤ asOf, read the checkpoint (the live add-set folded
+    * at C) plus only the tail manifests in (C, asOf] — a reader's
+    * planning cost stays O(tail), not O(commits since table birth).
+    * Below every checkpoint, fold the raw per-version manifests (still
+    * valid until vacuum deletes them). */
   private def manifest(spark: SparkSession, root: String,
       asOf: Option[Long]): DataFrame = {
     val vs = versions(spark, root)
-    val take = asOf.map(v => vs.filter(_ <= v)).getOrElse(vs)
-    if (take.isEmpty)
+    val upTo = asOf.getOrElse(if (vs.isEmpty) 0L else vs.last)
+    val ckpt = checkpointVersions(spark, root).filter(_ <= upTo).lastOption
+    val paths = ckpt match {
+      case Some(c) =>
+        s"$root/$CheckpointDir/${fmtLog(c)}" +:
+          vs.filter(v => v > c && v <= upTo)
+            .map(v => s"$root/$LogDir/${fmtLog(v)}")
+      case None =>
+        vs.filter(_ <= upTo).map(v => s"$root/$LogDir/${fmtLog(v)}")
+    }
+    if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), manifestSchema)
     else
-      spark.read.schema(manifestSchema)
-        .parquet(take.map(v => s"$root/$LogDir/${fmtLog(v)}"): _*)
+      spark.read.schema(manifestSchema).parquet(paths: _*)
   }
 
   /** The live file set as of a version: adds not yet removed, with their
@@ -217,6 +240,38 @@ object MergeTable {
     version
   }
 
+  /** Fold the log into a checkpoint at the latest version: the live
+    * add-set (original add versions and stats preserved) written to
+    * `_checkpoint/v<latest>` with the same stage-then-rename commit as
+    * manifests. Pure read optimization — readers at or above the
+    * checkpoint plan from it plus the manifest tail; nothing is
+    * destroyed, and time travel below it keeps working until a vacuum
+    * whose floor passes the checkpoint deletes the folded manifests.
+    * At 100 TB this is what keeps planning O(recent commits) instead of
+    * O(every commit since table birth). */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"nothing to checkpoint at $root")
+    val c = vs.last
+    val m = manifest(spark, root, Some(c))
+    val live = m.filter(col("op") === "add")
+      .join(m.filter(col("op") === "remove").select(col("file")),
+        Seq("file"), "left_anti")
+      .select(col("version"), col("op"), col("file"),
+        col("min_key"), col("max_key"), col("n_rows"))
+    val tmp = new Path(root, s"$CheckpointDir/.tmp-${fmtLog(c)}")
+    val fin = new Path(root, s"$CheckpointDir/${fmtLog(c)}")
+    fs.delete(tmp, true)
+    live.coalesce(1).write.parquet(tmp.toString)
+    if (!fs.exists(fin) && !fs.rename(tmp, fin)) {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"checkpoint $c of $root was committed by another writer")
+    }
+    c
+  }
+
   /** Versions below this are unanswerable (their files were vacuumed). */
   def vacuumFloor(spark: SparkSession, root: String): Long = {
     val p = s"$root/$FloorDir"
@@ -227,12 +282,20 @@ object MergeTable {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
-  /** Physically delete what no retained version references: data files
-    * whose remove-version ≤ `horizon`, data dirs no manifest ever
-    * committed (crashed writers), and stale `.tmp` manifests. Records
-    * `horizon` as the time-travel floor FIRST — if the floor write
-    * lands and the deletes crash, reads are conservatively refused; the
-    * reverse order could read half-deleted versions. */
+  /** Physically delete what no version ≥ the new floor can reference.
+    * Records `horizon` as the time-travel floor FIRST — if the floor
+    * write lands and the deletes crash, reads are conservatively
+    * refused; the reverse order could read half-deleted versions.
+    *
+    * Deletion is REACHABILITY-based, one rule for every garbage class:
+    * a data file added at `a` and removed at `r` is live for versions
+    * [a, r), so it is reachable iff it was never removed or `r` > the
+    * new floor. Everything on disk outside the reachable set — rewritten
+    * files below the floor, crashed writers' uncommitted data dirs,
+    * stale `.tmp` manifests — is deleted by the same sweep. Once the
+    * floor is at or past a checkpoint C, the per-version manifests (and
+    * older checkpoints) below C serve no answerable read and are folded
+    * away too. */
   def vacuum(spark: SparkSession, root: String, horizon: Long): Long = {
     val fs = fsOf(spark, root)
     import spark.implicits._
@@ -244,26 +307,56 @@ object MergeTable {
     else // first floor: no prior copy to stage aside, plain write suffices
       Seq(floor).toDF("floor").write.parquet(floorPath)
 
-    val m = manifest(spark, root, None)
-    val removable = m.filter(col("op") === "remove" && col("version") <= horizon)
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0))
-    var n = 0L
-    removable.foreach { f =>
-      if (fs.delete(new Path(root, f), false)) n += 1
+    // The reachability view must NOT be the checkpointed read view: a
+    // checkpoint holds only the live add-set, so files removed at ≤ C
+    // would vanish from it while still answerable for asOf ∈ [floor, C)
+    // through the raw manifests. Union every manifest still on disk
+    // with the latest checkpoint (whose adds cover files whose own add
+    // manifest a prior vacuum already folded away); duplicate rows are
+    // harmless under the distinct/anti-join algebra below.
+    val raw = {
+      val vs = versions(spark, root)
+        .map(v => s"$root/$LogDir/${fmtLog(v)}")
+      val ck = checkpointVersions(spark, root).lastOption
+        .map(c => s"$root/$CheckpointDir/${fmtLog(c)}")
+      val paths = vs ++ ck
+      if (paths.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), manifestSchema)
+      else spark.read.schema(manifestSchema).parquet(paths: _*)
     }
-    val committed = versions(spark, root).toSet
+    val reachable = raw.filter(col("op") === "add")
+      .join(raw.filter(col("op") === "remove")
+          .select(col("file"), col("version").as("rv")).distinct(),
+        Seq("file"), "left")
+      .filter(col("rv").isNull || col("rv") > floor)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    var n = 0L
     val dataRoot = new Path(root, DataDir)
-    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { st =>
-      val name = st.getPath.getName
-      if (name.matches("v\\d{5}") && !committed.contains(name.drop(1).toLong)) {
-        fs.delete(st.getPath, true); n += 1
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { vdir =>
+      fs.listStatus(vdir.getPath).foreach { st =>
+        val rel = s"$DataDir/${vdir.getPath.getName}/${st.getPath.getName}"
+        if (!reachable.contains(rel)) { fs.delete(st.getPath, true); n += 1 }
       }
+      if (fs.listStatus(vdir.getPath).isEmpty) fs.delete(vdir.getPath, true)
     }
     val logRoot = new Path(root, LogDir)
     if (fs.exists(logRoot)) fs.listStatus(logRoot).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp-")) {
         fs.delete(st.getPath, true); n += 1
+      }
+    }
+    // manifests strictly below a floor-covered checkpoint answer no
+    // remaining read (asOf < floor is refused; asOf ≥ C plans from the
+    // checkpoint + tail) — fold them away, keeping C's own manifest
+    checkpointVersions(spark, root).filter(_ <= floor).lastOption.foreach { c =>
+      versions(spark, root).filter(_ < c).foreach { v =>
+        if (fs.delete(new Path(root, s"$LogDir/${fmtLog(v)}"), true)) n += 1
+      }
+      checkpointVersions(spark, root).filter(_ < c).foreach { cv =>
+        if (fs.delete(new Path(root, s"$CheckpointDir/${fmtLog(cv)}"), true))
+          n += 1
       }
     }
     n

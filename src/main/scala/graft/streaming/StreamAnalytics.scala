@@ -213,6 +213,36 @@ object StreamAnalytics {
       .drop("_cb")
   }
 
+  /** Streaming CDC apply: land every micro-batch on a
+    * [[graft.operators.MergeTable]] as ONE atomic MERGE commit — the
+    * continuous form of the S8 upsert sink. Each batch resolves
+    * last-write-wins on `versionCol` first (a micro-batch can carry
+    * several versions of a key), then merges with optional delete-flag
+    * semantics; the table rewrites only files the batch's key span
+    * touches, so a trickle of CDC against a huge table stays
+    * batch-sized work. Restart semantics: Spark may re-deliver the last
+    * unacknowledged micro-batch; re-merging an identical batch is
+    * STATE-idempotent (same final rows — matched keys replace with the
+    * same values), though it appends a new table version, so the
+    * version log records the retry rather than hiding it. */
+  def cdcApply(updates: DataFrame, root: String, key: String,
+      versionCol: String, deleteCol: Option[String] = None,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.MergeTable.merge(batch.sparkSession, root,
+            graft.operators.Upsert.lastWriteWins(batch, key, versionCol),
+            key, deleteCol)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Start a windowed-volume query into an in-memory sink (smoke/test
     * harness; production would writeStream to parquet/Kafka). */
   def startToMemory(agg: DataFrame, name: String): StreamingQuery =

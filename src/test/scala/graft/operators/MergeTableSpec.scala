@@ -110,6 +110,39 @@ class MergeTableSpec extends SparkSpec {
     assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a"), (2L, "b")))
   }
 
+  test("checkpoint is a pure read optimization; vacuum past it folds the old log") {
+    val root = tmpRoot()
+    val v1 = MergeTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    val v2 = MergeTable.merge(spark, root, Seq((2L, "B")).toDF("k", "v"), "k")
+    val c = MergeTable.checkpoint(spark, root)
+    assert(c == v2)
+    // nothing destroyed: latest AND pre-checkpoint reads still exact
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a"), (2L, "B")))
+    assert(rowsOf(MergeTable.snapshot(spark, root, Some(v1))) ==
+      Set((1L, "a"), (2L, "b")))
+
+    // a floor BELOW the checkpoint keeps the rewritten file reachable
+    MergeTable.vacuum(spark, root, horizon = v1)
+    assert(rowsOf(MergeTable.snapshot(spark, root, Some(v1))) ==
+      Set((1L, "a"), (2L, "b")))
+
+    // floor at the checkpoint: folded manifests + v1's file are gone,
+    // the tail keeps planning from the checkpoint
+    MergeTable.vacuum(spark, root, horizon = c)
+    assert(MergeTable.versions(spark, root) == Seq(v2))
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a"), (2L, "B")))
+    intercept[IllegalArgumentException] {
+      MergeTable.snapshot(spark, root, Some(v1))
+    }
+    // the table stays writable and readable after compaction
+    val v3 = MergeTable.merge(spark, root, Seq((3L, "c")).toDF("k", "v"), "k")
+    assert(rowsOf(MergeTable.snapshot(spark, root)) ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(rowsOf(MergeTable.snapshot(spark, root, Some(v2))) ==
+      Set((1L, "a"), (2L, "B")))
+    assert(v3 == 3L)
+  }
+
   test("a non-key-unique batch is refused") {
     val root = tmpRoot()
     MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")

@@ -302,4 +302,46 @@ class StreamSpec extends SparkSpec {
     val pairs = out.collect().map(c => (c.doc_id, c.partner_doc)).toSet
     assert(pairs == Set((2L, 1L)), pairs.toString)
   }
+
+  test("cdcApply lands each micro-batch as one MergeTable commit, resumable") {
+    import graft.operators.MergeTable
+    val src = Files.createTempDirectory("graft_cdc_src").toString
+    val tbl = Files.createTempDirectory("graft_cdc_tbl").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_cdc_ck").toString
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType), StructField("deleted", BooleanType)))
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, String, Long, Boolean)]): Unit = {
+      val f = java.nio.file.Paths.get(s"$src/$name.json")
+      Files.write(f, rows.map { case (k, v, ver, d) =>
+        s"""{"k":$k,"v":"$v","ver":$ver,"deleted":$d}"""
+      }.mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(mtime) // pin source file order
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    writeBatch("b1", t0, Seq((1L, "a", 1L, false), (2L, "b", 1L, false)))
+    writeBatch("b2", t0 + 5000L, Seq(
+      (2L, "B", 2L, false), (2L, "B2", 3L, false), // two versions, one key
+      (3L, "c", 1L, false), (1L, "x", 2L, true)))  // insert + delete
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", 1).json(src)
+      val q = StreamAnalytics.cdcApply(stream, tbl, "k", "ver",
+        deleteCol = Some("deleted"), checkpointDir = Some(ckpt))
+      q.awaitTermination()
+    }
+    run()
+    def state(): Map[Long, String] = MergeTable.snapshot(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // b1 then b2: key 2 resolved last-write-wins inside b2, key 1 deleted
+    assert(state() == Map(2L -> "B2", 3L -> "c"))
+    assert(MergeTable.versions(spark, tbl).size == 2) // one commit per batch
+
+    // restart from the checkpoint: only the new file is processed
+    writeBatch("b3", t0 + 10000L, Seq((4L, "d", 1L, false)))
+    run()
+    assert(state() == Map(2L -> "B2", 3L -> "c", 4L -> "d"))
+    assert(MergeTable.versions(spark, tbl).size == 3)
+  }
 }
