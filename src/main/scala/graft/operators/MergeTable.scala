@@ -137,6 +137,67 @@ object MergeTable {
     spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Read-side file skipping: the snapshot restricted to files whose
+    * key span can intersect `[lo, hi]` — the read twin of MERGE's
+    * write-side pruning, the same contract parquet partition pruning
+    * gives a date-partitioned scan. Files with unusable stats (null or
+    * uncastable vs `lo`'s type) are conservatively included, so the
+    * result is always a SUPERSET of the matching rows: callers apply
+    * their exact row predicate on top, exactly as they would after a
+    * partition-pruned scan. At 100 TB a point or range lookup touches
+    * the overlapping files only, not the table. */
+  def snapshotRange(spark: SparkSession, root: String, lo: Any, hi: Any,
+      asOf: Option[Long] = None): DataFrame = {
+    val fl = vacuumFloor(spark, root)
+    asOf.foreach { v =>
+      require(v >= fl,
+        s"version $v predates the vacuum floor $fl: its files were " +
+          "physically deleted; time travel below the floor cannot answer")
+    }
+    val loC = lit(lo)
+    val t: org.apache.spark.sql.types.DataType = lo match {
+      case _: Int | _: Long | _: Short | _: Byte => LongType
+      case _: Double | _: Float => DoubleType
+      case _: java.math.BigDecimal | _: BigDecimal => DecimalType(38, 18)
+      case _: java.sql.Timestamp | _: java.time.Instant => TimestampType
+      case _: java.sql.Date | _: java.time.LocalDate => DateType
+      case _ => StringType
+    }
+    val files = liveFiles(spark, root, asOf)
+      .withColumn("mn", col("min_key").cast(t))
+      .withColumn("mx", col("max_key").cast(t))
+      .filter(col("mn").isNull || col("mx").isNull ||
+        (col("mx") >= loC && col("mn") <= lit(hi)))
+      .select(col("file"))
+      .collect().map(r => s"$root/${r.getString(0)}")
+    require(files.nonEmpty,
+      s"no live file of $root can hold keys in [$lo, $hi]" +
+        " — empty range reads need an explicit schema, refuse instead")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** OPTIMIZE: fold files smaller than `smallerThan` rows into
+    * ~`targetRows`-row files in ONE commit (their union removed+added
+    * atomically; state provably unchanged, time travel intact). The
+    * antidote to trickle ingestion — a year of small CDC commits reads
+    * as thousands of tiny files until compaction bins them; running
+    * this periodically keeps scan parallelism matched to data size
+    * instead of commit history. Returns the new version, or None if
+    * fewer than two small files exist (nothing to gain). */
+  def compactFiles(spark: SparkSession, root: String, key: String,
+      smallerThan: Long = 1L << 20, targetRows: Long = 1L << 20): Option[Long] = {
+    val small = liveFiles(spark, root)
+      .filter(col("n_rows") < smallerThan)
+      .select(col("file"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    if (small.size < 2) return None
+    val total = small.map(_._2).sum
+    val nOut = math.max(1L, (total + targetRows - 1L) / targetRows).toInt
+    val df = spark.read.parquet(small.map(f => s"$root/${f._1}"): _*)
+    Some(commit(spark, root, df.repartition(nOut), key,
+      removes = small.map(_._1)))
+  }
+
   /** Pure insert: add `df` as new files; no existing file is touched. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       key: String): Long =

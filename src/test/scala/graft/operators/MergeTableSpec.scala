@@ -143,6 +143,53 @@ class MergeTableSpec extends SparkSpec {
     assert(v3 == 3L)
   }
 
+  test("snapshotRange reads only span-overlapping files, a superset of the rows") {
+    val root = tmpRoot()
+    MergeTable.append(spark,
+      root, (0L until 100L).map(i => (i, "lo")).toDF("k", "v"), "k")
+    MergeTable.append(spark,
+      root, (100L until 200L).map(i => (i, "hi")).toDF("k", "v"), "k")
+    val loFiles = MergeTable.liveFiles(spark, root)
+      .filter(col("max_key").cast("long") < 100L)
+      .select("file").as[String].collect()
+      .map(f => s"$root/$f").toSet
+
+    val pruned = MergeTable.snapshotRange(spark, root, 150L, 160L)
+    // no lo-span file is even opened
+    assert(pruned.inputFiles.toSet.intersect(loFiles).isEmpty)
+    assert(pruned.inputFiles.nonEmpty)
+    // superset contract: exact rows recovered by the caller's predicate
+    val exact = pruned.filter(col("k").between(150L, 160L))
+      .select("k").as[Long].collect().toSet
+    assert(exact == (150L to 160L).toSet)
+    // an empty range refuses loudly rather than inventing a schema
+    intercept[IllegalArgumentException] {
+      MergeTable.snapshotRange(spark, root, 1000L, 2000L)
+    }
+  }
+
+  test("compactFiles folds small files into one commit without changing state") {
+    val root = tmpRoot()
+    // trickle ingestion: 5 tiny commits
+    (0L until 5L).foreach { i =>
+      MergeTable.append(spark, root,
+        Seq((i * 10L, s"v$i")).toDF("k", "v"), "k")
+    }
+    val before = rowsOf(MergeTable.snapshot(spark, root))
+    val nFilesBefore = MergeTable.liveFiles(spark, root).count()
+    assert(nFilesBefore >= 5L)
+
+    val v = MergeTable.compactFiles(spark, root, "k")
+    assert(v.nonEmpty)
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == before)
+    assert(MergeTable.liveFiles(spark, root).count() == 1L)
+    // time travel across the compaction boundary still answers
+    assert(rowsOf(MergeTable.snapshot(spark, root, Some(1L))) ==
+      Set((0L, "v0")))
+    // nothing left to compact → no-op
+    assert(MergeTable.compactFiles(spark, root, "k").isEmpty)
+  }
+
   test("a non-key-unique batch is refused") {
     val root = tmpRoot()
     MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
