@@ -1394,5 +1394,42 @@ object Similarity extends QueryModule {
               |FROM bt LEFT JOIN pt USING (query_id, neighbor_id)
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "PQ recall eval: ADC top-5 vs exact L2 brute top-5 (quantization loss)"),
+
+    // Distributed Gram-matrix accumulation G[i,j] = Σ_n v_n[i]·v_n[j]
+    // (upper triangle) — the kernel under PCA / whitening / covariance
+    // drift checks on an embedding corpus. Scale shape: the per-row
+    // explode to (i, j, product) is map-side only; the groupBy(i, j)
+    // HASH aggregate collapses each task to ≤ d(d+1)/2 = 2080 partial
+    // rows before the shuffle, so the exchanged volume is d²·tasks, not
+    // n·d² — the corpus is scanned once and never re-shuffled. Float
+    // parity: each product is ONE IEEE double multiply (bit-identical
+    // cross-engine), quantized to the Q24 grid and summed in exact
+    // int64 (order-free, O(1) agg state — the centroidsK contract on a
+    // product instead of a coordinate); the descale is an exact
+    // power-of-two division. Overflow: |v_i·v_j| ≤ 8² ⇒ |q| ≤ 2^30,
+    // int64 holds ~2^33 rows per (i,j) cell — raise to Q20 beyond that.
+    "emb_gram_matrix" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(vecD(col("embedding")).as("v"))
+        e.select(explode(expr(
+            s"""flatten(transform(sequence(0, ${Dims - 1}), i ->
+               |  transform(sequence(i, ${Dims - 1}), j ->
+               |    named_struct('i', i, 'j', j,
+               |      'q', CAST(round(v[i] * v[j] * ${FpScale}D) AS BIGINT)))))"""
+              .stripMargin)).as("c"))
+          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.q").as("q"))
+          .groupBy(col("i"), col("j"))
+          .agg((sum(col("q")).cast("double") / lit(FpScale.toDouble)).as("g"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"""SELECT gi.i, gj.j,
+             |  CAST(sum(CAST(round(v[gi.i + 1] * v[gj.j + 1] * $FpScale.0) AS BIGINT)) AS DOUBLE)
+             |    / $FpScale.0 AS g
+             |FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) AS e0,
+             |  generate_series(0, ${Dims - 1}) AS gi(i),
+             |  generate_series(0, ${Dims - 1}) AS gj(j)
+             |WHERE gj.j >= gi.i
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "exact Q24 Gram-matrix accumulation (PCA/whitening kernel), map-side collapse"),
   )
 }

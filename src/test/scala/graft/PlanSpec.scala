@@ -213,6 +213,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("Gram matrix: map-side partial sum collapses the explode, hash agg, no window") {
+    val p = planOf("emb_gram_matrix")
+    // the n·d² exploded rows must collapse to ≤ d² per task BEFORE the
+    // exchange (partial_sum in the same stage as Generate); the Q24
+    // int64 sums keep it a HashAggregate with O(1) state per (i, j)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("PQ ADC search: broadcast codebook/LUT equi-joins, partial argmin, no window") {
     val p = planOf("sim_ann_pq")
     // codebook + LUT are broadcast; codes join them on (m, code) keys;
