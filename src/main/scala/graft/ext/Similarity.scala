@@ -1431,5 +1431,49 @@ object Similarity extends QueryModule {
              |WHERE gj.j >= gi.i
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "exact Q24 Gram-matrix accumulation (PCA/whitening kernel), map-side collapse"),
+
+    // One power-iteration step toward the top eigenvector: y = G·x₀
+    // with x₀ = 1/8·𝟙 (uniform start; 1/8 = 2⁻³ keeps every constant a
+    // power of two). Composed on the Gram kernel's INTEGER state — the
+    // matrix-vector product sums the Q24 int64 cell sums directly
+    // (symmetrizing the stored upper triangle), so the only float ops
+    // are the final exact descales: bit-identical cross-engine with NO
+    // ordered-fold caveat. Scale: the corpus is scanned once for G;
+    // everything after is d²-sized (a real PCA loop would collect the
+    // d² matrix to the driver and iterate there — this query is the
+    // distributed step that produces it plus one verifiable iteration).
+    "emb_pca_power_step" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(vecD(col("embedding")).as("v"))
+        val tri = e.select(explode(expr(
+            s"""flatten(transform(sequence(0, ${Dims - 1}), i ->
+               |  transform(sequence(i, ${Dims - 1}), j ->
+               |    named_struct('i', i, 'j', j,
+               |      'q', CAST(round(v[i] * v[j] * ${FpScale}D) AS BIGINT)))))"""
+              .stripMargin)).as("c"))
+          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.q").as("q"))
+          .groupBy(col("i"), col("j")).agg(sum(col("q")).as("qs"))
+        val full = tri.unionByName(
+          tri.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("qs")))
+        full.groupBy(col("i"))
+          .agg((sum(col("qs")).cast("double") / lit(FpScale.toDouble) / lit(8.0d))
+            .as("y"))
+          .orderBy(col("i"))
+      },
+      Some(s"""WITH tri AS (
+             |  SELECT gi.i, gj.j,
+             |    sum(CAST(round(v[gi.i + 1] * v[gj.j + 1] * $FpScale.0) AS BIGINT)) AS qs
+             |  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) AS e0,
+             |    generate_series(0, ${Dims - 1}) AS gi(i),
+             |    generate_series(0, ${Dims - 1}) AS gj(j)
+             |  WHERE gj.j >= gi.i GROUP BY 1, 2),
+             |full_m AS (
+             |  SELECT i, j, qs FROM tri
+             |  UNION ALL
+             |  SELECT j AS i, i AS j, qs FROM tri WHERE i <> j)
+             |SELECT i, CAST(sum(qs) AS DOUBLE) / $FpScale.0 / 8.0 AS y
+             |FROM full_m GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "power-iteration step y=G·x0 on exact Q24 integer state (top-eigenvector kernel)"),
   )
 }
