@@ -154,6 +154,91 @@ object Graph extends QueryModule {
     } finally { e.unpersist() }
   }
 
+  /** Q24 damping factor: floor(0.85 · 2^24). Derived, not a literal, so
+    * the Spark plan and the oracle SQL interpolate the SAME constant. */
+  private[ext] val PrFp = 1L << 24
+  private[ext] val PrDampingQ24 = PrFp * 85L / 100L // 14260633
+  private[ext] val PrIters = 3
+
+  /** PageRank over the undirected co-membership graph, in EXACT Q24
+    * integer arithmetic — every operation is an int64 add, multiply, or
+    * truncating division, so the ranks are order-free and bit-identical
+    * across engines (the [[Similarity.FpScale]] argument applied to an
+    * iterative algorithm: no float sum ever happens, so there is no
+    * summation-order seam for the differential gate to false-fail on).
+    * Recurrence per node v: r'(v) = (2^24·(1−d)) div N
+    * + (D_q24 · Σ_{u∼v} (r(u) div deg(u))) div 2^24, d = 0.85 in Q24.
+    * Truncating division loses ≤ 1 ulp of Q24 mass per term — a 6e-8
+    * relative bias, far below the float32 precision class of any real
+    * ranking use, in exchange for exactness.
+    *
+    * Scale shape: each iteration is one equi-join of the edge list with
+    * the rank frame on the source endpoint, one hash aggregate on the
+    * destination, and one join back to the degree frame — all keyed by
+    * node, so a cluster run pre-partitions `sym`/`deg` once by node and
+    * every iteration reuses that partitioning with zero extra shuffles
+    * of the (static) edge list. Iteration count is FIXED (truncated
+    * power iteration), state is O(V) rows, and the only driver-side
+    * values are 1-row aggregates. No dangling-node term is needed:
+    * every node of an edge-projected graph has degree ≥ 1 by
+    * construction. Returns the top 20 (rank desc, node asc) as a
+    * materialized local frame, keeping the module's loan discipline. */
+  private[ext] def pageRank(edgeDf: DataFrame, iters: Int = PrIters): DataFrame = {
+    val spark = edgeDf.sparkSession
+    // both directions in ONE scan of the edge plan (the degreeHistogram
+    // explode idiom, not a two-scan union)
+    val sym = edgeDf.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("p"))
+      .select(col("p.src"), col("p.dst")).cache()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).cache()
+    try {
+      val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+      var ranks = deg.crossJoin(nn) // 1-row broadcast scalar
+        .select(col("node"), col("deg"), col("n"),
+          expr(s"$PrFp div n").as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = sym
+          .join(ranks.select(col("node").as("src"), col("deg"), col("r")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("r div deg")).as("s"))
+        ranks = deg.crossJoin(nn).join(contrib, Seq("node"), "left")
+          .select(col("node"), col("deg"), col("n"),
+            (expr(s"${PrFp - PrDampingQ24} div n") +
+              expr(s"($PrDampingQ24 * coalesce(s, 0L)) div $PrFp")).as("r"))
+      }
+      val top = ranks
+        .orderBy(col("r").desc, col("node").asc).limit(20)
+        .select(col("node"), col("deg").as("degree"), col("r").as("rank_q24"))
+      spark.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
+    } finally { deg.unpersist(); sym.unpersist() }
+  }
+
+  // DuckDB mirror of [[pageRank]]: the same integer recurrence with the
+  // iterations unrolled as CTEs (i1..iN). Every sum is CAST back to
+  // BIGINT (DuckDB widens sum(BIGINT) to HUGEINT; the values themselves
+  // fit int64 — total Q24 mass is ≤ 2^24 so D·Σ ≤ 2^48).
+  private def dPageRank(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s"""i$i AS (
+         |  SELECT d.node, d.deg,
+         |    ${PrFp - PrDampingQ24} // nn.n
+         |      + CAST(($PrDampingQ24 * coalesce(c.s, 0)) // $PrFp AS BIGINT) AS r
+         |  FROM deg d CROSS JOIN nn
+         |  LEFT JOIN (SELECT sym.dst AS node, CAST(sum(p.r // p.deg) AS BIGINT) AS s
+         |             FROM sym JOIN $prev p ON sym.src = p.node GROUP BY 1) c
+         |    USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""sym AS (SELECT u AS src, v AS dst FROM edges
+       |       UNION ALL SELECT v, u FROM edges),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT node, deg, $PrFp // nn.n AS r FROM deg CROSS JOIN nn),
+       |$steps""".stripMargin
+  }
+
   private def dEdges(topK: Int, maxMembers: Int) =
     s"""cnts AS (
        |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
@@ -220,5 +305,18 @@ object Graph extends QueryModule {
               |        ELSE 3.0e0 * tri.t / wed.w END, 4) AS clustering
               |FROM tri, wed""".stripMargin),
       doc = "triangle census of the co-membership graph (endpoint equi-joins only)"),
+
+    // Top-20 PageRank nodes of the co-membership graph — the classic
+    // web-graph quality prior a corpus pipeline ranks domains/accounts
+    // by. Exact Q24 integer arithmetic end to end: the oracle replays
+    // the full 3-iteration recurrence unrolled in SQL and the ranks
+    // hash-compare verbatim (no float summation anywhere).
+    "graph_pagerank" -> Q(
+      (s, dir) => withEdges(Tables.events(s, dir))(e => pageRank(e)),
+      Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
+              |${dPageRank(PrIters)}
+              |SELECT node, deg AS degree, r AS rank_q24 FROM i$PrIters
+              |ORDER BY rank_q24 DESC, node LIMIT 20""".stripMargin),
+      doc = "Q24 integer PageRank (3 fixed iterations), top-20 by rank"),
   )
 }

@@ -88,6 +88,59 @@ class GraphSpec extends SparkSpec {
     assert(viaLoan == direct)
   }
 
+  /** Plain-Scala model of the EXACT integer recurrence in
+    * [[Graph.pageRank]] — Map-based, no Spark — so the distributed
+    * operator is checked against an independently-written reference,
+    * not against itself. */
+  private def prModel(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val deg = sym.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    val n = deg.size.toLong
+    val fp = Graph.PrFp
+    val d = Graph.PrDampingQ24
+    var r = deg.map { case (node, _) => node -> fp / n }
+    for (_ <- 1 to iters) {
+      val s = sym.groupBy(_._2).map { case (dst, ins) =>
+        dst -> ins.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = deg.map { case (node, _) =>
+        node -> ((fp - d) / n + d * s.getOrElse(node, 0L) / fp)
+      }
+    }
+    r
+  }
+
+  test("pageRank matches the integer-recurrence model on the planted graph") {
+    val edges = Set((1L, 2L), (1L, 4L), (2L, 4L), (1L, 3L), (2L, 3L))
+    val got = Graph.pageRank(planted.sparkSession
+        .createDataFrame(edges.toSeq).toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = prModel(edges, Graph.PrIters)
+    // every returned (node, rank) matches the model; degree matches too
+    val deg = Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L)
+    assert(got.length == 4)
+    got.foreach { case (node, d, rq24) =>
+      assert(rq24 == want(node), s"node $node")
+      assert(d == deg(node))
+    }
+    // ordering: rank desc, node asc
+    assert(got.sortBy(t => (-t._3, t._1)).sameElements(got))
+    // mass sanity: truncation only ever LOSES Q24 mass, never creates it
+    assert(got.map(_._3).sum <= Graph.PrFp)
+  }
+
+  test("pageRank on a path graph ranks the center above the leaves") {
+    // 1–2–3: node 2 has both in-links; exact model agreement again
+    val edges = Set((1L, 2L), (2L, 3L))
+    val got = Graph.pageRank(planted.sparkSession
+        .createDataFrame(edges.toSeq).toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want = prModel(edges, Graph.PrIters)
+    got.foreach { case (node, rq24) => assert(rq24 == want(node)) }
+    assert(got.head._1 == 2L) // center ranked first
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
+  }
+
   test("triangle joins are hash equi-joins, never all-pairs (plan gate)") {
     // the census's final frame is a LocalRelation (eager 1-row census),
     // so the join stages must be gated on the exposed triangleRows plan
