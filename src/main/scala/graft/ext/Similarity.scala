@@ -495,6 +495,91 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SQ8 quantization levels: 8-bit per-dimension uniform grid, the
+    * faiss ScalarQuantizer(QT_8bit) layout — 64 bytes per vector
+    * instead of 256/512, with far better fidelity than PQ (each
+    * DIMENSION keeps 256 levels vs 256 levels per 8-dim subspace). */
+  private[ext] val Sq8Levels = 255L
+
+  /** Per-dimension SQ8 codes for every vector of `e(vec_id, v)`:
+    * code[d] = round((v[d] − min_d) / (max_d − min_d) · 255), with a
+    * constant dimension mapping to 0. The train step is ONE min/max
+    * aggregate over the corpus (2·64 exact float extremes — no
+    * summation, so no ordering seam); encoding is then pure map-side
+    * expression work against the broadcast 1-row stats frame. The
+    * scale/offset arithmetic is the same IEEE double sequence on both
+    * engines (subtract, divide, multiply, HALF_UP round), so codes are
+    * bit-identical cross-engine, and everything DOWNSTREAM of encoding
+    * is integer-exact. */
+  private[ext] def sq8Codes(e: DataFrame): DataFrame = {
+    val aggs = (0 until Dims).map(d =>
+      min(element_at(col("v"), d + 1)).as(s"_mn$d")) ++
+      (0 until Dims).map(d => max(element_at(col("v"), d + 1)).as(s"_mx$d"))
+    val stats = e.agg(aggs.head, aggs.tail: _*)
+      .select(
+        array((0 until Dims).map(d => col(s"_mn$d")): _*).as("mn"),
+        array((0 until Dims).map(d => col(s"_mx$d")): _*).as("mx"))
+    e.crossJoin(broadcast(stats)) // 1-row broadcast scalar
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(1, $Dims), i ->
+           |  CASE WHEN element_at(mx, i) = element_at(mn, i) THEN 0L
+           |       ELSE CAST(round((element_at(v, i) - element_at(mn, i))
+           |                 / (element_at(mx, i) - element_at(mn, i))
+           |                 * ${Sq8Levels}.0D, 0) AS BIGINT) END)"""
+          .stripMargin).as("c"))
+  }
+
+  /** SQ8 ANN top-5 for the 8 fixed queries, the PQ two-stage shape on
+    * the scalar-quantized index: (1) SCAN — the symmetric code-domain
+    * distance Σ_d (qc_d − cc_d)² is computed for every corpus code row
+    * against the 8 broadcast query codes, in EXACT int64 (order-free —
+    * no Q24 needed, the codes ARE integers), and the best [[PqRefine]]
+    * per query survive via the bounded-heap operator; (2) REFINE —
+    * exact L2² against raw vectors for the shortlist only. At 100 TB
+    * the scan reads the 64-byte code column, never a raw vector; the
+    * compressed-domain distance is a tight monotone proxy (max error
+    * 64·(range/255)² per coordinate pair), which is why SQ8+refine is
+    * the standard recall-safe step up from PQ when memory allows. */
+  private[ext] def annSq8Top(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val codes = sq8Codes(e)
+    val q = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("c").as("qc"))
+    val cand = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(qc, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("code_dist"))
+    val shortlist = graft.plans.TopK.perGroup(cand, PqRefine, Seq("query_id"),
+        Seq(("code_dist", true), ("vec_id", true)))
+      .select(col("query_id"), col("vec_id"))
+    val qv = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val refined = shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(l2sq(col("qv"), col("v")), 4).as("dist"))
+    graft.plans.TopK.perGroup(refined, 5, Seq("query_id"),
+        Seq(("dist", true), ("neighbor_id", true)))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // DuckDB mirror of [[sq8Codes]] (CTE bodies; expects `e(vec_id, v)`).
+  private def dSq8Ctes: String =
+    s"""stats AS (
+       |  SELECT gs.d, min(e.v[gs.d + 1]) AS mn, max(e.v[gs.d + 1]) AS mx
+       |  FROM e, generate_series(0, ${Dims - 1}) AS gs(d) GROUP BY 1),
+       |mnmx AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx
+       |         FROM stats),
+       |codes AS (
+       |  SELECT e.vec_id, list_transform(generate_series(1, $Dims), i ->
+       |    CASE WHEN m.mx[i] = m.mn[i] THEN 0
+       |         ELSE CAST(round((e.v[i] - m.mn[i]) / (m.mx[i] - m.mn[i])
+       |                   * ${Sq8Levels}.0) AS BIGINT) END) AS c
+       |  FROM e CROSS JOIN mnmx m)""".stripMargin
+
   /** Exact squared-L2 brute top-5 (ground truth for the PQ recall
     * eval — METRIC-CONSISTENT with ADC, which approximates L2², not
     * cosine). */
@@ -1475,5 +1560,38 @@ object Similarity extends QueryModule {
              |SELECT i, CAST(sum(qs) AS DOUBLE) / $FpScale.0 / 8.0 AS y
              |FROM full_m GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "power-iteration step y=G·x0 on exact Q24 integer state (top-eigenvector kernel)"),
+
+    // SQ8 ANN: 8-bit scalar-quantized compressed-domain scan + exact
+    // refine — the memory/recall midpoint between raw brute force and
+    // PQ. Train = one min/max aggregate; scan distances are exact
+    // int64 over the code arrays (no float anywhere until refine), so
+    // the whole path hash-compares verbatim against the oracle.
+    "sim_ann_sq8" -> Q(
+      (s, dir) => annSq8Top(s, dir),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |$dSq8Ctes,
+              |q AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 8),
+              |cand AS (
+              |  SELECT q.query_id, k.vec_id,
+              |    CAST(list_sum(list_transform(generate_series(1, $Dims), i ->
+              |      (q.qc[i] - k.c[i]) * (q.qc[i] - k.c[i]))) AS BIGINT) AS code_dist
+              |  FROM codes k CROSS JOIN q WHERE k.vec_id <> q.query_id),
+              |short AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY code_dist ASC, vec_id ASC) AS srank
+              |    FROM cand) WHERE srank <= $PqRefine),
+              |qraw AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+              |ref AS (
+              |  SELECT s.query_id, s.vec_id AS neighbor_id,
+              |    round(${dL2sq("qr.qv", "e.v")}, 4) AS dist
+              |  FROM short s JOIN e ON e.vec_id = s.vec_id
+              |  JOIN qraw qr ON qr.query_id = s.query_id)
+              |SELECT query_id, rank, neighbor_id, dist FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY dist ASC, neighbor_id ASC) AS rank
+              |  FROM ref) WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "SQ8 ANN: int8 compressed-domain scan (exact int64), exact refine"),
   )
 }

@@ -356,6 +356,66 @@ class ExtSpec extends SparkSpec {
       s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("SQ8 codes: 0..255 integer range, constant dimension maps to 0") {
+    import spark.implicits._
+    // 64-dim planted vectors; dim 5 constant across the corpus
+    def vec(seed: Int): Seq[Double] =
+      (0 until 64).map(d => if (d == 5) 3.25 else (seed * 31 + d * 7) % 13 - 6.0)
+    val e = (0L until 6L).map(i => (i, vec(i.toInt))).toDF("vec_id", "v")
+    val codes = Similarity.sq8Codes(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 6)
+    codes.values.foreach { c =>
+      assert(c.length == 64)
+      assert(c.forall(x => x >= 0L && x <= 255L), c)
+    }
+    assert(codes.values.forall(_(5) == 0L)) // constant dim → code 0
+    // min and max of a dimension hit the grid ends exactly
+    val d0 = codes.values.map(_(0)).toSeq
+    assert(d0.min == 0L && d0.max == 255L)
+  }
+
+  test("SQ8 ANN: complete ranked lists, exact distances ascend with rank") {
+    val rows = run("sim_ann_sq8").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 8 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq == (1L to 5L))
+      val ds = ordered.map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted), s"not ascending: ${ds.toSeq}")
+      assert(ds.forall(_ >= -1e-9))
+    }
+  }
+
+  test("SQ8 ANN recall vs an independent Scala brute-L2 model is high") {
+    import spark.implicits._
+    // ground truth recomputed OUTSIDE Spark: left-to-right double dot
+    // folds, round-4 distances, vec_id tie-break — the engine's own
+    // float discipline, independently implemented
+    val vecs: Map[Long, Array[Double]] = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (k, v) => k -> v.toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val brute = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, r4(dot(vecs(q), vecs(q)) - 2.0 * dot(vecs(q), vecs(n))
+          + dot(vecs(n), vecs(n)))))
+        .sortBy { case (n, d) => (d, n) }.take(5).map { case (n, _) => (q, n) }
+    }.toSet
+    val sq8 = run("sim_ann_sq8")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    // 8 bits/dim + refine-20 keeps nearly every true top-5 neighbor
+    assert(recall >= 0.8, s"SQ8 recall $recall")
+  }
+
   test("multimodal resize + frame-sample stages propagate typed metadata") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.decodeMedia(media)
