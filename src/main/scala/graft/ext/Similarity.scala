@@ -495,6 +495,20 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** JL target dimensionality (64 → 16: a 4× compression whose
+    * expected distortion std is √(2/k) ≈ 0.35 — coarse, but the audit
+    * query REPORTS the realized distortion rather than assuming it). */
+  private[ext] val JlDims = 16
+
+  /** Deterministic ±1 JL matrix entry — [[planeSign]]'s md5-parity
+    * construction under its own "jl" namespace, so the JL matrix and
+    * the LSH planes are independent families. */
+  private[ext] def jlSign(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl${j}_$d".getBytes("UTF-8"))
+    if (((md(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
   /** SQ8 quantization levels: 8-bit per-dimension uniform grid, the
     * faiss ScalarQuantizer(QT_8bit) layout — 64 bytes per vector
     * instead of 256/512, with far better fidelity than PQ (each
@@ -1593,5 +1607,54 @@ object Similarity extends QueryModule {
               |  FROM ref) WHERE rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
       doc = "SQ8 ANN: int8 compressed-domain scan (exact int64), exact refine"),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    // norm-distortion audit. The projection matrix is the deterministic
+    // ±1 md5-parity family (the LSH plane idiom under its own "jl"
+    // namespace — Achlioptas's database-friendly construction, which
+    // needs no Gaussian RNG), applied per vector as 16 codegen'd
+    // strict left-to-right dot products, so every projected coordinate
+    // is bit-identical to the oracle's list_dot_product. The audit
+    // reports the histogram of ‖y‖²/k ÷ ‖v‖² rounded to 2 decimals —
+    // the JL lemma says this concentrates at 1 — avoiding any
+    // cross-row float aggregation (each ratio is per-row float work;
+    // the only aggregate is an integer count). Pure map-side at 100 TB:
+    // project-then-histogram touches each vector once, no shuffle but
+    // the ≤ ~100-row rollup; the projected table is what a pipeline
+    // would persist to cut every downstream ANN/cluster pass 4×.
+    "emb_jl_projection" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val y = array((0 until JlDims).map { j =>
+          val w = array((0 until Dims).map(d => lit(jlSign(j, d))): _*)
+          graft.functions.VectorExpressions.vector_dot(w, col("v"))
+        }: _*)
+        val vd = graft.functions.VectorExpressions.vector_dot(col("v"), col("v"))
+        e.select(col("vec_id"), y.as("y"), vd.as("vn"))
+          .filter(col("vn") > 0)
+          .select(round(
+            (graft.functions.VectorExpressions.vector_dot(col("y"), col("y"))
+              / lit(JlDims.toDouble)) / col("vn"), 2).as("ratio"))
+          .groupBy(col("ratio")).agg(count(lit(1)).as("n_vecs"))
+          .orderBy(col("ratio"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |planes AS (
+              |  SELECT j, list_transform(generate_series(0, ${Dims - 1}), d ->
+              |    CASE WHEN strpos('02468ace',
+              |        substr(md5('jl' || j::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
+              |      THEN 1.0e0 ELSE -1.0e0 END) AS w
+              |  FROM generate_series(0, ${JlDims - 1}) AS gj(j)),
+              |proj AS (
+              |  SELECT e.vec_id, list(list_dot_product(p.w, e.v) ORDER BY p.j) AS y
+              |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+              |r AS (
+              |  SELECT round((list_dot_product(pr.y, pr.y) / ${JlDims}.0)
+              |           / list_dot_product(e.v, e.v), 2) AS ratio
+              |  FROM proj pr JOIN e USING (vec_id)
+              |  WHERE list_dot_product(e.v, e.v) > 0)
+              |SELECT ratio, CAST(count(*) AS BIGINT) AS n_vecs FROM r
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "JL ±1 random projection 64→16 with norm-distortion histogram"),
   )
 }

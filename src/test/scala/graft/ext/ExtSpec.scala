@@ -416,6 +416,19 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall $recall")
   }
 
+  test("JL projection distortion concentrates near 1 and covers the corpus") {
+    val rows = run("emb_jl_projection").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    val corpus = graft.Tables.embeddings(spark, Sf).count()
+    assert(rows.map(_._2).sum == corpus) // every (nonzero) vector audited
+    assert(rows.forall(_._1 > 0)) // a ±1 projection can't zero a nonzero norm...
+    val near1 = rows.filter { case (ratio, _) => ratio >= 0.5 && ratio <= 1.6 }
+      .map(_._2).sum
+    // JL lemma at k=16: std ≈ 0.35, so well over half the mass sits
+    // within ±0.5 of 1 (observed: ~85% on this testdata)
+    assert(near1.toDouble / corpus >= 0.6, s"only $near1/$corpus near 1")
+  }
+
   test("multimodal resize + frame-sample stages propagate typed metadata") {
     val media = Multimodal.mediaTable(spark, Sf)
     val feats = Multimodal.decodeMedia(media)
