@@ -239,6 +239,72 @@ object Graph extends QueryModule {
        |$steps""".stripMargin
   }
 
+  /** k-core peeling parameters: KcoreK = 3 (the smallest core that
+    * separates community structure from pendant/path fringe) peeled for
+    * KcoreRounds fixed rounds. Fixed rounds, not run-to-convergence,
+    * for the same reason PageRank fixes its iteration count: the oracle
+    * unrolls the exact computation, and the per-round trajectory is
+    * itself the useful audit output (how fast the fringe burns off). */
+  private[ext] val KcoreK = 3
+  private[ext] val KcoreRounds = 3
+
+  /** One peeling trajectory row per round: surviving node/edge counts
+    * after each round of dropping nodes with degree < k (edges keep
+    * only endpoints that survived). Every step is a count aggregate +
+    * two semi-joins on endpoints — integer-only, no float anywhere.
+    * Scale: each round is one degree aggregate (the explode idiom, one
+    * scan) and one endpoint semi-join; the edge frame shrinks
+    * monotonically, and round count is fixed, so the whole peel is
+    * O(rounds) joins over a frame that only ever gets smaller. The
+    * k-core is the standard web/account-graph quality filter: fringe
+    * nodes (degree < k after peeling) are the crawl dust / one-shot
+    * accounts a corpus pipeline drops before mining communities. */
+  private[ext] def kcoreTrajectory(edgeDf: DataFrame,
+      k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
+    val spark = edgeDf.sparkSession
+    import spark.implicits._
+    // each round reads its input twice (degree pass + endpoint filter),
+    // so every round's frame — including the input — is loan-cached
+    var e = edgeDf.cache()
+    val traj = (1 to rounds).map { round =>
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val kept = deg.filter(col("deg") >= k).select(col("node")).cache()
+      val e1 = e.join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).cache()
+      val row = (round.toLong, kept.count(), e1.count())
+      e.unpersist() // previous round's frame (a no-op for the input)
+      e = e1
+      kept.unpersist()
+      row
+    }
+    e.unpersist()
+    traj.toDF("round", "n_nodes", "n_edges")
+  }
+
+  // DuckDB mirror of [[kcoreTrajectory]]: rounds unrolled as CTEs.
+  private def dKcore(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "edges" else s"e${i - 1}"
+      s"""k$i AS (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS deg FROM (
+         |      SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev)
+         |    GROUP BY 1) WHERE deg >= $k),
+         |e$i AS (
+         |  SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT count(*) FROM k$i) AS n_nodes,
+         |  (SELECT count(*) FROM e$i) AS n_edges""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"$steps\n$rows\nORDER BY round"
+  }
+
   private def dEdges(topK: Int, maxMembers: Int) =
     s"""cnts AS (
        |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
@@ -318,5 +384,16 @@ object Graph extends QueryModule {
               |SELECT node, deg AS degree, r AS rank_q24 FROM i$PrIters
               |ORDER BY rank_q24 DESC, node LIMIT 20""".stripMargin),
       doc = "Q24 integer PageRank (3 fixed iterations), top-20 by rank"),
+
+    // k-core peeling trajectory: surviving nodes/edges after each of 3
+    // rounds of dropping degree-<3 nodes — the classic graph-quality
+    // filter (crawl-dust / one-shot-account removal) with its burn-off
+    // rate as the audit output. Integer-only; the oracle unrolls the
+    // identical peel.
+    "graph_kcore" -> Q(
+      (s, dir) => withEdges(Tables.events(s, dir))(e => kcoreTrajectory(e)),
+      Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
+              |${dKcore(KcoreK, KcoreRounds)}""".stripMargin),
+      doc = s"k-core peel (k=$KcoreK, $KcoreRounds rounds): per-round survivor counts"),
   )
 }

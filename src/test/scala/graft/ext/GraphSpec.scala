@@ -141,6 +141,35 @@ class GraphSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
   }
 
+  test("k-core peel removes the fringe and keeps the planted core") {
+    // K4 core {1,2,3,4} + pendant path 4–5–6: degrees 5:2, 6:1 < 3, so
+    // the fringe burns off in round 1 and the K4 (all degrees 3) is a
+    // fixed point of every later round
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val traj = Graph.kcoreTrajectory(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(traj.toSeq == Seq((1L, 4L, 6L), (2L, 4L, 6L), (3L, 4L, 6L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
+  }
+
+  test("k-core peel needs multiple rounds for a chained fringe") {
+    // pendant CHAIN 4–5, 5–6 where 5 initially has degree 2 < 3 —
+    // round 1 removes both 5 and 6; a star center 7 with 3 one-shot
+    // leaves survives round 1 (degree 3) but dies in round 2 once its
+    // leaves (degree 1) are gone
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = Seq((7L, 8L), (7L, 9L), (7L, 10L), (1L, 7L))
+    val edges = (k4 ++ star).toDF("u", "v")
+    val traj = Graph.kcoreTrajectory(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // round 1: leaves 8,9,10 die (deg 1); 7 survives on deg 4
+    // round 2: 7 drops to deg 1 (only edge 1–7) → dies; K4 remains
+    assert(traj(0) == (1L, 5L, 7L))
+    assert(traj(1) == (2L, 4L, 6L))
+    assert(traj(2) == (3L, 4L, 6L))
+  }
+
   test("triangle joins are hash equi-joins, never all-pairs (plan gate)") {
     // the census's final frame is a LocalRelation (eager 1-row census),
     // so the join stages must be gated on the exposed triangleRows plan
