@@ -305,6 +305,82 @@ object Graph extends QueryModule {
     s"$steps\n$rows\nORDER BY round"
   }
 
+  /** Label-propagation round count. Fixed (like [[PrIters]]): the
+    * oracle unrolls the rounds, and synchronous LPA has no general
+    * convergence guarantee anyway (bipartite structures oscillate —
+    * GraphSpec pins one), so run-to-convergence would be a bug, not a
+    * feature. 3 rounds reaches the clique-scale communities this
+    * projection produces. */
+  private[ext] val LpRounds = 3
+
+  /** Synchronous label propagation (LPA): every node starts in its own
+    * community (label = node id) and each round adopts the most common
+    * label among its neighbors, ties broken toward the SMALLEST label —
+    * fully deterministic, all-integer, so the oracle replays it
+    * verbatim. The standard cheap community-detection pass over account
+    * graphs (the step between "connected components" — too coarse here,
+    * the capped projection is one giant component — and modularity
+    * methods that don't distribute).
+    *
+    * Scale shape per round: one equi-join of the static symmetrized
+    * edge list with the O(V) label frame on the source endpoint, then
+    * two hash aggregates — neighbor-label counts keyed (node, label),
+    * and the argmax via `max_by(lbl, struct(c, -lbl))` (max count, then
+    * min label) keyed node — with map-side partials on both. A cluster
+    * run pre-partitions `sym` by src once and every round reuses it;
+    * state stays O(V) rows; round count is fixed. The final community
+    * sizes are a bounded top-20 (size desc, label asc), collected to a
+    * LocalRelation inside the loan like [[pageRank]]. */
+  private[ext] def labelPropagation(edgeDf: DataFrame,
+      rounds: Int = LpRounds): DataFrame = {
+    val spark = edgeDf.sparkSession
+    // both directions in one scan of the edge plan (the pageRank idiom)
+    val sym = edgeDf.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("p"))
+      .select(col("p.src"), col("p.dst")).cache()
+    try {
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to rounds) {
+        val cnt = sym
+          .join(labels.select(col("node").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        // (node, lbl) is a grouping key, so the (c, -lbl) pairs are
+        // distinct per node: the argmax is unambiguous, no tie seam
+        labels = cnt.groupBy(col("node"))
+          .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
+      }
+      val top = labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community").asc).limit(20)
+      spark.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
+    } finally sym.unpersist()
+  }
+
+  // DuckDB mirror of [[labelPropagation]]: rounds unrolled as CTEs;
+  // `max_by(lbl, struct(c, -lbl))` replayed as max-count-then-min-label
+  // (DuckDB's arg_max takes no struct key).
+  private def dLabelProp(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT sym.dst AS node, p.lbl, count(*) AS c
+         |  FROM sym JOIN $prev p ON sym.src = p.node GROUP BY 1, 2),
+         |l$i AS (SELECT c.node, min(c.lbl) AS lbl
+         |  FROM c$i c JOIN (SELECT node, max(c) AS mc FROM c$i GROUP BY 1) m
+         |    ON c.node = m.node AND c.c = m.mc
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""sym AS (SELECT u AS src, v AS dst FROM edges
+       |       UNION ALL SELECT v, u FROM edges),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       |$steps
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l$rounds GROUP BY 1
+       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
   private def dEdges(topK: Int, maxMembers: Int) =
     s"""cnts AS (
        |  SELECT user_id, CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
@@ -395,5 +471,15 @@ object Graph extends QueryModule {
       Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
               |${dKcore(KcoreK, KcoreRounds)}""".stripMargin),
       doc = s"k-core peel (k=$KcoreK, $KcoreRounds rounds): per-round survivor counts"),
+
+    // Synchronous label-propagation communities (3 fixed rounds,
+    // most-common-neighbor-label, ties → smallest): top-20 community
+    // sizes. All-integer and fully deterministic — the oracle unrolls
+    // the identical rounds and hash-compares the sizes verbatim.
+    "graph_labelprop" -> Q(
+      (s, dir) => withEdges(Tables.events(s, dir))(e => labelPropagation(e)),
+      Some(s"""WITH ${dEdges(2, DefaultMaxTokenMembers)},
+              |${dLabelProp(LpRounds)}""".stripMargin),
+      doc = s"label-propagation communities ($LpRounds sync rounds), top-20 by size"),
   )
 }

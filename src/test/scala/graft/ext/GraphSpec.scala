@@ -170,6 +170,35 @@ class GraphSpec extends SparkSpec {
     assert(traj(2) == (3L, 4L, 6L))
   }
 
+  test("label propagation converges two bridged cliques to two communities") {
+    // two K4s {1..4} and {5..8} joined by bridge 4–5. Hand-run of the
+    // sync rounds (most-common neighbor label, ties → smallest):
+    //   r1: 1→2, 2→1, 3→1, 4→1 (sees {1,2,3,5}, all c=1, min=1),
+    //       5→4, 6→5, 7→5, 8→5
+    //   r2: clique labels consolidate — {1,2,3,4}→1 (4 sees {2,1,1,4}:
+    //       c(1)=2 wins), {5,6,7,8}→5 (5 sees {1,5,5,5}: c(5)=3 wins)
+    //   r3: fixed point — bridge endpoints keep their clique majority
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val edges = (k4a ++ k4b ++ Seq((4L, 5L))).toDF("u", "v")
+    val out = Graph.labelPropagation(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 4L), (5L, 4L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
+  }
+
+  test("label propagation is deterministic on the oscillating path (fixed rounds)") {
+    // sync LPA oscillates on bipartite-ish structures — the path 1–2–3
+    // never converges: r1 {1:2, 2:1, 3:2}, r2 {1:1, 2:2, 3:1},
+    // r3 {1:2, 2:1, 3:2}. The FIXED round count makes the result
+    // well-defined anyway (communities: label 2 ×2, label 1 ×1) — the
+    // determinism the oracle differential relies on.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val out = Graph.labelPropagation(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 2L), (1L, 1L)))
+  }
+
   test("triangle joins are hash equi-joins, never all-pairs (plan gate)") {
     // the census's final frame is a LocalRelation (eager 1-row census),
     // so the join stages must be gated on the exposed triangleRows plan
