@@ -358,6 +358,16 @@ object TrainPrep extends QueryModule {
               |FROM p ORDER BY pair_count DESC, pair LIMIT 10""".stripMargin),
       doc = "one BPE merge iteration: frequency-weighted adjacent symbol pairs, top-10"),
 
+    // The full (truncated) BPE TRAINING loop: 3 rounds of
+    // count→argmax→apply, where each round's leftmost-greedy merge
+    // rewrite feeds the next round's counts — the apply kernel is
+    // load-bearing in the output, closing the train→apply loop the
+    // single-iteration kernel above only opens. See [[bpeTrainSteps]].
+    "prep_bpe_train_steps" -> Q(
+      (s, dir) => bpeTrainSteps(docs(s, dir)),
+      Some(s"WITH ${dBpeSteps(BpeRounds)}"),
+      doc = "3 unrolled BPE training rounds: learned merges + token-count trajectory"),
+
     // Split-aware decontamination audit: the held-out split is only as
     // clean as its NEAR-DUP isolation — a test doc whose near-duplicate
     // sits in train leaks the answer even though the doc ids differ.
@@ -625,6 +635,158 @@ object TrainPrep extends QueryModule {
       .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(10)
+  }
+
+  /** Unrolled BPE TRAINING loop rounds (fixed, like the graph
+    * iterations: the oracle replays each round as CTEs, and the
+    * per-round merge trajectory is the audit output). `final` with a
+    * literal ⇒ compile-time constant: `defs` above initializes BEFORE
+    * this line runs, and a plain val would read as 0 there. */
+  private[ext] final val BpeRounds = 3
+
+  /** [[BpeRounds]] real BPE training iterations with MERGE APPLICATION:
+    * each round counts frequency-weighted adjacent symbol pairs, picks
+    * the argmax merge (count desc, then pair asc — deterministic), and
+    * REWRITES every word's symbol sequence with the merge applied
+    * leftmost-greedily before the next round recounts. This closes the
+    * train→apply loop `prep_bpe_merge_pairs` only opened: round 2's
+    * counts depend on round 1's rewrite, so the apply kernel is
+    * load-bearing in the oracle comparison, not decorative.
+    *
+    * Leftmost-greedy application is the sequential part of BPE, and it
+    * is exactly a strict left fold over the symbol array: take a match,
+    * consume the next position, never re-pair a consumed symbol (so
+    * `aaa` under merge (a,a) yields `[aa, a]`, not two overlapping
+    * merges). The fold runs as a per-row `aggregate` lambda — PURE
+    * MAP-SIDE, no explode of the corpus into symbol rows, no shuffle —
+    * which is the 100 TB shape: after the one word-frequency shuffle,
+    * every round costs one vocabulary-scale pair aggregate + one
+    * broadcast of a single merge rule + one map pass over the word
+    * table. The oracle replays the fold as its provably-equivalent
+    * closed form (positions taken = even offsets within each run of
+    * consecutive match positions; runs only arise for self-pairs).
+    *
+    * Output: one row per round — the merge learned, its count, and the
+    * corpus token count after applying it (Σ freq·|symbols|), i.e. the
+    * compression trajectory a tokenizer trainer monitors. */
+  private[ext] def bpeTrainSteps(documents: DataFrame,
+      rounds: Int = BpeRounds): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var words = documents
+      .select(explode(expr(TextAnalytics.tokExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("s"))
+      .cache()
+    val loans = scala.collection.mutable.Buffer[DataFrame](words)
+    try {
+      val rows = scala.collection.mutable.Buffer[(Long, String, String, Long, Long)]()
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val best = words.filter(size(col("s")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(s) - 2), i -> named_struct('a', s[i], 'b', s[i + 1]))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // nothing left to merge
+        else {
+          val (ma, mb, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          // the rule rides in as a broadcast 1-row frame (no literal
+          // splicing: symbols stay data, whatever the tokenizer emits)
+          val rule = broadcast(Seq((ma, mb)).toDF("ma", "mb"))
+          val applied = words.crossJoin(rule)
+            .select(col("freq"), expr(
+              """aggregate(
+                |  sequence(0, size(s) - 1),
+                |  named_struct('arr', CAST(array() AS array<string>), 'skip', false),
+                |  (st, i) -> CASE
+                |    WHEN st.skip THEN named_struct('arr', st.arr, 'skip', false)
+                |    WHEN i < size(s) - 1 AND s[i] = ma AND s[i + 1] = mb
+                |      THEN named_struct(
+                |        'arr', concat(st.arr, array(concat(s[i], s[i + 1]))),
+                |        'skip', true)
+                |    ELSE named_struct(
+                |      'arr', concat(st.arr, array(s[i])), 'skip', false)
+                |  END,
+                |  st -> st.arr)""".stripMargin).as("s"))
+            .cache()
+          loans += applied
+          words = applied
+          val toksAfter = applied
+            .agg(sum(col("freq") * size(col("s")).cast("long")).as("t"))
+            .head().getLong(0)
+          rows += ((r.toLong, ma, mb, cnt, toksAfter))
+          r += 1
+        }
+      }
+      rows.toSeq.toDF("round", "left_sym", "right_sym", "pair_count", "toks_after")
+    } finally loans.foreach(_.unpersist())
+  }
+
+  // DuckDB mirror of [[bpeTrainSteps]]: rounds unrolled as CTEs; the
+  // leftmost-greedy fold replayed as its closed form — a match position
+  // is taken iff its offset within its run of CONSECUTIVE match
+  // positions is even (runs only occur for self-pairs, where overlap
+  // resolution matters); a position is dropped iff its predecessor was
+  // taken. Gaps-and-islands (i − row_number among match rows) finds the
+  // runs.
+  private def dBpeSteps(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT s[CAST(i AS INTEGER)] AS a, s[CAST(i AS INTEGER) + 1] AS b,
+         |    sum(freq) AS cnt
+         |  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |        FROM $prev WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |x$i AS (
+         |  SELECT q.w, q.freq, CAST(q.i AS INTEGER) AS i,
+         |    q.s[CAST(q.i AS INTEGER)] AS sym, r.a || r.b AS ab,
+         |    CASE WHEN CAST(q.i AS INTEGER) < len(q.s)
+         |          AND q.s[CAST(q.i AS INTEGER)] = r.a
+         |          AND q.s[CAST(q.i AS INTEGER) + 1] = r.b
+         |      THEN 1 ELSE 0 END AS m
+         |  FROM (SELECT w, freq, s, unnest(generate_series(1, len(s))) AS i
+         |        FROM $prev) q
+         |  CROSS JOIN b$i r),
+         |t$i AS (
+         |  SELECT w, freq, i, sym, ab, m,
+         |    CASE WHEN m = 1 AND
+         |        (i - min(i) OVER (PARTITION BY w, m, isl)) % 2 = 0
+         |      THEN 1 ELSE 0 END AS taken
+         |  FROM (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i) AS isl
+         |        FROM x$i)),
+         |s$i AS (
+         |  SELECT w, freq,
+         |    list(CASE WHEN taken = 1 THEN ab ELSE sym END ORDER BY i) AS s
+         |  FROM (SELECT *, lag(taken, 1, 0) OVER (PARTITION BY w ORDER BY i) AS ptaken
+         |        FROM t$i)
+         |  WHERE ptaken = 0
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, b$i.a AS left_sym, b$i.b AS right_sym,
+         |  CAST(b$i.cnt AS BIGINT) AS pair_count,
+         |  (SELECT CAST(sum(freq * len(s)) AS BIGINT) FROM s$i) AS toks_after
+         |FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""wf AS (
+       |  SELECT tok AS w, count(*) AS freq
+       |  FROM documents, UNNEST(${TextAnalytics.dTok}) AS u(tok) GROUP BY 1),
+       |s0 AS (
+       |  SELECT w, freq, list_transform(generate_series(1, length(w)),
+       |    i -> substr(w, CAST(i AS INTEGER), 1)) AS s
+       |  FROM wf),
+       |$steps
+       |$rows
+       |ORDER BY round""".stripMargin
   }
 
   /** Winsorization body (injectable for specs — see the

@@ -20,6 +20,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.toSeq == Seq(("ab", 3L), ("ca", 1L)))
   }
 
+  test("BPE train steps: each round's apply reshapes the next round's counts") {
+    import spark.implicits._
+    // vocab: aaab ×2, ab ×1. Hand-run:
+    //   r1: pairs (a,a)=4, (a,b)=3 → merge (a,a); aaab→[aa,a,b], ab→[a,b];
+    //       toks = 2·3 + 1·2 = 8
+    //   r2: (a,b) = 2+1 = 3 beats (aa,a)=2 → merge (a,b);
+    //       [aa,a,b]→[aa,ab], [a,b]→[ab]; toks = 2·2 + 1·1 = 5
+    //   r3: (aa,ab)=2 → merge; toks = 2·1 + 1·1 = 3
+    // r2/r3 counts only come out right if r1/r2 REWROTE the words —
+    // the apply kernel is load-bearing, not decorative.
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = TrainPrep.bpeTrainSteps(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 4L, 8L),
+      (2L, "a", "b", 3L, 5L),
+      (3L, "aa", "ab", 2L, 3L)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
+  }
+
+  test("BPE train steps: leftmost-greedy overlap resolution and early exhaustion") {
+    import spark.implicits._
+    // "aaaa": r1 merges (a,a) cnt 3 but applies at EVEN offsets only
+    // ([a,a,a,a] → [aa,aa], never three overlapping merges); r2 merges
+    // (aa,aa) → [aaaa]; r3 finds no pair left → loop stops at 2 rows.
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = TrainPrep.bpeTrainSteps(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", 3L, 2L),
+      (2L, "aa", "aa", 1L, 1L)))
+  }
+
   test("split-leakage audit: pair matrix conserves the near-dup pair count") {
     val rows = run("prep_split_leakage").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
