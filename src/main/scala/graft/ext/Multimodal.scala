@@ -143,5 +143,42 @@ object Multimodal extends QueryModule {
              | CAST(max(16 + (doc_id % 48) * 16) AS BIGINT) AS max_height
              |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin),
       doc = "partition-parallel media decode stage (stubbed codec)"),
+
+    // Frame sampling as a query: the 1→N partition-parallel fan-out
+    // ([[frameSample]]: 8 evenly-spaced byte-slice "frames" per payload,
+    // flatMap, no shuffle — the video-decode shape) rolled up per doc.
+    // The oracle replays the byte arithmetic and slice digests exactly;
+    // it slices VARCHAR where Spark slices payload BYTES, which agree
+    // because this corpus is pure ASCII (octet_length == length,
+    // asserted by the mm_binary_meta payload_len row already) — a real
+    // deployment keeps the binary side as the source of truth.
+    "mm_frame_sample" -> Q(
+      (s, dir) =>
+        frameSample(mediaTable(s, dir), 8).toDF()
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_frames"),
+            countDistinct(col("frame_hash")).as("uniq_frames"),
+            sum(col("frame_len")).as("bytes_sampled"),
+            max(col("offset")).as("last_off"))
+          .orderBy(col("doc_id")),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text AS t, CAST(octet_length(text::BLOB) AS BIGINT) AS len
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |    (len * i) // 8 AS off,
+             |    least((len * i) // 8 + 64, len) - (len * i) // 8 AS flen,
+             |    sha256(substring(t, CAST((len * i) // 8 AS INTEGER) + 1,
+             |      CAST(least((len * i) // 8 + 64, len) - (len * i) // 8 AS INTEGER))) AS fh
+             |  FROM (SELECT doc_id, t, len,
+             |          unnest(generate_series(0, least(8, greatest(len, 1)) - 1)) AS i
+             |        FROM m))
+             |SELECT doc_id, count(*) AS n_frames,
+             |  count(DISTINCT fh) AS uniq_frames,
+             |  CAST(sum(flen) AS BIGINT) AS bytes_sampled,
+             |  max(off) AS last_off
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "per-payload frame sampling (8 byte-slice frames), per-doc rollup"),
   )
 }
