@@ -107,6 +107,45 @@ object MergeTable {
       spark.read.schema(manifestSchema).parquet(paths: _*)
   }
 
+  /** The DECLARED table schema as of a version: the latest `schema`
+    * manifest action at or below it (the Delta `metaData` action
+    * re-expressed). `None` for tables written before schema actions
+    * existed — readers then fall back to file-derived schemas. The
+    * declared schema is what makes ADD-COLUMN evolution sound: files
+    * written before a column existed are read THROUGH it, so the
+    * missing column comes back as typed nulls instead of the read
+    * taking whichever file footer it sampled first. */
+  def declaredSchema(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): Option[StructType] = {
+    val rows = manifest(spark, root, asOf)
+      .filter(col("op") === "schema")
+      .orderBy(col("version").desc).limit(1)
+      .collect()
+    rows.headOption.map(r =>
+      DataType.fromJson(r.getString(2)).asInstanceOf[StructType])
+  }
+
+  /** Monotone schema widening: `next`'s new columns append to the
+    * declared schema; shared names must keep their type EXACTLY (silent
+    * coercion on a 100 TB table is how you corrupt every historical
+    * file at once — fail loudly instead); declared columns absent from
+    * `next` survive (they read as nulls from files that lack them). */
+  private def widened(declared: Option[StructType],
+      next: StructType): StructType = declared match {
+    case None => next
+    case Some(d) =>
+      val byName = d.fields.map(f => f.name -> f).toMap
+      next.fields.foreach { f =>
+        byName.get(f.name).foreach { prior =>
+          require(prior.dataType == f.dataType,
+            s"column '${f.name}' would change type " +
+              s"${prior.dataType.simpleString} -> ${f.dataType.simpleString}; " +
+              "schema evolution only ADDS columns, never retypes")
+        }
+      }
+      StructType(d.fields ++ next.fields.filterNot(f => byName.contains(f.name)))
+  }
+
   /** The live file set as of a version: adds not yet removed, with their
     * key stats. Manifest-sized (rows = file count), never data-sized. */
   def liveFiles(spark: SparkSession, root: String,
@@ -134,7 +173,12 @@ object MergeTable {
     require(files.nonEmpty,
       s"merge table at $root has no live files" +
         asOf.map(v => s" as of version $v").getOrElse(""))
-    spark.read.parquet(files.toIndexedSeq: _*)
+    // read through the declared schema of THAT version: files predating
+    // an added column yield typed nulls for it, and a time-travel read
+    // from before the evolution sees the era's own (narrower) schema
+    val reader = declaredSchema(spark, root, asOf)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+    reader.parquet(files.toIndexedSeq: _*)
   }
 
   /** Read-side file skipping: the snapshot restricted to files whose
@@ -173,7 +217,9 @@ object MergeTable {
     require(files.nonEmpty,
       s"no live file of $root can hold keys in [$lo, $hi]" +
         " — empty range reads need an explicit schema, refuse instead")
-    spark.read.parquet(files.toIndexedSeq: _*)
+    val reader = declaredSchema(spark, root, asOf)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+    reader.parquet(files.toIndexedSeq: _*)
   }
 
   /** OPTIMIZE: fold files smaller than `smallerThan` rows into
@@ -193,7 +239,12 @@ object MergeTable {
     if (small.size < 2) return None
     val total = small.map(_._2).sum
     val nOut = math.max(1L, (total + targetRows - 1L) / targetRows).toInt
-    val df = spark.read.parquet(small.map(f => s"$root/${f._1}"): _*)
+    // through the declared schema: compaction may rebin files from
+    // different schema eras, and a sampled-footer read would silently
+    // drop an evolved column from the rewritten (now authoritative) file
+    val reader = declaredSchema(spark, root)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+    val df = reader.parquet(small.map(f => s"$root/${f._1}"): _*)
     Some(commit(spark, root, df.repartition(nOut), key,
       removes = small.map(_._1)))
   }
@@ -210,9 +261,17 @@ object MergeTable {
     * key has no defined merge order) and schema-compatible with the
     * table. Matched rows are replaced whole; with `deleteCol` (a
     * boolean column on `updates`), flagged matches are dropped and
-    * flagged non-matches are ignored — the CDC-apply shape. */
+    * flagged non-matches are ignored — the CDC-apply shape.
+    *
+    * `evolveSchema = true` additionally allows the batch to carry NEW
+    * columns (a strict superset of the table's): the declared schema
+    * widens by exactly those columns, untouched files carry forward
+    * by reference unmodified, and every read fills the new columns
+    * with nulls for pre-evolution files — Delta's `mergeSchema`
+    * semantics. Narrowing and retyping stay refused either way. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
-      key: String, deleteCol: Option[String] = None): Long = {
+      key: String, deleteCol: Option[String] = None,
+      evolveSchema: Boolean = false): Long = {
     val dups = updates.filter(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).limit(1).count()
@@ -226,10 +285,17 @@ object MergeTable {
     if (versions(spark, root).isEmpty)
       return commit(spark, root, inserts, key, removes = Seq.empty)
 
-    val tableCols = snapshot(spark, root).columns.toSet
-    require(inserts.columns.toSet == tableCols,
-      s"merge batch columns ${inserts.columns.sorted.mkString(",")} != " +
-        s"table columns ${tableCols.toSeq.sorted.mkString(",")}")
+    val tableCols = declaredSchema(spark, root).map(_.fieldNames.toSet)
+      .getOrElse(snapshot(spark, root).columns.toSet)
+    if (evolveSchema)
+      require(tableCols.subsetOf(inserts.columns.toSet),
+        s"evolving merge batch must carry every table column; missing " +
+          (tableCols -- inserts.columns.toSet).toSeq.sorted.mkString(","))
+    else
+      require(inserts.columns.toSet == tableCols,
+        s"merge batch columns ${inserts.columns.sorted.mkString(",")} != " +
+          s"table columns ${tableCols.toSeq.sorted.mkString(",")}" +
+          " (pass evolveSchema = true to add columns)")
 
     // File skipping: a file can hold a matched key only if some update
     // key falls inside its [min_key, max_key] span. Stats are stored as
@@ -249,20 +315,32 @@ object MergeTable {
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
 
+    // touched files may span multiple schema eras themselves — read
+    // them through the declared schema, not whichever footer is sampled
+    val tblReader = declaredSchema(spark, root)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
     val survivors =
       if (touched.isEmpty) inserts.limit(0)
-      else spark.read.parquet(touched.map(f => s"$root/$f"): _*)
+      else tblReader.parquet(touched.map(f => s"$root/$f"): _*)
         .join(updates.select(col(key)), Seq(key), "left_anti")
-    commit(spark, root, survivors.unionByName(inserts), key,
+    // allowMissingColumns: under evolution the survivors lack the new
+    // columns (they fill with nulls), symmetric for declared columns an
+    // exact-schema batch naturally has
+    commit(spark, root,
+      survivors.unionByName(inserts, allowMissingColumns = true), key,
       removes = touched)
   }
 
   /** Write `df` as the next version's data files and commit a manifest
     * adding them and removing `removes`. The commit point is the single
-    * manifest rename at the end. */
+    * manifest rename at the end. Every commit also records the table's
+    * declared schema (the prior declaration widened by `df`'s columns —
+    * see [[widened]]) as a `schema` action row, so reads never have to
+    * derive the schema from data-file footers. */
   private def commit(spark: SparkSession, root: String, df: DataFrame,
       key: String, removes: Seq[String]): Long = {
     val fs = fsOf(spark, root)
+    val declared = widened(declaredSchema(spark, root), df.schema)
     val version = versions(spark, root).lastOption.getOrElse(0L) + 1L
     val dataRel = s"$DataDir/${fmtData(version)}"
     val dataPath = new Path(root, dataRel)
@@ -284,8 +362,11 @@ object MergeTable {
       .map(r => Row(version, "add", s"$dataRel/${r.getString(0)}",
         r.getString(1), r.getString(2), r.getLong(3)))
     val rems = removes.map(f => Row(version, "remove", f, null, null, null))
+    // the schema action rides in the `file` column (it is metadata, not
+    // a path; every manifest consumer filters on `op` first)
+    val schemaRow = Row(version, "schema", declared.json, null, null, null)
     val rows = new java.util.ArrayList[Row]()
-    (adds ++ rems).foreach(rows.add)
+    (adds ++ rems :+ schemaRow).foreach(rows.add)
 
     val tmp = new Path(root, s"$LogDir/.tmp-${fmtLog(version)}")
     val fin = new Path(root, s"$LogDir/${fmtLog(version)}")
@@ -321,6 +402,13 @@ object MergeTable {
         Seq("file"), "left_anti")
       .select(col("version"), col("op"), col("file"),
         col("min_key"), col("max_key"), col("n_rows"))
+      // the latest schema action must survive the fold: once vacuum
+      // deletes the pre-checkpoint manifests, this row is the only
+      // carrier of the declared schema for reads planning from C
+      .unionByName(m.filter(col("op") === "schema")
+        .orderBy(col("version").desc).limit(1)
+        .select(col("version"), col("op"), col("file"),
+          col("min_key"), col("max_key"), col("n_rows")))
     val tmp = new Path(root, s"$CheckpointDir/.tmp-${fmtLog(c)}")
     val fin = new Path(root, s"$CheckpointDir/${fmtLog(c)}")
     fs.delete(tmp, true)

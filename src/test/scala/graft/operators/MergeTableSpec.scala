@@ -190,6 +190,82 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.compactFiles(spark, root, "k").isEmpty)
   }
 
+  test("evolveSchema adds a column; old files read as nulls; time travel sees the era's schema") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    val v1 = MergeTable.versions(spark, root).last
+
+    // widen: the batch carries a NEW column `score`
+    MergeTable.merge(spark, root,
+      Seq((2L, "B", 7L), (3L, "c", 9L)).toDF("k", "v", "score"),
+      "k", evolveSchema = true)
+
+    val now = MergeTable.snapshot(spark, root)
+    assert(now.columns.toSeq == Seq("k", "v", "score"))
+    val byKey = now.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // row 1 lives in a pre-evolution file untouched by the merge:
+    // the declared schema fills `score` with a typed null
+    assert(byKey(1L) == (("a", None)))
+    assert(byKey(2L) == (("B", Some(7L))))
+    assert(byKey(3L) == (("c", Some(9L))))
+
+    // time travel BEFORE the evolution sees the narrower era schema
+    assert(MergeTable.snapshot(spark, root, Some(v1)).columns.toSeq ==
+      Seq("k", "v"))
+
+    // a later exact-schema merge may still omit the evolved column …
+    MergeTable.merge(spark, root, Seq((4L, "d", 1L)).toDF("k", "v", "score"), "k")
+    // … but silently retyping it is refused
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root,
+        Seq((5L, "e", "oops")).toDF("k", "v", "score"),
+        "k", evolveSchema = true)
+    }
+    assert(e.getMessage.contains("never retypes"))
+  }
+
+  test("a batch with extra columns is refused unless evolveSchema is set") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root,
+        Seq((2L, "b", 1L)).toDF("k", "v", "extra"), "k")
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // and an evolving batch must still carry every declared column
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root,
+        Seq((2L, 1L)).toDF("k", "extra"), "k", evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("every table column"))
+  }
+
+  test("the declared schema survives checkpoint folding and compaction") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    MergeTable.merge(spark, root,
+      Seq((2L, "b", 5L)).toDF("k", "v", "score"), "k", evolveSchema = true)
+
+    // fold the log and vacuum the pre-checkpoint manifests away: the
+    // checkpoint row is now the only carrier of the declared schema
+    val c = MergeTable.checkpoint(spark, root)
+    MergeTable.vacuum(spark, root, horizon = c)
+    assert(MergeTable.declaredSchema(spark, root).map(_.fieldNames.toSeq)
+      .contains(Seq("k", "v", "score")))
+    assert(MergeTable.snapshot(spark, root).columns.toSeq ==
+      Seq("k", "v", "score"))
+
+    // compaction rebins mixed-era files THROUGH the declared schema:
+    // the pre-evolution row keeps its typed null in the rewritten file
+    assert(MergeTable.compactFiles(spark, root, "k").nonEmpty)
+    val after = MergeTable.snapshot(spark, root)
+    assert(after.columns.toSeq == Seq("k", "v", "score"))
+    assert(after.filter(col("k") === 1L).head().isNullAt(2))
+    assert(after.filter(col("k") === 2L).head().getLong(2) == 5L)
+  }
+
   test("a non-key-unique batch is refused") {
     val root = tmpRoot()
     MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
