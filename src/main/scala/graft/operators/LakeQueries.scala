@@ -43,19 +43,13 @@ object LakeQueries extends QueryModule {
         max(col("o_totalprice")).as("max_price"))
       .orderBy(col("status"))
 
-  /** Build the table (append base, merge the CDC batch) in a temp dir,
-    * hand the (v1, v2, root) to `read`, materialize its bounded result,
-    * clean up. */
-  private def withTable(s: SparkSession, dir: String)(
-      read: (Long, Long, String) => DataFrame): DataFrame = {
+  /** Build a throwaway table root, hand it to `build`, materialize the
+    * bounded result as a LocalRelation, clean up. */
+  private def withRoot(s: SparkSession)(build: String => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lake")
     val root = tmp.resolve("orders_tbl").toString
     try {
-      val b = base(s, dir)
-      val v1 = MergeTable.append(s, root, b, "o_orderkey")
-      val v2 = MergeTable.merge(s, root, cdcBatch(b), "o_orderkey",
-        deleteCol = Some("deleted"))
-      val res = read(v1, v2, root)
+      val res = build(root)
       val rows = new java.util.ArrayList[Row]()
       res.collect().foreach(rows.add)
       s.createDataFrame(rows, res.schema)
@@ -65,6 +59,19 @@ object LakeQueries extends QueryModule {
       fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
     }
   }
+
+  /** Build the table (append base, merge the CDC batch) in a temp dir,
+    * hand the (v1, v2, root) to `read`, materialize its bounded result,
+    * clean up. */
+  private def withTable(s: SparkSession, dir: String)(
+      read: (Long, Long, String) => DataFrame): DataFrame =
+    withRoot(s) { root =>
+      val b = base(s, dir)
+      val v1 = MergeTable.append(s, root, b, "o_orderkey")
+      val v2 = MergeTable.merge(s, root, cdcBatch(b), "o_orderkey",
+        deleteCol = Some("deleted"))
+      read(v1, v2, root)
+    }
 
   private val summaryCols =
     """count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
@@ -97,5 +104,94 @@ object LakeQueries extends QueryModule {
       Some(s"""SELECT o_orderstatus AS status, $summaryCols
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "snapshot-isolation time travel: pre-merge version read after the merge committed"),
+
+    // ADD-COLUMN schema evolution through the real commit protocol: the
+    // evolving merge carries `o_orderpriority`; rows living in
+    // pre-evolution files (every key not ≡ 0 mod 97) must read back as
+    // typed nulls THROUGH the widened declared schema, which the
+    // per-status count/min/max over the new column observes directly.
+    "lake_schema_evolution" -> Q(
+      (s, dir) => withRoot(s) { root =>
+        val b = base(s, dir)
+        MergeTable.append(s, root, b, "o_orderkey")
+        val wide = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % KeyMod === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + lit(1.0d)).as("o_totalprice"),
+            col("o_orderpriority"))
+        MergeTable.merge(s, root, wide, "o_orderkey", evolveSchema = true)
+        MergeTable.snapshot(s, root)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("key_sum"),
+            count(col("o_orderpriority")).as("n_prio"),
+            min(col("o_orderpriority")).as("min_prio"),
+            max(col("o_orderpriority")).as("max_prio"))
+          .orderBy(col("status"))
+      },
+      Some(s"""WITH upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         o_totalprice + 1.0 AS o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % $KeyMod = 0),
+             |merged AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         NULL AS o_orderpriority FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+             |  FROM upd)
+             |SELECT o_orderstatus AS status, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |  count(o_orderpriority) AS n_prio,
+             |  min(o_orderpriority) AS min_prio,
+             |  max(o_orderpriority) AS max_prio
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "ADD-COLUMN evolution: pre-evolution files read as typed nulls through the declared schema"),
+
+    // Row-level change data feed between two committed versions, via
+    // the copy-on-write file diff (only rewritten files are read; rows
+    // carried unchanged into a rewritten file are no-op-filtered). The
+    // batch exercises all three change types: updates (keys ≡ 0 mod 97,
+    // not 194), deletes (≡ 0 mod 194, feed carries the LAST-SEEN old
+    // image), inserts (fresh negative keys). The oracle replays the
+    // feed relationally from the same batch definition.
+    "lake_change_feed" -> Q(
+      (s, dir) => withRoot(s) { root =>
+        val b = base(s, dir)
+        val v1 = MergeTable.append(s, root, b, "o_orderkey")
+        val ins = b.filter(col("o_orderkey") % KeyMod === 1)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"))
+          .withColumn("deleted", lit(false))
+        val v2 = MergeTable.merge(s, root,
+          cdcBatch(b).unionByName(ins), "o_orderkey",
+          deleteCol = Some("deleted"))
+        MergeTable.changeFeed(s, root, "o_orderkey", v1, v2)
+          .groupBy(col("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy(col("change_type"))
+      },
+      Some(s"""WITH upd AS (
+             |  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+             |         (o_orderkey % ${2 * KeyMod} = 0) AS deleted
+             |  FROM orders WHERE o_orderkey % $KeyMod = 0),
+             |feed AS (
+             |  SELECT 'update' AS change_type, o_orderkey, o_totalprice
+             |  FROM upd WHERE NOT deleted
+             |  UNION ALL
+             |  SELECT 'delete', o.o_orderkey, o.o_totalprice
+             |  FROM orders o JOIN upd u ON o.o_orderkey = u.o_orderkey
+             |  WHERE u.deleted
+             |  UNION ALL
+             |  SELECT 'insert', -o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % $KeyMod = 1)
+             |SELECT change_type, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+             |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "copy-on-write change data feed: insert/update/delete row images from the rewritten-file diff"),
   )
 }

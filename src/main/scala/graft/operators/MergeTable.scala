@@ -222,6 +222,70 @@ object MergeTable {
     reader.parquet(files.toIndexedSeq: _*)
   }
 
+  /** Change data feed: the row-level diff between two committed
+    * versions, as `change_type ∈ insert|update|delete` plus the table
+    * columns (new image for insert/update, last-seen image for delete).
+    *
+    * Scale contract (the copy-on-write CDF trick): under copy-on-write,
+    * a row can only change inside a file that was ADDED or REMOVED in
+    * `(fromV, toV]` — files carried by reference are bit-identical on
+    * both sides, so the diff reads ONLY the rewritten file sets, never
+    * the table. Carried-along neighbors inside a rewritten file (rows
+    * copied unchanged) appear identical on both sides and are filtered
+    * as no-ops by a null-safe full-row compare; a CDC day-batch against
+    * a 100 TB table costs one full-outer join over that day's files.
+    * Both sides read through `toV`'s declared schema so the row compare
+    * is column-aligned across schema eras (a column added in the window
+    * diffs as null → value, i.e. an update — exactly what a downstream
+    * incremental consumer must reprocess). */
+  def changeFeed(spark: SparkSession, root: String, key: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changeFeed needs fromV < toV, got $fromV ≥ $toV")
+    val fl = vacuumFloor(spark, root)
+    require(fromV >= fl,
+      s"version $fromV predates the vacuum floor $fl: its files were " +
+        "physically deleted; the change feed below the floor cannot answer")
+    val fileSet = (v: Long) => liveFiles(spark, root, Some(v))
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val before = fileSet(fromV)
+    val after = fileSet(toV)
+    val added = (after -- before).toIndexedSeq.sorted
+    val removed = (before -- after).toIndexedSeq.sorted
+
+    val reader = declaredSchema(spark, root, Some(toV))
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+    val empty = snapshot(spark, root, Some(toV)).limit(0)
+    val newSide =
+      if (added.isEmpty) empty
+      else reader.parquet(added.map(f => s"$root/$f"): _*)
+    val oldSide =
+      if (removed.isEmpty) empty
+      else reader.parquet(removed.map(f => s"$root/$f"): _*)
+
+    val cols = newSide.columns.toIndexedSeq
+    val payload = cols.filterNot(_ == key)
+    val o = oldSide.select(col(key).as("_ck"),
+      struct(cols.map(col): _*).as("_old"))
+    val n = newSide.select(col(key).as("_ck"),
+      struct(cols.map(col): _*).as("_new"))
+    o.join(n, Seq("_ck"), "full_outer")
+      .withColumn("change_type",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      // no-ops: rows copied unchanged into a rewritten file. Null-safe
+      // per-column compare (a struct <=> struct would also compare the
+      // key twice; payload-only keeps it honest under key reuse)
+      .filter(col("_old").isNull || col("_new").isNull ||
+        !payload.map(c => col(s"_old.$c") <=> col(s"_new.$c"))
+          .reduceOption(_ && _).getOrElse(lit(true)))
+      // new image for insert/update (even where it is legitimately
+      // null), the last-seen old image for delete
+      .select(col("change_type") +: cols.map(c =>
+        when(col("_new").isNull, col(s"_old.$c"))
+          .otherwise(col(s"_new.$c")).as(c)): _*)
+  }
+
   /** OPTIMIZE: fold files smaller than `smallerThan` rows into
     * ~`targetRows`-row files in ONE commit (their union removed+added
     * atomically; state provably unchanged, time travel intact). The

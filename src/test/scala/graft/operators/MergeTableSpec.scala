@@ -266,6 +266,45 @@ class MergeTableSpec extends SparkSpec {
     assert(after.filter(col("k") === 2L).head().getLong(2) == 5L)
   }
 
+  test("changeFeed reports exact row-level changes; carried rows are no-ops") {
+    val root = tmpRoot()
+    val v1 = MergeTable.append(spark, root,
+      (0L until 100L).map(i => (i, "lo")).toDF("k", "v"), "k")
+    val v2 = MergeTable.append(spark, root,
+      (100L until 200L).map(i => (i, "hi")).toDF("k", "v"), "k")
+    val v3 = MergeTable.merge(spark, root,
+      Seq((150L, "HI", false), (151L, "x", true), (500L, "new", false))
+        .toDF("k", "v", "deleted"),
+      "k", deleteCol = Some("deleted"))
+
+    // window (v2, v3]: one update (new image), one delete (old image),
+    // one insert — the 98 carried-along rows of the rewritten hi file
+    // and every untouched lo file are silent
+    val feed = MergeTable.changeFeed(spark, root, "k", v2, v3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set(("update", 150L, "HI"), ("delete", 151L, "hi"),
+      ("insert", 500L, "new")))
+
+    // window (v1, v3]: key 151 was added AND deleted inside it — net
+    // nothing; keys 100..199 (150 with its final image) plus 500 are
+    // inserts relative to v1; no lo-span row appears
+    val feed2 = MergeTable.changeFeed(spark, root, "k", v1, v3)
+    assert(feed2.filter(col("change_type") =!= "insert").isEmpty)
+    val ins = feed2.select("k").as[Long].collect().toSet
+    assert(ins == ((100L until 200L).toSet - 151L + 500L))
+
+    // compaction rewrites files without changing state → empty feed
+    val v4 = MergeTable.compactFiles(spark, root, "k").get
+    assert(MergeTable.changeFeed(spark, root, "k", v3, v4).isEmpty)
+
+    // below the vacuum floor the feed refuses instead of under-reporting
+    MergeTable.vacuum(spark, root, horizon = v4)
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.changeFeed(spark, root, "k", v3, v4)
+    }
+    assert(e.getMessage.contains("vacuum floor"))
+  }
+
   test("a non-key-unique batch is refused") {
     val root = tmpRoot()
     MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
