@@ -160,5 +160,75 @@ object QualityFilters extends QueryModule {
               |   AS hot_share
               |FROM base GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "corpus boilerplate detection (hot 2-grams ≥5% df, broadcast probe)"),
+
+    // PII scrub audit — the pre-export redaction stage every real
+    // corpus pipeline runs. The synthetic corpus is letters-only
+    // (checked: zero docs contain [0-9@+] at any SF), so deterministic
+    // PII spans are PLANTED from doc_id (email on ≡0 mod 5, IPv4 on
+    // mod 7, phone on mod 11), then scrubbed by the REAL operator:
+    // generic regex classes counted with regexp_count and redacted to
+    // <EMAIL>/<IP>/<PHONE> tags with regexp_replace. The oracle never
+    // touches a regex — it recomputes match counts and the redacted
+    // character delta ARITHMETICALLY from the plant rule, so a regex
+    // that over-matches into the surrounding text, under-matches a
+    // planted span, or redacts a wrong-width substring fails the hash.
+    // 100 TB shape: pure per-row expression work (codegen'd regex on
+    // each doc exactly once) + one hash agg by lang — one scan, one
+    // tiny shuffle, nothing driver-side.
+    "text_pii_scrub" -> Q(
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+        val planted = docs(s, dir).withColumn("dirty", concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 100).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        planted
+          .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+            col("dirty"), lit(emailRe), lit("<EMAIL>")),
+            lit(ipRe), lit("<IP>")), lit(phoneRe), lit("<PHONE>")))
+          .select(col("lang"),
+            regexp_count(col("dirty"), lit(emailRe)).cast("long").as("e"),
+            regexp_count(col("dirty"), lit(ipRe)).cast("long").as("i"),
+            regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("p"),
+            (length(col("dirty")) - length(col("clean"))).cast("long").as("delta"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("e")).as("n_emails"),
+            sum(col("i")).as("n_ipv4"),
+            sum(col("p")).as("n_phones"),
+            sum(col("delta")).as("chars_redacted"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH p AS (
+             |  SELECT lang,
+             |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS e,
+             |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS i,
+             |    CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS ph,
+             |    CASE WHEN doc_id % 5 = 0 THEN
+             |      length('user' || CAST(doc_id AS VARCHAR) || '@example.com')
+             |        - length('<EMAIL>') ELSE 0 END
+             |    + CASE WHEN doc_id % 7 = 0 THEN
+             |      length('10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+             |        || CAST(doc_id % 100 AS VARCHAR)) - length('<IP>') ELSE 0 END
+             |    + CASE WHEN doc_id % 11 = 0 THEN
+             |      length('+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+             |        - length('<PHONE>') ELSE 0 END AS delta
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs, CAST(sum(e) AS BIGINT) AS n_emails,
+             |  CAST(sum(i) AS BIGINT) AS n_ipv4, CAST(sum(ph) AS BIGINT) AS n_phones,
+             |  CAST(sum(delta) AS BIGINT) AS chars_redacted
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "PII scrub audit: planted spans, real regex redaction, arithmetic oracle"),
   )
 }
