@@ -193,5 +193,55 @@ object LakeQueries extends QueryModule {
              |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
              |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "copy-on-write change data feed: insert/update/delete row images from the rewritten-file diff"),
+
+    // Incremental view maintenance from the change feed: the per-status
+    // (count, key-sum) view materialized at v1 is advanced to v2 by
+    // folding ONLY the feed — +insert/+update_postimage,
+    // −delete/−update_preimage (count/sum are self-maintainable) — and
+    // the oracle recomputes the v2 view from scratch. At 100 TB this is
+    // the point of the feed: the consumer's cost is the delta, never a
+    // table rescan, and a wrong pre/post image or a missed no-op filter
+    // shows up as a broken sum.
+    "lake_incremental_view" -> Q(
+      (s, dir) => withRoot(s) { root =>
+        val b = base(s, dir)
+        val v1 = MergeTable.append(s, root, b, "o_orderkey")
+        val v2 = MergeTable.merge(s, root, cdcBatch(b), "o_orderkey",
+          deleteCol = Some("deleted"))
+        val view1 = MergeTable.snapshot(s, root, Some(v1))
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("key_sum"))
+        val feed = MergeTable.changeFeed(s, root, "o_orderkey", v1, v2,
+          preImages = true)
+        val sgn = when(col("change_type")
+          .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+        val delta = feed
+          .select(col("o_orderstatus").as("status"), sgn.as("sgn"),
+            col("o_orderkey"))
+          .groupBy(col("status"))
+          .agg(sum(col("sgn")).as("n_orders"),
+            sum(col("sgn") * col("o_orderkey")).as("key_sum"))
+        view1.unionByName(delta)
+          .groupBy(col("status"))
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("key_sum")).as("key_sum"))
+          .filter(col("n_orders") > 0)
+          .orderBy(col("status"))
+      },
+      Some(s"""WITH upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         o_totalprice + 1.0 AS o_totalprice,
+             |         (o_orderkey % ${2 * KeyMod} = 0) AS deleted
+             |  FROM orders WHERE o_orderkey % $KeyMod = 0),
+             |merged AS (
+             |  SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus FROM upd WHERE NOT deleted)
+             |SELECT o_orderstatus AS status,
+             |  count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "incremental view maintenance: v1 view + folded feed deltas ≡ full v2 recompute"),
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -237,9 +237,16 @@ object MergeTable {
     * Both sides read through `toV`'s declared schema so the row compare
     * is column-aligned across schema eras (a column added in the window
     * diffs as null → value, i.e. an update — exactly what a downstream
-    * incremental consumer must reprocess). */
+    * incremental consumer must reprocess).
+    *
+    * With `preImages = true`, each update emits TWO rows —
+    * `update_preimage` (the old image) and `update_postimage` (the
+    * new) — which is what makes the feed consumable for incremental
+    * view maintenance: a self-maintainable aggregate (count/sum) folds
+    * the feed as +post/+insert and −pre/−delete without ever rescanning
+    * the table. */
   def changeFeed(spark: SparkSession, root: String, key: String,
-      fromV: Long, toV: Long): DataFrame = {
+      fromV: Long, toV: Long, preImages: Boolean = false): DataFrame = {
     require(fromV < toV, s"changeFeed needs fromV < toV, got $fromV ≥ $toV")
     val fl = vacuumFloor(spark, root)
     require(fromV >= fl,
@@ -268,11 +275,13 @@ object MergeTable {
       struct(cols.map(col): _*).as("_old"))
     val n = newSide.select(col(key).as("_ck"),
       struct(cols.map(col): _*).as("_new"))
+    def ev(t: String, img: Column): Column =
+      struct(lit(t).as("t"), img.as("img"))
+    val updateEvs =
+      if (preImages) array(ev("update_preimage", col("_old")),
+        ev("update_postimage", col("_new")))
+      else array(ev("update", col("_new")))
     o.join(n, Seq("_ck"), "full_outer")
-      .withColumn("change_type",
-        when(col("_old").isNull, lit("insert"))
-          .when(col("_new").isNull, lit("delete"))
-          .otherwise(lit("update")))
       // no-ops: rows copied unchanged into a rewritten file. Null-safe
       // per-column compare (a struct <=> struct would also compare the
       // key twice; payload-only keeps it honest under key reuse)
@@ -281,9 +290,12 @@ object MergeTable {
           .reduceOption(_ && _).getOrElse(lit(true)))
       // new image for insert/update (even where it is legitimately
       // null), the last-seen old image for delete
-      .select(col("change_type") +: cols.map(c =>
-        when(col("_new").isNull, col(s"_old.$c"))
-          .otherwise(col(s"_new.$c")).as(c)): _*)
+      .select(explode(
+        when(col("_old").isNull, array(ev("insert", col("_new"))))
+          .when(col("_new").isNull, array(ev("delete", col("_old"))))
+          .otherwise(updateEvs)).as("_ev"))
+      .select(col("_ev.t").as("change_type") +:
+        cols.map(c => col(s"_ev.img.$c").as(c)): _*)
   }
 
   /** OPTIMIZE: fold files smaller than `smallerThan` rows into

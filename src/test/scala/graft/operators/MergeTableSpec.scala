@@ -293,6 +293,14 @@ class MergeTableSpec extends SparkSpec {
     val ins = feed2.select("k").as[Long].collect().toSet
     assert(ins == ((100L until 200L).toSet - 151L + 500L))
 
+    // preImages: the update splits into old/new images (the IVM shape);
+    // insert/delete are unchanged
+    val pre = MergeTable.changeFeed(spark, root, "k", v2, v3, preImages = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(pre == Set(("update_preimage", 150L, "hi"),
+      ("update_postimage", 150L, "HI"), ("delete", 151L, "hi"),
+      ("insert", 500L, "new")))
+
     // compaction rewrites files without changing state → empty feed
     val v4 = MergeTable.compactFiles(spark, root, "k").get
     assert(MergeTable.changeFeed(spark, root, "k", v3, v4).isEmpty)
