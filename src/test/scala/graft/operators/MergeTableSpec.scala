@@ -313,6 +313,46 @@ class MergeTableSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum floor"))
   }
 
+  test("drainChanges delivers once, re-delivers after a crash, idles on no-new-data") {
+    val root = tmpRoot()
+    val store = java.nio.file.Files.createTempDirectory("graft-mt-store")
+      .resolve("kv").toString
+    MergeTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    MergeTable.merge(spark, root, Seq((2L, "B")).toDF("k", "v"), "k")
+
+    var seen = Vector.empty[(String, Long, String)]
+    def collect(df: DataFrame): Unit =
+      seen ++= df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+
+    // a first-time consumer starts at the table's first version
+    assert(MergeTable.drainChanges(spark, root, "k", store, "c1")(collect)
+      .contains((1L, 2L)))
+    assert(seen == Vector(("update", 2L, "B")))
+
+    // no new data → process is never invoked, zero jobs
+    assert(MergeTable.drainChanges(spark, root, "k", store, "c1") { _ =>
+      fail("no-new-data must not call process")
+    }.isEmpty)
+
+    // a crash BETWEEN process and the offset record re-delivers the
+    // window on the next drain (at-least-once, the foreachBatch contract)
+    MergeTable.merge(spark, root, Seq((3L, "c")).toDF("k", "v"), "k")
+    intercept[RuntimeException] {
+      MergeTable.drainChanges(spark, root, "k", store, "c1")(_ =>
+        throw new RuntimeException("boom"))
+    }
+    assert(MergeTable.drainChanges(spark, root, "k", store, "c1")(collect)
+      .contains((2L, 3L)))
+    assert(seen.last == (("insert", 3L, "c")))
+
+    // an independent consumer drains the whole history at its own pace
+    var n2 = 0L
+    assert(MergeTable.drainChanges(spark, root, "k", store, "c2") { df =>
+      n2 = df.count()
+    }.contains((1L, 3L)))
+    assert(n2 == 2L) // update(2→B) + insert(3); key 1 never changed
+  }
+
   test("a non-key-unique batch is refused") {
     val root = tmpRoot()
     MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
