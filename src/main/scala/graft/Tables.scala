@@ -15,16 +15,30 @@ import org.apache.spark.sql.Column
   */
 object Tables {
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark rejects by
-    * default. With `spark.sql.legacy.parquet.nanosAsLong=true` it reads as
-    * bigint epoch-nanos; DuckDB reads the same column as TIMESTAMP_NS.
-    * Convention (FIXTURES.md §1): all comparisons happen on int64
-    * epoch-nanos, all bucketing on micros (`ts div 1000`), identically
-    * truncated on both engines.
+  /** Engine-wide time convention (FIXTURES.md §1): `events.ts` is an
+    * int64 EPOCH-NANOS column everywhere downstream — all comparisons on
+    * int64 nanos, all bucketing on micros (`ts div 1000`), identically
+    * truncated on both engines (DuckDB gets nanos via `epoch_ns(ts)`).
+    *
+    * The parquet encoding of `ts` has varied across testdata generations
+    * (INT64 TIMESTAMP(NANOS) read as bigint under
+    * `spark.sql.legacy.parquet.nanosAsLong`; now TIMESTAMP(MICROS) read
+    * as TIMESTAMP_NTZ), so the loader NORMALIZES: any timestamp-typed
+    * `ts` is converted to epoch-nanos bigint at the scan edge
+    * (`unix_micros · 1000`; the session is pinned UTC so the NTZ→instant
+    * cast is identity). Downstream never sees the physical encoding.
+    * Range predicates on the derived nanos column are restored to the
+    * scan as native timestamp pushdown by [[graft.plans.NanosFilterRule]].
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        graft.plans.NanosFilter.register(spark)
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")

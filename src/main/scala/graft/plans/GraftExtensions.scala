@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // live sessions.
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
+    // scan-pushdown restoration for the loader's nanos view of `ts`
+    // (pure predicate rewrite, exact integer bounds — safe session-wide)
+    e.injectOptimizerRule(_ => NanosFilterRule)
   }
 }
 
