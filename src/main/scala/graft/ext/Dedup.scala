@@ -380,7 +380,7 @@ object Dedup extends QueryModule {
     * is matched: a checkpoint frame is exactly a LogicalRDD leaf, while
     * matching arbitrary leaves could unpersist RDDs the CALLER owns
     * inside `pairs`' lineage. */
-  private def release(df: DataFrame): Unit = {
+  private[ext] def release(df: DataFrame): Unit = {
     df.unpersist()
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

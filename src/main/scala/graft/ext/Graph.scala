@@ -263,23 +263,37 @@ object Graph extends QueryModule {
       k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
     val spark = edgeDf.sparkSession
     import spark.implicits._
-    // each round reads its input twice (degree pass + endpoint filter),
-    // so every round's frame — including the input — is loan-cached
-    var e = edgeDf.cache()
+    // Each round reads its input three times (degree pass + two
+    // endpoint semi-join probes), so the input must be materialized per
+    // round. CHAINED CACHES are the trap here: round N's cached frame
+    // embeds every prior round's plan, and in practice the cache-manager
+    // lookup stops hitting on those nested trees — each probe then
+    // re-derives the whole prefix, a 3^rounds re-execution blowup
+    // (measured ~12 s for round 3 alone at sf0.1 where the flat form
+    // runs the full peel in ~0.5 s). So each round's survivor edge set
+    // is LAZILY `localCheckpoint`ed instead (the
+    // [[Dedup.connectedComponents]] idiom): the count materializes it
+    // into a flat RDD leaf in the same job, the next round's three
+    // reads hit stored blocks, and per-round plan/analysis cost stays
+    // constant. Prior rounds' checkpoint RDDs are released eagerly
+    // ([[Dedup.release]]) so exactly one edge frame is live at a time.
+    var cur = edgeDf.localCheckpoint(false)
     val traj = (1 to rounds).map { round =>
-      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      val deg = cur.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val kept = deg.filter(col("deg") >= k).select(col("node")).cache()
-      val e1 = e.join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      val kept = deg.filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint(false)
+      val nKept = kept.count()
+      val e1 = cur.join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).cache()
-      val row = (round.toLong, kept.count(), e1.count())
-      e.unpersist() // previous round's frame (a no-op for the input)
-      e = e1
-      kept.unpersist()
-      row
+        .select(col("u"), col("v")).localCheckpoint(false)
+      val nEdges = e1.count()
+      Dedup.release(kept)
+      Dedup.release(cur)
+      cur = e1
+      (round.toLong, nKept, nEdges)
     }
-    e.unpersist()
+    Dedup.release(cur)
     traj.toDF("round", "n_nodes", "n_edges")
   }
 
