@@ -26,6 +26,16 @@ object Similarity extends QueryModule {
   /** embedding float[] → double[] (exact widening on both engines). */
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** The packed Q24 upper-triangle Gram sums of the embedding corpus as
+    * a driver-local vector — ONE scan through the native
+    * [[graft.functions.GramAggregate]] buffer aggregate; d(d+1)/2 int64
+    * cells of driver state (16 KB at d = 64), shared by
+    * `emb_gram_matrix` and `emb_pca_power_step`. */
+  private def gramSums(s: SparkSession, dir: String): IndexedSeq[Long] =
+    emb(s, dir).select(vecD(col("embedding")).as("v"))
+      .agg(graft.functions.GramAggregate.gram_acc(col("v"), Dims, FpScale).as("g"))
+      .head().getSeq[Long](0).toIndexedSeq
+
   // DuckDB mirror: list_dot_product on DOUBLE[] folds pairwise products
   // left-to-right, same as the Spark aggregate above.
   private def dCos(a: String, b: String): String =
@@ -1496,30 +1506,33 @@ object Similarity extends QueryModule {
 
     // Distributed Gram-matrix accumulation G[i,j] = Σ_n v_n[i]·v_n[j]
     // (upper triangle) — the kernel under PCA / whitening / covariance
-    // drift checks on an embedding corpus. Scale shape: the per-row
-    // explode to (i, j, product) is map-side only; the groupBy(i, j)
-    // HASH aggregate collapses each task to ≤ d(d+1)/2 = 2080 partial
-    // rows before the shuffle, so the exchanged volume is d²·tasks, not
-    // n·d² — the corpus is scanned once and never re-shuffled. Float
-    // parity: each product is ONE IEEE double multiply (bit-identical
-    // cross-engine), quantized to the Q24 grid and summed in exact
-    // int64 (order-free, O(1) agg state — the centroidsK contract on a
-    // product instead of a coordinate); the descale is an exact
-    // power-of-two division. Overflow: |v_i·v_j| ≤ 8² ⇒ |q| ≤ 2^30,
-    // int64 holds ~2^33 rows per (i,j) cell — raise to Q20 beyond that.
+    // drift checks on an embedding corpus. Scale shape (round-7 rework):
+    // ONE native `TypedImperativeAggregate` ([[graft.functions
+    // .GramAggregate]]) folds every row into a single long[2080] buffer
+    // per task — the first-cut explode emitted d(d+1)/2 = 2,080 struct
+    // rows PER INPUT ROW (4.2 M at sf0.1, rows × 2080 anywhere) just to
+    // feed a fixed-2,080-group hash agg; the native buffer makes the
+    // per-row cost a tight two-index loop with ZERO intermediate rows,
+    // map-side partials one 16 KB array, merges element-wise adds, and
+    // the shuffle d²-scale per task at any corpus size. The d(d+1)/2
+    // result expands to (i, j, g) rows on the driver (bounded state,
+    // the graph-family LocalRelation discipline). Float parity
+    // unchanged: each term is ONE IEEE double multiply quantized
+    // half-away-from-zero to the Q24 grid (the shared semantics of
+    // Spark and DuckDB round()) and summed in exact int64 — order-free,
+    // so the UNCHANGED oracle SQL still hash-matches verbatim.
+    // Overflow: |v_i·v_j| ≤ 8² ⇒ |q| ≤ 2^30, int64 holds ~2^33 rows per
+    // cell — raise to Q20 beyond that. GramAggregateSpec pins equality
+    // with the explode formulation on real embeddings, the
+    // negative-half rounding edge, and cross-partition merge.
     "emb_gram_matrix" -> Q(
       (s, dir) => {
-        val e = emb(s, dir).select(vecD(col("embedding")).as("v"))
-        e.select(explode(expr(
-            s"""flatten(transform(sequence(0, ${Dims - 1}), i ->
-               |  transform(sequence(i, ${Dims - 1}), j ->
-               |    named_struct('i', i, 'j', j,
-               |      'q', CAST(round(v[i] * v[j] * ${FpScale}D) AS BIGINT)))))"""
-              .stripMargin)).as("c"))
-          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.q").as("q"))
-          .groupBy(col("i"), col("j"))
-          .agg((sum(col("q")).cast("double") / lit(FpScale.toDouble)).as("g"))
-          .orderBy(col("i"), col("j"))
+        import s.implicits._
+        val qs = gramSums(s, dir)
+        (for { i <- 0 until Dims; j <- i until Dims } yield
+          (i, j, qs(graft.functions.GramAggregate.cellIndex(i, j, Dims)).toDouble
+            / FpScale.toDouble))
+          .toDF("i", "j", "g")
       },
       Some(s"""SELECT gi.i, gj.j,
              |  CAST(sum(CAST(round(v[gi.i + 1] * v[gj.j + 1] * $FpScale.0) AS BIGINT)) AS DOUBLE)
@@ -1543,22 +1556,20 @@ object Similarity extends QueryModule {
     // distributed step that produces it plus one verifiable iteration).
     "emb_pca_power_step" -> Q(
       (s, dir) => {
-        val e = emb(s, dir).select(vecD(col("embedding")).as("v"))
-        val tri = e.select(explode(expr(
-            s"""flatten(transform(sequence(0, ${Dims - 1}), i ->
-               |  transform(sequence(i, ${Dims - 1}), j ->
-               |    named_struct('i', i, 'j', j,
-               |      'q', CAST(round(v[i] * v[j] * ${FpScale}D) AS BIGINT)))))"""
-              .stripMargin)).as("c"))
-          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.q").as("q"))
-          .groupBy(col("i"), col("j")).agg(sum(col("q")).as("qs"))
-        val full = tri.unionByName(
-          tri.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("qs")))
-        full.groupBy(col("i"))
-          .agg((sum(col("qs")).cast("double") / lit(FpScale.toDouble) / lit(8.0d))
-            .as("y"))
-          .orderBy(col("i"))
+        import s.implicits._
+        import graft.functions.GramAggregate.cellIndex
+        // symmetrize + matrix-vector product on the d(d+1)/2 driver-local
+        // integer state: y_i = (Σ_j qs(min,max)) / 2²⁴ / 8 — int64 adds
+        // (≤ 2^47, double-exact), the same arithmetic the oracle unrolls
+        val qs = gramSums(s, dir)
+        (0 until Dims).map { i =>
+          var t = 0L
+          var j = 0
+          while (j < Dims) {
+            t += qs(cellIndex(math.min(i, j), math.max(i, j), Dims)); j += 1
+          }
+          (i, t.toDouble / FpScale.toDouble / 8.0d)
+        }.toDF("i", "y")
       },
       Some(s"""WITH tri AS (
              |  SELECT gi.i, gj.j,

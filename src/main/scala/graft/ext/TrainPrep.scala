@@ -673,13 +673,19 @@ object TrainPrep extends QueryModule {
       rounds: Int = BpeRounds): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    // The per-round symbol table is a ROUND-ITERATED frame, so it uses
+    // lazy localCheckpoint + eager release (the Graph.kcoreTrajectory /
+    // Dedup.connectedComponents idiom), NOT a chained cache: round N's
+    // cached plan would embed every prior round's, the nested lookup
+    // stops hitting, and each round re-derives the whole merge prefix —
+    // harmless on a toy vocabulary, a rounds-squared corpus re-tokenize
+    // at real scale. Exactly one symbol frame is live at any time.
     var words = documents
       .select(explode(expr(TextAnalytics.tokExpr)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("s"))
-      .cache()
-    val loans = scala.collection.mutable.Buffer[DataFrame](words)
+      .localCheckpoint(false)
     try {
       val rows = scala.collection.mutable.Buffer[(Long, String, String, Long, Long)]()
       var r = 1
@@ -715,18 +721,20 @@ object TrainPrep extends QueryModule {
                 |      'arr', concat(st.arr, array(s[i])), 'skip', false)
                 |  END,
                 |  st -> st.arr)""".stripMargin).as("s"))
-            .cache()
-          loans += applied
-          words = applied
+            .localCheckpoint(false)
+          // the rollup materializes the new frame; only then is the
+          // previous round's checkpoint RDD released
           val toksAfter = applied
             .agg(sum(col("freq") * size(col("s")).cast("long")).as("t"))
             .head().getLong(0)
+          Dedup.release(words)
+          words = applied
           rows += ((r.toLong, ma, mb, cnt, toksAfter))
           r += 1
         }
       }
       rows.toSeq.toDF("round", "left_sym", "right_sym", "pair_count", "toks_after")
-    } finally loans.foreach(_.unpersist())
+    } finally Dedup.release(words)
   }
 
   // DuckDB mirror of [[bpeTrainSteps]]: rounds unrolled as CTEs; the

@@ -213,14 +213,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("Gram matrix: map-side partial sum collapses the explode, hash agg, no window") {
-    val p = planOf("emb_gram_matrix")
-    // the n·d² exploded rows must collapse to ≤ d² per task BEFORE the
-    // exchange (partial_sum in the same stage as Generate); the Q24
-    // int64 sums keep it a HashAggregate with O(1) state per (i, j)
-    assert(p.contains("partial_sum"), p)
-    assert(p.contains("HashAggregate"), p)
-    assert(p.contains("Generate"), p)
+  test("Gram matrix: one native buffer aggregate, no explode, no window") {
+    // emb_gram_matrix/emb_pca_power_step return driver-expanded
+    // LocalRelations (bounded d² state), so the gate targets the
+    // aggregation plan they share: the native GramAggregate must plan
+    // as a partial→final ObjectHashAggregate over the scan — zero
+    // Generate (the n·d² explode it replaced), no row-buffering
+    // aggregate, no window
+    val df = graft.Tables.embeddings(spark, Sf)
+      .select(org.apache.spark.sql.functions.transform(
+        col("embedding"), x => x.cast("double")).as("v"))
+      .agg(graft.functions.GramAggregate.gram_acc(col("v"), 64, 1L << 24).as("g"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_gram_acc"), p)
+    assert(!p.contains("Generate"), p)
     assert(!p.contains("collect_list"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)

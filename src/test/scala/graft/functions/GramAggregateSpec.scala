@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for [[GramAggregate]]: exact agreement with the explode
+  * formulation it replaced (same rounding, same int64 sums), the
+  * negative-half rounding edge that separates HALF_UP from Math.round,
+  * and cross-partition merge correctness. */
+class GramAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 4
+  private val Fp = 1L << 24
+
+  /** The first-cut explode+hash-agg formulation, kept here as the
+    * differential reference for the native buffer aggregate. */
+  private def gramByExplode(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+    df.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${D - 1}), i ->
+           |  transform(sequence(i, ${D - 1}), j ->
+           |    named_struct('i', i, 'j', j,
+           |      'q', CAST(round(v[i] * v[j] * ${Fp}D) AS BIGINT)))))"""
+          .stripMargin)).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.q"))
+      .groupBy(col("i"), col("j")).agg(sum(col("q")).as("qs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  private def gramNative(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] = {
+    val arr = df.agg(GramAggregate.gram_acc(col("v"), D, Fp).as("g"))
+      .head().getSeq[Long](0)
+    (for { i <- 0 until D; j <- i until D } yield
+      (i, j) -> arr(GramAggregate.cellIndex(i, j, D))).toMap
+  }
+
+  test("matches the explode formulation exactly, incl. negative values") {
+    // values engineered so some products land exactly on .5 Q24 grid
+    // points with both signs: 0.5·(-1.5)·2^24 = -12582912.0 is grid-
+    // exact; 1/3-ish values exercise non-exact rounding both ways
+    val rows = Seq(
+      Seq(0.5, -1.5, 2.0, 0.0),
+      Seq(-0.25, 0.75, -1.0, 3.0),
+      Seq(1.0 / 3.0, -2.0 / 3.0, 0.1, -0.7),
+      Seq(0.0, 0.0, 0.0, 0.0))
+    val df = rows.toDF("v").select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    assert(gramNative(df) == gramByExplode(df))
+  }
+
+  test("negative-half rounding is away from zero (Spark/DuckDB round semantics)") {
+    // v = [a, b] with a·b·2^24 = -2.5 → must round to -3, not Math.round's -2
+    val a = 1.0
+    val b = -2.5 / (1L << 24).toDouble
+    val df = Seq(Seq(a, b)).toDF("v")
+      .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    val arr = df.agg(GramAggregate.gram_acc(col("v"), 2, Fp).as("g"))
+      .head().getSeq[Long](0)
+    assert(arr(GramAggregate.cellIndex(0, 1, 2)) == -3L)
+  }
+
+  test("cross-partition merge: many partitions ≡ one partition") {
+    val rows = (1 to 200).map(n =>
+      Seq(n * 0.01, -n * 0.007, (n % 7) * 0.3, 1.0 / n))
+    val one = gramNative(rows.toDF("v").coalesce(1)
+      .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v")))
+    val many = gramNative(rows.toDF("v").repartition(13)
+      .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v")))
+    assert(one == many)
+  }
+
+  test("real embeddings: native ≡ explode at full dims") {
+    val e = graft.Tables.embeddings(spark, Sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val d = 64
+    val native = e.agg(GramAggregate.gram_acc(col("v"), d, Fp).as("g"))
+      .head().getSeq[Long](0)
+    val explodeRef = e.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+           |  transform(sequence(i, ${d - 1}), j ->
+           |    named_struct('i', i, 'j', j,
+           |      'q', CAST(round(v[i] * v[j] * ${Fp}D) AS BIGINT)))))"""
+          .stripMargin)).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.q"))
+      .groupBy(col("i"), col("j")).agg(sum(col("q")).as("qs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for { i <- 0 until d; j <- i until d }
+      assert(native(GramAggregate.cellIndex(i, j, d)) == explodeRef((i, j)),
+        s"cell ($i,$j)")
+  }
+
+  test("null and wrong-length vectors are skipped, not crashed on") {
+    val df = Seq(Some(Seq(1.0, 2.0)), None, Some(Seq(3.0)), Some(Seq(0.5, -0.5)))
+      .toDF("v")
+    val arr = df.agg(GramAggregate.gram_acc(col("v"), 2, Fp).as("g"))
+      .head().getSeq[Long](0)
+    // only the two well-formed rows contribute
+    val exp00 = math.round(1.0 * 1.0 * Fp) + math.round(0.5 * 0.5 * Fp)
+    assert(arr(GramAggregate.cellIndex(0, 0, 2)) == exp00)
+  }
+}
