@@ -368,6 +368,21 @@ object TrainPrep extends QueryModule {
       Some(s"WITH ${dBpeSteps(BpeRounds)}"),
       doc = "3 unrolled BPE training rounds: learned merges + token-count trajectory"),
 
+    // The trained vocabulary itself — the tokenizer-trainer artifact the
+    // trajectory query above only audits: top-20 symbols of the
+    // post-merge symbol state by corpus token count, with word spread
+    // and symbol length. Derived from the SAME loop (one shared
+    // [[bpeLoop]]), so the shipped vocab and the audited trajectory
+    // cannot drift; the oracle replays the identical rounds through the
+    // shared CTE chain and reads the final state. Scale shape: the loop
+    // runs at vocabulary scale after one corpus shuffle; the vocab
+    // rollup is one explode+agg over the word table; output is a
+    // bounded top-20 LocalRelation.
+    "prep_bpe_vocab" -> Q(
+      (s, dir) => bpeVocab(docs(s, dir)),
+      Some(s"WITH ${dBpeVocab(BpeRounds, 20)}"),
+      doc = "trained BPE vocabulary: top-20 symbols by token count after the merge rounds"),
+
     // Split-aware decontamination audit: the held-out split is only as
     // clean as its NEAR-DUP isolation — a test doc whose near-duplicate
     // sits in train leaks the answer even though the doc ids differ.
@@ -673,6 +688,40 @@ object TrainPrep extends QueryModule {
       rounds: Int = BpeRounds): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
+    val (rows, fin) = bpeLoop(documents, rounds)
+    Dedup.release(fin)
+    rows.toDF("round", "left_sym", "right_sym", "pair_count", "toks_after")
+  }
+
+  /** The trained sub-word VOCABULARY after [[bpeLoop]]'s merge rounds:
+    * top symbols by corpus token count, with the word-level spread
+    * (`n_words`) and symbol length — the artifact a tokenizer trainer
+    * actually ships, derived from the SAME loop the trajectory query
+    * audits so the two cannot drift. Bounded output (top `topK`),
+    * materialized inside the loan. */
+  private[ext] def bpeVocab(documents: DataFrame, rounds: Int = BpeRounds,
+      topK: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    val (_, fin) = bpeLoop(documents, rounds)
+    try {
+      val out = fin.select(col("w"), col("freq"), explode(col("s")).as("symbol"))
+        .groupBy(col("symbol"))
+        .agg(sum(col("freq")).as("token_count"),
+          countDistinct(col("w")).as("n_words"))
+        .withColumn("sym_len", length(col("symbol")))
+        .orderBy(col("token_count").desc, col("symbol").asc)
+        .limit(topK)
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally Dedup.release(fin)
+  }
+
+  /** The shared BPE training loop: returns the per-round trajectory rows
+    * AND the final (word, freq, symbols) state as a live checkpointed
+    * frame the CALLER must `Dedup.release`. */
+  private def bpeLoop(documents: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     // The per-round symbol table is a ROUND-ITERATED frame, so it uses
     // lazy localCheckpoint + eager release (the Graph.kcoreTrajectory /
     // Dedup.connectedComponents idiom), NOT a chained cache: round N's
@@ -683,7 +732,7 @@ object TrainPrep extends QueryModule {
     var words = documents
       .select(explode(expr(TextAnalytics.tokExpr)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr(
+      .select(col("w"), col("freq"), expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("s"))
       .localCheckpoint(false)
     try {
@@ -707,7 +756,7 @@ object TrainPrep extends QueryModule {
           // splicing: symbols stay data, whatever the tokenizer emits)
           val rule = broadcast(Seq((ma, mb)).toDF("ma", "mb"))
           val applied = words.crossJoin(rule)
-            .select(col("freq"), expr(
+            .select(col("w"), col("freq"), expr(
               """aggregate(
                 |  sequence(0, size(s) - 1),
                 |  named_struct('arr', CAST(array() AS array<string>), 'skip', false),
@@ -733,18 +782,21 @@ object TrainPrep extends QueryModule {
           r += 1
         }
       }
-      rows.toSeq.toDF("round", "left_sym", "right_sym", "pair_count", "toks_after")
-    } finally Dedup.release(words)
+      (rows.toSeq, words)
+    } catch {
+      case t: Throwable => Dedup.release(words); throw t
+    }
   }
 
-  // DuckDB mirror of [[bpeTrainSteps]]: rounds unrolled as CTEs; the
-  // leftmost-greedy fold replayed as its closed form — a match position
-  // is taken iff its offset within its run of CONSECUTIVE match
+  // DuckDB mirror of [[bpeTrainSteps]]/[[bpeVocab]]: rounds unrolled as
+  // CTEs; the leftmost-greedy fold replayed as its closed form — a match
+  // position is taken iff its offset within its run of CONSECUTIVE match
   // positions is even (runs only occur for self-pairs, where overlap
   // resolution matters); a position is dropped iff its predecessor was
   // taken. Gaps-and-islands (i − row_number among match rows) finds the
-  // runs.
-  private def dBpeSteps(rounds: Int): String = {
+  // runs. [[dBpeChain]] builds the shared per-round state CTEs
+  // (s1..sN); the two queries differ only in their final SELECT.
+  private def dBpeChain(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       val prev = if (i == 1) "s0" else s"s${i - 1}"
       s"""p$i AS (
@@ -779,12 +831,6 @@ object TrainPrep extends QueryModule {
          |  WHERE ptaken = 0
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to rounds).map(i =>
-      s"""SELECT CAST($i AS BIGINT) AS round, b$i.a AS left_sym, b$i.b AS right_sym,
-         |  CAST(b$i.cnt AS BIGINT) AS pair_count,
-         |  (SELECT CAST(sum(freq * len(s)) AS BIGINT) FROM s$i) AS toks_after
-         |FROM b$i""".stripMargin)
-      .mkString("\nUNION ALL\n")
     s"""wf AS (
        |  SELECT tok AS w, count(*) AS freq
        |  FROM documents, UNNEST(${TextAnalytics.dTok}) AS u(tok) GROUP BY 1),
@@ -792,10 +838,30 @@ object TrainPrep extends QueryModule {
        |  SELECT w, freq, list_transform(generate_series(1, length(w)),
        |    i -> substr(w, CAST(i AS INTEGER), 1)) AS s
        |  FROM wf),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def dBpeSteps(rounds: Int): String = {
+    val rows = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, b$i.a AS left_sym, b$i.b AS right_sym,
+         |  CAST(b$i.cnt AS BIGINT) AS pair_count,
+         |  (SELECT CAST(sum(freq * len(s)) AS BIGINT) FROM s$i) AS toks_after
+         |FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""${dBpeChain(rounds)}
        |$rows
        |ORDER BY round""".stripMargin
   }
+
+  // Final vocabulary select over the last round's symbol state.
+  private def dBpeVocab(rounds: Int, topK: Int): String =
+    s"""${dBpeChain(rounds)}
+       |SELECT sym AS symbol, CAST(sum(freq) AS BIGINT) AS token_count,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+       |  CAST(length(sym) AS INTEGER) AS sym_len
+       |FROM (SELECT w, freq, unnest(s) AS sym FROM s$rounds)
+       |GROUP BY 1
+       |ORDER BY token_count DESC, symbol LIMIT $topK""".stripMargin
 
   /** Winsorization body (injectable for specs — see the
     * `prep_clip_outliers` entry for the full rationale). Bounds rank

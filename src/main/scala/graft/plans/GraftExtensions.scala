@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{Base58Expressions, HllAggregate, TextExpressions, VectorExpressions}
+import graft.functions.{Base58Expressions, GramAggregate, HllAggregate, TextExpressions, VectorExpressions}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -48,6 +48,15 @@ object GraftExtensions {
     ("hll_distinct",
       info("hll_distinct", "hll_distinct(expr) - HyperLogLog distinct-count sketch"),
       (es: Seq[Expression]) => HllAggregate(es.head)),
+    ("gram_acc",
+      info("gram_acc",
+        "gram_acc(vec, dims, fpScale) - packed Q-scaled Gram upper-triangle int64 sums"),
+      (es: Seq[Expression]) => {
+        // dims/fpScale must be foldable — they size the fixed buffer
+        val dims = es(1).eval().asInstanceOf[Number].intValue()
+        val fp = es(2).eval().asInstanceOf[Number].longValue()
+        GramAggregate(es.head, dims, fp)
+      }),
     ("rolling_hash",
       info("rolling_hash", "rolling_hash(str) - polynomial rolling hash (document fingerprint)"),
       (es: Seq[Expression]) => TextExpressions.RollingHash(es.head)),

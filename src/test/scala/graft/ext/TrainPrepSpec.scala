@@ -40,6 +40,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
   }
 
+  test("BPE vocab: final symbol state matches the hand-run merges") {
+    import spark.implicits._
+    // same fixture as the trajectory test: after 3 rounds aaab→[aaab]?
+    // no — hand-run above ends at r3 with aaab→[aaab] merged from
+    // [aa,ab] via (aa,ab): words are aaab×2 → [aaab], ab×1 → [ab].
+    // vocab: aaab (token_count 2, 1 word), ab (1, 1)
+    val d = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = TrainPrep.bpeVocab(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(("aaab", 2L, 1L, 4), ("ab", 1L, 1L, 2)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
+  }
+
+  test("BPE vocab token mass equals the trajectory's final toks_after") {
+    // the two queries share one loop — the vocab's total token count
+    // (unlimited topK) must equal the last trajectory row's toks_after
+    val docs = graft.Tables.documents(spark, Sf)
+    val traj = TrainPrep.bpeTrainSteps(docs).collect()
+    val lastToks = traj.last.getLong(4)
+    val vocabMass = TrainPrep.bpeVocab(docs, topK = 1000000).collect()
+      .map(_.getLong(1)).sum
+    assert(vocabMass == lastToks, s"$vocabMass vs $lastToks")
+  }
+
   test("BPE train steps: leftmost-greedy overlap resolution and early exhaustion") {
     import spark.implicits._
     // "aaaa": r1 merges (a,a) cnt 3 but applies at EVEN offsets only

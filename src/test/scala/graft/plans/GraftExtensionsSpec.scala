@@ -19,4 +19,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val est = spark.sql("SELECT hll_distinct(id % 500) FROM ids").collect()(0).getLong(0)
     assert(math.abs(est - 500L) <= 15L, s"got $est") // ~1% linear-counting error
   }
+
+  test("gram_acc works as a SQL aggregate with foldable dims/scale") {
+    GraftExtensions.register(spark)
+    // two rows of [1, 2]: cells (0,0)=2·2^24, (0,1)=2·2·2^24, (1,1)=2·4·2^24
+    val arr = spark.sql(
+      """SELECT gram_acc(v, 2, 16777216L) AS g FROM (
+        |  SELECT array(1.0d, 2.0d) AS v UNION ALL SELECT array(1.0d, 2.0d))"""
+        .stripMargin).collect()(0).getSeq[Long](0)
+    assert(arr == Seq(2L << 24, 4L << 24, 8L << 24), arr)
+  }
 }
