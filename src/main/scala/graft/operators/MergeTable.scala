@@ -360,6 +360,48 @@ object MergeTable {
       removes = small.map(_._1)))
   }
 
+  /** OPTIMIZE … ZORDER BY (c1, c2): rewrite ALL live data files
+    * re-clustered on the Morton interleave of the two columns (each
+    * bucketed to 8 bits via `pmod(col, 256)` — the `prep_zorder_layout`
+    * windowing convention), in ONE atomic commit: state provably
+    * unchanged, time travel intact, the old files removed and the new
+    * ones added together. Each output file holds a CONTIGUOUS z-range
+    * (`repartitionByRange` over the z value + in-partition sort — the
+    * sort is what lines parquet row-group stats up with the z order),
+    * so a box predicate over (c1, c2) intersects the files whose
+    * z-curve segment crosses the box — O(perimeter) files, not every
+    * stripe of a single-column layout. The span-bound the
+    * `prep_zorder_layout` audit proves for aligned z-prefix buckets is
+    * the same geometry; this applies it to the lake table's physical
+    * layout, the Delta `OPTIMIZE … ZORDER BY` shape. Per-file KEY
+    * min/max stats are recomputed by the commit as always, so 1-D key
+    * skipping keeps working on the rewritten files.
+    *
+    * Scale: one full-table read + one range-partitioned shuffle —
+    * the cost OPTIMIZE always pays; run it at the cadence the read
+    * pattern justifies. Range boundaries come from Spark's sampling,
+    * so file CONTENTS are not bit-stable across runs (table STATE is)
+    * — this is a layout operation, gated by MergeTableSpec's skipping
+    * proof rather than a row-hash oracle. */
+  def optimizeZorder(spark: SparkSession, root: String, key: String,
+      c1: String, c2: String, nFiles: Int = 16): Long = {
+    val live = liveFiles(spark, root).select(col("file"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    require(live.nonEmpty, s"merge table at $root has no live files")
+    val reader = declaredSchema(spark, root)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+    val df = reader.parquet(live.map(f => s"$root/$f"): _*)
+    val zTerms = (0 until 8).map { i =>
+      s"((shiftright(pmod($c1, 256), $i) & 1) * ${1L << (2 * i + 1)})" +
+        s" + ((shiftright(pmod($c2, 256), $i) & 1) * ${1L << (2 * i)})"
+    }.mkString("(", " + ", ")")
+    val out = df.withColumn("_z", expr(zTerms))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    commit(spark, root, out, key, removes = live)
+  }
+
   /** Pure insert: add `df` as new files; no existing file is touched. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       key: String): Long =

@@ -371,4 +371,53 @@ class MergeTableSpec extends SparkSpec {
     assert(v == 1L)
     assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((5L, "e")))
   }
+
+  test("optimizeZorder: box reads touch fewer files than the linear layout; state intact") {
+    val root = tmpRoot()
+    // 4096 keys uniform over the 256×256 (x, y) grid; written clustered
+    // by x ALONE in 16 stripes — the layout a single-column sort leaves
+    val rows = (0L until 4096L).map(i => (i, i % 256L, (i * 37L) % 256L))
+    val linear = rows.toDF("k", "x", "y").repartitionByRange(16, col("x"))
+    val v1 = MergeTable.append(spark, root, linear, "k")
+
+    // per-live-file (x, y) spans, read from the actual data files
+    def filesTouching(xLo: Long, xHi: Long, yLo: Long, yHi: Long): Int = {
+      val files = MergeTable.liveFiles(spark, root).select(col("file"))
+        .collect().map(r => s"$root/${r.getString(0)}")
+      files.count { f =>
+        val st = spark.read.parquet(f)
+          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+          .head()
+        st.getLong(1) >= xLo && st.getLong(0) <= xHi &&
+          st.getLong(3) >= yLo && st.getLong(2) <= yHi
+      }
+    }
+    // the band the x-only layout cannot prune: full x-range, narrow y
+    // slice — every x-stripe spans all of y, so ALL 16 files intersect
+    val linearTouched = filesTouching(0, 255, 96, 159)
+    assert(linearTouched == 16, s"x-stripes should all straddle y: $linearTouched")
+
+    val before = MergeTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val v2 = MergeTable.optimizeZorder(spark, root, "k", "x", "y")
+    assert(v2 == v1 + 1)
+
+    // layout op, not a data op: state identical, time travel intact
+    val after = MergeTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before)
+    assert(MergeTable.snapshot(spark, root, Some(v1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == before)
+
+    // the z-curve confines the band to the files whose segment crosses
+    // it (y7y6 ∈ {01, 10} prefixes — ~half the files at 4 prefix bits),
+    // strictly fewer than the every-stripe linear answer
+    val zTouched = filesTouching(0, 255, 96, 159)
+    assert(zTouched < linearTouched,
+      s"zorder should beat linear: $zTouched vs $linearTouched")
+    // and 1-D key skipping still works on the rewritten files
+    val pruned = MergeTable.snapshotRange(spark, root, 10L, 20L)
+      .filter(col("k").between(10, 20))
+    assert(pruned.count() == 11)
+  }
 }
