@@ -56,6 +56,36 @@ class NanosFilterSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("negative (pre-1970) micros: floorDiv bounds stay exact for every op") {
+    // floorDiv vs truncating division differ exactly here — a /1000 that
+    // truncates toward zero would shift every pre-epoch bound by one
+    val d = java.nio.file.Files.createTempDirectory("graft_nanos_neg").toString
+    val negMicros = Seq(-86400000000L, -1500L, -1000L, -999L, -1L, 0L, 1L, 999L)
+    negMicros.zipWithIndex.toDF("us", "id")
+      .select(col("id").cast("long").as("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val df = Tables.load(spark, d, "events").cache()
+    try {
+      val bounds = Seq(-86400000000001L, -86400000000000L, -1500001L,
+        -1500000L, -1499999L, -1000001L, -1000000L, -999999L, -1001L,
+        -1000L, -999L, -1L, 0L, 1L)
+      for (b <- bounds) {
+        def ids(c: org.apache.spark.sql.Column): Seq[Long] =
+          df.filter(c).select("event_id").as[Long].collect().sorted.toSeq
+        def brute(p: Long => Boolean): Seq[Long] =
+          negMicros.map(_ * 1000L).zipWithIndex
+            .collect { case (ns, i) if p(ns) => i.toLong }.sorted
+        assert(ids(col("ts") >= b) == brute(_ >= b), s">= $b")
+        assert(ids(col("ts") > b) == brute(_ > b), s"> $b")
+        assert(ids(col("ts") < b) == brute(_ < b), s"< $b")
+        assert(ids(col("ts") <= b) == brute(_ <= b), s"<= $b")
+        assert(ids(col("ts") === b) == brute(_ == b), s"=== $b")
+      }
+    } finally df.unpersist()
+  }
+
   test("nanos range predicate reaches the parquet scan as a pushed filter") {
     val df = Tables.load(spark, dir, "events")
       .filter(col("ts") >= lit(1000000L) && col("ts") < lit(86400000000000L))
