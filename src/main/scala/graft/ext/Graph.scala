@@ -278,23 +278,31 @@ object Graph extends QueryModule {
     // constant. Prior rounds' checkpoint RDDs are released eagerly
     // ([[Dedup.release]]) so exactly one edge frame is live at a time.
     var cur = edgeDf.localCheckpoint(false)
-    val traj = (1 to rounds).map { round =>
-      val deg = cur.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val kept = deg.filter(col("deg") >= k).select(col("node"))
-        .localCheckpoint(false)
-      val nKept = kept.count()
-      val e1 = cur.join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(false)
-      val nEdges = e1.count()
-      Dedup.release(kept)
+    var kept: DataFrame = null
+    try {
+      val traj = (1 to rounds).map { round =>
+        val deg = cur.select(explode(array(col("u"), col("v"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        kept = deg.filter(col("deg") >= k).select(col("node"))
+          .localCheckpoint(false)
+        val nKept = kept.count()
+        val e1 = cur.join(kept.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(kept.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")).localCheckpoint(false)
+        val nEdges = try e1.count()
+          catch { case t: Throwable => Dedup.release(e1); throw t }
+        Dedup.release(kept); kept = null
+        Dedup.release(cur)
+        cur = e1
+        (round.toLong, nKept, nEdges)
+      }
+      traj.toDF("round", "n_nodes", "n_edges")
+    } finally {
+      // success path releases the final frame; a thrown round releases
+      // whatever is still live (exactly one edge frame + maybe kept)
       Dedup.release(cur)
-      cur = e1
-      (round.toLong, nKept, nEdges)
+      if (kept != null) Dedup.release(kept)
     }
-    Dedup.release(cur)
-    traj.toDF("round", "n_nodes", "n_edges")
   }
 
   // DuckDB mirror of [[kcoreTrajectory]]: rounds unrolled as CTEs.

@@ -30,11 +30,18 @@ object Similarity extends QueryModule {
     * a driver-local vector — ONE scan through the native
     * [[graft.functions.GramAggregate]] buffer aggregate; d(d+1)/2 int64
     * cells of driver state (16 KB at d = 64), shared by
-    * `emb_gram_matrix` and `emb_pca_power_step`. */
-  private def gramSums(s: SparkSession, dir: String): IndexedSeq[Long] =
-    emb(s, dir).select(vecD(col("embedding")).as("v"))
-      .agg(graft.functions.GramAggregate.gram_acc(col("v"), Dims, FpScale).as("g"))
-      .head().getSeq[Long](0).toIndexedSeq
+    * `emb_gram_matrix` and `emb_pca_power_step`. Returns None for an
+    * EMPTY corpus: the aggregate's initial buffer is all zeros, but the
+    * oracle's explode+GROUP BY yields zero GROUPS on empty input, so
+    * the queries must emit zero rows, not 2080 zero cells — the row
+    * count rides in the same one-pass aggregation. */
+  private def gramSums(s: SparkSession, dir: String): Option[IndexedSeq[Long]] = {
+    val r = emb(s, dir).select(vecD(col("embedding")).as("v"))
+      .agg(graft.functions.GramAggregate.gram_acc(col("v"), Dims, FpScale).as("g"),
+        count(lit(1)).as("n"))
+      .head()
+    if (r.getLong(1) == 0L) None else Some(r.getSeq[Long](0).toIndexedSeq)
+  }
 
   // DuckDB mirror: list_dot_product on DOUBLE[] folds pairwise products
   // left-to-right, same as the Spark aggregate above.
@@ -1528,11 +1535,12 @@ object Similarity extends QueryModule {
     "emb_gram_matrix" -> Q(
       (s, dir) => {
         import s.implicits._
-        val qs = gramSums(s, dir)
-        (for { i <- 0 until Dims; j <- i until Dims } yield
-          (i, j, qs(graft.functions.GramAggregate.cellIndex(i, j, Dims)).toDouble
-            / FpScale.toDouble))
-          .toDF("i", "j", "g")
+        val rows = gramSums(s, dir).map { qs =>
+          for { i <- 0 until Dims; j <- i until Dims } yield
+            (i, j, qs(graft.functions.GramAggregate.cellIndex(i, j, Dims)).toDouble
+              / FpScale.toDouble)
+        }.getOrElse(Seq.empty)
+        rows.toDF("i", "j", "g")
       },
       Some(s"""SELECT gi.i, gj.j,
              |  CAST(sum(CAST(round(v[gi.i + 1] * v[gj.j + 1] * $FpScale.0) AS BIGINT)) AS DOUBLE)
@@ -1561,15 +1569,17 @@ object Similarity extends QueryModule {
         // symmetrize + matrix-vector product on the d(d+1)/2 driver-local
         // integer state: y_i = (Σ_j qs(min,max)) / 2²⁴ / 8 — int64 adds
         // (≤ 2^47, double-exact), the same arithmetic the oracle unrolls
-        val qs = gramSums(s, dir)
-        (0 until Dims).map { i =>
-          var t = 0L
-          var j = 0
-          while (j < Dims) {
-            t += qs(cellIndex(math.min(i, j), math.max(i, j), Dims)); j += 1
+        val rows = gramSums(s, dir).map { qs =>
+          (0 until Dims).map { i =>
+            var t = 0L
+            var j = 0
+            while (j < Dims) {
+              t += qs(cellIndex(math.min(i, j), math.max(i, j), Dims)); j += 1
+            }
+            (i, t.toDouble / FpScale.toDouble / 8.0d)
           }
-          (i, t.toDouble / FpScale.toDouble / 8.0d)
-        }.toDF("i", "y")
+        }.getOrElse(Seq.empty)
+        rows.toDF("i", "y")
       },
       Some(s"""WITH tri AS (
              |  SELECT gi.i, gj.j,

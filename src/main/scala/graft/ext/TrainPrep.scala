@@ -772,10 +772,14 @@ object TrainPrep extends QueryModule {
                 |  st -> st.arr)""".stripMargin).as("s"))
             .localCheckpoint(false)
           // the rollup materializes the new frame; only then is the
-          // previous round's checkpoint RDD released
-          val toksAfter = applied
-            .agg(sum(col("freq") * size(col("s")).cast("long")).as("t"))
-            .head().getLong(0)
+          // previous round's checkpoint RDD released. If it throws,
+          // `applied`'s (possibly part-stored) checkpoint must be
+          // released too — `words` alone would leak it
+          val toksAfter =
+            try applied
+              .agg(sum(col("freq") * size(col("s")).cast("long")).as("t"))
+              .head().getLong(0)
+            catch { case t: Throwable => Dedup.release(applied); throw t }
           Dedup.release(words)
           words = applied
           rows += ((r.toLong, ma, mb, cnt, toksAfter))

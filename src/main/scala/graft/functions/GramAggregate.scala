@@ -25,15 +25,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * EXACTNESS CONTRACT (the [[graft.ext.Similarity]] Q24 argument): each
   * cell term is one IEEE double multiply `v(i)*v(j)*2²⁴` rounded
   * HALF-AWAY-FROM-ZERO to int64 — bit-identical to both Spark's SQL
-  * `round()` (BigDecimal HALF_UP on doubles, away-from-zero for
-  * negatives) and DuckDB's `round()`, which is what the unchanged oracle
-  * SQL replays — and cell sums are int64 adds, order-free under any
-  * partitioning/merge order. GramAggregateSpec pins equality with the
-  * explode formulation on real embeddings plus the negative-half
-  * rounding edge.
+  * `round()` (BigDecimal HALF_UP over the double's EXACT decimal
+  * expansion) and DuckDB's `round()` (half-away-from-zero on the binary
+  * value), which is what the unchanged oracle SQL replays — and cell
+  * sums are int64 adds, order-free under any partitioning/merge order.
+  * The rounding is implemented as exact floor/ceil + fractional-part
+  * compare, NOT `floor(x + 0.5)`: the add itself rounds at the
+  * representability boundary (x = 0.5 − 2⁻⁵⁴ has x + 0.5 == 1.0), which
+  * would round UP a value strictly below one-half and break the
+  * cross-engine hash; `x − floor(x)` is exact for |x| < 2⁵², which
+  * bounds our Q24 domain (|q| ≤ 2³⁰). GramAggregateSpec pins equality
+  * with the explode formulation on real embeddings plus the
+  * negative-half and representability-tie edges.
   *
-  * Rows whose vector is null or not exactly `dims` long are skipped
-  * (same semantics as the explode form, which indexes 0..dims-1).
+  * Ragged rows follow the EXPLODE FORMULATION's semantics (and
+  * DuckDB's, where an out-of-range list index yields NULL): a vector
+  * shorter than `dims` contributes the cells both of whose indexes are
+  * in range; elements beyond `dims` are ignored; null elements
+  * contribute nothing to their cells; a null vector contributes
+  * nothing.
   */
 case class GramAggregate(
     child: Expression,
@@ -53,28 +63,51 @@ case class GramAggregate(
   override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
 
   /** round-half-away-from-zero of a double into long — the shared
-    * semantics of Spark SQL round() and DuckDB round(). */
+    * semantics of Spark SQL round() and DuckDB round(). Exact
+    * floor/ceil + fractional compare (see class doc: `floor(x + 0.5)`
+    * mis-rounds at the representability boundary). */
   @inline private def roundAway(x: Double): Long =
-    if (x >= 0) math.floor(x + 0.5d).toLong else math.ceil(x - 0.5d).toLong
+    if (x >= 0) {
+      val f = math.floor(x)
+      if (x - f >= 0.5d) f.toLong + 1L else f.toLong
+    } else {
+      val c = math.ceil(x)
+      if (c - x >= 0.5d) c.toLong - 1L else c.toLong
+    }
+
+  // per-thread scratch (values + null mask) so the hot per-row loop
+  // allocates nothing; one Expression instance serves one task thread,
+  // but ThreadLocal keeps it safe if ever shared (the HllAggregate md5
+  // pattern)
+  @transient private lazy val scratch =
+    new ThreadLocal[(Array[Double], Array[Boolean])] {
+      override def initialValue() = (new Array[Double](dims), new Array[Boolean](dims))
+    }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      if (arr.numElements() == dims) {
-        val d = new Array[Double](dims)
-        var i = 0
-        while (i < dims) { d(i) = arr.getDouble(i); i += 1 }
-        var k = 0
-        i = 0
-        while (i < dims) {
+      val n = math.min(arr.numElements(), dims)
+      val (d, nul) = scratch.get()
+      var i = 0
+      while (i < n) {
+        nul(i) = arr.isNullAt(i)
+        d(i) = if (nul(i)) 0d else arr.getDouble(i)
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        if (!nul(i)) {
+          // packed row-major triangle index of (i, i): i*dims − i(i−1)/2
+          var k = i * dims - i * (i - 1) / 2
           var j = i
-          while (j < dims) {
-            buf(k) += roundAway(d(i) * d(j) * fpScale.toDouble)
+          while (j < n) {
+            if (!nul(j)) buf(k) += roundAway(d(i) * d(j) * fpScale.toDouble)
             k += 1; j += 1
           }
-          i += 1
         }
+        i += 1
       }
     }
     buf

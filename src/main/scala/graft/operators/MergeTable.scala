@@ -395,10 +395,15 @@ object MergeTable {
       s"((shiftright(pmod($c1, 256), $i) & 1) * ${1L << (2 * i + 1)})" +
         s" + ((shiftright(pmod($c2, 256), $i) & 1) * ${1L << (2 * i)})"
     }.mkString("(", " + ", ")")
-    val out = df.withColumn("_z", expr(zTerms))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+    // the scratch column must not shadow (and then silently destroy) a
+    // real table column of the same name — refuse loudly instead
+    val zc = "__graft_zorder_tmp"
+    require(!df.columns.contains(zc),
+      s"optimizeZorder: table already has a column named $zc")
+    val out = df.withColumn(zc, expr(zTerms))
+      .repartitionByRange(nFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
     commit(spark, root, out, key, removes = live)
   }
 

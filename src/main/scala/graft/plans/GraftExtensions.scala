@@ -52,9 +52,16 @@ object GraftExtensions {
       info("gram_acc",
         "gram_acc(vec, dims, fpScale) - packed Q-scaled Gram upper-triangle int64 sums"),
       (es: Seq[Expression]) => {
-        // dims/fpScale must be foldable — they size the fixed buffer
+        // dims/fpScale size the fixed buffer, so they must be literal
+        // (foldable) — fail with a clear message, not an analyzer
+        // internal error on eval of an unbound attribute
+        require(es.length == 3,
+          s"gram_acc(vec, dims, fpScale) takes 3 arguments, got ${es.length}")
+        require(es(1).foldable && es(2).foldable,
+          "gram_acc dims and fpScale must be literals (they size the aggregate buffer)")
         val dims = es(1).eval().asInstanceOf[Number].intValue()
         val fp = es(2).eval().asInstanceOf[Number].longValue()
+        require(dims > 0, s"gram_acc dims must be positive, got $dims")
         GramAggregate(es.head, dims, fp)
       }),
     ("rolling_hash",

@@ -79,9 +79,17 @@ object NanosFilterRule extends Rule[LogicalPlan] {
 
   /** `⌊L/1000⌋` / `⌈L/1000⌉` as micros literals of the attribute's own
     * timestamp flavor (NTZ attr ⇒ NTZ literal, instant attr ⇒ TIMESTAMP
-    * literal), so the rewritten comparison is same-type and pushable. */
+    * literal), so the rewritten comparison is same-type and pushable.
+    * Ceil via floorDiv/floorMod, NOT `floorDiv(l + 999, 1000)` — the
+    * add overflows for nanos literals within 999 of Long.MaxValue
+    * (e.g. an "unbounded" `ts < Long.MaxValue` sentinel) and a wrapped
+    * bound would silently flip the predicate; floorMod/floorDiv are
+    * exact for every Long input. */
   private def floorUs(a: Attribute, l: Long) = Literal(Math.floorDiv(l, 1000L), a.dataType)
-  private def ceilUs(a: Attribute, l: Long) = Literal(Math.floorDiv(l + 999L, 1000L), a.dataType)
+  private def ceilUs(a: Attribute, l: Long) = Literal(
+    if (Math.floorMod(l, 1000L) == 0L) Math.floorDiv(l, 1000L)
+    else Math.floorDiv(l, 1000L) + 1L,
+    a.dataType)
 
   private def rewrite(cond: Expression): Expression = cond.transformUp {
     // 1000·u ≥ L ⇔ u ≥ ⌈L/1000⌉        (and the mirrored literal-first form)

@@ -87,13 +87,58 @@ class GramAggregateSpec extends SparkSpec {
         s"cell ($i,$j)")
   }
 
-  test("null and wrong-length vectors are skipped, not crashed on") {
+  test("ragged vectors follow the explode semantics: in-range cells still contribute") {
+    // a 1-element row at dims=2 contributes cell (0,0) only — what the
+    // DuckDB oracle computes (OOB list index → NULL → cell skipped).
+    // The reference formulation uses `get()` because ANSI `v[i]` THROWS
+    // on an out-of-range index (the old explode-based query would have
+    // crashed outright on ragged data — the native aggregate follows
+    // the oracle's null-tolerant semantics instead)
     val df = Seq(Some(Seq(1.0, 2.0)), None, Some(Seq(3.0)), Some(Seq(0.5, -0.5)))
       .toDF("v")
-    val arr = df.agg(GramAggregate.gram_acc(col("v"), 2, Fp).as("g"))
+    val native = df.agg(GramAggregate.gram_acc(col("v"), 2, Fp).as("g"))
       .head().getSeq[Long](0)
-    // only the two well-formed rows contribute
-    val exp00 = math.round(1.0 * 1.0 * Fp) + math.round(0.5 * 0.5 * Fp)
-    assert(arr(GramAggregate.cellIndex(0, 0, 2)) == exp00)
+    val explodeRef = df
+      .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, 1), i ->
+           |  transform(sequence(i, 1), j ->
+           |    named_struct('i', i, 'j', j,
+           |      'q', CAST(round(get(v, i) * get(v, j) * ${Fp}D) AS BIGINT)))))"""
+          .stripMargin)).as("c"))
+      .groupBy(col("c.i"), col("c.j")).agg(sum(col("c.q")).as("qs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for { i <- 0 until 2; j <- i until 2 }
+      assert(native(GramAggregate.cellIndex(i, j, 2)) == explodeRef((i, j)),
+        s"cell ($i,$j)")
+    // and the 1-element row really did contribute: (0,0) includes 3·3
+    assert(native(GramAggregate.cellIndex(0, 0, 2)) ==
+      math.round(1.0 * Fp) + math.round(9.0 * Fp) + math.round(0.25 * Fp))
+  }
+
+  test("representability-tie rounding matches SQL round(): 0.5 - 2^-54 rounds DOWN") {
+    // x + 0.5 == 1.0 in IEEE arithmetic for x = 0.5 - 2^-54, so a
+    // floor(x + 0.5) implementation would answer 1; SQL round() (exact
+    // decimal HALF_UP) and DuckDB answer 0
+    val x = 0.5 - math.pow(2, -54)
+    val b = x / Fp.toDouble // v[0]·v[1]·Fp recovers ~x
+    val df = Seq(Seq(1.0, b)).toDF("v")
+      .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    val native = df.agg(GramAggregate.gram_acc(col("v"), 2, Fp).as("g"))
+      .head().getSeq[Long](0)(GramAggregate.cellIndex(0, 1, 2))
+    val sqlRound = df.select(
+      expr(s"CAST(round(v[0] * v[1] * ${Fp}D) AS BIGINT)")).head().getLong(0)
+    assert(native == sqlRound, s"native $native vs sql $sqlRound")
+    assert(native == 0L)
+  }
+
+  test("empty embeddings: the gram/pca queries emit zero rows like the oracle") {
+    val d = java.nio.file.Files.createTempDirectory("graft_gram_empty").toString
+    spark.range(0).select(col("id").as("vec_id"),
+        expr("CAST(array() AS array<float>)").as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(graft.SparkEntry.queries("emb_gram_matrix")(spark, d).count() == 0)
+    assert(graft.SparkEntry.queries("emb_pca_power_step")(spark, d).count() == 0)
   }
 }
