@@ -132,6 +132,33 @@ class GramAggregateSpec extends SparkSpec {
     assert(native == 0L)
   }
 
+  test("random vectors: every cell matches SQL round() applied term-by-term") {
+    // seeded-random magnitudes across the engine's whole domain
+    // (|v| ≤ 8) — a broad differential of the roundAway implementation
+    // against Spark's own round(), term-wise via a driver re-derivation
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 50).map(_ => Seq.fill(6)(rnd.nextDouble() * 16 - 8))
+    val df = rows.toDF("v")
+      .select(expr("transform(v, x -> CAST(x AS DOUBLE))").as("v")).cache()
+    try {
+      val native = df.agg(GramAggregate.gram_acc(col("v"), 6, Fp).as("g"))
+        .head().getSeq[Long](0)
+      // reference: per-row per-cell SQL round, summed on the driver
+      val ref = new Array[Long](6 * 7 / 2)
+      val perRow = df.select(explode(expr(
+          s"""flatten(transform(sequence(0, 5), i ->
+             |  transform(sequence(i, 5), j ->
+             |    named_struct('i', i, 'j', j,
+             |      'q', CAST(round(v[i] * v[j] * ${Fp}D) AS BIGINT)))))"""
+            .stripMargin)).as("c"))
+        .select(col("c.i"), col("c.j"), col("c.q")).collect()
+      perRow.foreach { r =>
+        ref(GramAggregate.cellIndex(r.getInt(0), r.getInt(1), 6)) += r.getLong(2)
+      }
+      assert(native == ref.toSeq)
+    } finally df.unpersist()
+  }
+
   test("empty embeddings: the gram/pca queries emit zero rows like the oracle") {
     val d = java.nio.file.Files.createTempDirectory("graft_gram_empty").toString
     spark.range(0).select(col("id").as("vec_id"),
