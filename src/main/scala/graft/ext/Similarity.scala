@@ -1243,10 +1243,15 @@ object Similarity extends QueryModule {
           .select(col("m"), col("code_id"), col("n_assigned"),
             round(col("dsum").cast("double") / lit(FpScale.toDouble), 4)
               .as("distortion"))
+        // Declared shape: the codebook unnests to one scalar row per
+        // (subspace, code, dim) — a top-level ARRAY column would defeat
+        // the external differ (pandas cannot sort ndarray cells); the
+        // array form stays internal (pqTrainedCodebook) for the ADC
+        // consumers. Constant PqSubDim× fan-out on an M·K-row frame.
         stats.join(cents, Seq("m", "code_id"))
           .select(col("m").as("subspace"), col("code_id"), col("n_assigned"),
-            col("distortion"), col("centroid"))
-          .orderBy(col("subspace"), col("code_id"))
+            col("distortion"), posexplode(col("centroid")).as(Seq("dim", "cvalue")))
+          .orderBy(col("subspace"), col("code_id"), col("dim"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |$dPqSub,
@@ -1259,9 +1264,10 @@ object Similarity extends QueryModule {
               |      / $FpScale.0, 4) AS distortion
               |  FROM asg GROUP BY 1, 2)
               |SELECT s.m AS subspace, s.code_id, s.n_assigned, s.distortion,
-              |  c.centroid
-              |FROM stats s JOIN cents c USING (m, code_id)
-              |ORDER BY subspace, code_id""".stripMargin),
+              |  gs.d AS dim, c.centroid[gs.d + 1] AS cvalue
+              |FROM stats s JOIN cents c USING (m, code_id),
+              |  generate_series(0, ${PqSubDim - 1}) AS gs(d)
+              |ORDER BY subspace, code_id, dim""".stripMargin),
       doc = "PQ codebook Lloyd step: per-subspace argmin assign + Q24 centroid update"),
 
     // PQ ANN search, the production two-stage shape: (1) asymmetric
