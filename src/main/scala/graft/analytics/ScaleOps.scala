@@ -16,16 +16,47 @@ object ScaleOps extends QueryModule {
 
     // HLL++ distincts + approximate quantiles in one pass — the form the
     // exact multi-distinct queries take when the key set no longer fits
-    // a hash table per group.
+    // a hash table per group. Declared as a BOUND DIFFERENTIAL so the
+    // engine-specific sketches still get a hard oracle row: the exact
+    // answers ride alongside (hash-compared — DuckDB recomputes them)
+    // and each sketch collapses to a boolean "within its error
+    // contract" that the oracle asserts TRUE. Bounds: 3σ of the default
+    // rsd=0.05 for HLL (±2 absolute floor — sparse mode is exact at
+    // tiny cardinality, so the floor only absorbs integer rounding);
+    // percentile_approx(accuracy=10000) guarantees rank error ≤ 1e-4·n,
+    // checked against the exact interpolated percentiles at q ∓ 0.002
+    // (a 20× rank margin, still a ±0.2%-rank assertion). One aggregate
+    // pass over the scan, exactly as before — the exact twins are
+    // O(distinct) hash-agg / single-group percentile state, the audit
+    // cost a sketch-vs-exact differential pays at any scale.
     "evt_approx_stats" -> Q(
       (s, dir) =>
         Tables.events(s, dir).agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("event_type")).as("approx_types"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-          percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99_value")),
-      None,
-      doc = "HLL++ multi-distinct + approx quantiles (scale path of A4)"),
+          count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("exact_users"),
+          count_distinct(col("event_type")).as("exact_types"),
+          approx_count_distinct(col("user_id")).as("au"),
+          approx_count_distinct(col("event_type")).as("aty"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("value"), lit(0.99), lit(10000)).as("ap99"),
+          expr("percentile(value, 0.498d)").as("p50lo"),
+          expr("percentile(value, 0.502d)").as("p50hi"),
+          expr("percentile(value, 0.988d)").as("p99lo"),
+          expr("percentile(value, 0.992d)").as("p99hi"))
+        .select(col("n_events"), col("exact_users"), col("exact_types"),
+          (abs(col("au") - col("exact_users")) <=
+            greatest(ceil(col("exact_users") * 0.15), lit(2L))).as("users_ok"),
+          (abs(col("aty") - col("exact_types")) <=
+            greatest(ceil(col("exact_types") * 0.15), lit(2L))).as("types_ok"),
+          (col("ap50") >= col("p50lo") && col("ap50") <= col("p50hi")).as("p50_ok"),
+          (col("ap99") >= col("p99lo") && col("ap99") <= col("p99hi")).as("p99_ok")),
+      Some("""SELECT count(*) AS n_events,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  count(DISTINCT event_type) AS exact_types,
+             |  TRUE AS users_ok, TRUE AS types_ok,
+             |  TRUE AS p50_ok, TRUE AS p99_ok
+             |FROM events""".stripMargin),
+      doc = "HLL++ multi-distinct + approx quantiles, bound-checked against exact twins (scale path of A4)"),
 
     // Exact-quantile twin of evt_approx_stats' percentile_approx half:
     // type-1 p50/p99 of `value` per event_type by integer rank selection
@@ -69,16 +100,28 @@ object ScaleOps extends QueryModule {
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "exact per-type value quantiles (oracle-checked twin of the sketch)"),
 
-    // Sketch-based per-group distincts (the A3 shape at scale).
+    // Sketch-based per-group distincts (the A3 shape at scale), in the
+    // same bound-differential form as evt_approx_stats: exact per-group
+    // distincts ride along (oracle-recomputed), the sketch collapses to
+    // a 3σ-of-rsd=0.01 boolean the oracle asserts TRUE. The exact twin
+    // shares the one grouped aggregate — no extra scan.
     "evt_approx_program_reach" -> Q(
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("cnt"),
-            approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_wallets"))
+            count_distinct(col("user_id")).as("exact_wallets"),
+            approx_count_distinct(col("user_id"), rsd = 0.01).as("aw"))
+          .select(col("event_type"), col("cnt"), col("exact_wallets"),
+            (abs(col("aw") - col("exact_wallets")) <=
+              greatest(ceil(col("exact_wallets") * 0.03), lit(2L))).as("wallets_ok"))
           .orderBy(col("cnt").desc, col("event_type")),
-      None,
-      doc = "per-group HLL distinct (scale path of A3)"),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  count(DISTINCT user_id) AS exact_wallets,
+             |  TRUE AS wallets_ok
+             |FROM events GROUP BY 1
+             |ORDER BY cnt DESC, event_type""".stripMargin),
+      doc = "per-group HLL distinct bound-checked against the exact twin (scale path of A3)"),
 
     // Same shape through the engine's OWN TypedImperativeAggregate HLL
     // sketch (graft.functions.HllAggregate) — constant-size mergeable

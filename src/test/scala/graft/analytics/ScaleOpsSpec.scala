@@ -7,47 +7,29 @@ import org.apache.spark.sql.functions._
   * oracle can't express for engine-specific sketches). */
 class ScaleOpsSpec extends SparkSpec {
 
-  test("approx distincts within HLL error of exact") {
+  test("approx stats: exact columns match a recompute, all bounds hold") {
     val ev = graft.Tables.events(spark, Sf)
     val exactUsers = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
     val r = SparkEntry.queries("evt_approx_stats")(spark, Sf).collect()(0)
-    val approxUsers = r.getLong(0)
-    assert(math.abs(approxUsers - exactUsers).toDouble / exactUsers < 0.1,
-      s"approx $approxUsers vs exact $exactUsers")
-    assert(r.getLong(1) == 5L) // 5 event types — tiny cardinality is exact
-    // quantiles ordered and within the observed value range
-    val (p50, p99) = (r.getDouble(2), r.getDouble(3))
-    assert(p50 <= p99)
-    val (lo, hi) = ev.agg(min(col("value")), max(col("value"))).collect()(0) match {
-      case row => (row.getDouble(0), row.getDouble(1))
+    assert(r.getAs[Long]("n_events") == ev.count())
+    assert(r.getAs[Long]("exact_users") == exactUsers)
+    assert(r.getAs[Long]("exact_types") == 5L) // 5 event types on the fixture
+    // the sketch-vs-exact bounds are the query's own output now — the
+    // oracle asserts them TRUE, and so does this spec
+    Seq("users_ok", "types_ok", "p50_ok", "p99_ok").foreach { c =>
+      assert(r.getAs[Boolean](c), s"$c must hold: $r")
     }
-    assert(p50 >= lo && p99 <= hi)
   }
 
-  test("sketch quantiles land near the exact rank-selected quantiles") {
-    // the exact twin is oracle-checked; the sketch must sit within the
-    // per-type exact p50..p99 envelope and near the global exact p50
-    val exact = SparkEntry.queries("evt_value_quantiles")(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
-    assert(exact.size == 5)
-    exact.values.foreach { case (p50, p99) => assert(p50 <= p99) }
-    val approxP50 = SparkEntry.queries("evt_approx_stats")(spark, Sf)
-      .collect()(0).getDouble(2)
-    val (lo, hi) = (exact.values.map(_._1).min, exact.values.map(_._1).max)
-    // global p50 of a mixture lies within the per-type p50 span (wide
-    // bound; the point is the sketch isn't wildly off the exact scale)
-    assert(approxP50 >= lo * 0.5 && approxP50 <= hi * 1.5,
-      s"approx p50 $approxP50 outside sanity envelope [$lo, $hi]")
-  }
-
-  test("per-group approx reach tracks exact within 5% at rsd=1%") {
+  test("per-group approx reach: exact twin matches, rsd=1% bound holds") {
     val exact = graft.Tables.events(spark, Sf)
       .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    SparkEntry.queries("evt_approx_program_reach")(spark, Sf).collect().foreach { r =>
-      val (et, approx) = (r.getString(0), r.getLong(2))
-      val e = exact(et)
-      assert(math.abs(approx - e).toDouble / e <= 0.05, s"$et: $approx vs $e")
+    val rows = SparkEntry.queries("evt_approx_program_reach")(spark, Sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_wallets") == exact(r.getString(0)), r.toString)
+      assert(r.getAs[Boolean]("wallets_ok"), s"HLL outside 3 sigma of rsd=1%: $r")
     }
   }
 
