@@ -34,13 +34,18 @@ object Similarity extends QueryModule {
     * EMPTY corpus: the aggregate's initial buffer is all zeros, but the
     * oracle's explode+GROUP BY yields zero GROUPS on empty input, so
     * the queries must emit zero rows, not 2080 zero cells — the row
-    * count rides in the same one-pass aggregation. */
-  private def gramSums(s: SparkSession, dir: String): Option[IndexedSeq[Long]] = {
+    * count rides in the same one-pass aggregation. A cell is None when
+    * NO row contributed to it (all vectors null/empty/short at that dim
+    * pair): SQL's SUM over no terms is NULL, and the oracle answers
+    * NULL there, not 0 — the consumers propagate the distinction. */
+  private def gramSums(s: SparkSession, dir: String): Option[IndexedSeq[Option[Long]]] = {
     val r = emb(s, dir).select(vecD(col("embedding")).as("v"))
       .agg(graft.functions.GramAggregate.gram_acc(col("v"), Dims, FpScale).as("g"),
         count(lit(1)).as("n"))
       .head()
-    if (r.getLong(1) == 0L) None else Some(r.getSeq[Long](0).toIndexedSeq)
+    if (r.getLong(1) == 0L) None
+    else Some(r.getSeq[java.lang.Long](0).toIndexedSeq
+      .map(x => Option(x).map(_.longValue())))
   }
 
   // DuckDB mirror: list_dot_product on DOUBLE[] folds pairwise products
@@ -1543,8 +1548,8 @@ object Similarity extends QueryModule {
         import s.implicits._
         val rows = gramSums(s, dir).map { qs =>
           for { i <- 0 until Dims; j <- i until Dims } yield
-            (i, j, qs(graft.functions.GramAggregate.cellIndex(i, j, Dims)).toDouble
-              / FpScale.toDouble)
+            (i, j, qs(graft.functions.GramAggregate.cellIndex(i, j, Dims))
+              .map(_.toDouble / FpScale.toDouble))
         }.getOrElse(Seq.empty)
         rows.toDF("i", "j", "g")
       },
@@ -1578,11 +1583,18 @@ object Similarity extends QueryModule {
         val rows = gramSums(s, dir).map { qs =>
           (0 until Dims).map { i =>
             var t = 0L
+            var any = false
             var j = 0
             while (j < Dims) {
-              t += qs(cellIndex(math.min(i, j), math.max(i, j), Dims)); j += 1
+              qs(cellIndex(math.min(i, j), math.max(i, j), Dims)).foreach { q =>
+                t += q; any = true
+              }
+              j += 1
             }
-            (i, t.toDouble / FpScale.toDouble / 8.0d)
+            // SUM semantics across the row's cells: NULL cells are
+            // skipped; a row with NO non-null cell sums to NULL (the
+            // oracle's sum(qs) over all-NULL qs), never 0
+            (i, if (any) Some(t.toDouble / FpScale.toDouble / 8.0d) else None)
           }
         }.getOrElse(Seq.empty)
         rows.toDF("i", "y")

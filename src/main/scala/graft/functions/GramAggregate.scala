@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Q24 Gram-matrix accumulation as a `TypedImperativeAggregate` — the
   * d(d+1)/2 upper-triangle int64 cell sums of Σ_rows round(vᵢ·vⱼ·2²⁴) in
@@ -44,6 +45,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * in range; elements beyond `dims` are ignored; null elements
   * contribute nothing to their cells; a null vector contributes
   * nothing.
+  *
+  * A cell that received NO contributions at all (every vector null,
+  * empty, or too short/null at that dim) evals to NULL, not 0 — SQL's
+  * `SUM` over an empty term set is NULL, and the explode formulation /
+  * DuckDB oracle both answer NULL there. The buffer carries a parallel
+  * per-cell contribution count to tell "summed to zero" apart from
+  * "never touched".
   */
 case class GramAggregate(
     child: Expression,
@@ -57,10 +65,19 @@ case class GramAggregate(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // strict array<double> (nullability-agnostic): an array<float>/<int>
+  // argument must fail analysis — UnsafeArrayData.getDouble would
+  // reinterpret the raw bytes and silently produce garbage sums
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_acc requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "gram_acc"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
+  // layout: [0, cells) = Q-sums; [cells, 2·cells) = contribution counts
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * cells)
 
   /** round-half-away-from-zero of a double into long — the shared
     * semantics of Spark SQL round() and DuckDB round(). Exact
@@ -103,7 +120,10 @@ case class GramAggregate(
           var k = i * dims - i * (i - 1) / 2
           var j = i
           while (j < n) {
-            if (!nul(j)) buf(k) += roundAway(d(i) * d(j) * fpScale.toDouble)
+            if (!nul(j)) {
+              buf(k) += roundAway(d(i) * d(j) * fpScale.toDouble)
+              buf(cells + k) += 1L
+            }
             k += 1; j += 1
           }
         }
@@ -115,24 +135,32 @@ case class GramAggregate(
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < cells) { a(i) += b(i); i += 1 }
+    while (i < 2 * cells) { a(i) += b(i); i += 1 }
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](cells)
+    var i = 0
+    while (i < cells) {
+      out(i) = if (buf(cells + i) == 0L) null else java.lang.Long.valueOf(buf(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(cells * 8)
+    val bb = java.nio.ByteBuffer.allocate(2 * cells * 8)
     var i = 0
-    while (i < cells) { bb.putLong(buf(i)); i += 1 }
+    while (i < 2 * cells) { bb.putLong(buf(i)); i += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](cells)
+    val buf = new Array[Long](2 * cells)
     var i = 0
-    while (i < cells) { buf(i) = bb.getLong(); i += 1 }
+    while (i < 2 * cells) { buf(i) = bb.getLong(); i += 1 }
     buf
   }
 

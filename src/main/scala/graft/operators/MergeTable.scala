@@ -391,16 +391,30 @@ object MergeTable {
     val reader = declaredSchema(spark, root)
       .map(spark.read.schema(_)).getOrElse(spark.read)
     val df = reader.parquet(live.map(f => s"$root/$f"): _*)
-    val zTerms = (0 until 8).map { i =>
-      s"((shiftright(pmod($c1, 256), $i) & 1) * ${1L << (2 * i + 1)})" +
-        s" + ((shiftright(pmod($c2, 256), $i) & 1) * ${1L << (2 * i)})"
-    }.mkString("(", " + ", ")")
+    // z-order columns must exist and be integral: pmod over a float
+    // column would silently bucket truncated values, and a missing
+    // name would surface as an analyzer error deep in the commit.
+    // Built with Column operations (not an interpolated SQL string),
+    // so names needing backticks — spaces, dashes, reserved words —
+    // work unmodified.
+    Seq(c1, c2).foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"optimizeZorder: column '$c' not found in ${df.columns.mkString(", ")}"))
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+        s"optimizeZorder: column '$c' must be integral for 8-bit Morton " +
+          s"bucketing, got ${f.dataType.simpleString}")
+    }
+    def bitOf(c: String, i: Int, weight: Long): Column =
+      shiftright(pmod(col(c), lit(256)), i).bitwiseAND(lit(1L)) * lit(weight)
+    val zExpr = (0 until 8).map(i =>
+      bitOf(c1, i, 1L << (2 * i + 1)) + bitOf(c2, i, 1L << (2 * i))).reduce(_ + _)
     // the scratch column must not shadow (and then silently destroy) a
     // real table column of the same name — refuse loudly instead
     val zc = "__graft_zorder_tmp"
     require(!df.columns.contains(zc),
       s"optimizeZorder: table already has a column named $zc")
-    val out = df.withColumn(zc, expr(zTerms))
+    val out = df.withColumn(zc, zExpr)
       .repartitionByRange(nFiles, col(zc))
       .sortWithinPartitions(col(zc))
       .drop(zc)

@@ -59,9 +59,16 @@ object GraftExtensions {
           s"gram_acc(vec, dims, fpScale) takes 3 arguments, got ${es.length}")
         require(es(1).foldable && es(2).foldable,
           "gram_acc dims and fpScale must be literals (they size the aggregate buffer)")
-        val dims = es(1).eval().asInstanceOf[Number].intValue()
-        val fp = es(2).eval().asInstanceOf[Number].longValue()
+        val dimsV = es(1).eval()
+        val fpV = es(2).eval()
+        // a foldable NULL literal (CAST(NULL AS INT)) evals to null —
+        // fail with the same clear message, not an opaque NPE
+        require(dimsV != null && fpV != null,
+          "gram_acc dims and fpScale must be non-null literals")
+        val dims = dimsV.asInstanceOf[Number].intValue()
+        val fp = fpV.asInstanceOf[Number].longValue()
         require(dims > 0, s"gram_acc dims must be positive, got $dims")
+        require(fp > 0, s"gram_acc fpScale must be positive, got $fp")
         GramAggregate(es.head, dims, fp)
       }),
     ("rolling_hash",

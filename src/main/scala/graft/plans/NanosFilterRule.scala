@@ -42,7 +42,11 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *  - Non-multiple-of-1000 EQUALITY literals are left alone: replacing
   *    `1000·u = L` (unsatisfiable) with `false` would flip NULL semantics
   *    under `NOT(...)`. Range forms have exact integer rewrites and lose
-  *    nothing.
+  *    nothing. `IN` lists rewrite when every element is a non-null Long
+  *    literal and at least one is micros-aligned (unaligned elements
+  *    drop — they can never match, and a NULL result stays NULL while
+  *    the list is non-empty); `<=>` is two-valued, so it rewrites for
+  *    EVERY literal (unaligned ⇒ constant FALSE).
   *
   * Registered per-session via [[NanosFilter.register]] (from
   * `Tables.load`, so every entry path — Verify, Bench, Main, specs — gets
@@ -117,6 +121,26 @@ object NanosFilterRule extends Rule[LogicalPlan] {
       EqualTo(a, floorUs(a, l))
     case EqualTo(Literal(l: Long, LongType), NanosOfAttr(a)) if l % 1000L == 0L =>
       EqualTo(floorUs(a, l), a)
+    // IN-list over the nanos projection: micros-aligned elements map to
+    // exact micros literals; an unaligned element can never equal
+    // 1000·u, so dropping it is sound for non-null rows (no match
+    // either way) AND null rows (the result stays NULL as long as the
+    // rewritten list is non-empty). Lists with a non-literal or NULL
+    // element keep the unpushable form — removing a NULL element would
+    // turn a no-match NULL into FALSE under NOT(...).
+    case In(NanosOfAttr(a), list)
+        if list.forall { case Literal(_: Long, LongType) => true; case _ => false } &&
+          list.exists { case Literal(v: Long, LongType) => v % 1000L == 0L
+                        case _ => false } =>
+      In(a, list.collect {
+        case Literal(v: Long, LongType) if v % 1000L == 0L => floorUs(a, v) })
+    // null-safe equality is two-valued, so even the unaligned literal
+    // has an exact rewrite: 1000·u is NULL or micros-aligned, never an
+    // unaligned value — the predicate is constant FALSE
+    case EqualNullSafe(NanosOfAttr(a), Literal(l: Long, LongType)) =>
+      if (l % 1000L == 0L) EqualNullSafe(a, floorUs(a, l)) else Literal.FalseLiteral
+    case EqualNullSafe(Literal(l: Long, LongType), NanosOfAttr(a)) =>
+      if (l % 1000L == 0L) EqualNullSafe(floorUs(a, l), a) else Literal.FalseLiteral
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

@@ -76,6 +76,29 @@ class BenchSpec extends SparkSpec {
     assert(Bench.regressions(now, base) == Seq(("a", 5.0, 2.0)))
   }
 
+  test("tripwire suspects re-measure best-of-N; clean queries run once") {
+    val base = Map("noisy" -> 1.0, "slow" -> 1.0, "fine" -> 1.0)
+    val first = Seq("noisy" -> 2.7, "slow" -> 3.0, "fine" -> 1.1)
+    var reruns = Map.empty[String, Int].withDefaultValue(0)
+    val out = Bench.remeasureSuspects(first, Some(base), { name =>
+      reruns += name -> (reruns(name) + 1)
+      if (name == "noisy") 0.9 else 3.1 // noise settles, regression persists
+    }).toMap
+    // both suspects got exactly RemeasureRuns extra samples, fine got none
+    assert(reruns == Map("noisy" -> Bench.RemeasureRuns, "slow" -> Bench.RemeasureRuns))
+    assert(out("fine") == 1.1)
+    assert(out("noisy") == 0.9) // best sample recorded → no longer trips
+    assert(out("slow") == 3.0)  // real regression survives re-measure
+    assert(Bench.regressions(out.toSeq.sortBy(_._1), base).map(_._1) == Seq("slow"))
+    // no baseline → nothing re-runs
+    var n = 0
+    assert(Bench.remeasureSuspects(first, None, { _ => n += 1; 0.0 }) == first)
+    assert(n == 0)
+    // a failing re-run (sentinel) never replaces a real sample
+    val failed = Bench.remeasureSuspects(Seq("slow" -> 3.0), Some(base), _ => -1.0)
+    assert(failed == Seq("slow" -> 3.0))
+  }
+
   test("parseTimings reads writeBenchLast's artifact format") {
     val text =
       s"""{"metric":"bench_last","total_sec":1.25,"n_queries":2,"fatal":false,"sf":"/sf0.1",

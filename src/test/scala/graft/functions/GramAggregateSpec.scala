@@ -159,6 +159,57 @@ class GramAggregateSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("a cell with no contributions evals NULL, not 0 (SUM-over-no-terms)") {
+    // dims=2 corpus where dim 1 never appears: cells (0,1) and (1,1)
+    // received nothing — the explode/DuckDB SUM is NULL there, and so
+    // must the native buffer; cell (0,0) is a real (possibly zero) sum
+    val df = Seq(Some(Seq(2.0)), None, Some(Seq(0.0)), Some(Seq(-2.0)))
+      .toDF("v")
+    val arr = df.agg(GramAggregate.gram_acc(col("v"), 2, Fp).as("g"))
+      .head().getSeq[java.lang.Long](0)
+    assert(arr(GramAggregate.cellIndex(0, 0, 2)) ==
+      math.round(4.0 * Fp) + 0L + math.round(4.0 * Fp))
+    assert(arr(GramAggregate.cellIndex(0, 1, 2)) == null)
+    assert(arr(GramAggregate.cellIndex(1, 1, 2)) == null)
+    // an all-null corpus with rows: the queries emit full shells of
+    // NULLs (the oracle's groups exist, their SUMs are NULL) — not 0.0
+    val d = java.nio.file.Files.createTempDirectory("graft_gram_allnull").toString
+    spark.range(3).select(col("id").as("vec_id"),
+        expr("CAST(NULL AS array<float>)").as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val gm = graft.SparkEntry.queries("emb_gram_matrix")(spark, d).collect()
+    assert(gm.length == 64 * 65 / 2 && gm.forall(_.isNullAt(2)))
+    val pca = graft.SparkEntry.queries("emb_pca_power_step")(spark, d).collect()
+    assert(pca.length == 64 && pca.forall(_.isNullAt(1)))
+  }
+
+  test("non-double arrays fail at analysis, not silently reinterpret") {
+    graft.plans.GraftExtensions.register(spark)
+    val fl = Seq(Seq(1.0f, 2.0f)).toDF("v") // array<float>
+    fl.createOrReplaceTempView("gram_fl")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT gram_acc(v, 2, $Fp) FROM gram_fl").collect()
+    }
+    assert(e.getMessage.contains("array<double>"), e.getMessage)
+  }
+
+  test("SQL builder rejects NULL/non-positive dims and fpScale loudly") {
+    graft.plans.GraftExtensions.register(spark)
+    Seq(1.0, 2.0).toDF("x").select(array(col("x")).as("v"))
+      .createOrReplaceTempView("gram_args")
+    def msgOf(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(msgOf(s"SELECT gram_acc(v, CAST(NULL AS INT), $Fp) FROM gram_args")
+      .contains("non-null"))
+    assert(msgOf("SELECT gram_acc(v, 2, CAST(NULL AS BIGINT)) FROM gram_args")
+      .contains("non-null"))
+    assert(msgOf("SELECT gram_acc(v, 0, 16777216) FROM gram_args")
+      .contains("dims must be positive"))
+    assert(msgOf("SELECT gram_acc(v, 2, 0) FROM gram_args")
+      .contains("fpScale must be positive"))
+  }
+
   test("empty embeddings: the gram/pca queries emit zero rows like the oracle") {
     val d = java.nio.file.Files.createTempDirectory("graft_gram_empty").toString
     spark.range(0).select(col("id").as("vec_id"),

@@ -86,6 +86,32 @@ class NanosFilterSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("IN-lists and null-safe equality rewrite exactly (incl. unaligned elements)") {
+    val df = Tables.load(spark, dir, "events").cache()
+    try {
+      def ids(c: org.apache.spark.sql.Column): Seq[Long] =
+        df.filter(c).select("event_id").as[Long].collect().sorted.toSeq
+      def brute(p: Long => Boolean): Seq[Long] =
+        MicrosFixture.map(_ * 1000L).zipWithIndex
+          .collect { case (ns, i) if p(ns) => i.toLong }.sorted
+      // mixed aligned/unaligned IN: unaligned members can never match
+      val inSet = Seq(0L, 1000000L, 1000001L, 1500000L)
+      assert(ids(col("ts").isin(inSet: _*)) == brute(inSet.contains))
+      assert(ids(!col("ts").isin(inSet: _*)) == brute(ns => !inSet.contains(ns)))
+      // null-safe equality: aligned matches, unaligned is constant FALSE
+      assert(ids(col("ts") <=> lit(1500000L)) == brute(_ == 1500000L))
+      assert(ids(col("ts") <=> lit(1500001L)) == Seq.empty)
+      assert(ids(!(col("ts") <=> lit(1500001L))) == brute(_ => true))
+    } finally df.unpersist()
+    // the IN rewrite reaches the scan as a pushed In filter (checked
+    // after unpersist — a live cache would hide the parquet scan)
+    val inSet = Seq(0L, 1000000L, 1000001L, 1500000L)
+    val q = Tables.load(spark, dir, "events").filter(col("ts").isin(inSet: _*))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("In(ts,"), p)
+  }
+
   test("nanos range predicate reaches the parquet scan as a pushed filter") {
     val df = Tables.load(spark, dir, "events")
       .filter(col("ts") >= lit(1000000L) && col("ts") < lit(86400000000000L))
