@@ -32,47 +32,61 @@ object CorpusPipeline {
   private val stop = s"regexp_count(lower(text), '${TextAnalytics.stopPattern}')"
 
   /** Per-stage survivors — (doc_id, stage) where stage ∈ exact_kept /
-    * neardup_kept / quality_kept — handed to `use` as a loan: the
-    * multi-consumer intermediates the build caches (exact survivors,
-    * capped shingle index, near-dup survivors) are unpersisted when
-    * `use` returns, so a library call leaves NO cached RDDs behind.
-    * Materialize inside `use`; the frame recomputes uncached after. */
+    * neardup_kept / quality_kept — handed to `use` as a loan.
+    *
+    * Each multi-consumer intermediate (exact survivors, capped shingle
+    * index, near-dup survivors) is `localCheckpoint`ed and materialized
+    * EAGERLY, in dependency order, before its consumers plan — the
+    * Graph/Dedup iterated-frame discipline. Versus the previous lazy
+    * `cache()` this is a measured wash on wall time at sf0.1 (the
+    * caches did populate in time), but it buys determinism — each stage
+    * computes exactly once regardless of how the scheduler interleaves
+    * the union's branches — and truncates lineage, so the band/verify
+    * plans re-analyze a flat RDD leaf instead of the whole funnel.
+    * Every checkpointed frame is released when `use` returns — a
+    * library call leaves NO pinned RDDs behind. Materialize inside
+    * `use`; the staged frame is invalid after it returns. */
   def withCleanedDocs[T](s: SparkSession, dir: String)(use: DataFrame => T): T = {
     val docs = Tables.documents(s, dir)
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(false)
+      held += c
+      c.count() // materialize NOW: consumers read stored blocks only
+      c
+    }
+    try {
+      // stage 1 — exact dedup on normalized text (three consumers:
+      // shingling, the near-dup anti-join, the stage union)
+      val exactKept = pin(docs
+        .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+        .withColumn("keeper", min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("text")))
 
-    // stage 1 — exact dedup on normalized text. Cached: three consumers
-    // (shingling, the near-dup anti-join, the stage union) would
-    // otherwise each re-scan documents and re-run the window.
-    val exactKept = docs
-      .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
-      .withColumn("keeper", min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-      .filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("text"))
-      .cache()
+      // stage 2 — near-dup removal among exact survivors: df-capped
+      // shingle index → MinHash-band candidates → exact-Jaccard verify,
+      // reusing Dedup's shared stages (the bounded-fan-out scale path)
+      val sh = pin(Dedup.capShingles(Dedup.shingleRowsOf(exactKept),
+        Dedup.DefaultMaxShingleDf))
+      val pairs = Dedup.verifyJaccard(sh, Dedup.bandCandidatesOf(sh), 0.5)
+      val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
+      val neardupKept = pin(exactKept.join(dupIds, Seq("doc_id"), "left_anti"))
 
-    // stage 2 — near-dup removal among exact survivors: df-capped
-    // shingle index → MinHash-band candidates → exact-Jaccard verify,
-    // reusing Dedup's shared stages (the bounded-fan-out scale path)
-    val sh = Dedup.capShingles(Dedup.shingleRowsOf(exactKept),
-      Dedup.DefaultMaxShingleDf).cache()
-    val pairs = Dedup.verifyJaccard(sh, Dedup.bandCandidatesOf(sh), 0.5)
-    val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
-    val neardupKept = exactKept.join(dupIds, Seq("doc_id"), "left_anti").cache()
+      // stage 3 — quality filter; tokenize once per row (the two range
+      // bounds would otherwise each re-run the regexp)
+      val qualityKept = neardupKept
+        .withColumn("n_tok", expr(s"size($tok)"))
+        .filter(col("n_tok") >= 20 && col("n_tok") <= 500 && expr(stop) > 0)
+        .drop("n_tok")
 
-    // stage 3 — quality filter; tokenize once per row (the two range
-    // bounds would otherwise each re-run the regexp)
-    val qualityKept = neardupKept
-      .withColumn("n_tok", expr(s"size($tok)"))
-      .filter(col("n_tok") >= 20 && col("n_tok") <= 500 && expr(stop) > 0)
-      .drop("n_tok")
+      val staged = exactKept.select(col("doc_id"), lit("exact_kept").as("stage"))
+        .unionByName(neardupKept.select(col("doc_id"), lit("neardup_kept").as("stage")))
+        .unionByName(qualityKept.select(col("doc_id"), lit("quality_kept").as("stage")))
 
-    val staged = exactKept.select(col("doc_id"), lit("exact_kept").as("stage"))
-      .unionByName(neardupKept.select(col("doc_id"), lit("neardup_kept").as("stage")))
-      .unionByName(qualityKept.select(col("doc_id"), lit("quality_kept").as("stage")))
-
-    try use(staged)
-    finally Seq(exactKept, sh, neardupKept).foreach(_.unpersist())
+      use(staged)
+    } finally held.foreach(Dedup.release)
   }
 
   /** DuckDB mirror of [[withCleanedDocs]]'s stage chain, ending in the

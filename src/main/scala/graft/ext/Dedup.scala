@@ -59,9 +59,16 @@ object Dedup extends QueryModule {
     * `withPos` the rows carry the 1-based start-token position `p`
     * (substring-run detection) — the rows are then unique by (doc, p),
     * so `distinct` is ignored. */
-  private[ext] def nGramRowsOf(docsDf: DataFrame, n: Int,
-      outCol: String = "shingle", distinct: Boolean = true,
-      withPos: Boolean = false): DataFrame = {
+  /** The shared tokenize-then-gram stage: the (doc_id, ts) token
+    * projection and the gram-array Column over it. Consumers MUST
+    * compose their generator / array ops over the returned frame in ONE
+    * select — stacking another Project on top of the `ts` projection
+    * invites CollapseProject to inline the tokenizer regexp into every
+    * `element_at` of the gram expression (measured 25× on
+    * `dedup_substring` when an intermediate grams Project was added);
+    * a Generate directly over the `ts` Project never merges, so the
+    * regexp runs once per document. */
+  private[ext] def tokGrams(docsDf: DataFrame, n: Int): (DataFrame, Column) = {
     val elems = (0 until n)
       .map(j => if (j == 0) "element_at(ts, i)" else s"element_at(ts, i + $j)")
       .mkString(", ")
@@ -70,15 +77,26 @@ object Dedup extends QueryModule {
          |THEN transform(sequence(1, size(ts) - ${n - 1}),
          |  i -> concat_ws(' ', $elems))
          |ELSE array() END""".stripMargin.replace("\n", " "))
-    val toks = docsDf.select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts"))
+    (docsDf.select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts")), grams)
+  }
+
+  private[ext] def nGramRowsOf(docsDf: DataFrame, n: Int,
+      outCol: String = "shingle", distinct: Boolean = true,
+      withPos: Boolean = false): DataFrame = {
+    val (toks, grams) = tokGrams(docsDf, n)
     if (withPos)
       toks.select(col("doc_id"), posexplode(grams))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
           col("col").as(outCol))
-    else {
-      val rows = toks.select(col("doc_id"), explode(grams).as(outCol))
-      if (distinct) rows.distinct() else rows
-    }
+    else if (distinct)
+      // set semantics are PER DOCUMENT (rows are keyed by doc_id), so
+      // dedup inside the gram array before exploding — a narrow map op.
+      // A post-explode `.distinct()` computes the same rows but pays a
+      // full shuffle of every posting for a dedup that never crosses a
+      // document boundary; at 100 TB that shuffle is pure waste.
+      toks.select(col("doc_id"), explode(array_distinct(grams)).as(outCol))
+    else
+      toks.select(col("doc_id"), explode(grams).as(outCol))
   }
 
   private[ext] def shingleRowsOf(docsDf: DataFrame): DataFrame =

@@ -69,14 +69,20 @@ object TrainPrep extends QueryModule {
        |  WHERE gr.doc_id % 10 <> 0
        |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
 
-  /** Distinct (doc_id, 60-bit 5-gram hash) pairs — [[Dedup.nGramRowsOf]]
+  /** Distinct (doc_id, 60-bit 5-gram hash) pairs — [[Dedup.tokGrams]]
     * at n=5, hashed to the shared md5-60-bit key so the decon join runs
-    * on fixed-width ints, not 5-word strings. */
-  private[ext] def gram5Rows(docsDf: DataFrame): DataFrame =
-    Dedup.nGramRowsOf(docsDf, 5, outCol = "gram")
-      .select(col("doc_id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
+    * on fixed-width ints, not 5-word strings. The distinct-by-hash runs
+    * INSIDE the per-doc array (dedup never crosses doc_id), so no
+    * posting-sized shuffle is paid — and dedup-by-HASH is exactly the
+    * global `.distinct()` this replaces, collisions included. Hash +
+    * distinct + explode compose in ONE select over the token projection
+    * (the [[Dedup.tokGrams]] CollapseProject contract). */
+  private[ext] def gram5Rows(docsDf: DataFrame): DataFrame = {
+    val (toks, grams) = Dedup.tokGrams(docsDf, 5)
+    toks.select(col("doc_id"), explode(array_distinct(
+      transform(grams, g =>
+        conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+  }
 
   /** Per-doc average unigram log-probability under the corpus model —
     * the scorer behind `prep_lm_filter`, split out so specs can verify

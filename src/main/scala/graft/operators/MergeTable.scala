@@ -343,7 +343,8 @@ object MergeTable {
     * fewer than two small files exist (nothing to gain). */
   def compactFiles(spark: SparkSession, root: String, key: String,
       smallerThan: Long = 1L << 20, targetRows: Long = 1L << 20): Option[Long] = {
-    val small = liveFiles(spark, root)
+    val basis = versions(spark, root).lastOption.getOrElse(0L)
+    val small = liveFiles(spark, root, Some(basis).filter(_ > 0L))
       .filter(col("n_rows") < smallerThan)
       .select(col("file"), col("n_rows"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
@@ -353,11 +354,11 @@ object MergeTable {
     // through the declared schema: compaction may rebin files from
     // different schema eras, and a sampled-footer read would silently
     // drop an evolved column from the rewritten (now authoritative) file
-    val reader = declaredSchema(spark, root)
+    val reader = declaredSchema(spark, root, Some(basis))
       .map(spark.read.schema(_)).getOrElse(spark.read)
     val df = reader.parquet(small.map(f => s"$root/${f._1}"): _*)
     Some(commit(spark, root, df.repartition(nOut), key,
-      removes = small.map(_._1)))
+      removes = small.map(_._1), basis))
   }
 
   /** OPTIMIZE … ZORDER BY (c1, c2): rewrite ALL live data files
@@ -385,10 +386,12 @@ object MergeTable {
     * proof rather than a row-hash oracle. */
   def optimizeZorder(spark: SparkSession, root: String, key: String,
       c1: String, c2: String, nFiles: Int = 16): Long = {
-    val live = liveFiles(spark, root).select(col("file"))
+    val basis = versions(spark, root).lastOption.getOrElse(0L)
+    val live = liveFiles(spark, root, Some(basis).filter(_ > 0L))
+      .select(col("file"))
       .collect().map(_.getString(0)).toIndexedSeq
     require(live.nonEmpty, s"merge table at $root has no live files")
-    val reader = declaredSchema(spark, root)
+    val reader = declaredSchema(spark, root, Some(basis))
       .map(spark.read.schema(_)).getOrElse(spark.read)
     val df = reader.parquet(live.map(f => s"$root/$f"): _*)
     // z-order columns must exist and be integral: pmod over a float
@@ -418,13 +421,16 @@ object MergeTable {
       .repartitionByRange(nFiles, col(zc))
       .sortWithinPartitions(col(zc))
       .drop(zc)
-    commit(spark, root, out, key, removes = live)
+    commit(spark, root, out, key, removes = live, basis)
   }
 
-  /** Pure insert: add `df` as new files; no existing file is touched. */
+  /** Pure insert: add `df` as new files; no existing file is touched.
+    * Appends commute, so a lost commit race (CME) is always safely
+    * retryable by the caller — the retry re-reads the advanced basis. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       key: String): Long =
-    commit(spark, root, df, key, removes = Seq.empty)
+    commit(spark, root, df, key, removes = Seq.empty,
+      basis = versions(spark, root).lastOption.getOrElse(0L))
 
   /** `MERGE INTO root USING updates ON root.key = updates.key
     *  WHEN MATCHED [AND deleteCol] THEN DELETE
@@ -453,12 +459,21 @@ object MergeTable {
       case Some(c) => updates.filter(!col(c)).drop(c)
       case None => updates
     }
-    val live = liveFiles(spark, root)
-    if (versions(spark, root).isEmpty)
-      return commit(spark, root, inserts, key, removes = Seq.empty)
+    // Optimistic concurrency: the whole plan below (file skipping,
+    // survivor anti-join, schema read) is derived from the snapshot at
+    // `basis`, and the commit claims exactly version basis+1 — so the
+    // commit rename doubles as conflict validation: ANY commit landing
+    // after the basis makes the rename fail, and a stale plan can never
+    // publish (the lost-update / double-carry write skew a
+    // latest-version commit would silently allow).
+    val basis = versions(spark, root).lastOption.getOrElse(0L)
+    if (basis == 0L)
+      return commit(spark, root, inserts, key, removes = Seq.empty, basis)
+    val asOfB = Some(basis)
+    val live = liveFiles(spark, root, asOfB)
 
-    val tableCols = declaredSchema(spark, root).map(_.fieldNames.toSet)
-      .getOrElse(snapshot(spark, root).columns.toSet)
+    val tableCols = declaredSchema(spark, root, asOfB).map(_.fieldNames.toSet)
+      .getOrElse(snapshot(spark, root, asOfB).columns.toSet)
     if (evolveSchema)
       require(tableCols.subsetOf(inserts.columns.toSet),
         s"evolving merge batch must carry every table column; missing " +
@@ -489,7 +504,7 @@ object MergeTable {
 
     // touched files may span multiple schema eras themselves — read
     // them through the declared schema, not whichever footer is sampled
-    val tblReader = declaredSchema(spark, root)
+    val tblReader = declaredSchema(spark, root, asOfB)
       .map(spark.read.schema(_)).getOrElse(spark.read)
     val survivors =
       if (touched.isEmpty) inserts.limit(0)
@@ -500,25 +515,68 @@ object MergeTable {
     // exact-schema batch naturally has
     commit(spark, root,
       survivors.unionByName(inserts, allowMissingColumns = true), key,
-      removes = touched)
+      removes = touched, basis)
   }
+
+  /** The commit-point rename: succeeds iff `fin` did not exist, fails
+    * (returns false) iff another writer already committed it. On HDFS
+    * and object-store committers `FileSystem.rename` already has
+    * exactly this contract (atomic, false on existing destination). On
+    * the LOCAL filesystem it does NOT: when `java.io.File.renameTo`
+    * fails on an existing non-empty destination, Hadoop's
+    * `RawLocalFileSystem` falls back to `FileUtil.copy`, which NESTS
+    * the source inside the existing directory and returns true — both
+    * racers would believe they won and one batch would silently vanish.
+    * Local paths therefore go through `java.nio.file.Files.move` with
+    * `ATOMIC_MOVE` (POSIX rename(2): atomic, ENOTEMPTY on a committed
+    * destination — a committed manifest dir is never empty). */
+  private def commitRename(fs: FileSystem, tmp: Path, fin: Path): Boolean =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(fin.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
+      case _ =>
+        // exists() is an advisory fast path; the rename arbitrates
+        !fs.exists(fin) && fs.rename(tmp, fin)
+    }
 
   /** Write `df` as the next version's data files and commit a manifest
     * adding them and removing `removes`. The commit point is the single
     * manifest rename at the end. Every commit also records the table's
     * declared schema (the prior declaration widened by `df`'s columns —
     * see [[widened]]) as a `schema` action row, so reads never have to
-    * derive the schema from data-file footers. */
+    * derive the schema from data-file footers.
+    *
+    * Staging is WRITER-PRIVATE: the data dir and the staged manifest
+    * both carry a per-commit nonce, so two writers racing the same
+    * version number never touch each other's files — the loser's
+    * cleanup deletes only its own staging, and the winner's committed
+    * data can never be clobbered by a straggler. A crashed writer's
+    * orphaned staging dir is unreferenced by any manifest and is swept
+    * by [[vacuum]]'s reachability rule.
+    *
+    * `basis` is the table version the caller's plan was derived from;
+    * the commit claims exactly `basis + 1`. Because version names are
+    * dense and the rename refuses an existing destination, the rename
+    * atomically validates that NO other commit landed after the basis —
+    * optimistic concurrency control with the arbitration and the
+    * validation as one filesystem operation. */
   private def commit(spark: SparkSession, root: String, df: DataFrame,
-      key: String, removes: Seq[String]): Long = {
+      key: String, removes: Seq[String], basis: Long): Long = {
     val fs = fsOf(spark, root)
-    val declared = widened(declaredSchema(spark, root), df.schema)
-    val version = versions(spark, root).lastOption.getOrElse(0L) + 1L
-    val dataRel = s"$DataDir/${fmtData(version)}"
+    val declared = widened(
+      if (basis == 0L) None else declaredSchema(spark, root, Some(basis)),
+      df.schema)
+    val version = basis + 1L
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val dataRel = s"$DataDir/${fmtData(version)}-$nonce"
     val dataPath = new Path(root, dataRel)
-    // a dir for this version can only be a crashed writer's uncommitted
-    // leftover (no manifest references it) — safe to clear
-    fs.delete(dataPath, true)
     df.write.parquet(dataPath.toString)
 
     // per-file key stats, computed over just-written files only (page-
@@ -540,16 +598,20 @@ object MergeTable {
     val rows = new java.util.ArrayList[Row]()
     (adds ++ rems :+ schemaRow).foreach(rows.add)
 
-    val tmp = new Path(root, s"$LogDir/.tmp-${fmtLog(version)}")
+    val tmp = new Path(root, s"$LogDir/.tmp-${fmtLog(version)}-$nonce")
     val fin = new Path(root, s"$LogDir/${fmtLog(version)}")
-    fs.delete(tmp, true)
     spark.createDataFrame(rows, manifestSchema).coalesce(1)
       .write.parquet(tmp.toString)
-    if (!fs.rename(tmp, fin)) {
+    if (!commitRename(fs, tmp, fin)) {
+      // writer-private staging: both deletes touch only this commit's
+      // nonce-suffixed paths, never the winner's
       fs.delete(tmp, true)
       fs.delete(dataPath, true)
       throw new java.util.ConcurrentModificationException(
-        s"version $version of $root was committed by another writer")
+        s"lost the commit race for version $version of $root: " +
+          s"manifest ${fin.getName} was committed by another writer " +
+          s"after this plan's basis version $basis; " +
+          "re-read the table and retry against its new state")
     }
     version
   }
@@ -581,14 +643,18 @@ object MergeTable {
         .orderBy(col("version").desc).limit(1)
         .select(col("version"), col("op"), col("file"),
           col("min_key"), col("max_key"), col("n_rows")))
-    val tmp = new Path(root, s"$CheckpointDir/.tmp-${fmtLog(c)}")
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(root, s"$CheckpointDir/.tmp-${fmtLog(c)}-$nonce")
     val fin = new Path(root, s"$CheckpointDir/${fmtLog(c)}")
-    fs.delete(tmp, true)
+    if (fs.exists(fin)) return c // already checkpointed at c — idempotent
     live.coalesce(1).write.parquet(tmp.toString)
-    if (!fs.exists(fin) && !fs.rename(tmp, fin)) {
+    if (!commitRename(fs, tmp, fin)) {
       fs.delete(tmp, true)
-      throw new java.util.ConcurrentModificationException(
-        s"checkpoint $c of $root was committed by another writer")
+      // two checkpoints of the same version fold the same live set —
+      // losing this race IS success, as long as the winner's is there
+      if (!fs.exists(fin))
+        throw new java.util.ConcurrentModificationException(
+          s"checkpoint $c of $root could not be committed")
     }
     c
   }
@@ -662,10 +728,12 @@ object MergeTable {
       }
       if (fs.listStatus(vdir.getPath).isEmpty) fs.delete(vdir.getPath, true)
     }
-    val logRoot = new Path(root, LogDir)
-    if (fs.exists(logRoot)) fs.listStatus(logRoot).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp-")) {
-        fs.delete(st.getPath, true); n += 1
+    Seq(LogDir, CheckpointDir).foreach { d =>
+      val r = new Path(root, d)
+      if (fs.exists(r)) fs.listStatus(r).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-")) {
+          fs.delete(st.getPath, true); n += 1
+        }
       }
     }
     // manifests strictly below a floor-covered checkpoint answer no

@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only ~sf1 rehearsal data generator (Test scope — not part of the
+  * library). Scales the sf0.1 `documents`/`embeddings` tables ~10× with
+  * deterministic, dedup-realistic replicas so the dedup + similarity
+  * families can be rehearsed an order of magnitude above the driver's
+  * bench SF (VERDICT r7, task 7):
+  *
+  *   - replica 0: the original rows;
+  *   - replica ≡ 1 (mod 10): EXACT text duplicates under fresh doc_ids
+  *     (exact-dedup groups grow with scale — the groupBy stress case);
+  *   - replica ≡ 2,3 (mod 10): NEAR duplicates (two salt tokens appended
+  *     → word-3-gram Jaccard ≈ n/(n+2), above the 0.5 verify threshold —
+  *     the band/verify fan-out stress case);
+  *   - otherwise: DISTINCT documents (word order reversed + salt token:
+  *     different 3-gram shingle set, so the df-cap and band bounds face
+  *     a genuinely larger vocabulary, not 10 copies of the same one).
+  *
+  * Embeddings get deterministic per-replica perturbations (fresh points,
+  * same clustered geometry), so IVF/LSH/PQ candidate-generation cost
+  * scales with real corpus size.
+  *
+  * Run: sbt 'Test/runMain graft.ext.RehearsalGen /root/testdata/sf0.1 target/sf1 10'
+  * then: SPARK_GRAFT_SF_DIR=target/sf1 sbt 'runMain graft.Bench <names>'
+  */
+object RehearsalGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.drop(1).headOption.getOrElse("target/sf1")
+    val replicas = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val IdStride = 10000000L
+
+    def replicate(base: DataFrame, variant: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map(r => variant(base, r)).reduce(_.unionByName(_))
+
+    val docs = Tables.documents(spark, src)
+    val docsOut = replicate(docs, { (d, r) =>
+      val text =
+        if (r == 0) col("text")
+        else if (r % 10 == 1) col("text") // exact duplicate
+        else if (r % 10 == 2 || r % 10 == 3)
+          concat(col("text"), lit(s" salt$r near")) // near duplicate
+        else // distinct: reversed word order + salt
+          concat(concat_ws(" ", reverse(split(col("text"), " "))), lit(s" salt$r"))
+      d.select(
+        (col("doc_id") + lit(r * IdStride)).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    })
+
+    val embs = Tables.embeddings(spark, src)
+    val embsOut = replicate(embs, { (e, r) =>
+      val vec =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, i) => (x + lit(0.01 * r) * sin(i.cast("double") + col("vec_id").cast("double")))
+            .cast("float"))
+      e.select(
+        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    })
+
+    docsOut.repartition(16).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    embsOut.repartition(16).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[rehearsal] documents: ${spark.read.parquet(s"$out/documents.parquet").count()}")
+    println(s"[rehearsal] embeddings: ${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+    spark.stop()
+  }
+}

@@ -51,4 +51,101 @@ class MergeTableProps extends SparkSpec {
       assert(read(Some(v)) == expect, s"diverged at version $v")
     }
   }
+
+  test("racing writers: exactly one plan per basis publishes, readers never see a torn table") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Failure, Success, Try}
+
+    val root = java.nio.file.Files.createTempDirectory("graft-mtr")
+      .resolve("t").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    var model = (0L until 10L).map(k => k -> s"seed$k").toMap
+    MergeTable.append(spark, root,
+      model.toSeq.toDF("k", "v"), "k")
+
+    def readMap(): Map[Long, String] =
+      MergeTable.snapshot(spark, root)
+        .select(col("k"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // the only states a reader may EVER observe mid-race: the pre-race
+    // table plus any subset of the racing batches (commits are atomic
+    // and ordered; a torn/partial batch is the thing being disproved)
+    def assertUntorn(seen: Map[Long, String],
+        valid: Set[Map[Long, String]]): Unit =
+      assert(valid.contains(seen),
+        s"reader observed a state matching no committed prefix: $seen")
+
+    for (round <- 1 to 5) {
+      // key-disjoint batches: if the race serializes (both succeed),
+      // the final state is order-independent; if one loses the commit
+      // race, the winner's batch alone lands
+      val batchA = Seq((100L + round, s"A$round", false),
+        (2L, s"A2-$round", false))
+      val batchB = Seq((200L + round, s"B$round", false),
+        (7L, s"B7-$round", round % 2 == 0))
+      val before = model
+
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      def race(batch: Seq[(Long, String, Boolean)]): Future[Try[Long]] =
+        Future {
+          gate.await()
+          Try(MergeTable.merge(spark, root,
+            batch.toDF("k", "v", "deleted"), "k",
+            deleteCol = Some("deleted")))
+        }
+      val fa = race(batchA)
+      val fb = race(batchB)
+
+      // a concurrent reader mid-race: every observation must equal the
+      // model folded over SOME subset of the racing batches
+      val valid = Set(
+        before,
+        applyModel(before, batchA),
+        applyModel(before, batchB),
+        applyModel(applyModel(before, batchA), batchB))
+      (1 to 3).foreach(_ => assertUntorn(readMap(), valid))
+
+      val (ra, rb) = (Await.result(fa, 120.seconds),
+        Await.result(fb, 120.seconds))
+      val outcomes = Seq(batchA -> ra, batchB -> rb)
+
+      // exactly one writer per basis publishes; a loser fails LOUDLY
+      // with the conflict spelled out (never a silent half-merge)
+      assert(outcomes.exists(_._2.isSuccess), s"round $round: both lost")
+      outcomes.foreach {
+        case (_, Failure(e)) =>
+          assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+            s"loser must surface CME, got $e")
+          assert(e.getMessage.contains("committed by another writer") &&
+            e.getMessage.contains("basis"),
+            s"loser's error must name the conflict: ${e.getMessage}")
+        case _ => ()
+      }
+      val versions = outcomes.collect { case (_, Success(v)) => v }
+      assert(versions.distinct.size == versions.size,
+        "two writers claimed the same version")
+
+      // fold ONLY the published batches, in version order (disjoint
+      // keys make it order-free, but stay honest)
+      outcomes.collect { case (b, Success(v)) => (v, b) }
+        .sortBy(_._1)
+        .foreach { case (_, b) => model = applyModel(model, b) }
+      assert(readMap() == model,
+        s"round $round: table diverged from the published-batch fold")
+
+      // no dangling references: every live manifest entry points at a
+      // data file that exists (the torn state a racing writer's cleanup
+      // could have caused by deleting a winner's committed files)
+      MergeTable.liveFiles(spark, root).select(col("file")).collect()
+        .foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(root, r.getString(0))
+          assert(fs.exists(p), s"manifest references missing file $p")
+        }
+    }
+  }
 }
