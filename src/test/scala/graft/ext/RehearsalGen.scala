@@ -74,10 +74,29 @@ object RehearsalGen {
         vec.as("embedding"), col("label"))
     })
 
+    // events: 10× the stream. Half the replicas keep the ORIGINAL
+    // user_ids (hot users get 5× the events — the skew direction that
+    // stresses per-user windows and the graph projection cap), half get
+    // fresh user_ids (graph grows in nodes, not just degree). ts shifts
+    // by r seconds so replicas stay inside every anchored window.
+    val events = Tables.events(spark, src) // ts normalized to epoch-nanos
+    val eventsOut = replicate(events, { (e, r) =>
+      e.select(
+        (col("event_id") + lit(r * IdStride)).as("event_id"),
+        (col("ts") + lit(r * 1000000000L)).as("ts"),
+        (if (r % 2 == 0) col("user_id")
+         else col("user_id") + lit((r / 2 + 1) * IdStride)).as("user_id"),
+        col("event_type"),
+        (col("value") * (lit(1.0) + lit(r) / lit(100.0))).as("value"),
+        col("props"))
+    })
+
     docsOut.repartition(16).write.mode("overwrite").parquet(s"$out/documents.parquet")
     embsOut.repartition(16).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    eventsOut.repartition(16).write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"[rehearsal] documents: ${spark.read.parquet(s"$out/documents.parquet").count()}")
     println(s"[rehearsal] embeddings: ${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+    println(s"[rehearsal] events: ${spark.read.parquet(s"$out/events.parquet").count()}")
     spark.stop()
   }
 }
