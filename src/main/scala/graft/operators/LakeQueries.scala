@@ -243,5 +243,47 @@ object LakeQueries extends QueryModule {
              |  count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "incremental view maintenance: v1 view + folded feed deltas ≡ full v2 recompute"),
+
+    // Read-side file skipping through the commit protocol: the base
+    // append is RANGE-CLUSTERED on the key (repartitionByRange + sort,
+    // the layout a compacted 100 TB table converges to), the CDC merge
+    // rewrites only its touched files, and the range read plans from
+    // the manifest's per-file [min_key, max_key] spans — touching the
+    // overlapping files only, never the table (MergeTableSpec proves
+    // the file-count bound; this query proves the ANSWER is right
+    // through a merge, under the superset-then-exact-predicate
+    // contract). The oracle replays the merged state relationally and
+    // filters the same range.
+    "lake_point_lookup" -> Q(
+      (s, dir) => withRoot(s) { root =>
+        val b = base(s, dir)
+        MergeTable.append(s, root,
+          b.repartitionByRange(8, col("o_orderkey"))
+            .sortWithinPartitions(col("o_orderkey")), "o_orderkey")
+        MergeTable.merge(s, root, cdcBatch(b), "o_orderkey",
+          deleteCol = Some("deleted"))
+        summarize(MergeTable.snapshotRange(s, root, RangeLo, RangeHi)
+          .filter(col("o_orderkey").between(RangeLo, RangeHi)))
+      },
+      Some(s"""WITH upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         o_totalprice + 1.0 AS o_totalprice,
+             |         (o_orderkey % ${2 * KeyMod} = 0) AS deleted
+             |  FROM orders WHERE o_orderkey % $KeyMod = 0),
+             |merged AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+             |  WHERE NOT deleted)
+             |SELECT o_orderstatus AS status, $summaryCols
+             |FROM merged WHERE o_orderkey BETWEEN $RangeLo AND $RangeHi
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "stats-pruned range read (snapshotRange) through a range-clustered, merged table"),
   )
+
+  /** Fixed lookup range for `lake_point_lookup` — inside every SF's key
+    * span (orderkeys are ~4× the order count, so sf0.001 reaches ~6000). */
+  private val RangeLo = 1000L
+  private val RangeHi = 2999L
 }
