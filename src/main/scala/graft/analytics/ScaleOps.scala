@@ -48,8 +48,19 @@ object ScaleOps extends QueryModule {
             greatest(ceil(col("exact_users") * 0.15), lit(2L))).as("users_ok"),
           (abs(col("aty") - col("exact_types")) <=
             greatest(ceil(col("exact_types") * 0.15), lit(2L))).as("types_ok"),
-          (col("ap50") >= col("p50lo") && col("ap50") <= col("p50hi")).as("p50_ok"),
-          (col("ap99") >= col("p99lo") && col("ap99") <= col("p99hi")).as("p99_ok")),
+          // empty table: the percentile aggregates are all NULL and the
+          // band comparison yields NULL, while the oracle's constant
+          // says TRUE — vacuously in-contract, so coalesce the
+          // degenerate case to TRUE instead of tripping the differ.
+          // (The ±0.002 interpolated band itself assumes n large enough
+          // that the band spans ≥1 rank — every fixture SF is ≥10k
+          // events; at n below ~500 the exact interpolation can sit
+          // between adjacent ranks and a correct sketch could read
+          // outside it.)
+          coalesce(col("ap50") >= col("p50lo") && col("ap50") <= col("p50hi"),
+            lit(true)).as("p50_ok"),
+          coalesce(col("ap99") >= col("p99lo") && col("ap99") <= col("p99hi"),
+            lit(true)).as("p99_ok")),
       Some("""SELECT count(*) AS n_events,
              |  count(DISTINCT user_id) AS exact_users,
              |  count(DISTINCT event_type) AS exact_types,

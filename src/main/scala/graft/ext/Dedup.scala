@@ -49,16 +49,6 @@ object Dedup extends QueryModule {
   // empty generate_series), so short docs must yield an empty array.
   private val dShingles = dNGrams(3)
 
-  /** (doc_id, n-gram) pairs from any (doc_id, text) frame — distinct by
-    * default (set semantics for shingle indexes), with occurrences kept
-    * when a consumer counts repetition. Tokenizes ONCE into a column
-    * before gramming — inlining the regexp into every element_at would
-    * re-run it n+1× per row (no CSE across higher-order-function
-    * lambdas). Shared by the dedup family (n=3), the corpus pipeline,
-    * decontamination (n=5), and the quality filters (n=2). With
-    * `withPos` the rows carry the 1-based start-token position `p`
-    * (substring-run detection) — the rows are then unique by (doc, p),
-    * so `distinct` is ignored. */
   /** The shared tokenize-then-gram stage: the (doc_id, ts) token
     * projection and the gram-array Column over it. Consumers MUST
     * compose their generator / array ops over the returned frame in ONE
@@ -80,6 +70,20 @@ object Dedup extends QueryModule {
     (docsDf.select(col("doc_id"), expr(TextAnalytics.tokExpr).as("ts")), grams)
   }
 
+  /** (doc_id, n-gram) pairs from any (doc_id, text) frame — distinct by
+    * default (set semantics for shingle indexes), with occurrences kept
+    * when a consumer counts repetition. Shared by the dedup family
+    * (n=3), the corpus pipeline, decontamination (n=5), and the quality
+    * filters (n=2). With `withPos` the rows carry the 1-based
+    * start-token position `p` (substring-run detection) — the rows are
+    * then unique by (doc, p), so `distinct` is ignored.
+    *
+    * PRECONDITION for `distinct = true`: the input is unique by
+    * `doc_id` (every current caller feeds `documents` or a projection
+    * of it). Dedup runs INSIDE each row's gram array, so a frame
+    * carrying the same doc_id twice emits duplicated posting rows where
+    * the old global `.distinct()` collapsed them — feed such a frame
+    * through `.dropDuplicates("doc_id")` first. */
   private[ext] def nGramRowsOf(docsDf: DataFrame, n: Int,
       outCol: String = "shingle", distinct: Boolean = true,
       withPos: Boolean = false): DataFrame = {

@@ -400,18 +400,25 @@ object MergeTable {
     // Built with Column operations (not an interpolated SQL string),
     // so names needing backticks — spaces, dashes, reserved words —
     // work unmodified.
-    Seq(c1, c2).foreach { c =>
-      val f = df.schema.fields.find(_.name == c).getOrElse(
+    // resolver-aware lookup: honor the session's case-sensitivity (the
+    // SQL-string form this replaced resolved case-insensitively under
+    // the default conf, so exact-match-only would reject callers that
+    // used to work); downstream Column refs use the field's DECLARED
+    // name so resolution cannot diverge from the validation
+    val resolver = spark.sessionState.conf.resolver
+    val Seq(r1, r2) = Seq(c1, c2).map { c =>
+      val f = df.schema.fields.find(f => resolver(f.name, c)).getOrElse(
         throw new IllegalArgumentException(
           s"optimizeZorder: column '$c' not found in ${df.columns.mkString(", ")}"))
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
         s"optimizeZorder: column '$c' must be integral for 8-bit Morton " +
           s"bucketing, got ${f.dataType.simpleString}")
+      f.name
     }
     def bitOf(c: String, i: Int, weight: Long): Column =
       shiftright(pmod(col(c), lit(256)), i).bitwiseAND(lit(1L)) * lit(weight)
     val zExpr = (0 until 8).map(i =>
-      bitOf(c1, i, 1L << (2 * i + 1)) + bitOf(c2, i, 1L << (2 * i))).reduce(_ + _)
+      bitOf(r1, i, 1L << (2 * i + 1)) + bitOf(r2, i, 1L << (2 * i))).reduce(_ + _)
     // the scratch column must not shadow (and then silently destroy) a
     // real table column of the same name — refuse loudly instead
     val zc = "__graft_zorder_tmp"
@@ -542,8 +549,29 @@ object MergeTable {
           true
         } catch { case _: java.nio.file.FileSystemException => false }
       case _ =>
-        // exists() is an advisory fast path; the rename arbitrates
-        !fs.exists(fin) && fs.rename(tmp, fin)
+        // Not safe to use plain FileSystem.rename here either: renaming
+        // onto an existing DIRECTORY is POSIX mv on HDFS too — the
+        // source moves INSIDE the committed manifest dir and rename
+        // returns true, so both racers would report success. The atomic
+        // refuse-if-exists primitive is FileContext.rename with
+        // Rename.NONE (one NameNode op on HDFS; the documented
+        // HDFS-log-store recipe), surfacing an existing destination as
+        // FileAlreadyExistsException.
+        try {
+          val q = (p: Path) =>
+            p.makeQualified(fs.getUri, fs.getWorkingDirectory)
+          val fc = org.apache.hadoop.fs.FileContext
+            .getFileContext(q(fin).toUri, fs.getConf)
+          fc.rename(q(tmp), q(fin), org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no AbstractFileSystem binding (exotic object-store shim):
+            // degrade to check-then-rename — still correct whenever the
+            // store's rename refuses an existing destination
+            !fs.exists(fin) && fs.rename(tmp, fin)
+        }
     }
 
   /** Write `df` as the next version's data files and commit a manifest
@@ -669,21 +697,34 @@ object MergeTable {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Grace window for NEVER-REFERENCED on-disk objects (a nonce data
+    * dir or `.tmp` manifest no committed manifest mentions): younger
+    * than this, it is indistinguishable from an IN-FLIGHT writer's
+    * staging — deleting it would tear the commit that is about to
+    * reference it — so vacuum skips it; older, it is a crashed or
+    * defeated writer's leftover and is swept. Objects a manifest DOES
+    * reference need no grace: their lifetime is decided by the floor,
+    * not by age. */
+  val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
+
   /** Physically delete what no version ≥ the new floor can reference.
     * Records `horizon` as the time-travel floor FIRST — if the floor
     * write lands and the deletes crash, reads are conservatively
     * refused; the reverse order could read half-deleted versions.
     *
-    * Deletion is REACHABILITY-based, one rule for every garbage class:
-    * a data file added at `a` and removed at `r` is live for versions
-    * [a, r), so it is reachable iff it was never removed or `r` > the
-    * new floor. Everything on disk outside the reachable set — rewritten
-    * files below the floor, crashed writers' uncommitted data dirs,
-    * stale `.tmp` manifests — is deleted by the same sweep. Once the
-    * floor is at or past a checkpoint C, the per-version manifests (and
-    * older checkpoints) below C serve no answerable read and are folded
-    * away too. */
-  def vacuum(spark: SparkSession, root: String, horizon: Long): Long = {
+    * Deletion is REACHABILITY-based: a data file added at `a` and
+    * removed at `r` is live for versions [a, r), so it is reachable iff
+    * it was never removed or `r` > the new floor. Garbage splits into
+    * two classes with different safety rules: MANIFEST-REFERENCED files
+    * below the floor (rewritten data, folded manifests/checkpoints) are
+    * deleted immediately — the floor write already refused every read
+    * that could want them; NEVER-REFERENCED objects (staging dirs, tmp
+    * manifests) are deleted only past [[DefaultVacuumGraceMs]], because
+    * a young unreferenced object may be an in-flight commit's staging
+    * whose manifest rename has not landed yet — sweeping it would
+    * publish a manifest pointing at deleted files. */
+  def vacuum(spark: SparkSession, root: String, horizon: Long,
+      graceMs: Long = DefaultVacuumGraceMs): Long = {
     val fs = fsOf(spark, root)
     import spark.implicits._
     val prior = vacuumFloor(spark, root)
@@ -718,20 +759,32 @@ object MergeTable {
       .filter(col("rv").isNull || col("rv") > floor)
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
+    // every file ANY manifest has ever referenced — used to tell
+    // committed garbage (delete now) from possibly-in-flight staging
+    // (delete only past the grace window)
+    val referenced = raw.filter(col("op") === "add")
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
 
     var n = 0L
     val dataRoot = new Path(root, DataDir)
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { vdir =>
       fs.listStatus(vdir.getPath).foreach { st =>
         val rel = s"$DataDir/${vdir.getPath.getName}/${st.getPath.getName}"
-        if (!reachable.contains(rel)) { fs.delete(st.getPath, true); n += 1 }
+        val sweepable = referenced.contains(rel) ||
+          st.getModificationTime < cutoff
+        if (!reachable.contains(rel) && sweepable) {
+          fs.delete(st.getPath, true); n += 1
+        }
       }
       if (fs.listStatus(vdir.getPath).isEmpty) fs.delete(vdir.getPath, true)
     }
     Seq(LogDir, CheckpointDir).foreach { d =>
       val r = new Path(root, d)
       if (fs.exists(r)) fs.listStatus(r).foreach { st =>
-        if (st.getPath.getName.startsWith(".tmp-")) {
+        if (st.getPath.getName.startsWith(".tmp-") &&
+            st.getModificationTime < cutoff) {
           fs.delete(st.getPath, true); n += 1
         }
       }

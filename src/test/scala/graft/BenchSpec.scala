@@ -84,8 +84,9 @@ class BenchSpec extends SparkSpec {
       reruns += name -> (reruns(name) + 1)
       if (name == "noisy") 0.9 else 3.1 // noise settles, regression persists
     }).toMap
-    // both suspects got exactly RemeasureRuns extra samples, fine got none
-    assert(reruns == Map("noisy" -> Bench.RemeasureRuns, "slow" -> Bench.RemeasureRuns))
+    // noisy settles on its FIRST re-run and buys back the rest of its
+    // budget; slow trips every sample and exhausts it; fine never re-runs
+    assert(reruns == Map("noisy" -> 1, "slow" -> Bench.RemeasureRuns))
     assert(out("fine") == 1.1)
     assert(out("noisy") == 0.9) // best sample recorded → no longer trips
     assert(out("slow") == 3.0)  // real regression survives re-measure

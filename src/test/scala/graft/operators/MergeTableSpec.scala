@@ -103,9 +103,20 @@ class MergeTableSpec extends SparkSpec {
     assert(v2 == 2L)
     assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a"), (2L, "b")))
 
+    // under the DEFAULT grace a just-written unreferenced staging dir
+    // is indistinguishable from an in-flight writer's and must SURVIVE
+    // the sweep — deleting it could tear a commit about to reference it
     MergeTable.vacuum(spark, root, horizon = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_log/.tmp-v00000000000000000002")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/v00002")))
+
+    // graceMs = 0 simulates the operator running long after the writer
+    // died: the same sweep now removes the orphaned staging
+    MergeTable.vacuum(spark, root, horizon = 0L, graceMs = 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$root/_log/.tmp-v00000000000000000002")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/v00002")))
     // vacuum at horizon 0 deleted no referenced file: table still reads
     assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a"), (2L, "b")))
   }

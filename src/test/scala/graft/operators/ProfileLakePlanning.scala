@@ -64,7 +64,7 @@ object ProfileLakePlanning {
     planMs("after compaction + re-checkpoint")
 
     val n = MergeTable.vacuum(spark, root,
-      MergeTable.versions(spark, root).last)
+      MergeTable.versions(spark, root).last, graceMs = 0L)
     println(s"[lakeplan] vacuum deleted $n unreachable objects")
     planMs("after vacuum to latest")
     spark.stop()
