@@ -52,6 +52,77 @@ class MergeTableProps extends SparkSpec {
     }
   }
 
+  test("random op sequence incl. evolution, zorder, vacuum: every version replays the model") {
+    val rnd = new scala.util.Random(7L)
+    val root = java.nio.file.Files.createTempDirectory("graft-mte")
+      .resolve("t").toString
+    // model value: (v, score) — score None before the table evolves or
+    // for rows never re-merged after it
+    var model = Map.empty[Long, (String, Option[Long])]
+    val history = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, (String, Option[Long])], Boolean)]
+    var evolved = false
+
+    for (step <- 1 to 10) {
+      val keys = rnd.shuffle((0L until 25L).toList).take(4 + rnd.nextInt(4))
+      if (step == 5) evolved = true
+      val v =
+        if (!evolved) {
+          val batch = keys.map(k => (k, s"v$step-$k", rnd.nextInt(4) == 0))
+          val ver = MergeTable.merge(spark, root,
+            batch.toDF("k", "v", "deleted"), "k", deleteCol = Some("deleted"))
+          model = batch.foldLeft(model) { case (m, (k, s, del)) =>
+            if (del) m - k else m + (k -> (s, None)) }
+          ver
+        } else {
+          val batch = keys.map(k =>
+            (k, s"v$step-$k", k * 10 + step, rnd.nextInt(4) == 0))
+          val ver = MergeTable.merge(spark, root,
+            batch.toDF("k", "v", "score", "deleted"), "k",
+            deleteCol = Some("deleted"), evolveSchema = step == 5)
+          model = batch.foldLeft(model) { case (m, (k, s, sc, del)) =>
+            if (del) m - k else m + (k -> (s, Some(sc))) }
+          ver
+        }
+      history += ((v, model, evolved))
+
+      // maintenance ops are pure rewrites: state must be invariant
+      if (step == 3) MergeTable.checkpoint(spark, root)
+      if (step == 7) MergeTable.optimizeZorder(spark, root, "k", "k", "score")
+      if (step == 8) MergeTable.compactFiles(spark, root, "k", smallerThan = 1000L)
+    }
+
+    def read(asOf: Option[Long]): Map[Long, (String, Option[Long])] = {
+      val df = MergeTable.snapshot(spark, root, asOf)
+      if (df.columns.contains("score"))
+        df.select(col("k"), col("v"), col("score")).collect()
+          .map(r => r.getLong(0) -> (r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      else
+        df.select(col("k"), col("v")).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), None: Option[Long])).toMap
+    }
+
+    history.foreach { case (v, expect, ev) =>
+      assert(read(Some(v)) == expect, s"diverged at version $v")
+      // pre-evolution versions read through the era's own narrow schema
+      assert(MergeTable.snapshot(spark, root, Some(v))
+        .columns.contains("score") == ev, s"schema era wrong at $v")
+    }
+    assert(read(None) == model)
+
+    // vacuum to a mid-history floor: at/above stays exact, below throws
+    val floorV = history(5)._1
+    MergeTable.vacuum(spark, root, horizon = floorV, graceMs = 0L)
+    history.filter(_._1 >= floorV).foreach { case (v, expect, _) =>
+      assert(read(Some(v)) == expect, s"post-vacuum divergence at $v")
+    }
+    history.filter(_._1 < floorV).foreach { case (v, _, _) =>
+      val e = intercept[IllegalArgumentException] { read(Some(v)) }
+      assert(e.getMessage.contains("vacuum floor"))
+    }
+  }
+
   test("racing writers: exactly one plan per basis publishes, readers never see a torn table") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
