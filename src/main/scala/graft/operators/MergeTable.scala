@@ -146,16 +146,50 @@ object MergeTable {
       StructType(d.fields ++ next.fields.filterNot(f => byName.contains(f.name)))
   }
 
-  /** The live file set as of a version: adds not yet removed, with their
-    * key stats. Manifest-sized (rows = file count), never data-sized. */
-  def liveFiles(spark: SparkSession, root: String,
-      asOf: Option[Long] = None): DataFrame = {
-    val m = manifest(spark, root, asOf)
+  /** Canonical serialization of per-file key stats into the manifest's
+    * string columns. A plain cast-to-string does NOT round-trip every
+    * type: timestamp→string renders in the WRITER session's timezone,
+    * so a reader in another zone would cast back shifted bounds and
+    * prune a file that really holds a matched key — an un-rewritten
+    * match plus a fresh insert, silent duplicate-key corruption. So
+    * timestamps serialize as epoch-micros integers (timezone-free);
+    * binary and TIMESTAMP_NTZ keys get NULL stats (pruning disabled —
+    * null stats mean "conservatively overlaps everything", the safe
+    * direction); every remaining type round-trips exactly through its
+    * string cast (int64 losslessly, double/float via Java's
+    * shortest-round-trip rendering, decimal as plain digits, date as
+    * ISO, string as itself). [[statBack]] is the inverse. */
+  private def statOf(c: Column, t: DataType): Column = t match {
+    case TimestampType => unix_micros(c).cast("string")
+    case BinaryType | TimestampNTZType => lit(null).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Inverse of [[statOf]]: the manifest stat string back in the key's
+    * own type for a correctly-ordered comparison. A null stat (binary /
+    * NTZ keys, all-null-key files, or a failed cast) is treated as
+    * overlapping by every consumer, so decode errs only toward reading
+    * more files, never toward missing a match. */
+  private def statBack(c: Column, t: DataType): Column = t match {
+    case TimestampType => timestamp_micros(c.cast("long"))
+    case BinaryType | TimestampNTZType => lit(null).cast(t)
+    case _ => c.cast(t)
+  }
+
+  /** The live add-set of a manifest frame: adds not yet removed — the
+    * one anti-join shared by [[liveFiles]] (reads) and [[checkpoint]]
+    * (log folding), so live-set semantics cannot diverge between them. */
+  private def liveAdds(m: DataFrame): DataFrame =
     m.filter(col("op") === "add")
       .join(m.filter(col("op") === "remove").select(col("file")),
         Seq("file"), "left_anti")
+
+  /** The live file set as of a version: adds not yet removed, with their
+    * key stats. Manifest-sized (rows = file count), never data-sized. */
+  def liveFiles(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame =
+    liveAdds(manifest(spark, root, asOf))
       .select(col("file"), col("min_key"), col("max_key"), col("n_rows"))
-  }
 
   /** Read the table as of `asOf` (latest if None). Fails loudly below
     * the vacuum floor — those versions' files are physically gone, and
@@ -201,15 +235,21 @@ object MergeTable {
     val loC = lit(lo)
     val t: org.apache.spark.sql.types.DataType = lo match {
       case _: Int | _: Long | _: Short | _: Byte => LongType
-      case _: Double | _: Float => DoubleType
+      case _: Double => DoubleType
+      // NOT DoubleType: a float stat like "0.1" widened to double is
+      // 0.1000000000000000055…, above the float key 0.10000000149…'s
+      // double image — the span test would EXCLUDE a file holding the
+      // exact match. Compare in the key's own float lattice.
+      case _: Float => FloatType
       case _: java.math.BigDecimal | _: BigDecimal => DecimalType(38, 18)
       case _: java.sql.Timestamp | _: java.time.Instant => TimestampType
       case _: java.sql.Date | _: java.time.LocalDate => DateType
+      case _: Array[Byte] => BinaryType // null stats → no pruning, full scan
       case _ => StringType
     }
     val files = liveFiles(spark, root, asOf)
-      .withColumn("mn", col("min_key").cast(t))
-      .withColumn("mx", col("max_key").cast(t))
+      .withColumn("mn", statBack(col("min_key"), t))
+      .withColumn("mx", statBack(col("max_key"), t))
       .filter(col("mn").isNull || col("mx").isNull ||
         (col("mx") >= loC && col("mn") <= lit(hi)))
       .select(col("file"))
@@ -252,6 +292,11 @@ object MergeTable {
     require(fromV >= fl,
       s"version $fromV predates the vacuum floor $fl: its files were " +
         "physically deleted; the change feed below the floor cannot answer")
+    // two manifest folds, NOT one filtered read: each version must plan
+    // from its own checkpoint choice (a checkpoint ≤ toV but > fromV
+    // has already folded away removes inside the window — restricting
+    // its rows to version ≤ fromV would silently drop them from the
+    // before-set and the feed would miss those deletes)
     val fileSet = (v: Long) => liveFiles(spark, root, Some(v))
       .select(col("file")).collect().map(_.getString(0)).toSet
     val before = fileSet(fromV)
@@ -259,9 +304,16 @@ object MergeTable {
     val added = (after -- before).toIndexedSeq.sorted
     val removed = (before -- after).toIndexedSeq.sorted
 
-    val reader = declaredSchema(spark, root, Some(toV))
+    val declared = declaredSchema(spark, root, Some(toV))
+    val reader = declared
       .map(spark.read.schema(_)).getOrElse(spark.read)
-    val empty = snapshot(spark, root, Some(toV)).limit(0)
+    // only planned when one side has no files; the common both-sides
+    // case must not pay a full snapshot planning pass for it
+    lazy val empty = declared match {
+      case Some(sch) => spark.createDataFrame(
+        new java.util.ArrayList[Row](), sch)
+      case None => snapshot(spark, root, Some(toV)).limit(0)
+    }
     val newSide =
       if (added.isEmpty) empty
       else reader.parquet(added.map(f => s"$root/$f"): _*)
@@ -325,8 +377,15 @@ object MergeTable {
     val vs = versions(spark, root)
     if (vs.isEmpty) return None
     val latest = vs.last
+    // first-time bootstrap on a vacuumed table: versions below the
+    // floor are unanswerable, so a new consumer starts AT the floor
+    // (its bootstrap snapshot is snapshot(floor)) and drains
+    // (floor, latest] — vs.head alone would make changeFeed's floor
+    // check throw on every call, forever, since the offset is only
+    // recorded after a successful drain
     val from = MetadataStore.get(spark, storePath, s"cdc:$consumerId")
-      .map(_.toLong).getOrElse(vs.head)
+      .map(_.toLong)
+      .getOrElse(math.max(vs.head, vacuumFloor(spark, root)))
     if (from >= latest) return None
     process(changeFeed(spark, root, key, from, latest, preImages))
     MetadataStore.set(spark, storePath, s"cdc:$consumerId", latest.toString)
@@ -354,11 +413,12 @@ object MergeTable {
     // through the declared schema: compaction may rebin files from
     // different schema eras, and a sampled-footer read would silently
     // drop an evolved column from the rewritten (now authoritative) file
-    val reader = declaredSchema(spark, root, Some(basis))
+    val declared = declaredSchema(spark, root, Some(basis))
+    val reader = declared
       .map(spark.read.schema(_)).getOrElse(spark.read)
     val df = reader.parquet(small.map(f => s"$root/${f._1}"): _*)
     Some(commit(spark, root, df.repartition(nOut), key,
-      removes = small.map(_._1), basis))
+      removes = small.map(_._1), basis, declared))
   }
 
   /** OPTIMIZE … ZORDER BY (c1, c2): rewrite ALL live data files
@@ -391,7 +451,8 @@ object MergeTable {
       .select(col("file"))
       .collect().map(_.getString(0)).toIndexedSeq
     require(live.nonEmpty, s"merge table at $root has no live files")
-    val reader = declaredSchema(spark, root, Some(basis))
+    val declared = declaredSchema(spark, root, Some(basis))
+    val reader = declared
       .map(spark.read.schema(_)).getOrElse(spark.read)
     val df = reader.parquet(live.map(f => s"$root/$f"): _*)
     // z-order columns must exist and be integral: pmod over a float
@@ -428,16 +489,40 @@ object MergeTable {
       .repartitionByRange(nFiles, col(zc))
       .sortWithinPartitions(col(zc))
       .drop(zc)
-    commit(spark, root, out, key, removes = live, basis)
+    commit(spark, root, out, key, removes = live, basis, declared)
   }
 
   /** Pure insert: add `df` as new files; no existing file is touched.
     * Appends commute, so a lost commit race (CME) is always safely
-    * retryable by the caller — the retry re-reads the advanced basis. */
+    * retryable by the caller — the retry re-reads the advanced basis.
+    *
+    * The schema gate is the SAME as merge's: a batch with unknown
+    * columns is refused unless `evolveSchema = true` (a typo'd column
+    * name must not silently widen the declared schema and null-fill the
+    * real one), and an evolving batch must still carry every declared
+    * column. NOTE: append does not check key uniqueness against the
+    * table — appending an existing key creates a duplicate row. Tables
+    * consumed through [[changeFeed]]/[[drainChanges]] (which diff by
+    * key) must be written via [[merge]], or append only known-fresh
+    * key ranges. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      key: String): Long =
-    commit(spark, root, df, key, removes = Seq.empty,
-      basis = versions(spark, root).lastOption.getOrElse(0L))
+      key: String, evolveSchema: Boolean = false): Long = {
+    val basis = versions(spark, root).lastOption.getOrElse(0L)
+    val declared =
+      if (basis == 0L) None else declaredSchema(spark, root, Some(basis))
+    declared.map(_.fieldNames.toSet).foreach { tableCols =>
+      if (evolveSchema)
+        require(tableCols.subsetOf(df.columns.toSet),
+          s"evolving append batch must carry every table column; missing " +
+            (tableCols -- df.columns.toSet).toSeq.sorted.mkString(","))
+      else
+        require(df.columns.toSet == tableCols,
+          s"append batch columns ${df.columns.sorted.mkString(",")} != " +
+            s"table columns ${tableCols.toSeq.sorted.mkString(",")}" +
+            " (pass evolveSchema = true to add columns)")
+    }
+    commit(spark, root, df, key, removes = Seq.empty, basis, declared)
+  }
 
   /** `MERGE INTO root USING updates ON root.key = updates.key
     *  WHEN MATCHED [AND deleteCol] THEN DELETE
@@ -454,16 +539,38 @@ object MergeTable {
     * by reference unmodified, and every read fills the new columns
     * with nulls for pre-evolution files — Delta's `mergeSchema`
     * semantics. Narrowing and retyping stay refused either way. */
-  def merge(spark: SparkSession, root: String, updates: DataFrame,
+  def merge(spark: SparkSession, root: String, updates0: DataFrame,
       key: String, deleteCol: Option[String] = None,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false): Long = try {
+    // Pin the batch: the plan below evaluates it four times (dup check,
+    // file skipping, survivor anti-join, the written union). A
+    // nondeterministic source (sample, order-dependent dropDuplicates,
+    // a re-read of a mutating upstream) evaluated independently could
+    // show DIFFERENT keys to the skipping pass and the anti-join —
+    // leaving a matched key unremoved while its replacement lands.
+    // Persisting makes all four consumers read one materialization
+    // (and drops the 4× recompute on the hot streaming-CDC path).
+    val updates = updates0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mergePinned(spark, root, updates, key, deleteCol, evolveSchema)
+  } finally updates0.unpersist()
+
+  private def mergePinned(spark: SparkSession, root: String,
+      updates: DataFrame, key: String, deleteCol: Option[String],
+      evolveSchema: Boolean): Long = {
     val dups = updates.filter(col(key).isNotNull)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).limit(1).count()
     require(dups == 0L, s"merge batch is not unique on '$key'")
 
     val inserts = deleteCol match {
-      case Some(c) => updates.filter(!col(c)).drop(c)
+      // SQL MERGE clause semantics: a NULL delete flag does not satisfy
+      // `WHEN MATCHED AND deleted THEN DELETE`, so the row falls
+      // through to the UPDATE clause. A bare `!col(c)` filter would
+      // evaluate NULL and drop the row from the inserts while its key
+      // still drives the survivor anti-join — silently DELETING a row
+      // whose flag was never true.
+      case Some(c) => updates.filter(!coalesce(col(c), lit(false))).drop(c)
       case None => updates
     }
     // Optimistic concurrency: the whole plan below (file skipping,
@@ -475,11 +582,14 @@ object MergeTable {
     // latest-version commit would silently allow).
     val basis = versions(spark, root).lastOption.getOrElse(0L)
     if (basis == 0L)
-      return commit(spark, root, inserts, key, removes = Seq.empty, basis)
+      return commit(spark, root, inserts, key, removes = Seq.empty, basis, None)
     val asOfB = Some(basis)
     val live = liveFiles(spark, root, asOfB)
 
-    val tableCols = declaredSchema(spark, root, asOfB).map(_.fieldNames.toSet)
+    // one manifest read serves the column gate, the era-aligned file
+    // reader, and the commit's schema widening
+    val declared = declaredSchema(spark, root, asOfB)
+    val tableCols = declared.map(_.fieldNames.toSet)
       .getOrElse(snapshot(spark, root, asOfB).columns.toSet)
     if (evolveSchema)
       require(tableCols.subsetOf(inserts.columns.toSet),
@@ -492,16 +602,15 @@ object MergeTable {
           " (pass evolveSchema = true to add columns)")
 
     // File skipping: a file can hold a matched key only if some update
-    // key falls inside its [min_key, max_key] span. Stats are stored as
-    // strings; cast back to the key's own type for a correctly-ordered
-    // comparison — a failed cast (or an all-null-key file) yields null
-    // and is treated as overlapping, so pruning errs only toward
-    // rewriting more, never toward missing a match. SQL MERGE null
-    // semantics: a null update key matches nothing (pure insert).
+    // key falls inside its [min_key, max_key] span, decoded from the
+    // canonical stat serialization ([[statOf]]/[[statBack]] — a null or
+    // undecodable stat is treated as overlapping, so pruning errs only
+    // toward rewriting more, never toward missing a match). SQL MERGE
+    // null semantics: a null update key matches nothing (pure insert).
     val keyType = updates.schema(key).dataType
     val stats = live.select(col("file"),
-      col("min_key").cast(keyType).as("mn"),
-      col("max_key").cast(keyType).as("mx"))
+      statBack(col("min_key"), keyType).as("mn"),
+      statBack(col("max_key"), keyType).as("mx"))
     val touched = updates.select(col(key)).filter(col(key).isNotNull)
       .join(broadcast(stats),
         col("mn").isNull || col("mx").isNull ||
@@ -511,7 +620,7 @@ object MergeTable {
 
     // touched files may span multiple schema eras themselves — read
     // them through the declared schema, not whichever footer is sampled
-    val tblReader = declaredSchema(spark, root, asOfB)
+    val tblReader = declared
       .map(spark.read.schema(_)).getOrElse(spark.read)
     val survivors =
       if (touched.isEmpty) inserts.limit(0)
@@ -522,7 +631,7 @@ object MergeTable {
     // exact-schema batch naturally has
     commit(spark, root,
       survivors.unionByName(inserts, allowMissingColumns = true), key,
-      removes = touched, basis)
+      removes = touched, basis, declared)
   }
 
   /** The commit-point rename: succeeds iff `fin` did not exist, fails
@@ -594,13 +703,16 @@ object MergeTable {
     * dense and the rename refuses an existing destination, the rename
     * atomically validates that NO other commit landed after the basis —
     * optimistic concurrency control with the arbitration and the
-    * validation as one filesystem operation. */
+    * validation as one filesystem operation.
+    *
+    * `declaredAtBasis` is the caller's already-read declared schema as
+    * of the basis (None for a fresh table) — threaded through so the
+    * hot CDC path reads the manifest once per merge, not three times. */
   private def commit(spark: SparkSession, root: String, df: DataFrame,
-      key: String, removes: Seq[String], basis: Long): Long = {
+      key: String, removes: Seq[String], basis: Long,
+      declaredAtBasis: Option[StructType]): Long = {
     val fs = fsOf(spark, root)
-    val declared = widened(
-      if (basis == 0L) None else declaredSchema(spark, root, Some(basis)),
-      df.schema)
+    val declared = widened(declaredAtBasis, df.schema)
     val version = basis + 1L
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val dataRel = s"$DataDir/${fmtData(version)}-$nonce"
@@ -610,11 +722,13 @@ object MergeTable {
     // per-file key stats, computed over just-written files only (page-
     // cache-hot, bounded by ONE write's output). min/max run in the
     // key's own type — casting to string first would rank numerics
-    // lexicographically and corrupt pruning.
+    // lexicographically — then serialize through the canonical,
+    // timezone-free [[statOf]] encoding.
+    val kt = df.schema(key).dataType
     val adds = spark.read.parquet(dataPath.toString)
       .groupBy(col("_metadata.file_name").as("fn"))
-      .agg(min(col(key)).cast("string").as("min_key"),
-        max(col(key)).cast("string").as("max_key"),
+      .agg(statOf(min(col(key)), kt).as("min_key"),
+        statOf(max(col(key)), kt).as("max_key"),
         count(lit(1)).as("n_rows"))
       .collect()
       .map(r => Row(version, "add", s"$dataRel/${r.getString(0)}",
@@ -659,9 +773,7 @@ object MergeTable {
     require(vs.nonEmpty, s"nothing to checkpoint at $root")
     val c = vs.last
     val m = manifest(spark, root, Some(c))
-    val live = m.filter(col("op") === "add")
-      .join(m.filter(col("op") === "remove").select(col("file")),
-        Seq("file"), "left_anti")
+    val live = liveAdds(m)
       .select(col("version"), col("op"), col("file"),
         col("min_key"), col("max_key"), col("n_rows"))
       // the latest schema action must survive the fold: once vacuum
@@ -727,6 +839,16 @@ object MergeTable {
       graceMs: Long = DefaultVacuumGraceMs): Long = {
     val fs = fsOf(spark, root)
     import spark.implicits._
+    // The floor is monotone (max with the prior) and there is no API to
+    // lower it — one absurd horizon would permanently destroy all time
+    // travel and CDC. Guard against the classic confusion with Delta's
+    // retention-TIME argument (a millis timestamp is ~1.7e12, never a
+    // valid version of this table).
+    val latest = versions(spark, root).lastOption.getOrElse(0L)
+    require(horizon <= latest,
+      s"vacuum horizon $horizon exceeds the latest version $latest of " +
+        s"$root — the horizon is a VERSION, not a timestamp; refusing " +
+        "to set an unanswerable floor that no call could ever lower")
     val prior = vacuumFloor(spark, root)
     val floor = math.max(prior, horizon)
     val floorPath = s"$root/$FloorDir"

@@ -27,6 +27,117 @@ class MergeTableSpec extends SparkSpec {
       Set((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
+  test("a NULL delete flag means UPDATE, never a silent delete") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    // SQL MERGE: `WHEN MATCHED AND deleted THEN DELETE` is not
+    // satisfied by NULL → the row falls through to UPDATE
+    val batch = Seq((1L, "A", Option.empty[Boolean]),
+      (2L, "B", Some(true))).toDF("k", "v", "deleted")
+    MergeTable.merge(spark, root, batch, "k", deleteCol = Some("deleted"))
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "A")))
+  }
+
+  test("append enforces the same schema gate as merge") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    // a typo'd column must not silently widen the declared schema and
+    // null-fill the real one
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.append(spark, root, Seq((2L, "b")).toDF("k", "vv"), "k")
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // explicit evolution works and still requires the declared columns
+    MergeTable.append(spark, root,
+      Seq((2L, "b", 7L)).toDF("k", "v", "score"), "k", evolveSchema = true)
+    val snap = MergeTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "v", "score"))
+    assert(snap.filter(col("k") === 1L).head().isNullAt(2))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.append(spark, root,
+        Seq((3L, 9L)).toDF("k", "score"), "k", evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("every table column"))
+  }
+
+  test("vacuum refuses a horizon beyond the latest version") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.vacuum(spark, root, horizon = System.currentTimeMillis())
+    }
+    assert(e.getMessage.contains("not a timestamp"))
+    // the floor was NOT moved: reads still work
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "a")))
+  }
+
+  test("a first-time CDC consumer on a vacuumed table bootstraps at the floor") {
+    val root = tmpRoot()
+    val store = tmpRoot()
+    val v1 = MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    MergeTable.merge(spark, root, Seq((1L, "b")).toDF("k", "v"), "k")
+    val v3 = MergeTable.merge(spark, root, Seq((2L, "c")).toDF("k", "v"), "k")
+    MergeTable.vacuum(spark, root, horizon = v3, graceMs = 0L)
+    assert(MergeTable.vacuumFloor(spark, root) == v3)
+    MergeTable.merge(spark, root, Seq((3L, "d")).toDF("k", "v"), "k")
+    // bootstrap at vs.head = v1 would throw on the floor check forever;
+    // the consumer must start at the floor and drain (floor, latest]
+    var seen = Set.empty[(String, Long)]
+    val win = MergeTable.drainChanges(spark, root, "k", store, "c1") { feed =>
+      seen = feed.select(col("change_type"), col("k")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(win.exists(_._1 == v3), s"window should start at the floor: $win")
+    assert(seen == Set(("insert", 3L)))
+    assert(v1 < v3) // the scenario really had pre-floor history
+  }
+
+  test("timestamp keys: stats are timezone-free micros, pruning stays exact") {
+    val root = tmpRoot()
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    MergeTable.append(spark, root,
+      (0L until 100L).map(i => (ts(i), s"r$i")).toDF("k", "v"), "k")
+    // the manifest stat must be a bare integer (epoch micros), not a
+    // session-zone-rendered timestamp string
+    val stat = MergeTable.liveFiles(spark, root)
+      .select(col("min_key")).head().getString(0)
+    assert(stat.matches("-?\\d+"), s"timestamp stat not canonical: $stat")
+    MergeTable.merge(spark, root,
+      Seq((ts(50L), "UPD")).toDF("k", "v"), "k")
+    val got = MergeTable.snapshot(spark, root)
+      .filter(col("k") === ts(50L)).select(col("v")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("UPD"), "matched key must be replaced, not duplicated")
+    assert(MergeTable.snapshot(spark, root).count() == 100L)
+  }
+
+  test("binary keys: pruning disabled (null stats), merge still exact") {
+    val root = tmpRoot()
+    val b = (i: Int) => Array.fill(3)(i.toByte)
+    MergeTable.append(spark, root,
+      (0 until 20).map(i => (b(i), s"r$i")).toDF("k", "v"), "k")
+    assert(MergeTable.liveFiles(spark, root)
+      .filter(col("min_key").isNotNull).count() == 0L)
+    MergeTable.merge(spark, root, Seq((b(7), "UPD")).toDF("k", "v"), "k")
+    val vals = MergeTable.snapshot(spark, root)
+      .filter(col("k") === lit(b(7))).select(col("v"))
+      .collect().map(_.getString(0))
+    assert(vals.toSeq == Seq("UPD"))
+    assert(MergeTable.snapshot(spark, root).count() == 20L)
+  }
+
+  test("float range reads compare in the float lattice, not a widened double") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root,
+      Seq((0.1f, "a"), (0.5f, "b")).toDF("k", "v"), "k")
+    // 0.1f widened to double is ABOVE the stat "0.1" parsed as double —
+    // a double-lattice compare would exclude the file holding the match
+    val got = MergeTable.snapshotRange(spark, root, 0.1f, 0.1f)
+      .filter(col("k") === lit(0.1f)).select(col("v"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a"))
+  }
+
   test("merge ≡ the Upsert.merge relational reference on real orders") {
     val root = tmpRoot()
     val base = graft.Tables.orders(spark, Sf)
