@@ -98,6 +98,20 @@ object Similarity extends QueryModule {
     * compared quadratically). */
   val SemDedupMaxMembers = 20000
 
+  /** Comparison-block size for the within-cluster pair stage: capped
+    * members are further split into md5-ordered CHUNKS of this size and
+    * pairs are compared only within a chunk, so per-cluster work is
+    * (members/chunk)·C(chunk, 2) — LINEAR in members — instead of
+    * C(cap, 2). The 100×-scale rehearsal measured why the cap alone is
+    * not enough: a 20k-member capped cluster is still 2·10⁸ cosine
+    * pairs, and sim_semdedup took 548 s at 200k vectors. Same
+    * recall-for-boundedness trade as the cap (near-dups split across
+    * chunks are kept; md5 chunking makes the miss probability
+    * ~1−1/chunks per true pair, the price of a hard work ceiling). At
+    * the test SFs every cluster fits ONE chunk, so the stage is inert
+    * there and the oracle replays it verbatim. */
+  val SemDedupChunk = 2000
+
   /** Max-cosine seed assignment (ties to the smaller cluster id): the k
     * seed vectors broadcast against one corpus pass — the shared
     * assignment kernel of emb_kmeans_step, sim_semdedup, and
@@ -149,7 +163,8 @@ object Similarity extends QueryModule {
     * 2^60·2·cap), so the thinning is inert at the test SFs and the
     * two-stage definition — replayed verbatim by the oracle, both
     * stages md5-derived — degenerates to the plain rank cap. */
-  private[ext] def cappedClusterMembers(asg: DataFrame, maxMembers: Int): DataFrame = {
+  private[ext] def cappedClusterMembers(asg: DataFrame, maxMembers: Int,
+      chunkSize: Int = SemDedupChunk): DataFrame = {
     val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("_csz"))
     val key = conv(substring(
       md5(concat(lit("sd_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
@@ -163,7 +178,11 @@ object Similarity extends QueryModule {
       .orderBy(md5(concat(lit("sd_"), col("vec_id").cast("string"))), col("vec_id"))
     thinned.withColumn("mrn", row_number().over(byCluster))
       .filter(col("mrn") <= maxMembers)
-      .select(col("vec_id"), col("cluster_id"), col("v"))
+      // comparison block: pairs are only formed within a chunk (see
+      // [[SemDedupChunk]] — the linear-work ceiling the cap alone
+      // doesn't give)
+      .select(col("vec_id"), col("cluster_id"), col("v"),
+        expr(s"cast((mrn - 1) div $chunkSize AS bigint)").as("chunk"))
   }
 
   /** Stage-1 threshold: keep iff key·n < 2·cap·2^60 (all doubles; the
@@ -172,13 +191,16 @@ object Similarity extends QueryModule {
   private[ext] def thinningBound(maxMembers: Int): Double =
     2.0 * maxMembers * (1L << 60).toDouble
 
-  /** Within-cluster candidate pairs above `threshold`, over a (possibly
-    * capped) membership — the semdedup pair stage, exposed so the spec
-    * can prove the fan-out bound under an adversarial mega-cluster. */
+  /** Within-cluster candidate pairs above `threshold`, over a capped +
+    * chunked membership (the [[cappedClusterMembers]] output) — the
+    * semdedup pair stage, exposed so the spec can prove the fan-out
+    * bound under an adversarial mega-cluster. The chunk equi-key keeps
+    * the self-join fan-out linear in members (see [[SemDedupChunk]]). */
   private[ext] def semdedupPairs(members: DataFrame, threshold: Double): DataFrame =
     members.as("a")
       .join(members.as("b"),
         col("a.cluster_id") === col("b.cluster_id")
+          && col("a.chunk") === col("b.chunk")
           && col("a.vec_id") < col("b.vec_id"))
       .withColumn("pcos", graft.functions.VectorExpressions
         .vector_cosine(col("a.v"), col("b.v")))
@@ -249,9 +271,16 @@ object Similarity extends QueryModule {
     * (so signatures are bit-identical to the oracle) but compiled into
     * the whole-stage loop instead of 24 interpreted zip_with+aggregate
     * lambdas per row (the round-1 bottleneck). */
-  private def lshSketches(e: DataFrame): DataFrame = {
-    def sig(t: Int, v: Column): Column = (0 until LshBits).map { p =>
-      val w = array((0 until 64).map(d => lit(planeSign(t * LshBits + p, d))): _*)
+  /** Sign-sketch rows per (vector, table). `bits` sizes the bucket
+    * space: 2^bits buckets per table, so a deployment picks
+    * bits ≈ log2(n / target_bucket) — the 100×-rehearsal lesson: the
+    * test-SF default of 6 bits is 64 buckets, and at 200k vectors the
+    * masked-key self-join over ~3k-member buckets generated a
+    * candidate stream large enough to fill local disk. The declared
+    * queries guard their corpus size and name this parameter. */
+  private[ext] def lshSketches(e: DataFrame, bits: Int = LshBits): DataFrame = {
+    def sig(t: Int, v: Column): Column = (0 until bits).map { p =>
+      val w = array((0 until 64).map(d => lit(planeSign(t * bits + p, d))): _*)
       when(graft.functions.VectorExpressions.vector_dot(w, v) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
@@ -282,6 +311,111 @@ object Similarity extends QueryModule {
   private def dProbeValues(src: String): String =
     (s"($src.bucket)" +: (0 until LshBits).map(p =>
       s"(xor($src.bucket, ${1L << p}))")).mkString(", ")
+
+  /** Per-bucket membership ceiling for the near-dup candidate join —
+    * the df-cap discipline applied to LSH buckets. Even with
+    * corpus-sized `bits`, DATA decides bucket occupancy: a degenerate
+    * direction cluster (the 100×-rehearsal generator's near-parallel
+    * replicas) piles 95% of the corpus into a handful of buckets and
+    * the pair join is quadratic in the hottest bucket no matter the
+    * geometry. Buckets past the cap are md5-thinned to exactly this
+    * many members (same two-stage mechanism as
+    * [[cappedClusterMembers]]); pairs whose two members both survive
+    * the thinning are still found, the rest are the standard
+    * recall-for-boundedness trade. Far above any test-SF bucket, so
+    * the declared query's oracle never sees it fire. */
+  val NeardupMaxBucket = 500
+
+  /** Two-stage md5 bucket thinning for [[neardupLshPairs]]'s sketch
+    * rows, keyed by the RAW bucket (table_id, bucket) — capping there
+    * bounds every downstream group: an equal-bucket join group is one
+    * capped bucket, a masked-key group unions at most two. */
+  private[ext] def capBuckets(sk: DataFrame, maxBucket: Int): DataFrame = {
+    val gs = Seq(col("table_id"), col("bucket"))
+    val sizes = sk.groupBy(gs: _*).agg(count(lit(1)).as("_bsz"))
+    val key = conv(substring(
+      md5(concat(lit("nd_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    // stage 1: probabilistic threshold cuts any hot bucket to ~2·cap
+    // with no per-group sort; stage 2: exact md5 rank restores ≤ cap
+    val thinned = sk.join(sizes, Seq("table_id", "bucket"))
+      .filter(key.cast("double") * col("_bsz").cast("double") <
+        lit(thinningBound(maxBucket)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+      .orderBy(md5(concat(lit("nd_"), col("vec_id").cast("string"))), col("vec_id"))
+    thinned.withColumn("_brn", row_number().over(w))
+      .filter(col("_brn") <= maxBucket)
+      .select(col("vec_id"), col("table_id"), col("bucket"))
+  }
+
+  /** The distributed embedding near-dup pipeline at an explicit bucket
+    * geometry — verified pairs (id_a < id_b, sim ≥ threshold) from a
+    * Hamming-≤1 masked-key self-join over [[lshSketches]] buckets.
+    * `bits` MUST be sized to the corpus (≈ log2(n / target_bucket));
+    * the declared `sim_neardup_lsh` query pins bits = [[LshBits]] for
+    * the oracle and guards its corpus size, while scale callers (and
+    * the 100×-rehearsal) pass larger geometries directly.
+    *
+    * Plan shape (what makes the candidate stream bounded at ANY bits):
+    * the Hamming ≤ 1 collision set splits by WHERE the pair collides —
+    * equal buckets join ONCE per table on the raw bucket key, and
+    * Hamming-EXACTLY-1 pairs join on the bit-i-zeroed masked key with
+    * an explicit `bucket ≠ bucket` condition, which makes each such
+    * pair collide on exactly ONE (table, tag) too. The earlier
+    * masked-keys-only form emitted every equal-bucket pair `bits`
+    * times (equal buckets collide on EVERY tag) — a ×bits candidate
+    * stream that filled local disk under hot buckets at the 100×
+    * rehearsal, before the distinct could dedup it. Candidate ids are
+    * distinct'd BEFORE the vectors re-join for the exact verify, so
+    * the candidate shuffle carries 16-byte pairs, not kilobyte
+    * payloads. A zero-norm embedding (dirty data) yields cosine NaN,
+    * which `>=` would keep (NaN sorts greatest) while the brute kernel
+    * drops it — filtered, so the output stays a strict subset of the
+    * exact pairs. */
+  private[ext] def neardupLshPairs(e: DataFrame, bits: Int,
+      threshold: Double, maxBucket: Int = NeardupMaxBucket,
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius == 0 || probeRadius == 1,
+      s"probeRadius must be 0 or 1, got $probeRadius")
+    val sk = capBuckets(lshSketches(e, bits), maxBucket)
+    // same-bucket pairs: one emission per table
+    val eq = sk.as("x").join(sk.as("y"),
+        col("x.table_id") === col("y.table_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    // Hamming-exactly-1 pairs: one emission per (table, differing bit).
+    // Even capped, this stream bounds at ~bits·cap·n when hot buckets
+    // sit in hot Hamming neighborhoods (the 100×-rehearsal geometry) —
+    // so the probe is a RADIUS choice: radius 0 (same bucket only) is
+    // the scale posture, where recall is bought with MORE TABLES
+    // (linear cost) instead of bit flips (multiplicative stream).
+    val one =
+      if (probeRadius == 0) eq.limit(0)
+      else {
+        val mk = sk.select(col("vec_id"), col("table_id"), col("bucket"),
+          explode(array((0 until bits).map(i =>
+            struct(lit(i).as("tag"),
+              col("bucket").bitwiseAND(lit(~(1L << i))).as("masked"))): _*)).as("mt"))
+          .select(col("vec_id"), col("table_id"), col("bucket"),
+            col("mt.tag").as("tag"), col("mt.masked").as("masked"))
+        mk.as("x").join(mk.as("y"),
+            col("x.table_id") === col("y.table_id") &&
+              col("x.tag") === col("y.tag") &&
+              col("x.masked") === col("y.masked") &&
+              col("x.bucket") =!= col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      }
+    val cand = eq.unionByName(one).distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("vb")), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold && !isnan(col("sim")))
+  }
 
   /** Top-5 per query via the engine's OWN bounded-heap operator
     * (`TopK.perGroup`) instead of a `row_number` window: the window
@@ -970,47 +1104,20 @@ object Similarity extends QueryModule {
     "sim_neardup_lsh" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-        // Hamming ≤ 1 via SYMMETRIC masked keys instead of an asymmetric
-        // probe explode: each (table, bucket) emits k keys, key i =
-        // bucket with bit i zeroed, tagged i. Buckets equal → collide on
-        // every tag; differing exactly in bit i → collide on tag i. Both
-        // join sides are then the IDENTICAL relation, so ReuseExchange
-        // computes the sketches (24 codegen'd 64-dim dots per row — the
-        // dominant map cost at scale) and their shuffle ONCE, where the
-        // probe-explode form paid them per side.
-        val mk = lshSketches(e).select(col("vec_id"), col("table_id"),
-          explode(array((0 until LshBits).map(i =>
-            struct(lit(i).as("tag"),
-              col("bucket").bitwiseAND(lit(~(1L << i))).as("masked"))): _*)).as("mt"))
-          .select(col("vec_id"), col("table_id"),
-            col("mt.tag").as("tag"), col("mt.masked").as("masked"))
-        // dedup BARE id pairs first, then re-join the vectors only for
-        // the exact verify: a pair colliding in several tables/tags
-        // would otherwise drag its two 64-double payloads through every
-        // duplicate row of the distinct's shuffle — the candidate stream
-        // is orders of magnitude larger than the distinct pair set, so
-        // the shuffle must carry 16-byte pairs, not kilobyte vectors
-        // (this is also exactly the oracle's CTE shape).
-        val cand = mk.as("x").join(mk.as("y"),
-            col("x.table_id") === col("y.table_id") &&
-              col("x.tag") === col("y.tag") &&
-              col("x.masked") === col("y.masked") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-          .distinct()
-        // NaN guard: a zero-norm embedding (dirty data) collides in
-        // bucket 0 everywhere and yields cosine 0/0 = NaN, which Spark's
-        // and DuckDB's >= both treat as TRUE (NaN sorts greatest) while
-        // the brute baseline's JVM kernel drops it — filter it so the
-        // output stays a strict subset of the exact pairs.
-        cand
-          .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("vb")), 4)
-              .as("sim"))
-          .filter(col("sim") >= 0.4 && !isnan(col("sim")))
-          .orderBy(col("id_a"), col("id_b"))
+        // The declared query is pinned to the test-SF bucket geometry
+        // (LshBits = 6 ⇒ 64 buckets/table); past ~50k vectors those
+        // buckets hold thousands of members and the masked-key
+        // candidate stream grows quadratically per bucket (the
+        // 100×-rehearsal run filled local disk at 200k vectors).
+        // Refuse loudly and name the sized path instead of silently
+        // melting down — the sim_neardup_pairs guard discipline.
+        val n = e.count()
+        require(n <= 50000L,
+          s"sim_neardup_lsh is declared at the test-SF bucket geometry " +
+            s"(${LshBits} bits = ${1 << LshBits} buckets/table; corpus n=$n): " +
+            "call Similarity.neardupLshPairs(e, bits ≈ log2(n/500), 0.4) " +
+            "so buckets stay a few hundred members")
+        neardupLshPairs(e, LshBits, 0.4).orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |$dSkCtes,
@@ -1159,11 +1266,14 @@ object Similarity extends QueryModule {
     // dedup tractable at 100 TB: the quadratic pair comparison runs
     // within clusters via a cluster-keyed equi-join, never across the
     // corpus — and the [[SemDedupMaxMembers]] md5-ordered cap bounds
-    // each cluster's pair fan-out at C(cap, 2) even when the seed
-    // geometry collapses most of the corpus into one cluster (the
-    // adversarial case ExtSpec pins). Assignment, cosine, tie-breaks
-    // AND the cap replay bit-exactly in the oracle (the emb_kmeans_step
-    // construction plus a shared md5 member ranking).
+    // each cluster's pair fan-out even when the seed geometry collapses
+    // most of the corpus into one cluster (the adversarial case ExtSpec
+    // pins), and the [[SemDedupChunk]] comparison blocks inside the cap
+    // make per-cluster work LINEAR in members (the 100×-rehearsal
+    // finding: the cap alone still allowed C(20k, 2) pairs). Assignment,
+    // cosine, tie-breaks, the cap AND the chunking replay bit-exactly
+    // in the oracle (the emb_kmeans_step construction plus a shared md5
+    // member ranking).
     "sim_semdedup" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
@@ -1200,7 +1310,8 @@ object Similarity extends QueryModule {
               |  WHERE CAST(('0x' || substr(md5('sd_' || a.vec_id::VARCHAR), 1, 15))::BIGINT AS DOUBLE)
               |        * CAST(sz.csz AS DOUBLE) < ${thinningBound(SemDedupMaxMembers)}),
               |capped AS (
-              |  SELECT vec_id, cluster_id, v FROM (
+              |  SELECT vec_id, cluster_id, v,
+              |         CAST((mrn - 1) // $SemDedupChunk AS BIGINT) AS chunk FROM (
               |    SELECT vec_id, cluster_id, v,
               |      ROW_NUMBER() OVER (PARTITION BY cluster_id
               |        ORDER BY md5('sd_' || vec_id::VARCHAR), vec_id) AS mrn
@@ -1208,7 +1319,8 @@ object Similarity extends QueryModule {
               |p AS (
               |  SELECT a.cluster_id, b.vec_id AS drop_id
               |  FROM capped a JOIN capped b
-              |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+              |    ON a.cluster_id = b.cluster_id AND a.chunk = b.chunk
+              |    AND a.vec_id < b.vec_id
               |  WHERE ${dCos("a.v", "b.v")} >= 0.4e0),
               |d AS (SELECT DISTINCT cluster_id, drop_id FROM p),
               |n AS (SELECT cluster_id, count(*) AS n_vecs FROM asg GROUP BY 1),

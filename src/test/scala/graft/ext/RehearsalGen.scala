@@ -32,6 +32,13 @@ object RehearsalGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("target/sf1")
     val replicas = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    // "dup" (default): the duplicate-heavy mix below — realistic dedup
+    // workload, but output-bound queries (pair sets) grow quadratically
+    // in replica multiplicity, so it caps out around ~10×.
+    // "distinct": every replica token-salted into a DISTINCT document
+    // (vocabulary grows ~replicas×) — the mode for 100×-scale runs,
+    // stressing index/candidate bounds without output explosion.
+    val mode = args.drop(3).headOption.getOrElse("dup")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -50,6 +57,12 @@ object RehearsalGen {
     val docsOut = replicate(docs, { (d, r) =>
       val text =
         if (r == 0) col("text")
+        else if (mode == "distinct")
+          // token-level salt: every token rewritten, so the replica
+          // shares NO shingle with its source and the corpus vocabulary
+          // genuinely grows with scale
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$r"))))
         else if (r % 10 == 1) col("text") // exact duplicate
         else if (r % 10 == 2 || r % 10 == 3)
           concat(col("text"), lit(s" salt$r near")) // near duplicate
@@ -63,11 +76,25 @@ object RehearsalGen {
     })
 
     val embs = Tables.embeddings(spark, src)
+    // distinct mode spreads replicas into genuinely new points. The
+    // perturbation DIRECTION must vary with r: a first cut used
+    // amp·r·sin(i + vec_id) — growth along one fixed direction per
+    // vector — and at large r every replica of every vector converged
+    // onto near-parallel rays, collapsing 95% of the corpus into a few
+    // LSH buckets and exploding the true near-dup pair set into the
+    // hundreds of millions (output-bound disk fill, not an engine
+    // bound). Varying the frequency with r decorrelates directions.
+    val embAmp = if (mode == "distinct") 0.5 else 0.01
     val embsOut = replicate(embs, { (e, r) =>
       val vec =
         if (r == 0) col("embedding")
+        else if (mode == "distinct")
+          transform(col("embedding"),
+            (x, i) => (x + lit(embAmp) * sin((i.cast("double") + lit(1.0)) *
+              lit((r * 31 + 7).toDouble) + col("vec_id").cast("double")))
+              .cast("float"))
         else transform(col("embedding"),
-          (x, i) => (x + lit(0.01 * r) * sin(i.cast("double") + col("vec_id").cast("double")))
+          (x, i) => (x + lit(embAmp * r) * sin(i.cast("double") + col("vec_id").cast("double")))
             .cast("float"))
       e.select(
         (col("vec_id") + lit(r * IdStride)).as("vec_id"),
