@@ -541,7 +541,7 @@ object MergeTable {
     * semantics. Narrowing and retyping stay refused either way. */
   def merge(spark: SparkSession, root: String, updates0: DataFrame,
       key: String, deleteCol: Option[String] = None,
-      evolveSchema: Boolean = false): Long = try {
+      evolveSchema: Boolean = false): Long = {
     // Pin the batch: the plan below evaluates it four times (dup check,
     // file skipping, survivor anti-join, the written union). A
     // nondeterministic source (sample, order-dependent dropDuplicates,
@@ -550,10 +550,17 @@ object MergeTable {
     // leaving a matched key unremoved while its replacement lands.
     // Persisting makes all four consumers read one materialization
     // (and drops the 4× recompute on the hot streaming-CDC path).
-    val updates = updates0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    mergePinned(spark, root, updates, key, deleteCol, evolveSchema)
-  } finally updates0.unpersist()
+    // A caller-persisted batch is already pinned: re-persisting at a
+    // different level would throw, and unpersisting in finally would
+    // silently drop the CALLER's cache — so persist only when the
+    // batch arrives unpersisted, and release only what merge pinned.
+    val wePin =
+      updates0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (wePin)
+      updates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergePinned(spark, root, updates0, key, deleteCol, evolveSchema)
+    finally if (wePin) updates0.unpersist()
+  }
 
   private def mergePinned(spark: SparkSession, root: String,
       updates: DataFrame, key: String, deleteCol: Option[String],
@@ -656,7 +663,22 @@ object MergeTable {
             java.nio.file.Paths.get(fin.toUri.getPath),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           true
-        } catch { case _: java.nio.file.FileSystemException => false }
+        } catch {
+          // Only destination-already-exists is a lost race (POSIX
+          // rename(2): EEXIST/ENOTEMPTY — a committed manifest dir is
+          // never empty). Anything else (AccessDenied,
+          // AtomicMoveNotSupported, I/O) is an environmental failure:
+          // reporting it as "another writer committed" would delete the
+          // staged batch and send the caller into a retry loop against
+          // a state that never changes. The JDK's unix move maps
+          // ENOTEMPTY to a RAW FileSystemException (not the
+          // DirectoryNotEmptyException subclass), so the two cases are
+          // told apart by probing the destination: a loser's
+          // destination EXISTS (the winner's manifest), a genuine
+          // failure's does not.
+          case e: java.nio.file.FileSystemException =>
+            if (fs.exists(fin)) false else throw e
+        }
       case _ =>
         // Not safe to use plain FileSystem.rename here either: renaming
         // onto an existing DIRECTORY is POSIX mv on HDFS too — the
@@ -816,8 +838,18 @@ object MergeTable {
     * reference it — so vacuum skips it; older, it is a crashed or
     * defeated writer's leftover and is swept. Objects a manifest DOES
     * reference need no grace: their lifetime is decided by the floor,
-    * not by age. */
-  val DefaultVacuumGraceMs: Long = 10 * 60 * 1000L
+    * not by age.
+    *
+    * The age test is per-FILE modification time, so the window must
+    * exceed the WHOLE data-write phase of the slowest plausible commit:
+    * a multi-hour merge's earliest-written staging files are exactly as
+    * old as the write phase is long when the manifest rename finally
+    * lands. Delta-style systems default the equivalent retention to
+    * days for this reason; 24 h is the floor here. Callers who need a
+    * shorter window (tests, aggressive space reclaim) must guarantee no
+    * writer's write phase can exceed the `graceMs` they pass — vacuum
+    * cannot tell a slow in-flight commit from a crashed one. */
+  val DefaultVacuumGraceMs: Long = 24 * 60 * 60 * 1000L
 
   /** Physically delete what no version ≥ the new floor can reference.
     * Records `horizon` as the time-travel floor FIRST — if the floor

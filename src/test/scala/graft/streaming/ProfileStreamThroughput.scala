@@ -41,7 +41,10 @@ object ProfileStreamThroughput {
       val t0 = System.nanoTime()
       val q = df.writeStream
         .option("checkpointLocation", ckpt)
-        .outputMode(if (name == "dedup") "append" else "append")
+        // all four profiled streams are watermark-append shapes (the
+        // windowed aggs emit on watermark close), so append is the one
+        // correct mode here
+        .outputMode("append")
         .format("noop")
         .trigger(Trigger.AvailableNow())
         .start()
