@@ -26,6 +26,7 @@ object SparkEntry {
     ext.Graph,
     ingest.IngestQueries,
     operators.LakeQueries,
+    streaming.StreamQueries,
   )
 
   private lazy val all: Seq[(String, Q)] = modules.flatMap(_.defs)

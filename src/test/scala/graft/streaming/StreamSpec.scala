@@ -344,4 +344,73 @@ class StreamSpec extends SparkSpec {
     assert(state() == Map(2L -> "B2", 3L -> "c", 4L -> "d"))
     assert(MergeTable.versions(spark, tbl).size == 3)
   }
+
+  test("crash between MERGE commit and checkpoint commit absorbs the replayed batch idempotently") {
+    import graft.operators.{MergeTable, Upsert}
+    val src = Files.createTempDirectory("graft_cr_src").toString
+    val tbl = Files.createTempDirectory("graft_cr_tbl").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_cr_ck").toString
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType)))
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, String, Long)]): Unit = {
+      val f = java.nio.file.Paths.get(s"$src/$name.json")
+      Files.write(f, rows.map { case (k, v, ver) =>
+        s"""{"k":$k,"v":"$v","ver":$ver}"""
+      }.mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    writeBatch("b1", t0, Seq((1L, "a", 1L), (2L, "b", 1L)))
+    writeBatch("b2", t0 + 5000L, Seq((2L, "B", 2L), (3L, "c", 1L)))
+
+    // The one failure window the plain restart test can't reach: the
+    // MERGE lands its table commit, then the process dies BEFORE the
+    // streaming checkpoint acknowledges the batch. On restart Spark
+    // re-delivers that batch; re-merging the identical batch must be
+    // STATE-idempotent (same final rows — matched keys replace with
+    // the same values), with the retry visible only in the version log.
+    @volatile var crashAfterMerge = true
+    def run(): Unit = {
+      val stream = spark.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", 1).json(src)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val hasK3 = batch.filter(col("k") === 3L).limit(1).count() > 0
+            MergeTable.merge(batch.sparkSession, tbl,
+              Upsert.lastWriteWins(batch, "k", "ver"), "k")
+            // table commit is durable; die before the checkpoint commit
+            if (hasK3 && crashAfterMerge)
+              throw new RuntimeException("simulated crash after table commit")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val crash = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    assert(crash.getMessage.contains("simulated crash"))
+    // the table already holds b2's merge — the commit the checkpoint
+    // never acknowledged
+    assert(MergeTable.versions(spark, tbl).size == 2)
+
+    crashAfterMerge = false
+    run() // restart: Spark re-delivers b2, the merge re-applies it
+    def state(): Map[Long, String] = MergeTable.snapshot(spark, tbl)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // the replay is RECORDED, not hidden: 3 commits for 2 logical batches
+    assert(MergeTable.versions(spark, tbl).size == 3)
+    // and the replayed commit changed nothing: the pre- and post-replay
+    // snapshots are identical row sets
+    val preReplay = MergeTable.snapshot(spark, tbl, asOf = Some(2L))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(preReplay == state().map(identity).toSet)
+  }
 }
