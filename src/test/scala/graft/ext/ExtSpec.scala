@@ -431,7 +431,7 @@ class ExtSpec extends SparkSpec {
 
   test("multimodal resize + frame-sample stages propagate typed metadata") {
     val media = Multimodal.mediaTable(spark, Sf)
-    val feats = Multimodal.decodeMedia(media)
+    val feats = Multimodal.decodeMedia(Multimodal.encodedMediaTable(spark, Sf))
     val resized = Multimodal.resize(feats, 224, 224).collect()
     assert(resized.forall(f => f.width == 224 && f.height == 224))
     assert(resized.map(_.feature_hash).distinct.length == resized.length)
@@ -446,15 +446,45 @@ class ExtSpec extends SparkSpec {
     assert(f7.map(_.frame_hash).distinct.length == f7.length)
   }
 
-  test("multimodal decode: partition-parallel stub emits typed features") {
-    val media = Multimodal.mediaTable(spark, Sf)
+  test("multimodal decode: real header parsing recovers planted dimensions") {
+    val media = Multimodal.encodedMediaTable(spark, Sf)
     val feats = Multimodal.decodeMedia(media)
     assert(feats.count() == media.count())
+    // doc 7: 7 % 3 == 1 → JFIF/JPEG; dims planted as 16+(7%64)*16 =
+    // 16+(7%48)*16 = 128, recovered by the SOF segment walk
     val f = feats.filter(col("doc_id") === 7).collect()(0)
-    assert(f.mime == "audio/wav") // 7 % 3 == 1
-    assert(f.payload_len > 0 && f.feature_hash.length == 64)
+    assert(f.mime == "image/jpeg" && f.container == "jpeg")
+    assert(f.width == 128 && f.height == 128)
+    assert(f.payload_len > 39 && f.feature_hash.length == 64)
+    // every row's detected container matches its claimed mime subtype
+    val mismatches = feats.toDF()
+      .filter(element_at(split(col("mime"), "/"), 2) =!= col("container"))
+      .count()
+    assert(mismatches == 0L)
     // deterministic: same input → same features
     val again = Multimodal.decodeMedia(media).filter(col("doc_id") === 7).collect()(0)
     assert(again == f)
+  }
+
+  test("container header codecs: byte-exact roundtrips, walks, and rejection") {
+    val body = "the content stream".getBytes("UTF-8")
+    val png = Multimodal.parseMediaHeader(Multimodal.pngBytes(640, 480, body))
+    assert(png == Multimodal.MediaHeader("png", 640, 480, 33))
+    val jpg = Multimodal.parseMediaHeader(Multimodal.jpegBytes(1024, 768, body))
+    assert(jpg == Multimodal.MediaHeader("jpeg", 1024, 768, 39))
+    val wav = Multimodal.parseMediaHeader(Multimodal.wavBytes(44100, 2, body))
+    assert(wav == Multimodal.MediaHeader("wav", 44100, 2, 44))
+    // the JPEG walk really SKIPS segments by declared length: corrupt
+    // the APP0 length and the SOF is never found at the shifted offset
+    val broken = Multimodal.jpegBytes(64, 64, body)
+    broken(5) = (broken(5) + 7).toByte
+    assert(Multimodal.parseMediaHeader(broken).container == "unknown")
+    // raw text bytes are no container at all
+    assert(Multimodal.parseMediaHeader(body) ==
+      Multimodal.MediaHeader("unknown", -1, -1, 0))
+    // PNG signature with a torn IHDR is rejected, not misparsed
+    val tornPng = Multimodal.pngBytes(8, 8, body)
+    tornPng(12) = 'X'.toByte
+    assert(Multimodal.parseMediaHeader(tornPng).container == "unknown")
   }
 }
