@@ -76,12 +76,12 @@ object Bench {
     * it (a dev subset run would masquerade as a collapsed query
     * surface). */
   private[graft] def writeBenchLast(results: Seq[(String, Double)],
-      sfDir: String, fatal: Boolean): Unit = {
+      sfDir: String, fatal: Boolean, canarySec: Double = -1.0): Unit = {
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"bench_last","total_sec":$total,"n_queries":${results.size},"fatal":$fatal,"sf":"$sfDir",
+      s"""{"metric":"bench_last","total_sec":$total,"n_queries":${results.size},"fatal":$fatal,"canary_sec":$canarySec,"sf":"$sfDir",
          |"queries":$qs}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
   }
@@ -98,16 +98,58 @@ object Bench {
     sf.map(_ -> times)
   }
 
+  /** Deterministic CPU canary: a fixed, I/O-free, codegen'd aggregate
+    * over a fixed partition count, timed best-of-3. Its runtime tracks
+    * the MACHINE's current speed (the firecracker host swings between
+    * fast and slow epochs by ~1.2× with zero local load — PLANS.md
+    * "container-epoch variance"), so the ratio of the sweep's canary to
+    * the baseline's canary calibrates the tripwire: a slow-epoch run
+    * doesn't false-alarm, and a fast-epoch run can't hide a real ~1.2×
+    * regression under a slow-epoch baseline. Fixed 8 partitions — NOT
+    * the session's cpu count — so the measurement is comparable across
+    * configurations. */
+  private[graft] def canary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 120000000L, 1L, 8)
+        .agg(sum(expr("((id * 2654435761) % 1000003) ^ (id % 997)")))
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); (1 to 3).map(_ => once()).min // first run pays codegen/JIT
+  }
+
+  /** The baseline file's canary seconds, if recorded. */
+  private[graft] def parseCanary(text: String): Option[Double] =
+    """"canary_sec":(-?[0-9.]+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toDouble)
+
+  /** Epoch calibration factor: this sweep's canary over the baseline's,
+    * clamped to [0.6, 1.8] so a broken canary sample can never widen
+    * (or collapse) the wire unboundedly. 1.0 when either side is
+    * missing. */
+  private[graft] def epochRatio(nowCanary: Option[Double],
+      baseCanary: Option[Double]): Double = (nowCanary, baseCanary) match {
+    case (Some(n), Some(b)) if n > 0 && b > 0 =>
+      math.min(1.8, math.max(0.6, n / b))
+    case _ => 1.0
+  }
+
   /** The 2× tripwire predicate: queries whose new time exceeds twice
-    * the baseline AND by more than one absolute second (toy-SF
-    * sub-second entries jitter past any ratio). Failures (sentinel
-    * −1.0) and baseline-absent queries are not regressions — they have
-    * their own channels. */
+    * the EPOCH-SCALED baseline AND by more than one absolute second
+    * (toy-SF sub-second entries jitter past any ratio). `ratio` is the
+    * [[epochRatio]] calibration — the baseline each query is held to is
+    * `b · ratio`, i.e. what the baseline machine would run today.
+    * Failures (sentinel −1.0) and baseline-absent queries are not
+    * regressions — they have their own channels. */
   private[graft] def regressions(results: Seq[(String, Double)],
-      base: Map[String, Double]): Seq[(String, Double, Double)] =
+      base: Map[String, Double],
+      ratio: Double = 1.0): Seq[(String, Double, Double)] =
     results.flatMap { case (name, t) =>
       base.get(name).collect {
-        case b if b > 0 && t > 2 * b && t - b > 1.0 => (name, t, b)
+        case b if b > 0 && t > 2 * b * ratio && t - b * ratio > 1.0 =>
+          (name, t, b * ratio)
       }
     }
 
@@ -138,29 +180,30 @@ object Bench {
     * and a regression-free run costs nothing extra. */
   private[graft] def remeasureSuspects(results: Seq[(String, Double)],
       base: Option[Map[String, Double]],
-      rerun: String => Double): Seq[(String, Double)] = base match {
-    case None => results
-    case Some(b) => results.map { case (name, t) =>
-      var best = t
-      var budget = RemeasureRuns
-      while (budget > 0 && regressions(Seq(name -> best), b).nonEmpty) {
-        val r = rerun(name)
-        if (r >= 0.0 && r < best) best = r // sentinel never replaces a sample
-        budget -= 1
+      rerun: String => Double, ratio: Double = 1.0): Seq[(String, Double)] =
+    base match {
+      case None => results
+      case Some(b) => results.map { case (name, t) =>
+        var best = t
+        var budget = RemeasureRuns
+        while (budget > 0 && regressions(Seq(name -> best), b, ratio).nonEmpty) {
+          val r = rerun(name)
+          if (r >= 0.0 && r < best) best = r // sentinel never replaces a sample
+          budget -= 1
+        }
+        name -> best
       }
-      name -> best
     }
-  }
 
   /** Loud 2× tripwire against the committed baseline (if present):
     * prints one stderr line per regressed query so a round-6-style
     * regression cannot land silently. BenchSpec replays the same check
     * on the committed files. */
   private[graft] def warnRegressions(results: Seq[(String, Double)],
-      base: Option[Map[String, Double]]): Unit =
+      base: Option[Map[String, Double]], ratio: Double = 1.0): Unit =
     base.foreach { baseTimes =>
-      regressions(results, baseTimes).foreach { case (name, t, b) =>
-        System.err.println(f"[bench] REGRESSION $name: $t%.2f s vs baseline $b%.2f s (${t / b}%.1fx)")
+      regressions(results, baseTimes, ratio).foreach { case (name, t, b) =>
+        System.err.println(f"[bench] REGRESSION $name: $t%.2f s vs epoch-scaled baseline $b%.2f s (${t / b}%.1fx)")
       }
     }
 
@@ -188,6 +231,16 @@ object Bench {
     val queries = SparkEntry.orderedQueries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (n, f) => execOne(spark, sfDir, n, f, fatal) }
+    // epoch calibration BEFORE the measured pass: one canary sample per
+    // sweep, on the warm JVM, prices the machine's current speed
+    val canarySec = canary(spark)
+    val baseText = {
+      val p = java.nio.file.Paths.get("bench_baseline.json")
+      if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p))
+      else None
+    }
+    val ratio = epochRatio(Some(canarySec), baseText.flatMap(parseCanary))
+    System.err.println(f"[bench] canary $canarySec%.3f s, epoch ratio $ratio%.2fx vs baseline")
     val firstPass = queries.map { case (name, fn) =>
       name -> execOne(spark, sfDir, name, fn, fatal) }
     val qmap = queries.toMap
@@ -196,10 +249,10 @@ object Bench {
       val t = execOne(spark, sfDir, name, qmap(name), fatal)
       System.err.println(f"[bench] re-measured tripwire suspect $name: $t%.2f s")
       t
-    })
+    }, ratio)
     emitLines(results, sfDir, fatal.get).foreach(println)
-    if (only.isEmpty) writeBenchLast(results, sfDir, fatal.get)
-    warnRegressions(results, baseTimes)
+    if (only.isEmpty) writeBenchLast(results, sfDir, fatal.get, canarySec)
+    warnRegressions(results, baseTimes, ratio)
     spark.stop()
   }
 }

@@ -76,6 +76,35 @@ class BenchSpec extends SparkSpec {
     assert(Bench.regressions(now, base) == Seq(("a", 5.0, 2.0)))
   }
 
+  test("epoch canary calibrates the tripwire; clamped; missing sides neutral") {
+    val base = Map("a" -> 2.0)
+    // slow epoch (machine 1.4x slower than when the baseline ran):
+    // 4.9s vs baseline 2.0 is ONLY 1.75x of what this machine would
+    // run the baseline at today (2.8) → not a regression
+    val slow = Bench.epochRatio(Some(0.7), Some(0.5))
+    assert(slow == 1.4)
+    assert(Bench.regressions(Seq("a" -> 4.9), base, slow).isEmpty)
+    assert(Bench.regressions(Seq("a" -> 6.0), base, slow) ==
+      Seq(("a", 6.0, 2.8))) // a real 2x past the scaled baseline still trips
+    // fast epoch: the wire TIGHTENS — 3.9s vs a slow-epoch baseline of
+    // 2.0 hides inside the unscaled 2x wire, but not the scaled one
+    val fast = Bench.epochRatio(Some(0.35), Some(0.5))
+    assert(fast == 0.7)
+    assert(Bench.regressions(Seq("a" -> 3.9), base).isEmpty)
+    assert(Bench.regressions(Seq("a" -> 3.9), base, fast) ==
+      Seq(("a", 3.9, 1.4)))
+    // a broken canary sample cannot stretch the wire unboundedly
+    assert(Bench.epochRatio(Some(50.0), Some(0.5)) == 1.8)
+    assert(Bench.epochRatio(Some(0.01), Some(0.5)) == 0.6)
+    // missing either side → neutral 1.0
+    assert(Bench.epochRatio(None, Some(0.5)) == 1.0)
+    assert(Bench.epochRatio(Some(0.5), None) == 1.0)
+    // parseCanary reads writeBenchLast's field
+    assert(Bench.parseCanary("""{"metric":"bench_last","canary_sec":0.812,"sf":"/x"}""")
+      .contains(0.812))
+    assert(Bench.parseCanary("{}").isEmpty)
+  }
+
   test("tripwire suspects re-measure best-of-N; clean queries run once") {
     val base = Map("noisy" -> 1.0, "slow" -> 1.0, "fine" -> 1.0)
     val first = Seq("noisy" -> 2.7, "slow" -> 3.0, "fine" -> 1.1)
