@@ -326,6 +326,14 @@ object Similarity extends QueryModule {
     * the declared query's oracle never sees it fire. */
   val NeardupMaxBucket = 500
 
+  /** Target EXPECTED bucket occupancy for the auto-sized near-dup
+    * geometry: `bits = max(LshBits, ceil(log2(n / target)))` keeps
+    * n / 2^bits ≈ this many members per bucket at any corpus size.
+    * Distinct from [[NeardupMaxBucket]], the HARD per-bucket cap that
+    * bounds degenerate data (near-parallel direction clusters) the
+    * geometry alone cannot spread. */
+  val NeardupTargetBucket = 500
+
   /** Two-stage md5 bucket thinning for [[neardupLshPairs]]'s sketch
     * rows, keyed by the RAW bucket (table_id, bucket) — capping there
     * bounds every downstream group: an equal-bucket join group is one
@@ -416,6 +424,23 @@ object Similarity extends QueryModule {
           .as("sim"))
       .filter(col("sim") >= threshold && !isnan(col("sim")))
   }
+
+  /** Recall contract: append `recall_floor_ok` = (macro recall over ALL
+    * queries ≥ `floor`) to a per-query recall eval. The eval itself is
+    * differential (Spark and the oracle replay the same deterministic
+    * index), so a probe-geometry edit that degrades recall stays green
+    * as long as both sides are edited consistently; the ORACLE emits
+    * this column as the LITERAL true, so Spark's computed boolean going
+    * false turns the row red — the declared recall floor is part of the
+    * query's contract, not just a reported number. The floor binds the
+    * MACRO (mean) recall: individual queries legitimately bottom out
+    * (an IVF query whose true neighbors sit across a cell boundary
+    * scores 0 at nprobe=3), so a per-row floor would pin noise. The
+    * unpartitioned window is 8 rows — the query fan-in, not the corpus. */
+  private def withRecallFloor(evalDf: DataFrame, floor: Double): DataFrame =
+    evalDf.withColumn("recall_floor_ok",
+      avg(col("recall")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()) >= lit(floor))
 
   /** Top-5 per query via the engine's OWN bounded-heap operator
     * (`TopK.perGroup`) instead of a `row_number` window: the window
@@ -988,11 +1013,12 @@ object Similarity extends QueryModule {
         val brute = knnBruteTop(s, dir).select(col("query_id"), col("neighbor_id"))
         val ivf = annIvfTop(s, dir)
           .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        withRecallFloor(brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))
           .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
           .select(col("query_id"), col("n_true"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall")),
+          floor = 0.25) // measured macro recall 0.325–0.425 across SFs
           .orderBy(col("query_id"))
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1027,7 +1053,8 @@ object Similarity extends QueryModule {
               |    FROM ic) WHERE rank <= 5)
               |SELECT bt.query_id, count(*) AS n_true,
               |  count(it.neighbor_id) AS n_hit,
-              |  round(CAST(count(it.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+              |  round(CAST(count(it.neighbor_id) AS DOUBLE) / count(*), 4) AS recall,
+              |  TRUE AS recall_floor_ok
               |FROM bt LEFT JOIN it
               |  ON bt.query_id = it.query_id AND bt.neighbor_id = it.neighbor_id
               |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -1046,11 +1073,12 @@ object Similarity extends QueryModule {
         val brute = knnBruteTop(s, dir).select(col("query_id"), col("neighbor_id"))
         val lsh = annLshTop(s, dir)
           .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-        brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        withRecallFloor(brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))
           .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
           .select(col("query_id"), col("n_true"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall")),
+          floor = 0.45) // measured macro recall 0.575–0.725 across SFs
           .orderBy(col("query_id"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1084,7 +1112,8 @@ object Similarity extends QueryModule {
               |    FROM ls) WHERE rank <= 5)
               |SELECT bt.query_id, count(*) AS n_true,
               |  count(lt.neighbor_id) AS n_hit,
-              |  round(CAST(count(lt.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+              |  round(CAST(count(lt.neighbor_id) AS DOUBLE) / count(*), 4) AS recall,
+              |  TRUE AS recall_floor_ok
               |FROM bt LEFT JOIN lt
               |  ON bt.query_id = lt.query_id AND bt.neighbor_id = lt.neighbor_id
               |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -1104,26 +1133,38 @@ object Similarity extends QueryModule {
     "sim_neardup_lsh" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-        // The declared query is pinned to the test-SF bucket geometry
-        // (LshBits = 6 ⇒ 64 buckets/table); past ~50k vectors those
-        // buckets hold thousands of members and the masked-key
-        // candidate stream grows quadratically per bucket (the
-        // 100×-rehearsal run filled local disk at 200k vectors).
-        // Refuse loudly and name the sized path instead of silently
-        // melting down — the sim_neardup_pairs guard discipline.
+        // The bucket geometry is COMPUTED from the corpus: bits =
+        // max(LshBits, ceil(log2(n / target))) keeps expected bucket
+        // occupancy ≈ target (a few hundred members) at ANY corpus
+        // size, so the masked-key candidate stream stays bounded where
+        // the former fixed test-SF geometry (6 bits = 64 buckets)
+        // filled local disk at 200k vectors. The oracle computes the
+        // SAME formula in SQL, so Spark and DuckDB always agree on the
+        // geometry; at every test SF (≤ 5k vectors) it resolves to the
+        // original LshBits = 6. One count() pass prices the sizing —
+        // metadata-scale work next to the sketch+join it parameterizes.
         val n = e.count()
-        require(n <= 50000L,
-          s"sim_neardup_lsh is declared at the test-SF bucket geometry " +
-            s"(${LshBits} bits = ${1 << LshBits} buckets/table; corpus n=$n): " +
-            "call Similarity.neardupLshPairs(e, bits ≈ log2(n/500), 0.4) " +
-            "so buckets stay a few hundred members")
-        neardupLshPairs(e, LshBits, 0.4).orderBy(col("id_a"), col("id_b"))
+        val bits = math.max(LshBits,
+          math.ceil(math.log(n / NeardupTargetBucket.toDouble) / math.log(2.0)).toInt)
+        neardupLshPairs(e, bits, 0.4).orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |$dSkCtes,
+              |g AS (SELECT greatest($LshBits, CAST(ceil(log2(count(*) / $NeardupTargetBucket.0)) AS INT)) AS bits
+              |      FROM e),
+              |planes AS (
+              |  SELECT p, list_transform(generate_series(0, 63), d ->
+              |    CASE WHEN strpos('02468ace', substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 1)) > 0
+              |         THEN 1.0e0 ELSE -1.0e0 END) AS w
+              |  FROM generate_series(0, ${LshTables * 64 - 1}) AS gp(p), g
+              |  WHERE gp.p < $LshTables * g.bits),
+              |sk AS (
+              |  SELECT e.vec_id, p.p // g.bits AS table_id,
+              |    CAST(sum(CASE WHEN list_dot_product(p.w, e.v) > 0
+              |                  THEN 1 << (p.p % g.bits) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e, planes p, g GROUP BY 1, 2),
               |mk AS (
               |  SELECT vec_id, table_id, t.tag, bucket & ~(1 << t.tag) AS masked
-              |  FROM sk, generate_series(0, ${LshBits - 1}) AS t(tag)),
+              |  FROM sk, generate_series(0, 63) AS t(tag), g WHERE t.tag < g.bits),
               |cand AS (
               |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
               |  FROM mk x JOIN mk y
@@ -1576,11 +1617,12 @@ object Similarity extends QueryModule {
         val brute = knnBruteL2Top(s, dir).select(col("query_id"), col("neighbor_id"))
         val pq = annPqTop(s, dir)
           .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-        brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        withRecallFloor(brute.join(pq, Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id"))
           .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
           .select(col("query_id"), col("n_true"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+            round(col("n_hit").cast("double") / col("n_true"), 4).as("recall")),
+          floor = 0.35) // measured macro recall 0.45–0.70 across SFs
           .orderBy(col("query_id"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1629,7 +1671,8 @@ object Similarity extends QueryModule {
               |    FROM ref) WHERE rank <= 5)
               |SELECT bt.query_id, count(*) AS n_true,
               |  CAST(count(pt.neighbor_id) AS BIGINT) AS n_hit,
-              |  round(CAST(count(pt.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+              |  round(CAST(count(pt.neighbor_id) AS DOUBLE) / count(*), 4) AS recall,
+              |  TRUE AS recall_floor_ok
               |FROM bt LEFT JOIN pt USING (query_id, neighbor_id)
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "PQ recall eval: ADC top-5 vs exact L2 brute top-5 (quantization loss)"),
