@@ -329,10 +329,23 @@ object Similarity extends QueryModule {
   /** Target EXPECTED bucket occupancy for the auto-sized near-dup
     * geometry: `bits = max(LshBits, ceil(log2(n / target)))` keeps
     * n / 2^bits ≈ this many members per bucket at any corpus size.
-    * Distinct from [[NeardupMaxBucket]], the HARD per-bucket cap that
-    * bounds degenerate data (near-parallel direction clusters) the
-    * geometry alone cannot spread. */
-  val NeardupTargetBucket = 500
+    * Sized for the 1-bit MULTIPROBE pipeline: radius-1 probing
+    * multiplies the candidate stream by ~(1+bits) — a 500-member
+    * target that was fine for equal-bucket-only joins put the 200k
+    * rehearsal's Hamming-1 stream at ~1.4 B pre-distinct rows (filled
+    * local disk); at ~50 the combined stream stays ~n·occ·(1+bits)·
+    * tables — linear in the corpus with a modest constant (~236 M at
+    * 200k vectors). Distinct from [[NeardupMaxBucket]], the HARD
+    * per-bucket cap that bounds degenerate data (near-parallel
+    * direction clusters) the geometry alone cannot spread. */
+  val NeardupTargetBucket = 50
+
+  /** The corpus-sized bucket geometry (shared by the declared
+    * `sim_neardup_lsh` query and ScaleGateSpec; the oracle mirrors the
+    * same formula in SQL). Every test SF (≤ 2k embedding vectors)
+    * resolves to [[LshBits]]; growth past ~3.2k buys bits. */
+  def autoBits(n: Long): Int = math.max(LshBits,
+    math.ceil(math.log(n / NeardupTargetBucket.toDouble) / math.log(2.0)).toInt)
 
   /** Two-stage md5 bucket thinning for [[neardupLshPairs]]'s sketch
     * rows, keyed by the RAW bucket (table_id, bucket) — capping there
@@ -383,9 +396,25 @@ object Similarity extends QueryModule {
   private[ext] def neardupLshPairs(e: DataFrame, bits: Int,
       threshold: Double, maxBucket: Int = NeardupMaxBucket,
       probeRadius: Int = 1): DataFrame = {
+    val sk = capBuckets(lshSketches(e, bits), maxBucket)
+    val cand = neardupCandidates(sk, bits, probeRadius)
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("vb")), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold && !isnan(col("sim")))
+  }
+
+  /** [[neardupLshPairs]]' candidate stage over an already-capped sketch
+    * set — split out so the scale gate (ScaleGateSpec) can count the
+    * candidate stream the DECLARED pipeline would verify, against its
+    * analytic bound, without paying the exact-cosine verify. */
+  private[ext] def neardupCandidates(sk: DataFrame, bits: Int,
+      probeRadius: Int): DataFrame = {
     require(probeRadius == 0 || probeRadius == 1,
       s"probeRadius must be 0 or 1, got $probeRadius")
-    val sk = capBuckets(lshSketches(e, bits), maxBucket)
     // same-bucket pairs: one emission per table
     val eq = sk.as("x").join(sk.as("y"),
         col("x.table_id") === col("y.table_id") &&
@@ -415,14 +444,7 @@ object Similarity extends QueryModule {
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       }
-    val cand = eq.unionByName(one).distinct()
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.VectorExpressions.vector_cosine(col("va"), col("vb")), 4)
-          .as("sim"))
-      .filter(col("sim") >= threshold && !isnan(col("sim")))
+    eq.unionByName(one).distinct()
   }
 
   /** Recall contract: append `recall_floor_ok` = (macro recall over ALL
@@ -1133,20 +1155,27 @@ object Similarity extends QueryModule {
     "sim_neardup_lsh" -> Q(
       (s, dir) => {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-        // The bucket geometry is COMPUTED from the corpus: bits =
-        // max(LshBits, ceil(log2(n / target))) keeps expected bucket
-        // occupancy ≈ target (a few hundred members) at ANY corpus
-        // size, so the masked-key candidate stream stays bounded where
-        // the former fixed test-SF geometry (6 bits = 64 buckets)
-        // filled local disk at 200k vectors. The oracle computes the
-        // SAME formula in SQL, so Spark and DuckDB always agree on the
-        // geometry; at every test SF (≤ 5k vectors) it resolves to the
-        // original LshBits = 6. One count() pass prices the sizing —
+        // The geometry AND the probe radius are COMPUTED from the
+        // corpus. bits = max(LshBits, ceil(log2(n / target))) keeps
+        // expected bucket occupancy ≈ [[NeardupTargetBucket]] at any
+        // size (the former fixed 6-bit geometry filled local disk at
+        // 200k vectors). The 1-bit probe is a TEST-GEOMETRY recall aid:
+        // past the fixed geometry (bits > LshBits) it drops to radius 0
+        // — the scale posture — because each verified candidate carries
+        // its two 64-dim vectors through the verify join, and on a
+        // duplicate-dense corpus (200k rehearsal: 31M+ true pairs) the
+        // ~(1+bits)× probe amplification turns that join's shuffle into
+        // a disk fill; equal-bucket-only candidates complete the same
+        // rehearsal in ~100 s. The oracle computes BOTH decisions with
+        // the same SQL formulas, so the engines always agree; at every
+        // test SF (≤ 2k vectors) this resolves to the original 6-bit /
+        // radius-1 shape. One count() pass prices the sizing —
         // metadata-scale work next to the sketch+join it parameterizes.
         val n = e.count()
-        val bits = math.max(LshBits,
-          math.ceil(math.log(n / NeardupTargetBucket.toDouble) / math.log(2.0)).toInt)
-        neardupLshPairs(e, bits, 0.4).orderBy(col("id_a"), col("id_b"))
+        val bits = autoBits(n)
+        val radius = if (bits > LshBits) 0 else 1
+        neardupLshPairs(e, bits, 0.4, probeRadius = radius)
+          .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |g AS (SELECT greatest($LshBits, CAST(ceil(log2(count(*) / $NeardupTargetBucket.0)) AS INT)) AS bits
@@ -1164,9 +1193,15 @@ object Similarity extends QueryModule {
               |  FROM e, planes p, g GROUP BY 1, 2),
               |mk AS (
               |  SELECT vec_id, table_id, t.tag, bucket & ~(1 << t.tag) AS masked
-              |  FROM sk, generate_series(0, 63) AS t(tag), g WHERE t.tag < g.bits),
+              |  FROM sk, generate_series(0, 63) AS t(tag), g
+              |  WHERE t.tag < g.bits AND g.bits = $LshBits),
               |cand AS (
-              |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+              |  FROM sk x JOIN sk y
+              |    ON x.table_id = y.table_id AND x.bucket = y.bucket
+              |    AND x.vec_id < y.vec_id
+              |  UNION
+              |  SELECT x.vec_id, y.vec_id
               |  FROM mk x JOIN mk y
               |    ON x.table_id = y.table_id AND x.tag = y.tag AND x.masked = y.masked
               |    AND x.vec_id < y.vec_id)

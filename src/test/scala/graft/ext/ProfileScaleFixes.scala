@@ -39,6 +39,12 @@ object ProfileScaleFixes {
       s"(${1 << bits} buckets/table), radius 0, cap ${Similarity.NeardupMaxBucket}")
     time(s"neardupLshPairs(bits=$bits, r=0)")(
       Similarity.neardupLshPairs(e, bits, 0.4, probeRadius = 0).count())
+
+    // the DECLARED query end-to-end: auto-sized geometry
+    // (bits = max(6, ceil(log2(n/500)))), radius-1 probing — the shape
+    // every caller gets with no corpus-size guard
+    time("sim_neardup_lsh (declared, auto-bits)")(
+      graft.SparkEntry.queries("sim_neardup_lsh")(spark, dir).count())
     spark.stop()
   }
 }

@@ -28,6 +28,55 @@ import org.apache.spark.sql.functions._
   * then: SPARK_GRAFT_SF_DIR=target/sf1 sbt 'runMain graft.Bench <names>'
   */
 object RehearsalGen {
+
+  val IdStrideK = 10000000L
+
+  private def replicateDf(base: DataFrame, replicas: Int,
+      variant: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until replicas).map(r => variant(base, r)).reduce(_.unionByName(_))
+
+  /** The documents scaling transform (see the object doc for the mix),
+    * callable from specs: base docs → ~replicas× corpus. */
+  def scaleDocs(docs: DataFrame, replicas: Int, mode: String): DataFrame =
+    replicateDf(docs, replicas, { (d, r) =>
+      val text =
+        if (r == 0) col("text")
+        else if (mode == "distinct")
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$r"))))
+        else if (r % 10 == 1) col("text") // exact duplicate
+        else if (r % 10 == 2 || r % 10 == 3)
+          concat(col("text"), lit(s" salt$r near")) // near duplicate
+        else // distinct: reversed word order + salt
+          concat(concat_ws(" ", reverse(split(col("text"), " "))), lit(s" salt$r"))
+      d.select(
+        (col("doc_id") + lit(r * IdStrideK)).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    })
+
+  /** The embeddings scaling transform, callable from specs: replica
+    * directions decorrelated in `distinct` mode (see the main's doc). */
+  def scaleEmbeddings(embs: DataFrame, replicas: Int, mode: String): DataFrame = {
+    val embAmp = if (mode == "distinct") 0.5 else 0.01
+    replicateDf(embs, replicas, { (e, r) =>
+      val vec =
+        if (r == 0) col("embedding")
+        else if (mode == "distinct")
+          transform(col("embedding"),
+            (x, i) => (x + lit(embAmp) * sin((i.cast("double") + lit(1.0)) *
+              lit((r * 31 + 7).toDouble) + col("vec_id").cast("double")))
+              .cast("float"))
+        else transform(col("embedding"),
+          (x, i) => (x + lit(embAmp * r) * sin(i.cast("double") + col("vec_id").cast("double")))
+            .cast("float"))
+      e.select(
+        (col("vec_id") + lit(r * IdStrideK)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    })
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("target/sf1")
@@ -48,34 +97,16 @@ object RehearsalGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val IdStride = 10000000L
+    val IdStride = IdStrideK
 
     def replicate(base: DataFrame, variant: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until replicas).map(r => variant(base, r)).reduce(_.unionByName(_))
+      replicateDf(base, replicas, variant)
 
-    val docs = Tables.documents(spark, src)
-    val docsOut = replicate(docs, { (d, r) =>
-      val text =
-        if (r == 0) col("text")
-        else if (mode == "distinct")
-          // token-level salt: every token rewritten, so the replica
-          // shares NO shingle with its source and the corpus vocabulary
-          // genuinely grows with scale
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit(s"x$r"))))
-        else if (r % 10 == 1) col("text") // exact duplicate
-        else if (r % 10 == 2 || r % 10 == 3)
-          concat(col("text"), lit(s" salt$r near")) // near duplicate
-        else // distinct: reversed word order + salt
-          concat(concat_ws(" ", reverse(split(col("text"), " "))), lit(s" salt$r"))
-      d.select(
-        (col("doc_id") + lit(r * IdStride)).as("doc_id"),
-        text.as("text"),
-        col("lang"), col("source"),
-        length(text).cast("long").as("n_chars"))
-    })
+    // token-level salt in distinct mode: every token rewritten, so the
+    // replica shares NO shingle with its source and the corpus
+    // vocabulary genuinely grows with scale
+    val docsOut = scaleDocs(Tables.documents(spark, src), replicas, mode)
 
-    val embs = Tables.embeddings(spark, src)
     // distinct mode spreads replicas into genuinely new points. The
     // perturbation DIRECTION must vary with r: a first cut used
     // amp·r·sin(i + vec_id) — growth along one fixed direction per
@@ -84,22 +115,7 @@ object RehearsalGen {
     // LSH buckets and exploding the true near-dup pair set into the
     // hundreds of millions (output-bound disk fill, not an engine
     // bound). Varying the frequency with r decorrelates directions.
-    val embAmp = if (mode == "distinct") 0.5 else 0.01
-    val embsOut = replicate(embs, { (e, r) =>
-      val vec =
-        if (r == 0) col("embedding")
-        else if (mode == "distinct")
-          transform(col("embedding"),
-            (x, i) => (x + lit(embAmp) * sin((i.cast("double") + lit(1.0)) *
-              lit((r * 31 + 7).toDouble) + col("vec_id").cast("double")))
-              .cast("float"))
-        else transform(col("embedding"),
-          (x, i) => (x + lit(embAmp * r) * sin(i.cast("double") + col("vec_id").cast("double")))
-            .cast("float"))
-      e.select(
-        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
-        vec.as("embedding"), col("label"))
-    })
+    val embsOut = scaleEmbeddings(Tables.embeddings(spark, src), replicas, mode)
 
     // events: 10× the stream. Half the replicas keep the ORIGINAL
     // user_ids (hot users get 5× the events — the skew direction that
