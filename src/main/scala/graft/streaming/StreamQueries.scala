@@ -43,6 +43,10 @@ object StreamQueries extends QueryModule {
 
   private val Chunks = 4
 
+  /** Unique in-memory sink names so repeated runs (Verify executes every
+    * query in one session) never collide on the temp view. */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger()
+
   /** Build the staged chunk files + checkpoint + table root under one
     * temp dir, run `body`, materialize its bounded result, clean up. */
   private def withStreamRun(s: SparkSession, dir: String)(
@@ -64,20 +68,75 @@ object StreamQueries extends QueryModule {
   }
 
   /** Events + chunk assignment (+`ver`, the (ts, event_id) total-order
-    * version string; +`tsw`, the TimestampType watermark column). */
-  private def chunked(s: SparkSession, dir: String): DataFrame = {
+    * version string; +`tsw`, the TimestampType watermark column).
+    * Returns the frame plus the corpus ts span (nanos) so callers can
+    * place sentinel rows past the real frontier. */
+  private def chunked(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
     val span = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
     val (mn, mx) = (span.getLong(0), span.getLong(1))
-    ev.withColumn("chunk",
+    val df = ev.withColumn("chunk",
         (lit(Chunks.toLong) * (col("ts") - lit(mn)) / lit(mx - mn + 1L))
           .cast("bigint"))
       .withColumn("ver", concat(
         lpad(col("ts").cast("string"), 20, "0"),
         lpad(col("event_id").cast("string"), 12, "0")))
       .withColumn("tsw", Tables.tsTimestamp())
+    (df, mn, mx)
+  }
+
+  /** One far-future row (chunk index = `chunk`): delivered as the LAST
+    * micro-batch, it pushes the final watermark past every real
+    * window/session end so append-mode event-time state flushes before
+    * `Trigger.AvailableNow` terminates. Its own window never closes, so
+    * it is withheld from the output by construction — the oracle never
+    * sees it and never needs to exclude it. */
+  private def sentinel(s: SparkSession, maxTsNs: Long, chunk: Int): DataFrame = {
+    import s.implicits._
+    Seq((-1L, -1L, "zz_sentinel", 0.0d, maxTsNs + 100L * 86400L * 1000000000L))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .withColumn("chunk", lit(chunk.toLong))
+      .withColumn("ver", concat(
+        lpad(col("ts").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0")))
+      .withColumn("tsw", Tables.tsTimestamp())
+  }
+
+  /** Stage every chunk of `staged` (chunk ids 0 until `n`) as ordered
+    * single files; the file source then delivers them as `n`
+    * deterministic micro-batches. */
+  private def stageChunks(s: SparkSession, staged: DataFrame, staging: String,
+      n: Int): Unit = {
+    val baseMs = System.currentTimeMillis() - 3600L * 1000
+    (0 until n).foreach { c =>
+      writeChunk(s, staged.filter(col("chunk") === c).drop("chunk"),
+        staging, c, baseMs)
+    }
+  }
+
+  /** Open the staged chunk directory as a 1-file-per-trigger stream. */
+  private def chunkStream(s: SparkSession, staging: String): DataFrame = {
+    val schema = s.read.parquet(staging).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+  }
+
+  /** Run `agg` (append mode) into a uniquely-named memory sink until
+    * AvailableNow drains, return the sink contents. */
+  private def drainToMemory(s: SparkSession, agg: DataFrame, ckpt: String): DataFrame = {
+    val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
   }
 
   /** Write chunk `c` of `df` as the single file `staging/chunk-c.parquet`
@@ -100,7 +159,7 @@ object StreamQueries extends QueryModule {
   override def defs: Seq[(String, Q)] = Seq(
     "stream_cdc_snapshot" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, root) =>
-        val ev = chunked(s, dir)
+        val ev = chunked(s, dir)._1
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // replay every 10th event into the NEXT chunk, value poisoned:
@@ -109,19 +168,11 @@ object StreamQueries extends QueryModule {
               col("chunk") < Chunks - 1)
             .withColumn("value", col("value") + lit(1.0e6d))
             .withColumn("chunk", col("chunk") + 1)
-          val staged = ev.unionByName(replays)
-          val baseMs = System.currentTimeMillis() - 3600L * 1000
-          (0 until Chunks).foreach { c =>
-            writeChunk(s, staged.filter(col("chunk") === c).drop("chunk"),
-              staging, c, baseMs)
-          }
+          stageChunks(s, ev.unionByName(replays), staging, Chunks)
         } finally ev.unpersist()
 
         // ---- the system under test: stream → dedup → CDC MERGE ----
-        val schema = s.read.parquet(staging).schema
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(staging)
+        val stream = chunkStream(s, staging)
           // the watermark delay must exceed the maximum replay lag (one
           // chunk span ≈ 7.5 days of event time here) or replayed keys
           // may be evicted before their duplicate arrives; 8 days keeps
@@ -160,5 +211,167 @@ object StreamQueries extends QueryModule {
              |  min(value) AS min_value, max(value) AS max_value
              |FROM ranked WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "multi-batch AvailableNow stream -> watermarked dedup -> foreachBatch CDC MERGE; final table snapshot vs relational replay"),
+
+    /** Streaming WINDOWED AGGREGATION on the hard signal, with the
+      * watermark's late-data drop load-bearing: poisoned copies of
+      * first-chunk rows are delivered in the LAST micro-batch, ≈3 chunk
+      * spans (weeks of event time) later than the 1-hour watermark
+      * allows — a correct engine drops every one before it can corrupt
+      * an already-finalized window; the oracle replays the agg over the
+      * ORIGINAL rows only. A failure to drop inflates counts/sums or
+      * re-emits a duplicate window row — either turns the row red.
+      *
+      * Delivery margin matters because Spark filters late rows against
+      * the PREVIOUS batch's watermark while evicting against the
+      * current one (the two-watermark split of SPARK-24634; pinned
+      * empirically by WatermarkProbe): a poison delivered in batch b is
+      * dropped iff its window end ≤ maxEventTime(batches ≤ b−2) − delay.
+      * Delivered with the sentinel, the cutoff is maxTs(chunks 0..2)−1h
+      * — about two chunk spans past any first-chunk window end — so the
+      * drop is guaranteed at every SF, not just when no event falls in
+      * the last hour of a chunk (a 2-chunk delivery leaked exactly one
+      * such row at sf0.001). The sentinel chunk also pushes the final
+      * watermark past every real window end so append mode flushes all
+      * of them before AvailableNow terminates. */
+    "stream_windowed_volume" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val (ev, _, mx) = chunked(s, dir)
+        val late = ev.filter(col("event_id") % 7 === 2 && col("chunk") === 0)
+          .withColumn("value", col("value") + lit(1.0e6d))
+          .withColumn("chunk", lit(Chunks.toLong))
+        stageChunks(s, ev.unionByName(late).unionByName(sentinel(s, mx, Chunks)),
+          staging, Chunks + 1)
+
+        val stream = chunkStream(s, staging).drop("ts")
+          .withColumnRenamed("tsw", "ts")
+        val agg = StreamAnalytics.windowedVolume(stream,
+          width = "1 hour", watermark = "1 hour")
+        drainToMemory(s, agg, ckpt)
+          .select(unix_micros(col("window_start")).as("ws_us"),
+            col("event_type"), col("cnt"), col("total_value"))
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      Some("""SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS ws_us,
+             |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |  sum(value) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "streaming tumbling-window agg, append mode; late poison rows must be watermark-dropped; emitted windows vs batch replay"),
+
+    /** Streaming SESSION WINDOWS on the hard signal: 6-hour-gap
+      * sessions per user, built incrementally across 4 ts-ordered
+      * micro-batches — sessions spanning a chunk boundary exercise the
+      * cross-batch session-merge state path. The oracle replays
+      * gaps-and-islands sessionization relationally with the probed
+      * boundary convention (events exactly `gap` apart MERGE; session
+      * end = last event + gap — SessionGapProbe pinned both). */
+    "stream_sessionize" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val (ev, _, mx) = chunked(s, dir)
+        stageChunks(s, ev.unionByName(sentinel(s, mx, Chunks)),
+          staging, Chunks + 1)
+
+        val stream = chunkStream(s, staging).drop("ts")
+          .withColumnRenamed("tsw", "ts")
+        val agg = StreamAnalytics.sessionActivity(stream,
+          keyCol = "user_id", gap = "6 hours", watermark = "1 hour")
+        drainToMemory(s, agg, ckpt)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"), col("session_value"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, value
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, tus, value,
+             |    CASE WHEN lag(tus) OVER w IS NULL
+             |              OR tus - lag(tus) OVER w > ${6L * 3600L * 1000000L}
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+             |sess AS (
+             |  SELECT user_id, tus, value,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(tus) AS session_start_us,
+             |  max(tus) + ${6L * 3600L * 1000000L} AS session_end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  sum(value) AS session_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin),
+      doc = "streaming session_window (6h gap) across 4 micro-batches; cross-batch session merge vs gaps-and-islands replay"),
+
+    /** CUSTOM KEYED STATE (`flatMapGroupsWithState`) on the hard
+      * signal: per-user running (count, value) totals accumulated
+      * across all 4 micro-batches. The declared result keeps each
+      * key's FINAL emission (total_events is strictly increasing per
+      * emission, so max_by is unambiguous); any state loss between
+      * batches — the failure mode checkpointed keyed state exists to
+      * prevent — leaves a key's final total at a partial value and
+      * turns the row red against the batch replay. */
+    "stream_running_totals" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val ev = chunked(s, dir)._1
+        stageChunks(s, ev, staging, Chunks)
+
+        import s.implicits._
+        val keyed = chunkStream(s, staging)
+          .select(col("user_id").cast("string").as("key"), col("value"))
+          .as[KeyedEvent]
+        val totals = StreamAnalytics.runningTotals(keyed).toDF()
+        drainToMemory(s, totals, ckpt)
+          .groupBy(col("key"))
+          .agg(max(col("total_events")).as("total_events"),
+            max_by(col("total_value"), col("total_events")).as("total_value"))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS key,
+             |  CAST(count(*) AS BIGINT) AS total_events,
+             |  sum(value) AS total_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "flatMapGroupsWithState running totals across micro-batches; final per-key state vs batch groupBy replay"),
+
+    /** STREAM-STREAM INTERVAL JOIN on the hard signal: clicks in the
+      * hour before each purchase, both sides watermarked so join state
+      * is bounded (the requirement for an unbounded deployment).
+      * Cross-chunk matches (a click late in chunk k matching a purchase
+      * early in chunk k+1) exercise the buffered-state path: the 2-hour
+      * watermark exceeds the 1-hour join reach, so no buffered click is
+      * evicted before its last possible partner arrives. Poisoned
+      * copies of first-chunk clicks delivered weeks later must produce
+      * NO extra pairs: the late filter drops them, and even a broken
+      * late filter finds their partners' state evicted — only both
+      * mechanisms failing together turns the row red. The join compares
+      * TimestampType (micros), so the oracle replays the condition in
+      * micros, not nanos. */
+    "stream_interval_join" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val ev = chunked(s, dir)._1
+        val poison = ev.filter(col("event_id") % 5 === 1 &&
+            col("chunk") === 0 && col("event_type") === "click")
+          .withColumn("chunk", lit(Chunks.toLong))
+        stageChunks(s, ev.unionByName(poison), staging, Chunks + 1)
+
+        val stream = chunkStream(s, staging).drop("ts")
+          .withColumnRenamed("tsw", "ts")
+        val joined = StreamAnalytics.purchaseClickJoin(stream, watermark = "2 hours")
+          .select(col("purchase_id"), col("click_id"),
+            unix_micros(col("pts")).as("p_us"), unix_micros(col("cts")).as("c_us"))
+        drainToMemory(s, joined, ckpt)
+          .orderBy(col("purchase_id"), col("click_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.purchase_id, c.click_id, p.p_us, c.c_us
+             |FROM p JOIN c ON p.user_id = c.user_id
+             |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+             |ORDER BY p.purchase_id, c.click_id""".stripMargin),
+      doc = "watermarked stream-stream interval join (clicks in the hour before each purchase); bounded state, poisoned late clicks must not re-match"),
   )
 }

@@ -345,6 +345,51 @@ class StreamSpec extends SparkSpec {
     assert(MergeTable.versions(spark, tbl).size == 3)
   }
 
+  test("declared streaming queries match their batch replay in-JVM (late drop, session merge, keyed state)") {
+    import graft.{SparkEntry, Tables}
+    // stream_windowed_volume: the emitted windows must equal the batch
+    // tumbling-window agg over ORIGINAL events only — i.e., every
+    // poisoned late replica was watermark-dropped and every real window
+    // was flushed before AvailableNow terminated
+    val batchWin = Tables.events(spark, Sf)
+      .groupBy((expr("ts div 1000") divide lit(3600000000L)).cast("bigint")
+          .multiply(lit(3600000000L)).cast("bigint").as("ws_us"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+    val streamWin = SparkEntry.queries("stream_windowed_volume")(spark, Sf)
+    assert(streamWin.count() == batchWin.count())
+    assert(streamWin.join(batchWin, Seq("ws_us", "event_type"))
+      .filter(streamWin("cnt") =!= batchWin("cnt") ||
+        abs(streamWin("total_value") - batchWin("total_value")) > 1e-6)
+      .isEmpty, "a late poison leaked or a window went unflushed")
+
+    // stream_sessionize: streaming session_window must equal the batch
+    // session_window over the same rows (cross-batch session merge)
+    val gap = "6 hours"
+    val batchSess = Tables.events(spark, Sf)
+      .withColumn("tsw", Tables.tsTimestamp())
+      .groupBy(session_window(col("tsw"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"), col("n_events"))
+    val streamSess = SparkEntry.queries("stream_sessionize")(spark, Sf)
+      .drop("session_value")
+    assert(streamSess.count() == batchSess.count())
+    assert(streamSess.exceptAll(batchSess.select(streamSess.columns.map(col): _*))
+      .isEmpty, "streaming session windows diverge from batch session_window")
+
+    // stream_running_totals: final keyed state must equal the batch
+    // groupBy — any cross-batch state loss shows as a partial total
+    val batchTot = Tables.events(spark, Sf)
+      .groupBy(col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("total_events"))
+    val streamTot = SparkEntry.queries("stream_running_totals")(spark, Sf)
+    assert(streamTot.join(batchTot, "key")
+      .filter(streamTot("total_events") =!= batchTot("total_events"))
+      .isEmpty && streamTot.count() == batchTot.count(),
+      "keyed state lost events across micro-batches")
+  }
+
   test("crash between MERGE commit and checkpoint commit absorbs the replayed batch idempotently") {
     import graft.operators.{MergeTable, Upsert}
     val src = Files.createTempDirectory("graft_cr_src").toString
