@@ -281,6 +281,10 @@ object Dedup extends QueryModule {
   private val dShingleRows =
     s"SELECT DISTINCT doc_id, sh AS shingle FROM documents, UNNEST($dShingles) AS u(sh)"
 
+  /** The shingle-rows SQL for oracles composed OUTSIDE this module
+    * (the streaming band-dedup replay reuses the exact batch banding). */
+  private[graft] def dShingleRowsSql: String = dShingleRows
+
   /** DuckDB mirror of [[capShingles]]: CTE filtering `src` to shingles
     * with df ≤ maxDf (emitted as two CTE bodies, `hot` + the capped
     * relation named `out`). */
@@ -290,7 +294,7 @@ object Dedup extends QueryModule {
 
   /** DuckDB mirror of [[bandCandidatesOf]] over a CTE named `src`:
     * emits mins/bands/band_cand CTE bodies (band_cand has d1 < d2). */
-  private[ext] def dBandCtes(src: String): String =
+  private[graft] def dBandCtes(src: String): String =
     s"""mins AS (
        |  SELECT doc_id,
        |   ${(0 until 8).map { i =>

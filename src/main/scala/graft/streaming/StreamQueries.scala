@@ -373,5 +373,54 @@ object StreamQueries extends QueryModule {
              |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
              |ORDER BY p.purchase_id, c.click_id""".stripMargin),
       doc = "watermarked stream-stream interval join (clicks in the hour before each purchase); bounded state, poisoned late clicks must not re-match"),
+
+    /** STREAMING INCREMENTAL DEDUP on the hard signal: documents arrive
+      * in 4 doc_id-ordered micro-batches; each document's MinHash band
+      * keys (JVM twin of the batch band pipeline — parity spec'd in
+      * ExtSpec) probe per-band-key state capped at 8 postings, emitting
+      * candidate pairs on arrival. Because arrival order (batch, then
+      * sorted within batch) IS global doc_id order here, the oracle
+      * replays the cap relationally: per band key, rank docs by doc_id,
+      * admit the first 8, pair each admitted doc with every
+      * earlier-admitted one. A cap that leaks (boilerplate bucket not
+      * silenced), state lost between batches, or banding drift all
+      * change the pair set → red. */
+    "stream_band_dedup" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val span = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
+        val (mn, mx) = (span.getLong(0), span.getLong(1))
+        val staged = docs.withColumn("chunk",
+          (lit(Chunks.toLong) * (col("doc_id") - lit(mn)) / lit(mx - mn + 1L))
+            .cast("bigint"))
+        stageChunks(s, staged, staging, Chunks)
+
+        val schema = s.read.parquet(staging).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staging)
+          .as[DocText]
+        val cands = StreamAnalytics.streamingBandDedup(stream, maxPostings = 8)
+          .toDF()
+        drainToMemory(s, cands, ckpt)
+          .select(col("partner_doc").as("d1"), col("doc_id").as("d2"))
+          .distinct()
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH sh AS (${graft.ext.Dedup.dShingleRowsSql}),
+             |${graft.ext.Dedup.dBandCtes("sh")},
+             |ranked AS (
+             |  SELECT doc_id, band_idx, band_key,
+             |    row_number() OVER (PARTITION BY band_idx, band_key
+             |      ORDER BY doc_id) AS rn
+             |  FROM bands),
+             |adm AS (SELECT * FROM ranked WHERE rn <= 8)
+             |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             |FROM adm a JOIN adm b
+             |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |  AND a.rn < b.rn
+             |ORDER BY d1, d2""".stripMargin),
+      doc = "streaming MinHash band dedup across micro-batches; capped per-key state vs rank-capped relational replay"),
   )
 }
