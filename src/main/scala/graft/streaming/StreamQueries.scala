@@ -48,10 +48,23 @@ object StreamQueries extends QueryModule {
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Build the staged chunk files + checkpoint + table root under one
-    * temp dir, run `body`, materialize its bounded result, clean up. */
+    * temp dir, run `body`, materialize its bounded result, clean up.
+    *
+    * Runs under `StreamShufflePartitions` (state stores are created at
+    * the stream's FIRST batch from the session's shuffle-partition
+    * count, and every stateful operator then commits that many store
+    * instances per micro-batch): at the declared SFs a 32-partition
+    * session spends more wall-clock on store commit/snapshot overhead
+    * than on data — the stream-stream join carries 4 store families, so
+    * 32 partitions × 6 batches is ~750 store commits for a few hundred
+    * output rows. 8 partitions cut that 4× with zero skew risk at these
+    * volumes; a real deployment sizes this to its per-batch volume, not
+    * its cluster width. The session's setting is restored afterwards. */
   private def withStreamRun(s: SparkSession, dir: String)(
       body: (String, String, String) => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
     try {
       val staging = tmp.resolve("staging").toString
       val ckpt = tmp.resolve("ckpt").toString
@@ -61,11 +74,15 @@ object StreamQueries extends QueryModule {
       res.collect().foreach(rows.add)
       s.createDataFrame(rows, res.schema)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val fs = new org.apache.hadoop.fs.Path(tmp.toString)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
     }
   }
+
+  /** See [[withStreamRun]]: state-store instances per stateful op. */
+  private val StreamShufflePartitions = 8
 
   /** Events + chunk assignment (+`ver`, the (ts, event_id) total-order
     * version string; +`tsw`, the TimestampType watermark column).
