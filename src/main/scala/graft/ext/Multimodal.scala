@@ -100,33 +100,55 @@ object Multimodal extends QueryModule {
     * read precision/height/width, body after that segment. WAV: RIFF +
     * WAVE + fmt chunk walk — channels/sample-rate little-endian, body at
     * the data chunk's payload. Anything else: `unknown`, dimensions −1,
-    * body at 0 (the whole payload is the content stream). */
+    * body at 0 (the whole payload is the content stream).
+    *
+    * Defensive against MALFORMED containers, which is the real-world
+    * input class for a corpus decoder: declared chunk/segment lengths
+    * are untrusted 32-bit fields that can be oversized or sign-negative,
+    * so any parse whose computed body offset leaves [0, len] degrades to
+    * `unknown` (never an out-of-bounds slice or a task failure on one
+    * corrupt row), and the JPEG walk steps over standalone markers
+    * (RST0–7, TEM, EOI, FF fill bytes) that carry no length field. */
   def parseMediaHeader(b: Array[Byte]): MediaHeader = {
+    val unknown = MediaHeader("unknown", -1, -1, 0)
+    def bounded(h: MediaHeader): MediaHeader =
+      if (h.bodyOffset >= 0 && h.bodyOffset <= b.length) h else unknown
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     if (b.length >= 33 && pngSig.indices.forall(i => u8(b, i) == pngSig(i)) &&
         ascii(b, 12, 4) == "IHDR") {
-      val dataLen = rBe32(b, 8)
-      MediaHeader("png", rBe32(b, 16), rBe32(b, 20), 8 + 4 + 4 + dataLen + 4)
+      val dataLen = rBe32(b, 8) // untrusted: corrupt values exceed len
+      bounded(MediaHeader("png", rBe32(b, 16), rBe32(b, 20),
+        8 + 4 + 4 + dataLen + 4))
     } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
       var i = 2
-      while (i + 4 <= b.length && u8(b, i) == 0xff) {
+      while (i + 1 < b.length && u8(b, i) == 0xff) {
         val marker = u8(b, i + 1)
-        val segLen = rBe16(b, i + 2)
-        val isSof = marker >= 0xc0 && marker <= 0xcf &&
-          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        if (isSof && i + 2 + segLen <= b.length)
-          return MediaHeader("jpeg", rBe16(b, i + 7), rBe16(b, i + 5),
-            i + 2 + segLen)
-        i += 2 + segLen
+        if (marker == 0xff) i += 1         // FF fill byte: marker restarts
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7))
+          i += 2                           // TEM / RSTn: standalone, no length
+        else if (marker == 0xd9) return unknown // EOI before any SOF frame
+        else if (i + 4 <= b.length) {
+          val segLen = rBe16(b, i + 2)
+          if (segLen < 2) return unknown   // length includes its own 2 bytes
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof && i + 9 <= b.length)
+            return bounded(MediaHeader("jpeg", rBe16(b, i + 7), rBe16(b, i + 5),
+              i + 2 + segLen))
+          i += 2 + segLen
+        } else return unknown
       }
-      MediaHeader("unknown", -1, -1, 0)
+      unknown
     } else if (b.length >= 44 && ascii(b, 0, 4) == "RIFF" &&
         ascii(b, 8, 4) == "WAVE" && ascii(b, 12, 4) == "fmt ") {
-      val fmtLen = rLe32(b, 16)
-      val dataHdr = 20 + fmtLen // start of the next chunk header
-      MediaHeader("wav", rLe32(b, 24), rLe16(b, 22),
-        if (ascii(b, dataHdr, 4) == "data") dataHdr + 8 else dataHdr)
-    } else MediaHeader("unknown", -1, -1, 0)
+      val fmtLen = rLe32(b, 16) // untrusted, same discipline as PNG
+      if (fmtLen < 0 || 20L + fmtLen > b.length) unknown
+      else {
+        val dataHdr = 20 + fmtLen // start of the next chunk header
+        bounded(MediaHeader("wav", rLe32(b, 24), rLe16(b, 22),
+          if (ascii(b, dataHdr, 4) == "data") dataHdr + 8 else dataHdr))
+      }
+    } else unknown
   }
 
   /** The partition-parallel decode stage: binary column in, typed feature

@@ -277,7 +277,8 @@ object Similarity extends QueryModule {
     * test-SF default of 6 bits is 64 buckets, and at 200k vectors the
     * masked-key self-join over ~3k-member buckets generated a
     * candidate stream large enough to fill local disk. The declared
-    * queries guard their corpus size and name this parameter. */
+    * `sim_neardup_lsh` query computes this via [[autoBits]] from its
+    * own corpus count (no size guard). */
   private[ext] def lshSketches(e: DataFrame, bits: Int = LshBits): DataFrame = {
     def sig(t: Int, v: Column): Column = (0 until bits).map { p =>
       val w = array((0 until 64).map(d => lit(planeSign(t * bits + p, d))): _*)
@@ -373,9 +374,9 @@ object Similarity extends QueryModule {
     * geometry — verified pairs (id_a < id_b, sim ≥ threshold) from a
     * Hamming-≤1 masked-key self-join over [[lshSketches]] buckets.
     * `bits` MUST be sized to the corpus (≈ log2(n / target_bucket));
-    * the declared `sim_neardup_lsh` query pins bits = [[LshBits]] for
-    * the oracle and guards its corpus size, while scale callers (and
-    * the 100×-rehearsal) pass larger geometries directly.
+    * the declared `sim_neardup_lsh` query computes bits from its own
+    * corpus ([[autoBits]]) and mirrors the formula in its oracle SQL;
+    * scale callers (and the 100×-rehearsal) pass geometries directly.
     *
     * Plan shape (what makes the candidate stream bounded at ANY bits):
     * the Hamming ≤ 1 collision set splits by WHERE the pair collides —

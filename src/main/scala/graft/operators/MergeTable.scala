@@ -538,7 +538,20 @@ object MergeTable {
     * widens by exactly those columns, untouched files carry forward
     * by reference unmodified, and every read fills the new columns
     * with nulls for pre-evolution files — Delta's `mergeSchema`
-    * semantics. Narrowing and retyping stay refused either way. */
+    * semantics. Narrowing and retyping stay refused either way.
+    *
+    * CALLER CONTRACT for pre-persisted batches: merge evaluates the
+    * batch four times and relies on all four reads seeing ONE
+    * materialization (it persists MEMORY_AND_DISK itself when the
+    * batch arrives unpersisted). A caller who persists first keeps
+    * their own cache, but a MEMORY_ONLY level is only safe for
+    * DETERMINISTIC batches: under memory pressure evicted blocks
+    * recompute, and a nondeterministic source (sample,
+    * order-dependent dropDuplicates, a re-read of a mutating
+    * upstream) can then show different keys to the file-skipping pass
+    * and the survivor anti-join — the torn-merge hazard. Persist
+    * nondeterministic batches with a disk-backed level (or let merge
+    * pin them). */
   def merge(spark: SparkSession, root: String, updates0: DataFrame,
       key: String, deleteCol: Option[String] = None,
       evolveSchema: Boolean = false): Long = {

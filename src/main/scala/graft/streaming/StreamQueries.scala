@@ -123,14 +123,21 @@ object StreamQueries extends QueryModule {
 
   /** Stage every chunk of `staged` (chunk ids 0 until `n`) as ordered
     * single files; the file source then delivers them as `n`
-    * deterministic micro-batches. */
+    * deterministic micro-batches. Pins `staged` for the duration: the
+    * per-chunk filter evaluates it once per file, and without the pin
+    * every chunk write would re-run the full source scan + derivation
+    * (n× the staging cost; also a determinism hazard if a caller ever
+    * staged a nondeterministic frame). */
   private def stageChunks(s: SparkSession, staged: DataFrame, staging: String,
       n: Int): Unit = {
-    val baseMs = System.currentTimeMillis() - 3600L * 1000
-    (0 until n).foreach { c =>
-      writeChunk(s, staged.filter(col("chunk") === c).drop("chunk"),
-        staging, c, baseMs)
-    }
+    staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val baseMs = System.currentTimeMillis() - 3600L * 1000
+      (0 until n).foreach { c =>
+        writeChunk(s, staged.filter(col("chunk") === c).drop("chunk"),
+          staging, c, baseMs)
+      }
+    } finally staged.unpersist()
   }
 
   /** Open the staged chunk directory as a 1-file-per-trigger stream. */
@@ -177,16 +184,13 @@ object StreamQueries extends QueryModule {
     "stream_cdc_snapshot" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, root) =>
         val ev = chunked(s, dir)._1
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // replay every 10th event into the NEXT chunk, value poisoned:
-          // visible in the result iff the streaming dedup fails
-          val replays = ev.filter(col("event_id") % 10 === 3 &&
-              col("chunk") < Chunks - 1)
-            .withColumn("value", col("value") + lit(1.0e6d))
-            .withColumn("chunk", col("chunk") + 1)
-          stageChunks(s, ev.unionByName(replays), staging, Chunks)
-        } finally ev.unpersist()
+        // replay every 10th event into the NEXT chunk, value poisoned:
+        // visible in the result iff the streaming dedup fails
+        val replays = ev.filter(col("event_id") % 10 === 3 &&
+            col("chunk") < Chunks - 1)
+          .withColumn("value", col("value") + lit(1.0e6d))
+          .withColumn("chunk", col("chunk") + 1)
+        stageChunks(s, ev.unionByName(replays), staging, Chunks)
 
         // ---- the system under test: stream → dedup → CDC MERGE ----
         val stream = chunkStream(s, staging)
@@ -413,11 +417,7 @@ object StreamQueries extends QueryModule {
             .cast("bigint"))
         stageChunks(s, staged, staging, Chunks)
 
-        val schema = s.read.parquet(staging).schema
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(staging)
-          .as[DocText]
+        val stream = chunkStream(s, staging).as[DocText]
         val cands = StreamAnalytics.streamingBandDedup(stream, maxPostings = 8)
           .toDF()
         drainToMemory(s, cands, ckpt)

@@ -145,16 +145,23 @@ class BenchSpec extends SparkSpec {
   test("committed bench artifacts: tripwire audit (warn-only, driver rewrites last)") {
     // deterministic given the committed files; warn-only because the
     // driver regenerates bench_last.json between commits — Bench.main
-    // prints the same REGRESSION lines at run time
+    // prints the same REGRESSION lines at run time. Epoch-scaled with
+    // BOTH files' recorded canaries, exactly as the runtime wire is:
+    // an unscaled audit would miss fast-epoch regressions the runtime
+    // flags and false-alarm on slow-epoch sweeps it deliberately
+    // suppressed.
     val last = java.nio.file.Paths.get("bench_last.json")
     val base = java.nio.file.Paths.get("bench_baseline.json")
     if (java.nio.file.Files.exists(last) && java.nio.file.Files.exists(base)) {
-      (Bench.parseTimings(java.nio.file.Files.readString(last)),
-        Bench.parseTimings(java.nio.file.Files.readString(base))) match {
+      val lastText = java.nio.file.Files.readString(last)
+      val baseText = java.nio.file.Files.readString(base)
+      val ratio = Bench.epochRatio(
+        Bench.parseCanary(lastText), Bench.parseCanary(baseText))
+      (Bench.parseTimings(lastText), Bench.parseTimings(baseText)) match {
         case (Some((sfL, lastT)), Some((sfB, baseT))) if sfL == sfB =>
-          Bench.regressions(lastT.toSeq.sortBy(_._1), baseT).foreach {
+          Bench.regressions(lastT.toSeq.sortBy(_._1), baseT, ratio).foreach {
             case (name, t, b) =>
-              alert(f"BENCH REGRESSION $name: $t%.2f s vs baseline $b%.2f s (${t / b}%.1fx)")
+              alert(f"BENCH REGRESSION $name: $t%.2f s vs epoch-scaled baseline $b%.2f s (${t / b}%.1fx)")
           }
         case _ => ()
       }

@@ -487,4 +487,34 @@ class ExtSpec extends SparkSpec {
     tornPng(12) = 'X'.toByte
     assert(Multimodal.parseMediaHeader(tornPng).container == "unknown")
   }
+
+  test("malformed declared lengths and standalone JPEG markers degrade to unknown, never OOB") {
+    val body = "payload body".getBytes("UTF-8")
+    // PNG with a corrupt (oversized) IHDR length: body offset would
+    // land far past the payload — must classify unknown, not slice OOB
+    val hugePng = Multimodal.pngBytes(64, 64, body)
+    hugePng(8) = 0x40.toByte // declared chunk length 0x4000000D
+    assert(Multimodal.parseMediaHeader(hugePng).container == "unknown")
+    // WAV with a sign-negative fmt length
+    val negWav = Multimodal.wavBytes(8000, 1, body)
+    negWav(19) = 0x80.toByte // le32 fmtLen sign bit
+    assert(Multimodal.parseMediaHeader(negWav).container == "unknown")
+    // decodeMedia over a corrupt payload must yield a row, not a task
+    // failure: the whole payload hashes as the content stream
+    import spark.implicits._
+    val df = Seq((1L, "image/png", hugePng)).toDF("doc_id", "mime", "payload")
+    val row = Multimodal.decodeMedia(df).collect()(0)
+    assert(row.container == "unknown" && row.width == -1 &&
+      row.payload_len == hugePng.length.toLong)
+    // JPEG with FF fill bytes and a restart marker before SOF: the walk
+    // must step over the standalone markers and still find the frame
+    val jpg = Multimodal.jpegBytes(320, 240, body)
+    val withRst = jpg.take(2) ++ Array(0xff, 0xff, 0xff, 0xd0).map(_.toByte) ++ jpg.drop(2)
+    val h = Multimodal.parseMediaHeader(withRst)
+    assert(h.container == "jpeg" && h.width == 320 && h.height == 240 &&
+      h.bodyOffset == 39 + 4)
+    // EOI before any SOF frame: malformed, rejected
+    val eoiFirst = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) ++ body
+    assert(Multimodal.parseMediaHeader(eoiFirst).container == "unknown")
+  }
 }

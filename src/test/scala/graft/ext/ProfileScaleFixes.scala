@@ -40,8 +40,9 @@ object ProfileScaleFixes {
     time(s"neardupLshPairs(bits=$bits, r=0)")(
       Similarity.neardupLshPairs(e, bits, 0.4, probeRadius = 0).count())
 
-    // the DECLARED query end-to-end: auto-sized geometry
-    // (bits = max(6, ceil(log2(n/500)))), radius-1 probing — the shape
+    // the DECLARED query end-to-end: auto-sized geometry (bits =
+    // max(LshBits, ceil(log2(n/NeardupTargetBucket))), i.e. log2(n/50))
+    // with the radius dropping to 0 past the fixed geometry — the shape
     // every caller gets with no corpus-size guard
     time("sim_neardup_lsh (declared, auto-bits)")(
       graft.SparkEntry.queries("sim_neardup_lsh")(spark, dir).count())
