@@ -417,7 +417,14 @@ object StreamQueries extends QueryModule {
             .cast("bigint"))
         stageChunks(s, staged, staging, Chunks)
 
-        val stream = chunkStream(s, staging).as[DocText]
+        // each chunk is ONE parquet file = one input partition, so the
+        // per-doc MinHash (4 MD5s per shingle) would run single-core per
+        // batch; repartition fans the map work out before the banding —
+        // per-band-key state processing is order-canonicalized inside
+        // the group handler, so partitioning cannot change the output
+        // (10× rehearsal: 104 s single-core → 25 s fanned, identical output)
+        val stream = chunkStream(s, staging)
+          .repartition(StreamShufflePartitions).as[DocText]
         val cands = StreamAnalytics.streamingBandDedup(stream, maxPostings = 8)
           .toDF()
         drainToMemory(s, cands, ckpt)
