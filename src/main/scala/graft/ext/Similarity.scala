@@ -264,6 +264,40 @@ object Similarity extends QueryModule {
        |    GROUP BY 1, 2)
        |  GROUP BY 1""".stripMargin
 
+  /** Corpus label centroids collected for the streaming assignment path
+    * (k tiny rows — the same data `broadcast()` would ship), ascending
+    * by cell id as [[graft.streaming.StreamAnalytics.assignToCells]]
+    * expects. */
+  private[graft] def labelCentroids(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    centroids(emb(s, dir).select(col("label"), vecD(col("embedding")).as("v")), "label")
+      .collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** SQL mirrors for oracles composed OUTSIDE this module (the
+    * streaming IVF-assign replay reuses the exact batch formulas). */
+  private[graft] def dCentroidsSql(src: String, key: String, outKey: String): String =
+    dCentroids(src, key, outKey)
+  private[graft] def dCosSql(a: String, b: String): String = dCos(a, b)
+
+  /** One-Lloyd-step PQ codebook collected for the streaming encode
+    * path (M·K tiny rows), (m, code) ascending as
+    * [[graft.streaming.StreamAnalytics.encodePq]] expects. */
+  private[graft] def trainedPqCodebookOf(s: SparkSession, dir: String): Seq[(Int, Int, Array[Double])] =
+    pqTrainedCodebook(pqSubvectors(
+        emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(c => (c._1, c._2)).toSeq
+
+  /** SQL mirrors of the PQ pipeline CTEs for oracles composed OUTSIDE
+    * this module (the streaming PQ-encode replay reuses the exact
+    * batch codebook derivation). */
+  private[graft] def dPqSubSql: String = dPqSub
+  private[graft] def dPqCb0Sql: String = dPqCb0
+  private[graft] def dPqAssignSql(name: String, cb: String): String = dPqAssign(name, cb)
+  private[graft] def dPqCentsSql: String = dPqCents
+
   /** Sign sketches (vec_id, v, table_id, bucket) for every row of
     * `e(vec_id, v)`. Bit p of table t = sign(w_{t·k+p} · v), w a
     * deterministic ±1 hyperplane. The dot is the codegen'd native
@@ -557,8 +591,8 @@ object Similarity extends QueryModule {
     * only codes + per-query lookup tables. K is toy-sized for the
     * testdata (it would be 256 per byte-code in production); every
     * shape below is M/K-independent. */
-  private[ext] val PqSubspaces = 8
-  private[ext] val PqSubDim: Int = Dims / PqSubspaces
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqSubDim: Int = Dims / PqSubspaces
   private[ext] val PqCodes = 16
 
   private def vdot(a: Column, b: Column): Column =

@@ -446,5 +446,108 @@ object StreamQueries extends QueryModule {
              |  AND a.rn < b.rn
              |ORDER BY d1, d2""".stripMargin),
       doc = "streaming MinHash band dedup across micro-batches; capped per-key state vs rank-capped relational replay"),
+
+    /** STREAMING IVF INDEX MAINTENANCE on the hard signal: embeddings
+      * arrive in 4 vec_id-ordered micro-batches and are assigned to
+      * their max-cosine corpus-label centroid as PURE MAP work (the
+      * literal-centroid fold of `assignToCells` — no join, no
+      * aggregation, the shape that lets a production ingest chain the
+      * one streaming aggregation Spark allows on top). The oracle
+      * replays the argmax with the exact batch SQL formulas (Q24
+      * centroids, list_dot_product cosine, ties to the smaller cell). A
+      * planted zero-norm row rides the last chunk: its cosine folds to
+      * NaN, which Spark comparisons rank ABOVE every value, so only the
+      * explicit NaN quarantine keeps it out of a real cell — the oracle
+      * pins it to the sentinel cell −1, making the quarantine
+      * load-bearing rather than decorative. */
+    "stream_ivf_assign" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        graft.plans.GraftExtensions.register(s) // vector_cosine in the fold
+        val cents = graft.ext.Similarity.labelCentroids(s, dir)
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        val span = e.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head()
+        val (mn, mx) = (span.getLong(0), span.getLong(1))
+        import s.implicits._
+        val dirty = Seq((-1L, Array.fill(cents.head._2.length)(0.0d)))
+          .toDF("vec_id", "v")
+          .withColumn("chunk", lit((Chunks - 1).toLong))
+        val staged = e.withColumn("chunk",
+            (lit(Chunks.toLong) * (col("vec_id") - lit(mn)) / lit(mx - mn + 1L))
+              .cast("bigint"))
+          .unionByName(dirty)
+        stageChunks(s, staged, staging, Chunks)
+
+        val assigned = StreamAnalytics
+          .assignToCells(chunkStream(s, staging), cents)
+          .select(col("vec_id"), col("cell"))
+        drainToMemory(s, assigned, ckpt).orderBy(col("vec_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |cents AS (
+             |  ${graft.ext.Similarity.dCentroidsSql("e", "label", "cell")}),
+             |asg AS (
+             |  SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${graft.ext.Similarity.dCosSql("e.v", "c.centroid")} DESC,
+             |          c.cell NULLS FIRST) AS rk
+             |    FROM e CROSS JOIN cents c) WHERE rk = 1)
+             |SELECT vec_id, cell FROM asg
+             |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+             |ORDER BY vec_id""".stripMargin),
+      doc = "streaming IVF cell assignment (map-only literal-centroid argmax) vs SQL argmax replay; planted zero-norm row must quarantine to cell -1"),
+
+    /** STREAMING PQ ENCODING on the hard signal: embeddings arrive in 4
+      * vec_id-ordered micro-batches and are encoded to M=8 PQ code ids
+      * against the one-Lloyd-step codebook (a literal — M·K tiny rows),
+      * as PURE MAP work per row. The oracle re-derives the SAME
+      * codebook with the batch SQL CTEs (seed codes → assignment → Q24
+      * centroid step) and replays the per-subspace argmin (ties to the
+      * smaller code id). A planted all-NaN row rides the last chunk:
+      * NaN ranks above +Infinity in Spark comparisons, so it never
+      * wins the strict `<` argmin and must keep the −1 sentinel in
+      * EVERY subspace — the oracle pins those 8 rows. */
+    "stream_pq_encode" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        graft.plans.GraftExtensions.register(s) // vector_dot in the fold
+        val cb = graft.ext.Similarity.trainedPqCodebookOf(s, dir)
+        val dims = graft.ext.Similarity.PqSubspaces * graft.ext.Similarity.PqSubDim
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        val span = e.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head()
+        val (mn, mx) = (span.getLong(0), span.getLong(1))
+        import s.implicits._
+        val dirty = Seq((-1L, Array.fill(dims)(Double.NaN)))
+          .toDF("vec_id", "v")
+          .withColumn("chunk", lit((Chunks - 1).toLong))
+        val staged = e.withColumn("chunk",
+            (lit(Chunks.toLong) * (col("vec_id") - lit(mn)) / lit(mx - mn + 1L))
+              .cast("bigint"))
+          .unionByName(dirty)
+        stageChunks(s, staged, staging, Chunks)
+
+        val encoded = StreamAnalytics.encodePq(chunkStream(s, staging), cb,
+          graft.ext.Similarity.PqSubDim)
+          .select(col("vec_id"), col("codes"))
+        drainToMemory(s, encoded, ckpt)
+          .select(col("vec_id"), posexplode(col("codes")))
+          .select(col("vec_id"), col("pos").cast("long").as("m"),
+            col("col").as("code"))
+          .orderBy(col("vec_id"), col("m"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |${graft.ext.Similarity.dPqSubSql},
+             |${graft.ext.Similarity.dPqCb0Sql},
+             |${graft.ext.Similarity.dPqAssignSql("asg", "cb0")},
+             |${graft.ext.Similarity.dPqCentsSql},
+             |cb AS (SELECT m, code_id, centroid AS cv FROM cents),
+             |${graft.ext.Similarity.dPqAssignSql("enc", "cb")}
+             |SELECT vec_id, m, code_id AS code FROM enc
+             |UNION ALL
+             |SELECT CAST(-1 AS BIGINT), gs.m, CAST(-1 AS INTEGER)
+             |FROM generate_series(0, ${graft.ext.Similarity.PqSubspaces - 1}) AS gs(m)
+             |ORDER BY vec_id, m""".stripMargin),
+      doc = "streaming PQ encode (map-only literal-codebook argmin) vs batch codebook SQL replay; planted NaN row must keep -1 codes"),
   )
 }

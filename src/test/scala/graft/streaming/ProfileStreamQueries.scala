@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 object ProfileStreamQueries {
   private val Queries = Seq("stream_cdc_snapshot", "stream_windowed_volume",
     "stream_sessionize", "stream_running_totals", "stream_interval_join",
-    "stream_band_dedup")
+    "stream_band_dedup", "stream_ivf_assign", "stream_pq_encode")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf10")
