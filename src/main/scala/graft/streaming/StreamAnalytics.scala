@@ -55,9 +55,10 @@ object StreamAnalytics {
     * form of the reference's replay absorption (ST7, warehouse.rs:
     * 227-229): duplicates arriving within the watermark horizon are
     * dropped with bounded state. */
-  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours",
+      tsCol: String = "ts", keyCol: String = "event_id"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Custom arbitrary state per key (`flatMapGroupsWithState`): emits a
     * running cumulative (count, value) row per key per micro-batch — the
@@ -148,11 +149,13 @@ object StreamAnalytics {
     * stays map-only, which is what lets the caller chain the one
     * streaming aggregation Spark allows (e.g. per-cell occupancy
     * counts) on top. Ties break to the smaller cell id, matching the
-    * batch assignment exactly. Dirty rows whose cosine is NaN (zero-
-    * norm embeddings) are routed to the sentinel cell -1 by the finish
-    * clause — Spark SQL orders NaN ABOVE every value in comparisons
-    * (unlike Java IEEE), so without the explicit check a NaN row would
-    * silently win the first centroid instead of being quarantined. */
+    * batch assignment exactly. NaN cosines are rejected per candidate
+    * — Spark SQL orders NaN ABOVE every value in comparisons (unlike
+    * Java IEEE), so an unguarded fold would let a NaN silently win and
+    * stick: a zero-norm INPUT row (NaN against every centroid) ends at
+    * the init sentinel cell -1, while a single degenerate CENTROID
+    * costs only itself as a candidate instead of quarantining the
+    * whole stream. */
   def assignToCells(stream: DataFrame,
       cents: Seq[(Long, Array[Double])]): DataFrame = {
     require(cents.nonEmpty, "assignToCells needs at least one centroid")
@@ -160,17 +163,28 @@ object StreamAnalytics {
       struct(lit(cell).as("cell"),
         array(c.map(lit(_)): _*).as("centroid"))
     }: _*)
+    // Two structural choices on the hot per-row path:
+    //  - the cosine is PRECOMPUTED once per candidate by the transform
+    //    (Spark's subexpression elimination skips lambda-bound
+    //    expressions, so a CASE that repeats the cosine in condition
+    //    and THEN branch would evaluate it twice per candidate);
+    //  - NaN is rejected PER CANDIDATE, not by a finish-clause check:
+    //    Spark ranks NaN above every double, so a single degenerate
+    //    centroid (zero-norm → cosine NaN) would otherwise poison
+    //    acc.best and quarantine EVERY row of the stream; per-candidate
+    //    isnan confines the damage to that centroid while a fully-NaN
+    //    row (zero-norm input) still ends at the init cell −1.
     stream
       .withColumn("_cents", centArr)
       .withColumn("cell", expr(
-        """aggregate(_cents,
+        """aggregate(
+          |  transform(_cents, c -> named_struct(
+          |    'cell', c.cell, 'cos', vector_cosine(v, c.centroid))),
           |  named_struct('cell', CAST(-1 AS BIGINT), 'best', CAST(-2.0 AS DOUBLE)),
-          |  (acc, c) -> CASE WHEN vector_cosine(v, c.centroid) > acc.best
-          |                   THEN named_struct('cell', c.cell,
-          |                                     'best', vector_cosine(v, c.centroid))
+          |  (acc, c) -> CASE WHEN NOT isnan(c.cos) AND c.cos > acc.best
+          |                   THEN named_struct('cell', c.cell, 'best', c.cos)
           |                   ELSE acc END,
-          |  acc -> CASE WHEN isnan(acc.best) THEN CAST(-1 AS BIGINT)
-          |              ELSE acc.cell END)""".stripMargin))
+          |  acc -> acc.cell)""".stripMargin))
       .drop("_cents")
   }
 
@@ -192,22 +206,34 @@ object StreamAnalytics {
       codebook: Seq[(Int, Int, Array[Double])], subDim: Int): DataFrame = {
     require(codebook.nonEmpty, "encodePq needs a non-empty codebook")
     val nSub = codebook.map(_._1).max + 1
+    // ‖cv‖² is a per-codeword CONSTANT, so it ships precomputed in the
+    // literal: the same left-to-right IEEE fold vector_dot would run,
+    // done once at plan-build instead of once per (row, code). The
+    // bit-parity contract with the batch argmin is preserved because
+    // the operation sequence per distance is unchanged.
     val cbArr = array(codebook.sortBy(c => (c._1, c._2)).map { case (m, code, c) =>
+      var cvv = 0.0
+      c.foreach(x => cvv += x * x)
       struct(lit(m).as("m"), lit(code).as("code"),
-        array(c.map(lit(_)): _*).as("cv"))
+        array(c.map(lit(_)): _*).as("cv"), lit(cvv).as("cvv"))
     }: _*)
     val sv = s"slice(v, m * $subDim + 1, $subDim)"
-    val d2 = s"(vector_dot($sv, $sv) - 2.0D * vector_dot($sv, c.cv)" +
-      " + vector_dot(c.cv, c.cv))"
+    // d2 is PRECOMPUTED once per candidate by the transform — Spark's
+    // subexpression elimination skips lambda-bound expressions, so a
+    // CASE repeating d2 in condition and THEN branch would run the
+    // whole distance twice per (row, code).
+    val d2 = s"(vector_dot($sv, $sv) - 2.0D * vector_dot($sv, c.cv) + c.cvv)"
     stream
       .withColumn("_cb", cbArr)
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${nSub - 1}), m ->
-           |  aggregate(filter(_cb, c -> c.m = m),
+           |  aggregate(
+           |    transform(filter(_cb, c -> c.m = m),
+           |      c -> named_struct('code', c.code, 'd2', $d2)),
            |    named_struct('code', CAST(-1 AS INT),
            |                 'best', CAST('Infinity' AS DOUBLE)),
-           |    (acc, c) -> CASE WHEN $d2 < acc.best
-           |                     THEN named_struct('code', c.code, 'best', $d2)
+           |    (acc, c) -> CASE WHEN c.d2 < acc.best
+           |                     THEN named_struct('code', c.code, 'best', c.d2)
            |                     ELSE acc END,
            |    acc -> acc.code))""".stripMargin))
       .drop("_cb")
@@ -227,7 +253,8 @@ object StreamAnalytics {
     * version log records the retry rather than hiding it. */
   def cdcApply(updates: DataFrame, root: String, key: String,
       versionCol: String, deleteCol: Option[String] = None,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val w = updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -238,18 +265,23 @@ object StreamAnalytics {
         }
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger) // AvailableNow = drain-and-stop (batch/test);
+                        // a ProcessingTime trigger tails continuously
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()
   }
 
-  /** Start a windowed-volume query into an in-memory sink (smoke/test
-    * harness; production would writeStream to parquet/Kafka). */
-  def startToMemory(agg: DataFrame, name: String): StreamingQuery =
-    agg.writeStream
+  /** Start an append-mode query into an in-memory sink (the declared
+    * streaming queries' drain target and the spec harness; production
+    * would writeStream to parquet/Kafka). */
+  def startToMemory(agg: DataFrame, name: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = agg.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The streaming+storage stack on the hard oracle signal: a REAL
@@ -84,6 +84,24 @@ object StreamQueries extends QueryModule {
   /** See [[withStreamRun]]: state-store instances per stateful op. */
   private val StreamShufflePartitions = 8
 
+  /** Chunk index 0..Chunks−1 for `idCol` over the CLOSED span [mn, mx]
+    * — the one home for the staging range-partition arithmetic. The
+    * division is exact integer `div`, not `/`: Spark's `/` on longs is
+    * double division, and past ~2^52 numerator magnitudes (an event-
+    * time span of mere months in nanos) the rounding error can push
+    * the max-id rows to quotient Chunks, which no staged file carries
+    * — rows would silently vanish from the harness. */
+  private def chunkOf(idCol: String, mn: Long, mx: Long): Column =
+    expr(s"(${Chunks}L * ($idCol - ${mn}L)) div ${mx - mn + 1}L")
+
+  /** Span scan + chunk assignment for any frame keyed by `idCol`:
+    * returns the frame with its `chunk` column plus (mn, mx). */
+  private def withChunks(df: DataFrame, idCol: String): (DataFrame, Long, Long) = {
+    val span = df.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
+    val (mn, mx) = (span.getLong(0), span.getLong(1))
+    (df.withColumn("chunk", chunkOf(idCol, mn, mx)), mn, mx)
+  }
+
   /** Events + chunk assignment (+`ver`, the (ts, event_id) total-order
     * version string; +`tsw`, the TimestampType watermark column).
     * Returns the frame plus the corpus ts span (nanos) so callers can
@@ -92,11 +110,8 @@ object StreamQueries extends QueryModule {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
-    val span = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
-    val (mn, mx) = (span.getLong(0), span.getLong(1))
-    val df = ev.withColumn("chunk",
-        (lit(Chunks.toLong) * (col("ts") - lit(mn)) / lit(mx - mn + 1L))
-          .cast("bigint"))
+    val (df0, mn, mx) = withChunks(ev, "ts")
+    val df = df0
       .withColumn("ver", concat(
         lpad(col("ts").cast("string"), 20, "0"),
         lpad(col("event_id").cast("string"), 12, "0")))
@@ -149,18 +164,17 @@ object StreamQueries extends QueryModule {
   }
 
   /** Run `agg` (append mode) into a uniquely-named memory sink until
-    * AvailableNow drains, return the sink contents. */
+    * AvailableNow drains, return the sink contents. The temp view is
+    * dropped immediately — the returned DataFrame's analyzed plan
+    * already holds the sink relation, and leaving the name registered
+    * would pin every query's full result set on the driver for the
+    * session lifetime (Verify runs the whole surface in ONE session). */
   private def drainToMemory(s: SparkSession, agg: DataFrame, ckpt: String): DataFrame = {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+    StreamAnalytics.startToMemory(agg, name, Some(ckpt)).awaitTermination()
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** Write chunk `c` of `df` as the single file `staging/chunk-c.parquet`
@@ -183,7 +197,7 @@ object StreamQueries extends QueryModule {
   override def defs: Seq[(String, Q)] = Seq(
     "stream_cdc_snapshot" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, root) =>
-        val ev = chunked(s, dir)._1
+        val (ev, mn, mx) = chunked(s, dir)
         // replay every 10th event into the NEXT chunk, value poisoned:
         // visible in the result iff the streaming dedup fails
         val replays = ev.filter(col("event_id") % 10 === 3 &&
@@ -193,14 +207,16 @@ object StreamQueries extends QueryModule {
         stageChunks(s, ev.unionByName(replays), staging, Chunks)
 
         // ---- the system under test: stream → dedup → CDC MERGE ----
-        val stream = chunkStream(s, staging)
-          // the watermark delay must exceed the maximum replay lag (one
-          // chunk span ≈ 7.5 days of event time here) or replayed keys
-          // may be evicted before their duplicate arrives; 8 days keeps
-          // the dedup guarantee while still evicting state > one chunk
-          // behind the frontier
-          .withWatermark("tsw", "8 days")
-          .dropDuplicatesWithinWatermark("event_id")
+        // the watermark delay must exceed the maximum replay lag (one
+        // chunk span of event time) or replayed keys may be evicted
+        // from dedup state before their duplicate arrives — so it is
+        // DERIVED from the corpus span (+12h margin) instead of
+        // hardcoding a number a larger fixture window would outgrow,
+        // while still evicting state a bit more than one chunk behind
+        // the frontier
+        val delayMs = (mx - mn) / Chunks / 1000000L + 12L * 3600 * 1000
+        val stream = StreamAnalytics.dedupedStream(chunkStream(s, staging),
+            watermark = s"$delayMs milliseconds", tsCol = "tsw")
           .drop("tsw")
         val q = StreamAnalytics.cdcApply(stream, root, key = "user_id",
           versionCol = "ver", checkpointDir = Some(ckpt))
@@ -410,11 +426,7 @@ object StreamQueries extends QueryModule {
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
         import s.implicits._
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val span = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
-        val (mn, mx) = (span.getLong(0), span.getLong(1))
-        val staged = docs.withColumn("chunk",
-          (lit(Chunks.toLong) * (col("doc_id") - lit(mn)) / lit(mx - mn + 1L))
-            .cast("bigint"))
+        val staged = withChunks(docs, "doc_id")._1
         stageChunks(s, staged, staging, Chunks)
 
         // each chunk is ONE parquet file = one input partition, so the
@@ -466,16 +478,11 @@ object StreamQueries extends QueryModule {
         val cents = graft.ext.Similarity.labelCentroids(s, dir)
         val e = Tables.embeddings(s, dir).select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
-        val span = e.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head()
-        val (mn, mx) = (span.getLong(0), span.getLong(1))
         import s.implicits._
         val dirty = Seq((-1L, Array.fill(cents.head._2.length)(0.0d)))
           .toDF("vec_id", "v")
           .withColumn("chunk", lit((Chunks - 1).toLong))
-        val staged = e.withColumn("chunk",
-            (lit(Chunks.toLong) * (col("vec_id") - lit(mn)) / lit(mx - mn + 1L))
-              .cast("bigint"))
-          .unionByName(dirty)
+        val staged = withChunks(e, "vec_id")._1.unionByName(dirty)
         stageChunks(s, staged, staging, Chunks)
 
         val assigned = StreamAnalytics
@@ -515,16 +522,11 @@ object StreamQueries extends QueryModule {
         val dims = graft.ext.Similarity.PqSubspaces * graft.ext.Similarity.PqSubDim
         val e = Tables.embeddings(s, dir).select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("v"))
-        val span = e.agg(min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).head()
-        val (mn, mx) = (span.getLong(0), span.getLong(1))
         import s.implicits._
         val dirty = Seq((-1L, Array.fill(dims)(Double.NaN)))
           .toDF("vec_id", "v")
           .withColumn("chunk", lit((Chunks - 1).toLong))
-        val staged = e.withColumn("chunk",
-            (lit(Chunks.toLong) * (col("vec_id") - lit(mn)) / lit(mx - mn + 1L))
-              .cast("bigint"))
-          .unionByName(dirty)
+        val staged = withChunks(e, "vec_id")._1.unionByName(dirty)
         stageChunks(s, staged, staging, Chunks)
 
         val encoded = StreamAnalytics.encodePq(chunkStream(s, staging), cb,
