@@ -91,7 +91,7 @@ object StreamQueries extends QueryModule {
     * time span of mere months in nanos) the rounding error can push
     * the max-id rows to quotient Chunks, which no staged file carries
     * — rows would silently vanish from the harness. */
-  private def chunkOf(idCol: String, mn: Long, mx: Long): Column =
+  private[streaming] def chunkOf(idCol: String, mn: Long, mx: Long): Column =
     expr(s"(${Chunks}L * ($idCol - ${mn}L)) div ${mx - mn + 1}L")
 
   /** Span scan + chunk assignment for any frame keyed by `idCol`:

@@ -345,6 +345,24 @@ class StreamSpec extends SparkSpec {
     assert(MergeTable.versions(spark, tbl).size == 3)
   }
 
+  test("staging chunk assignment is exact at event-time spans where double division rounds") {
+    import spark.implicits._
+    // a ~115-day span in nanos: 4*(mx-mn) ≈ 4e16 > 2^53, where the old
+    // double-division formula rounds the max row's quotient to 4.0 —
+    // a chunk index no staged file carries, silently dropping the row
+    val mn = 1704067200000000000L
+    val mx = mn + 9999999999999999L
+    val ids = Seq(mn, mn + 1L, (mn + mx) / 2, mx - 1L, mx)
+    val chunks = ids.toDF("ts")
+      .select(StreamQueries.chunkOf("ts", mn, mx).as("chunk"))
+      .as[Long].collect().toSeq
+    assert(chunks.head == 0L && chunks.last == 3L,
+      s"span endpoints must land in chunks 0 and Chunks-1, got $chunks")
+    assert(chunks.forall(c => c >= 0L && c <= 3L),
+      s"every chunk index must be stageable, got $chunks")
+    assert(chunks == chunks.sorted, "chunk assignment must be monotone in ts")
+  }
+
   test("declared streaming queries match their batch replay in-JVM (late drop, session merge, keyed state)") {
     import graft.{SparkEntry, Tables}
     // stream_windowed_volume: the emitted windows must equal the batch
