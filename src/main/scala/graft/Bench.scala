@@ -125,19 +125,22 @@ object Bench {
     """"canary_sec":(-?[0-9.]+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toDouble)
 
-  /** Epoch calibration factor: this sweep's canary over the baseline's,
-    * clamped to [0.5, 2.5] so a broken canary sample can never widen
-    * (or collapse) the wire unboundedly. The bounds track the OBSERVED
-    * canary spread on this host: originally set to [0.6, 1.8] from the
-    * ~1.19× query-level epoch swing, but same-session round-9 sweeps
-    * measured best-of-3 canaries of 0.088 s and 0.257 s an hour apart
-    * (2.9× — pure-CPU work swings harder than the I/O-mixed queries),
-    * so the old ceiling silently under-scaled slow-epoch runs. 1.0 when
-    * either side is missing. */
+  /** Epoch calibration factor: the SQUARE ROOT of this sweep's canary
+    * over the baseline's, clamped to [0.5, 1.8]. The dampening bridges
+    * the two observed swing magnitudes on this host: the pure-CPU
+    * canary swings up to ~2.9× between epochs (round-9 same-session
+    * best-of-3 canaries of 0.088 s and 0.257 s an hour apart) while the
+    * I/O-mixed queries swing only ~1.2–1.6×, so applying the FULL
+    * canary ratio on a slow epoch would suppress real regressions of up
+    * to ~2× behind machine noise. sqrt maps the canary's 2.9× to ~1.7×
+    * — the query-level band — and the asymmetric clamp (ceiling 1.8,
+    * reached at a 3.24× canary) bounds slow-epoch suppression near the
+    * observed query swing while still letting a fast-epoch run TIGHTEN
+    * the wire (floor 0.5). 1.0 when either side is missing. */
   private[graft] def epochRatio(nowCanary: Option[Double],
       baseCanary: Option[Double]): Double = (nowCanary, baseCanary) match {
     case (Some(n), Some(b)) if n > 0 && b > 0 =>
-      math.min(2.5, math.max(0.5, n / b))
+      math.min(1.8, math.max(0.5, math.sqrt(n / b)))
     case _ => 1.0
   }
 

@@ -271,9 +271,26 @@ object StreamAnalytics {
     w.start()
   }
 
-  /** Start an append-mode query into an in-memory sink (the declared
-    * streaming queries' drain target and the spec harness; production
-    * would writeStream to parquet/Kafka). */
+  /** Start an append-mode query into a parquet file sink — the declared
+    * streaming queries' drain target: every result row is written by the
+    * EXECUTORS and read back lazily, so nothing crosses the driver at
+    * any SF (the production shape; a deployment would point this at its
+    * lake path or swap in a Kafka sink). The sink's `_spark_metadata`
+    * commit log makes the batch read-back exactly-once: only files of
+    * acknowledged micro-batches are visible. */
+  def startToParquet(agg: DataFrame, path: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
+  /** Start an append-mode query into an in-memory sink (spec harness
+    * only — the declared queries drain through [[startToParquet]]). */
   def startToMemory(agg: DataFrame, name: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val w = agg.writeStream

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The streaming+storage stack on the hard oracle signal: a REAL
@@ -43,12 +43,32 @@ object StreamQueries extends QueryModule {
 
   private val Chunks = 4
 
-  /** Unique in-memory sink names so repeated runs (Verify executes every
-    * query in one session) never collide on the temp view. */
+  /** Unique sink directory names so repeated runs (Verify executes every
+    * query in one session) never collide. */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** JVM-lifetime scratch root for materialized query results. The
+    * per-run temp dir (staging files, checkpoints, table roots) is
+    * deleted as each query finishes, but the query's RESULT parquet must
+    * outlive that cleanup — the returned DataFrame reads it lazily —
+    * so results live here and are reclaimed once, at JVM exit. */
+  private lazy val resultsRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-stream-results")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   /** Build the staged chunk files + checkpoint + table root under one
-    * temp dir, run `body`, materialize its bounded result, clean up.
+    * temp dir, run `body`, land its bounded result as parquet under
+    * [[resultsRoot]] (an EXECUTOR-side write — no result row ever
+    * crosses the driver, at any SF), return a lazy read of that
+    * parquet, clean the run's temp dir up.
     *
     * Runs under `StreamShufflePartitions` (state stores are created at
     * the stream's FIRST batch from the session's shuffle-partition
@@ -59,7 +79,11 @@ object StreamQueries extends QueryModule {
     * 32 partitions × 6 batches is ~750 store commits for a few hundred
     * output rows. 8 partitions cut that 4× with zero skew risk at these
     * volumes; a real deployment sizes this to its per-batch volume, not
-    * its cluster width. The session's setting is restored afterwards. */
+    * its cluster width. The session's setting is restored afterwards.
+    * NOTE: the mutation is session-global for the run's duration — the
+    * declared queries execute strictly sequentially (Verify and Bench
+    * run one query at a time in one session); a concurrent-query
+    * harness would need to scope this per-stream instead. */
   private def withStreamRun(s: SparkSession, dir: String)(
       body: (String, String, String) => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -70,9 +94,10 @@ object StreamQueries extends QueryModule {
       val ckpt = tmp.resolve("ckpt").toString
       val root = tmp.resolve("events_tbl").toString
       val res = body(staging, ckpt, root)
-      val rows = new java.util.ArrayList[Row]()
-      res.collect().foreach(rows.add)
-      s.createDataFrame(rows, res.schema)
+      val out = resultsRoot
+        .resolve(s"res-${sinkCounter.incrementAndGet()}").toString
+      res.write.parquet(out)
+      s.read.parquet(out)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val fs = new org.apache.hadoop.fs.Path(tmp.toString)
@@ -90,9 +115,22 @@ object StreamQueries extends QueryModule {
     * double division, and past ~2^52 numerator magnitudes (an event-
     * time span of mere months in nanos) the rounding error can push
     * the max-id rows to quotient Chunks, which no staged file carries
-    * — rows would silently vanish from the harness. */
-  private[streaming] def chunkOf(idCol: String, mn: Long, mx: Long): Column =
+    * — rows would silently vanish from the harness.
+    *
+    * The span is guarded at plan-build: `Chunks · (id − mn)` overflows
+    * Long once the span exceeds Long.MaxValue / Chunks (~73 YEARS of
+    * nanos — unreachable with any current corpus), and the `span + 1`
+    * divisor overflows at a full-Long span. Both would mis-chunk
+    * SILENTLY (wrong indices, not an error), so a future wider-ranged
+    * key must fail loudly here instead. */
+  private[streaming] def chunkOf(idCol: String, mn: Long, mx: Long): Column = {
+    require(mx >= mn, s"chunkOf span is inverted: [$mn, $mx]")
+    require(mx - mn < Long.MaxValue / Chunks,
+      s"chunkOf span $mn..$mx exceeds Long.MaxValue/$Chunks — the " +
+        "Chunks*(id-mn) staging arithmetic would overflow and mis-chunk " +
+        "silently; re-base the key or widen the math to BigInt first")
     expr(s"(${Chunks}L * ($idCol - ${mn}L)) div ${mx - mn + 1}L")
+  }
 
   /** Span scan + chunk assignment for any frame keyed by `idCol`:
     * returns the frame with its `chunk` column plus (mn, mx). */
@@ -163,18 +201,19 @@ object StreamQueries extends QueryModule {
       .parquet(staging)
   }
 
-  /** Run `agg` (append mode) into a uniquely-named memory sink until
-    * AvailableNow drains, return the sink contents. The temp view is
-    * dropped immediately — the returned DataFrame's analyzed plan
-    * already holds the sink relation, and leaving the name registered
-    * would pin every query's full result set on the driver for the
-    * session lifetime (Verify runs the whole surface in ONE session). */
-  private def drainToMemory(s: SparkSession, agg: DataFrame, ckpt: String): DataFrame = {
-    val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
-    StreamAnalytics.startToMemory(agg, name, Some(ckpt)).awaitTermination()
-    val out = s.table(name)
-    s.catalog.dropTempView(name)
-    out
+  /** Run `agg` (append mode) into a parquet file sink next to `ckpt`
+    * until AvailableNow drains, return a batch read of the sink. The
+    * drain is entirely executor-side (the production sink shape — see
+    * [[StreamAnalytics.startToParquet]]); the read-back honors the
+    * sink's `_spark_metadata` commit log, and carries the agg's schema
+    * explicitly so a legitimately-empty drain still binds. Callers'
+    * post-processing (ordering, reshaping) then feeds
+    * [[withStreamRun]]'s final executor-side result write. */
+  private def drainToParquet(s: SparkSession, agg: DataFrame, ckpt: String): DataFrame = {
+    val sink = new org.apache.hadoop.fs.Path(ckpt).getParent
+      .suffix(s"/sink-${sinkCounter.incrementAndGet()}").toString
+    StreamAnalytics.startToParquet(agg, sink, Some(ckpt)).awaitTermination()
+    s.read.schema(agg.schema).parquet(sink)
   }
 
   /** Write chunk `c` of `df` as the single file `staging/chunk-c.parquet`
@@ -283,7 +322,7 @@ object StreamQueries extends QueryModule {
           .withColumnRenamed("tsw", "ts")
         val agg = StreamAnalytics.windowedVolume(stream,
           width = "1 hour", watermark = "1 hour")
-        drainToMemory(s, agg, ckpt)
+        drainToParquet(s, agg, ckpt)
           .select(unix_micros(col("window_start")).as("ws_us"),
             col("event_type"), col("cnt"), col("total_value"))
           .orderBy(col("ws_us"), col("event_type"))
@@ -311,7 +350,7 @@ object StreamQueries extends QueryModule {
           .withColumnRenamed("tsw", "ts")
         val agg = StreamAnalytics.sessionActivity(stream,
           keyCol = "user_id", gap = "6 hours", watermark = "1 hour")
-        drainToMemory(s, agg, ckpt)
+        drainToParquet(s, agg, ckpt)
           .select(col("user_id"),
             unix_micros(col("session_start")).as("session_start_us"),
             unix_micros(col("session_end")).as("session_end_us"),
@@ -358,7 +397,7 @@ object StreamQueries extends QueryModule {
           .select(col("user_id").cast("string").as("key"), col("value"))
           .as[KeyedEvent]
         val totals = StreamAnalytics.runningTotals(keyed).toDF()
-        drainToMemory(s, totals, ckpt)
+        drainToParquet(s, totals, ckpt)
           .groupBy(col("key"))
           .agg(max(col("total_events")).as("total_events"),
             max_by(col("total_value"), col("total_events")).as("total_value"))
@@ -396,7 +435,7 @@ object StreamQueries extends QueryModule {
         val joined = StreamAnalytics.purchaseClickJoin(stream, watermark = "2 hours")
           .select(col("purchase_id"), col("click_id"),
             unix_micros(col("pts")).as("p_us"), unix_micros(col("cts")).as("c_us"))
-        drainToMemory(s, joined, ckpt)
+        drainToParquet(s, joined, ckpt)
           .orderBy(col("purchase_id"), col("click_id"))
       },
       Some("""WITH p AS (
@@ -439,7 +478,7 @@ object StreamQueries extends QueryModule {
           .repartition(StreamShufflePartitions).as[DocText]
         val cands = StreamAnalytics.streamingBandDedup(stream, maxPostings = 8)
           .toDF()
-        drainToMemory(s, cands, ckpt)
+        drainToParquet(s, cands, ckpt)
           .select(col("partner_doc").as("d1"), col("doc_id").as("d2"))
           .distinct()
           .orderBy(col("d1"), col("d2"))
@@ -488,18 +527,27 @@ object StreamQueries extends QueryModule {
         val assigned = StreamAnalytics
           .assignToCells(chunkStream(s, staging), cents)
           .select(col("vec_id"), col("cell"))
-        drainToMemory(s, assigned, ckpt).orderBy(col("vec_id"))
+        drainToParquet(s, assigned, ckpt).orderBy(col("vec_id"))
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
              |cents AS (
              |  ${graft.ext.Similarity.dCentroidsSql("e", "label", "cell")}),
+             |scored AS (
+             |  SELECT e.vec_id, c.cell,
+             |    ${graft.ext.Similarity.dCosSql("e.v", "c.centroid")} AS cos
+             |  FROM e CROSS JOIN cents c),
              |asg AS (
              |  SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
-             |    SELECT e.vec_id, c.cell,
-             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${graft.ext.Similarity.dCosSql("e.v", "c.centroid")} DESC,
-             |          c.cell NULLS FIRST) AS rk
-             |    FROM e CROSS JOIN cents c) WHERE rk = 1)
+             |    SELECT vec_id, cell,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id
+             |        ORDER BY cos DESC, cell NULLS FIRST) AS rk
+             |    -- the engine's per-candidate NaN quarantine, mirrored: a
+             |    -- degenerate (zero-norm) centroid's NaN/NULL cosine must
+             |    -- cost that CANDIDATE, never rank first (DuckDB sorts
+             |    -- NaN last DESC but the engine skips it outright — make
+             |    -- the contract explicit instead of corpus-dependent)
+             |    FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos))
+             |  WHERE rk = 1)
              |SELECT vec_id, cell FROM asg
              |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
              |ORDER BY vec_id""".stripMargin),
@@ -532,7 +580,7 @@ object StreamQueries extends QueryModule {
         val encoded = StreamAnalytics.encodePq(chunkStream(s, staging), cb,
           graft.ext.Similarity.PqSubDim)
           .select(col("vec_id"), col("codes"))
-        drainToMemory(s, encoded, ckpt)
+        drainToParquet(s, encoded, ckpt)
           .select(col("vec_id"), posexplode(col("codes")))
           .select(col("vec_id"), col("pos").cast("long").as("m"),
             col("col").as("code"))

@@ -78,27 +78,32 @@ class BenchSpec extends SparkSpec {
 
   test("epoch canary calibrates the tripwire; clamped; missing sides neutral") {
     val base = Map("a" -> 2.0)
-    // slow epoch (machine 1.4x slower than when the baseline ran):
-    // 4.9s vs baseline 2.0 is ONLY 1.75x of what this machine would
-    // run the baseline at today (2.8) → not a regression
-    val slow = Bench.epochRatio(Some(0.7), Some(0.5))
-    assert(slow == 1.4)
+    // slow epoch: the canary ran 1.96x slower, but the applied ratio is
+    // DAMPENED to sqrt(1.96) = 1.4 (pure-CPU canary swings harder than
+    // the I/O-mixed queries — the full ratio would mask regressions):
+    // 4.9s vs baseline 2.0 is ONLY 1.75x of the scaled baseline (2.8)
+    // → not a regression
+    val slow = Bench.epochRatio(Some(0.98), Some(0.5))
+    assert(math.abs(slow - 1.4) < 1e-9)
     assert(Bench.regressions(Seq("a" -> 4.9), base, slow).isEmpty)
     assert(Bench.regressions(Seq("a" -> 6.0), base, slow) ==
       Seq(("a", 6.0, 2.8))) // a real 2x past the scaled baseline still trips
     // fast epoch: the wire TIGHTENS — 3.9s vs a slow-epoch baseline of
     // 2.0 hides inside the unscaled 2x wire, but not the scaled one
-    val fast = Bench.epochRatio(Some(0.35), Some(0.5))
-    assert(fast == 0.7)
+    // (canary 0.49x → applied sqrt = 0.7)
+    val fast = Bench.epochRatio(Some(0.245), Some(0.5))
+    assert(math.abs(fast - 0.7) < 1e-9)
     assert(Bench.regressions(Seq("a" -> 3.9), base).isEmpty)
     assert(Bench.regressions(Seq("a" -> 3.9), base, fast) ==
       Seq(("a", 3.9, 1.4)))
-    // a broken canary sample cannot stretch the wire unboundedly
-    // (bounds widened to the round-9 observed 2.9x canary spread)
-    assert(Bench.epochRatio(Some(50.0), Some(0.5)) == 2.5)
+    // a broken canary sample cannot stretch the wire unboundedly, and
+    // the ceiling (1.8, hit at a 3.24x canary) bounds slow-epoch
+    // suppression near the observed ~1.2-1.6x query-level swing
+    assert(Bench.epochRatio(Some(50.0), Some(0.5)) == 1.8)
     assert(Bench.epochRatio(Some(0.01), Some(0.5)) == 0.5)
-    // the observed worst real swing passes through unclamped
-    assert(math.abs(Bench.epochRatio(Some(0.22), Some(0.1)) - 2.2) < 1e-9)
+    // the round-9 observed worst canary swing (2.9x) maps inside the
+    // clamp to its dampened value
+    assert(math.abs(Bench.epochRatio(Some(0.29), Some(0.1)) - math.sqrt(2.9)) < 1e-9)
     // missing either side → neutral 1.0
     assert(Bench.epochRatio(None, Some(0.5)) == 1.0)
     assert(Bench.epochRatio(Some(0.5), None) == 1.0)
