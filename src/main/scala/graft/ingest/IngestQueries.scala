@@ -15,25 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object IngestQueries extends QueryModule {
 
+  /** The canonical synthetic slot range every ingest-family oracle
+    * re-parses: [[FirstSlot]] inclusive to [[TipSlot]] exclusive — also
+    * the [[graft.sources.BlockSource]] stream's declared (startSlot,
+    * tipSlot), so the streaming ingest row replays the SAME blocks. */
+  private[graft] val FirstSlot = 1L
+  private[graft] val TipSlot = 201L
+
   /** Materialization point the oracle SQL reads back. Per-process (the
     * oracle strings are BUILT by this process, so the path they embed is
     * this process's) — a fixed shared name would let two concurrent
     * JVMs on one machine clobber each other's blocks mid-read. */
-  private val RawBlocksPath =
+  private[graft] val RawBlocksPath =
     s"${System.getProperty("java.io.tmpdir")}/graft_ingest_blocks_${ProcessHandle.current().pid()}.parquet"
 
   /** Fetch the canonical slot range, dump it to parquet (so DuckDB sees
     * byte-identical input), and read it back as the query source. */
-  private def materializedBlocks(s: SparkSession): DataFrame = {
-    Backfill.fetchRange(s, 1L, 201L, workers = 8)
+  private[graft] def materializedBlocks(s: SparkSession): DataFrame = {
+    Backfill.fetchRange(s, FirstSlot, TipSlot, workers = 8)
       .write.mode("overwrite").parquet(RawBlocksPath)
     s.read.parquet(RawBlocksPath)
   }
 
-  private val tokenList = Schemas.TokenPrograms.map(p => s"'$p'").mkString(", ")
+  private[graft] val tokenList = Schemas.TokenPrograms.map(p => s"'$p'").mkString(", ")
 
   // DuckDB mirror of Parse.parseBlocks + the per-tx signature guard.
-  private val dTxs =
+  private[graft] val dTxs =
     s"""blocks AS (
        |  SELECT slot, block_json FROM read_parquet('$RawBlocksPath/*.parquet')
        |  WHERE json_extract(block_json, '$$.blockTime') IS NOT NULL),
