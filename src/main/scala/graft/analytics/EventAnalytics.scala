@@ -613,6 +613,62 @@ object EventAnalytics extends QueryModule {
               |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
               |ORDER BY event_id""".stripMargin),
       doc = "event-time RANGE frame: trailing-1h per-user purchase value sum"),
+
+    /** F17 base58 on the hard signal (the survey's one allowed-skip row,
+      * implemented anyway as native codegen expressions —
+      * [[graft.functions.Base58Expressions]]). DuckDB has no base58, so
+      * the oracle pins the CONTRACT instead of re-deriving: published
+      * IETF draft-msporny-base58 test-vector encodings as literals (an
+      * independent implementation's outputs — an alphabet or
+      * leading-zero bug turns the row red), decode∘encode = identity
+      * over 16-byte digests of EVERY event (ok pinned TRUE, n pinned to
+      * the corpus count — same oracle-contract pattern as the ANN
+      * recall floors), and the null-safe decode of out-of-alphabet
+      * input. The roundtrip column is computed Spark-side per event row
+      * (codegen'd expressions, no shuffle, one scan). */
+    "fn_base58_contract" -> Q(
+      (s, dir) => {
+        import graft.functions.Base58Expressions.{base58_decode, base58_encode}
+        import s.implicits._
+        def hexOf(t: String) = t.getBytes("UTF-8").map("%02x".format(_)).mkString
+        val fixed = Seq(
+          ("enc_hello_world", "48656c6c6f20576f726c6421"),
+          ("enc_pangram", hexOf("The quick brown fox jumps over the lazy dog.")),
+          ("enc_leading_zeros", "0000287fb4cd"),
+          ("enc_single_zero", "00"))
+          .toDF("case_id", "hex_in")
+          .select(col("case_id"),
+            base58_encode(unhex(col("hex_in"))).as("b58"),
+            lower(hex(base58_decode(base58_encode(unhex(col("hex_in")))))).as("hex_out"),
+            (base58_decode(base58_encode(unhex(col("hex_in")))) === unhex(col("hex_in"))).as("ok"),
+            lit(1L).as("n"))
+        val invalid = Seq(("decode_invalid_null", "0OIl")).toDF("case_id", "b58")
+          .select(col("case_id"), col("b58"),
+            lower(hex(base58_decode(col("b58")))).as("hex_out"), // NULL
+            base58_decode(col("b58")).isNull.as("ok"),
+            lit(1L).as("n"))
+        val bytes = unhex(md5(col("event_id").cast("string")))
+        val corpus = Tables.events(s, dir)
+          .select((base58_decode(base58_encode(bytes)) === bytes).as("rt"))
+          .agg(count(lit(1)).as("n"), expr("bool_and(rt)").as("ok"))
+          .select(lit("events_md5_roundtrip").as("case_id"),
+            lit(null).cast("string").as("b58"),
+            lit(null).cast("string").as("hex_out"), col("ok"), col("n"))
+        fixed.unionByName(invalid).unionByName(corpus).orderBy(col("case_id"))
+      },
+      Some(s"""SELECT * FROM (VALUES
+              |  ('decode_invalid_null', '0OIl', CAST(NULL AS VARCHAR), TRUE, CAST(1 AS BIGINT)),
+              |  ('enc_hello_world', '2NEpo7TZRRrLZSi2U', '48656c6c6f20576f726c6421', TRUE, CAST(1 AS BIGINT)),
+              |  ('enc_leading_zeros', '11233QC4', '0000287fb4cd', TRUE, CAST(1 AS BIGINT)),
+              |  ('enc_pangram', 'USm3fpXnKG5EUBx2ndxBDMPVciP5hGey2Jh4NDv6gmeo1LkMeiKrLJUUBk6Z',
+              |   '54686520717569636b2062726f776e20666f78206a756d7073206f76657220746865206c617a7920646f672e',
+              |   TRUE, CAST(1 AS BIGINT)),
+              |  ('enc_single_zero', '1', '00', TRUE, CAST(1 AS BIGINT))
+              |) AS t(case_id, b58, hex_out, ok, n)
+              |UNION ALL
+              |SELECT 'events_md5_roundtrip', NULL, NULL, TRUE, count(*) FROM events
+              |ORDER BY case_id""".stripMargin),
+      doc = "F17 base58 native expressions: published-vector encodings pinned literally, decode.encode identity over all event digests, null-safe invalid decode"),
   )
 
   /** Interval-join body (injectable for specs): per purchase, clicks by
