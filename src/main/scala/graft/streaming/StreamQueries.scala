@@ -19,14 +19,18 @@ import org.apache.spark.sql.functions._
   *    order, written with strictly increasing modification times, so the
   *    file source's oldest-first ordering delivers 4 deterministic
   *    micro-batches (`maxFilesPerTrigger = 1` + `Trigger.AvailableNow`).
-  *  - every 10th event is REPLAYED into the NEXT chunk with a poisoned
-  *    value and the same `event_id`/`ts`: a correct watermarked dedup
-  *    drops the replay (its key is still inside the watermark horizon —
-  *    the delay exceeds one chunk span, the maximum replay lag here); a
-  *    broken one lets the poison through, where the unconditional
-  *    matched-replace MERGE would regress that user's row to an older
-  *    event — turning the oracle row red. The dedup is load-bearing for
-  *    correctness, not decorative.
+  *    The base chunks are staged once per (sfDir, corpus) and HARDLINKED
+  *    into each query's private staging dir; per-query poison/sentinel
+  *    rows are separate mtime-positioned files delivered as their own
+  *    micro-batches (see [[stagedCache]] / [[stageExtras]]).
+  *  - every 10th event is REPLAYED after its original's chunk with a
+  *    poisoned value and the same `event_id`/`ts`: a correct watermarked
+  *    dedup drops the replay (its key is still inside the watermark
+  *    horizon — the delay exceeds one chunk span, the maximum replay lag
+  *    here); a broken one lets the poison through, where the
+  *    unconditional matched-replace MERGE would regress that user's row
+  *    to an older event — turning the oracle row red. The dedup is
+  *    load-bearing for correctness, not decorative.
   *  - each micro-batch folds last-write-wins on a version string that
   *    totally orders (ts, event_id), then lands as ONE MERGE commit.
   *    Chunks are ts-range-partitioned, so any later batch's version for
@@ -140,21 +144,112 @@ object StreamQueries extends QueryModule {
     (df.withColumn("chunk", chunkOf(idCol, mn, mx)), mn, mx)
   }
 
-  /** Events + chunk assignment (+`ver`, the (ts, event_id) total-order
-    * version string; +`tsw`, the TimestampType watermark column).
-    * Returns the frame plus the corpus ts span (nanos) so callers can
-    * place sentinel rows past the real frontier. */
-  private def chunked(s: SparkSession, dir: String): (DataFrame, Long, Long) = {
-    val ev = Tables.events(s, dir)
+  /** One corpus' cached base staging: the chunk-file directory, the key
+    * span [mn, mx], and the mtime base the chunk files were stamped
+    * with (extras position themselves relative to it). */
+  private case class StagedCorpus(dir: String, mn: Long, mx: Long, baseMs: Long)
+
+  /** JVM-lifetime cache of staged BASE-corpus chunk directories, keyed
+    * by (sfDir, corpus). Six of the nine declared streaming queries
+    * stage the same derived events corpus (and two more share the
+    * embeddings corpus), so re-deriving and re-writing it per query was
+    * ~35 s of pure harness replay in a full bench sweep. The base
+    * chunks are staged ONCE per key and hardlinked into each query's
+    * private staging dir ([[linkChunks]]); per-query poison/sentinel
+    * rows stay per-query as separate positioned files
+    * ([[stageExtras]]), and checkpoints/table roots remain per-query
+    * temp dirs — isolation is untouched, only the shared immutable
+    * input is amortized. Cached dirs live under [[resultsRoot]], so the
+    * JVM-exit hook reclaims them. */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StagedCorpus]()
+
+  private def cachedCorpus(s: SparkSession, dir: String, corpus: String,
+      idCol: String)(frame: => DataFrame): StagedCorpus =
+    stagedCache.computeIfAbsent((dir, corpus), _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory(resultsRoot, s"staged-$corpus-").toString
+      val (df, mn, mx) = withChunks(frame, idCol)
+      val baseMs = System.currentTimeMillis() - 3600L * 1000
+      stageChunks(s, df, base, Chunks, baseMs)
+      StagedCorpus(base, mn, mx, baseMs)
+    })
+
+  /** The derived events frame every event-shaped streaming query
+    * stages: +`ver`, the (ts, event_id) total-order version string;
+    * +`tsw`, the TimestampType watermark column. */
+  private def eventsFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
-    val (df0, mn, mx) = withChunks(ev, "ts")
-    val df = df0
       .withColumn("ver", concat(
         lpad(col("ts").cast("string"), 20, "0"),
         lpad(col("event_id").cast("string"), 12, "0")))
       .withColumn("tsw", Tables.tsTimestamp())
-    (df, mn, mx)
+
+  /** [[eventsFrame]], ts-chunked and staged once per sfDir. */
+  private def eventsCorpus(s: SparkSession, dir: String): StagedCorpus =
+    cachedCorpus(s, dir, "events", "ts")(eventsFrame(s, dir))
+
+  /** The embeddings corpus the two ANN-maintenance streams stage:
+    * (vec_id, v: array<double>), vec_id-chunked. */
+  private def embeddingsCorpus(s: SparkSession, dir: String): StagedCorpus =
+    cachedCorpus(s, dir, "embeddings", "vec_id") {
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    }
+
+  /** Hardlink every cached base chunk file into this query's private
+    * staging dir — mtimes ride along on the shared inode, so the file
+    * source's oldest-first ordering is preserved byte-for-byte; falls
+    * back to an attribute-preserving copy where links are unsupported.
+    * The cached files are never mutated and per-query cleanup only
+    * unlinks. */
+  private def linkChunks(cached: String, staging: String): Unit = {
+    val dst = java.nio.file.Paths.get(staging)
+    java.nio.file.Files.createDirectories(dst)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(cached))
+    try files.iterator().forEachRemaining { f =>
+      if (f.getFileName.toString.startsWith("chunk-")) {
+        val t = dst.resolve(f.getFileName.toString)
+        try java.nio.file.Files.createLink(t, f)
+        catch { case _: UnsupportedOperationException =>
+          java.nio.file.Files.copy(f, t,
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES); ()
+        }
+      }
+    } finally files.close()
+  }
+
+  /** The cached corpus read back WITH its chunk column re-derived —
+    * the cheap source for per-query extra rows (replays, poison,
+    * sentinels): a scan of the already-staged files instead of a fresh
+    * pass over the source table. `chunkOf` is a pure function of the
+    * key, so the re-derived assignment is exactly the staged one. */
+  private def readStaged(s: SparkSession, sc: StagedCorpus, idCol: String): DataFrame =
+    s.read.parquet(sc.dir).withColumn("chunk", chunkOf(idCol, sc.mn, sc.mx))
+
+  /** Stage this query's extra rows around the linked base chunks: rows
+    * whose `chunk` column is c land as ONE file mtime-ordered after
+    * base chunk c−1 and before base chunk c — they are DELIVERED as
+    * their own micro-batch just before chunk c (c = Chunks ⇒ after the
+    * final base chunk). Versus the pre-cache harness, which unioned
+    * extras INTO a chunk's file, an extra now arrives one batch
+    * boundary earlier/later — every consumer's semantics are
+    * indifferent to that (replays still follow their originals by ≥1
+    * batch, late poison still trails the SPARK-24634 two-batch filter
+    * cutoff by the same two chunk spans, sentinels still close every
+    * real window, map-only paths are stateless), and the differential
+    * oracle holds the outputs identical. */
+  private def stageExtras(s: SparkSession, extras: DataFrame, staging: String,
+      baseMs: Long): Unit = {
+    // metadata-plane collect: ≤ Chunks+1 distinct positions by construction
+    val positions = extras.select(col("chunk")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    positions.foreach { c =>
+      writeFileAt(s, extras.filter(col("chunk") === c).drop("chunk"),
+        staging, f"extra-$c%04d.parquet", baseMs + (c - 1) * 60000L + 30000L)
+    }
   }
 
   /** One far-future row (chunk index = `chunk`): delivered as the LAST
@@ -182,13 +277,12 @@ object StreamQueries extends QueryModule {
     * (n× the staging cost; also a determinism hazard if a caller ever
     * staged a nondeterministic frame). */
   private def stageChunks(s: SparkSession, staged: DataFrame, staging: String,
-      n: Int): Unit = {
+      n: Int, baseMs: Long): Unit = {
     staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val baseMs = System.currentTimeMillis() - 3600L * 1000
       (0 until n).foreach { c =>
-        writeChunk(s, staged.filter(col("chunk") === c).drop("chunk"),
-          staging, c, baseMs)
+        writeFileAt(s, staged.filter(col("chunk") === c).drop("chunk"),
+          staging, f"chunk-$c%04d.parquet", baseMs + c * 60000L)
       }
     } finally staged.unpersist()
   }
@@ -216,34 +310,42 @@ object StreamQueries extends QueryModule {
     s.read.schema(agg.schema).parquet(sink)
   }
 
-  /** Write chunk `c` of `df` as the single file `staging/chunk-c.parquet`
-    * with modification time `baseMs + c minutes` — the file source's
-    * oldest-first ordering then replays chunks in event-time order. */
-  private def writeChunk(s: SparkSession, df: DataFrame, staging: String,
-      c: Int, baseMs: Long): Unit = {
+  /** Write `df` as the single file `staging/<name>` with modification
+    * time `mtimeMs` — the file source's oldest-first ordering then
+    * replays staged files in the intended delivery order. */
+  private def writeFileAt(s: SparkSession, df: DataFrame, staging: String,
+      name: String, mtimeMs: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val scratch = s"$staging/.write-$c"
+    val scratch = s"$staging/.write-$name"
     df.coalesce(1).write.parquet(scratch)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
       .map(_.getPath).filter(_.getName.startsWith("part-")).head
-    val dest = new org.apache.hadoop.fs.Path(staging, f"chunk-$c%04d.parquet")
-    require(fs.rename(part, dest), s"staging rename failed for chunk $c")
+    val dest = new org.apache.hadoop.fs.Path(staging, name)
+    require(fs.rename(part, dest), s"staging rename failed for $name")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    fs.setTimes(dest, baseMs + c * 60000L, -1L)
+    fs.setTimes(dest, mtimeMs, -1L)
   }
 
   override def defs: Seq[(String, Q)] = Seq(
     "stream_cdc_snapshot" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, root) =>
-        val (ev, mn, mx) = chunked(s, dir)
         // replay every 10th event into the NEXT chunk, value poisoned:
-        // visible in the result iff the streaming dedup fails
+        // visible in the result iff the streaming dedup fails. The
+        // replays INTERLEAVE into every chunk, so this query stages its
+        // own 4 chunk files standalone instead of touching the shared
+        // cache: linking + positioned extra files would add 3
+        // micro-batches, each costing a full MERGE commit + a
+        // state-store commit round — dwarfing the staging saved — and
+        // building the cache here just to re-write everything would pay
+        // the corpus derivation twice.
+        val (ev, mn, mx) = withChunks(eventsFrame(s, dir), "ts")
         val replays = ev.filter(col("event_id") % 10 === 3 &&
             col("chunk") < Chunks - 1)
           .withColumn("value", col("value") + lit(1.0e6d))
           .withColumn("chunk", col("chunk") + 1)
-        stageChunks(s, ev.unionByName(replays), staging, Chunks)
+        stageChunks(s, ev.unionByName(replays), staging, Chunks,
+          System.currentTimeMillis() - 3600L * 1000)
 
         // ---- the system under test: stream → dedup → CDC MERGE ----
         // the watermark delay must exceed the maximum replay lag (one
@@ -311,12 +413,16 @@ object StreamQueries extends QueryModule {
       * of them before AvailableNow terminates. */
     "stream_windowed_volume" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
-        val (ev, _, mx) = chunked(s, dir)
+        val sc = eventsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
+        val ev = readStaged(s, sc, "ts")
         val late = ev.filter(col("event_id") % 7 === 2 && col("chunk") === 0)
           .withColumn("value", col("value") + lit(1.0e6d))
           .withColumn("chunk", lit(Chunks.toLong))
-        stageChunks(s, ev.unionByName(late).unionByName(sentinel(s, mx, Chunks)),
-          staging, Chunks + 1)
+        // late poison + sentinel share one extra file after the last
+        // base chunk — the same final-batch delivery as before caching
+        stageExtras(s, late.unionByName(sentinel(s, sc.mx, Chunks)),
+          staging, sc.baseMs)
 
         val stream = chunkStream(s, staging).drop("ts")
           .withColumnRenamed("tsw", "ts")
@@ -342,9 +448,9 @@ object StreamQueries extends QueryModule {
       * end = last event + gap — SessionGapProbe pinned both). */
     "stream_sessionize" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
-        val (ev, _, mx) = chunked(s, dir)
-        stageChunks(s, ev.unionByName(sentinel(s, mx, Chunks)),
-          staging, Chunks + 1)
+        val sc = eventsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
+        stageExtras(s, sentinel(s, sc.mx, Chunks), staging, sc.baseMs)
 
         val stream = chunkStream(s, staging).drop("ts")
           .withColumnRenamed("tsw", "ts")
@@ -389,8 +495,7 @@ object StreamQueries extends QueryModule {
       * turns the row red against the batch replay. */
     "stream_running_totals" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
-        val ev = chunked(s, dir)._1
-        stageChunks(s, ev, staging, Chunks)
+        linkChunks(eventsCorpus(s, dir).dir, staging)
 
         import s.implicits._
         val keyed = chunkStream(s, staging)
@@ -424,11 +529,13 @@ object StreamQueries extends QueryModule {
       * micros, not nanos. */
     "stream_interval_join" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
-        val ev = chunked(s, dir)._1
-        val poison = ev.filter(col("event_id") % 5 === 1 &&
+        val sc = eventsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
+        val poison = readStaged(s, sc, "ts")
+          .filter(col("event_id") % 5 === 1 &&
             col("chunk") === 0 && col("event_type") === "click")
           .withColumn("chunk", lit(Chunks.toLong))
-        stageChunks(s, ev.unionByName(poison), staging, Chunks + 1)
+        stageExtras(s, poison, staging, sc.baseMs)
 
         val stream = chunkStream(s, staging).drop("ts")
           .withColumnRenamed("tsw", "ts")
@@ -464,9 +571,9 @@ object StreamQueries extends QueryModule {
     "stream_band_dedup" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
         import s.implicits._
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val staged = withChunks(docs, "doc_id")._1
-        stageChunks(s, staged, staging, Chunks)
+        linkChunks(cachedCorpus(s, dir, "documents", "doc_id") {
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        }.dir, staging)
 
         // each chunk is ONE parquet file = one input partition, so the
         // per-doc MinHash (4 MD5s per shingle) would run single-core per
@@ -506,23 +613,22 @@ object StreamQueries extends QueryModule {
       * one streaming aggregation Spark allows on top). The oracle
       * replays the argmax with the exact batch SQL formulas (Q24
       * centroids, list_dot_product cosine, ties to the smaller cell). A
-      * planted zero-norm row rides the last chunk: its cosine folds to
-      * NaN, which Spark comparisons rank ABOVE every value, so only the
-      * explicit NaN quarantine keeps it out of a real cell — the oracle
-      * pins it to the sentinel cell −1, making the quarantine
-      * load-bearing rather than decorative. */
+      * planted zero-norm row rides the final micro-batch: its cosine
+      * folds to NaN, which Spark comparisons rank ABOVE every value, so
+      * only the explicit NaN quarantine keeps it out of a real cell —
+      * the oracle pins it to the sentinel cell −1, making the
+      * quarantine load-bearing rather than decorative. */
     "stream_ivf_assign" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
         graft.plans.GraftExtensions.register(s) // vector_cosine in the fold
         val cents = graft.ext.Similarity.labelCentroids(s, dir)
-        val e = Tables.embeddings(s, dir).select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v"))
+        val sc = embeddingsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
         import s.implicits._
         val dirty = Seq((-1L, Array.fill(cents.head._2.length)(0.0d)))
           .toDF("vec_id", "v")
-          .withColumn("chunk", lit((Chunks - 1).toLong))
-        val staged = withChunks(e, "vec_id")._1.unionByName(dirty)
-        stageChunks(s, staged, staging, Chunks)
+          .withColumn("chunk", lit(Chunks.toLong))
+        stageExtras(s, dirty, staging, sc.baseMs)
 
         val assigned = StreamAnalytics
           .assignToCells(chunkStream(s, staging), cents)
@@ -559,23 +665,22 @@ object StreamQueries extends QueryModule {
       * as PURE MAP work per row. The oracle re-derives the SAME
       * codebook with the batch SQL CTEs (seed codes → assignment → Q24
       * centroid step) and replays the per-subspace argmin (ties to the
-      * smaller code id). A planted all-NaN row rides the last chunk:
-      * NaN ranks above +Infinity in Spark comparisons, so it never
-      * wins the strict `<` argmin and must keep the −1 sentinel in
-      * EVERY subspace — the oracle pins those 8 rows. */
+      * smaller code id). A planted all-NaN row rides the final
+      * micro-batch: NaN ranks above +Infinity in Spark comparisons, so
+      * it never wins the strict `<` argmin and must keep the −1
+      * sentinel in EVERY subspace — the oracle pins those 8 rows. */
     "stream_pq_encode" -> Q(
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
         graft.plans.GraftExtensions.register(s) // vector_dot in the fold
         val cb = graft.ext.Similarity.trainedPqCodebookOf(s, dir)
         val dims = graft.ext.Similarity.PqSubspaces * graft.ext.Similarity.PqSubDim
-        val e = Tables.embeddings(s, dir).select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v"))
+        val sc = embeddingsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
         import s.implicits._
         val dirty = Seq((-1L, Array.fill(dims)(Double.NaN)))
           .toDF("vec_id", "v")
-          .withColumn("chunk", lit((Chunks - 1).toLong))
-        val staged = withChunks(e, "vec_id")._1.unionByName(dirty)
-        stageChunks(s, staged, staging, Chunks)
+          .withColumn("chunk", lit(Chunks.toLong))
+        stageExtras(s, dirty, staging, sc.baseMs)
 
         val encoded = StreamAnalytics.encodePq(chunkStream(s, staging), cb,
           graft.ext.Similarity.PqSubDim)
