@@ -30,10 +30,17 @@ object IngestQueries extends QueryModule {
     s"${System.getProperty("java.io.tmpdir")}/graft_ingest_blocks_${ProcessHandle.current().pid()}.parquet"
 
   /** Fetch the canonical slot range, dump it to parquet (so DuckDB sees
-    * byte-identical input), and read it back as the query source. */
+    * byte-identical input), and read it back as the query source. The
+    * write happens ONCE per JVM: the range and the synthetic fetcher
+    * are deterministic, so every materialization is byte-equivalent —
+    * three declared queries call this, and re-writing identical blocks
+    * per query was pure harness replay. */
+  private val materialized = new java.util.concurrent.atomic.AtomicBoolean(false)
   private[graft] def materializedBlocks(s: SparkSession): DataFrame = {
-    Backfill.fetchRange(s, FirstSlot, TipSlot, workers = 8)
-      .write.mode("overwrite").parquet(RawBlocksPath)
+    if (materialized.compareAndSet(false, true)) {
+      Backfill.fetchRange(s, FirstSlot, TipSlot, workers = 8)
+        .write.mode("overwrite").parquet(RawBlocksPath)
+    }
     s.read.parquet(RawBlocksPath)
   }
 

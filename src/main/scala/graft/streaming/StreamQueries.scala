@@ -51,13 +51,29 @@ object StreamQueries extends QueryModule {
     * query in one session) never collide. */
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** JVM-lifetime scratch root for materialized query results. The
-    * per-run temp dir (staging files, checkpoints, table roots) is
-    * deleted as each query finishes, but the query's RESULT parquet must
-    * outlive that cleanup — the returned DataFrame reads it lazily —
-    * so results live here and are reclaimed once, at JVM exit. */
+  /** Harness scratch base: a RAM-backed filesystem when one is mounted
+    * (/dev/shm on Linux), else java.io.tmpdir. The end-to-end reruns are
+    * METADATA-heavy — per-batch state-store delta files, checkpoint
+    * rename-commits, staged chunk files — and none of it needs to
+    * survive the run, so paying spinning/virtual-disk metadata latency
+    * for it is pure harness cost. Checkpointing stays fully real (the
+    * files exist, restart-from-checkpoint works); only the medium
+    * changes. Both the per-run temp dirs and the corpus cache live here
+    * so the hardlink fast path stays same-device. */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  /** JVM-lifetime scratch root for materialized query results and the
+    * staged-corpus cache. The per-run temp dir (staging files,
+    * checkpoints, table roots) is deleted as each query finishes, but
+    * the query's RESULT parquet must outlive that cleanup — the
+    * returned DataFrame reads it lazily — so results live here and are
+    * reclaimed once, at JVM exit. */
   private lazy val resultsRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft-stream-results")
+    val p = java.nio.file.Files.createTempDirectory(scratchBase, "graft-stream-results")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
@@ -90,7 +106,7 @@ object StreamQueries extends QueryModule {
     * harness would need to scope this per-stream instead. */
   private def withStreamRun(s: SparkSession, dir: String)(
       body: (String, String, String) => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    val tmp = java.nio.file.Files.createTempDirectory(scratchBase, "graft-stream")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions.toString)
     try {
@@ -110,8 +126,15 @@ object StreamQueries extends QueryModule {
     }
   }
 
-  /** See [[withStreamRun]]: state-store instances per stateful op. */
-  private val StreamShufflePartitions = 8
+  /** See [[withStreamRun]]: state-store instances per stateful op.
+    * Dropped 8 → 4 in round 10: per-batch volume at the declared SFs is
+    * ≤150k rows, so 4 partitions still carry ~40k rows each with zero
+    * skew risk, and every stateful operator's store-commit round (the
+    * dominant cost of these end-to-end reruns) halves again. All
+    * declared outputs are partition-count-invariant (aggs, joins, and
+    * the order-canonicalized band handler), so this is pure harness
+    * cost — a deployment sizes it to ITS per-batch volume. */
+  private val StreamShufflePartitions = 4
 
   /** Chunk index 0..Chunks−1 for `idCol` over the CLOSED span [mn, mx]
     * — the one home for the staging range-partition arithmetic. The
@@ -212,8 +235,10 @@ object StreamQueries extends QueryModule {
     try files.iterator().forEachRemaining { f =>
       if (f.getFileName.toString.startsWith("chunk-")) {
         val t = dst.resolve(f.getFileName.toString)
+        // fallback covers links-unsupported AND cross-device targets
+        // (EXDEV surfaces as FileSystemException, an IOException)
         try java.nio.file.Files.createLink(t, f)
-        catch { case _: UnsupportedOperationException =>
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
           java.nio.file.Files.copy(f, t,
             java.nio.file.StandardCopyOption.COPY_ATTRIBUTES); ()
         }
