@@ -254,14 +254,15 @@ object StreamAnalytics {
   def cdcApply(updates: DataFrame, root: String, key: String,
       versionCol: String, deleteCol: Option[String] = None,
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      evolveSchema: Boolean = false): StreamingQuery = {
     val w = updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           graft.operators.MergeTable.merge(batch.sparkSession, root,
             graft.operators.Upsert.lastWriteWins(batch, key, versionCol),
-            key, deleteCol)
+            key, deleteCol, evolveSchema = evolveSchema)
         }
         ()
       }

@@ -408,6 +408,124 @@ class StreamSpec extends SparkSpec {
       "keyed state lost events across micro-batches")
   }
 
+  test("mid-stream ADD-COLUMN evolution: a restarted reader with a wider schema evolves the lake table under continuous ingest") {
+    import graft.operators.MergeTable
+    val src = Files.createTempDirectory("graft_evo_src").toString
+    val tbl = Files.createTempDirectory("graft_evo_tbl").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_evo_ck").toString
+    val narrow = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType)))
+    val wide = narrow.add(StructField("tier", StringType))
+
+    val t0 = System.currentTimeMillis() - 60000L
+    def writeFile(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val f = java.nio.file.Paths.get(s"$src/$name.json")
+      Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(mtime)
+    }
+    // era 1: the reader knows only (k, v, ver)
+    writeFile("b1", t0, Seq(
+      """{"k":1,"v":"a","ver":1}""", """{"k":2,"v":"b","ver":2}"""))
+    def run(schema: StructType): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src)
+      StreamAnalytics.cdcApply(stream, tbl, "k", "ver",
+        checkpointDir = Some(ckpt), evolveSchema = true).awaitTermination()
+    }
+    run(narrow)
+    assert(!MergeTable.snapshot(spark, tbl).columns.contains("tier"))
+
+    // era 2: a later chunk carries the ADDED column; the reader restarts
+    // from the SAME checkpoint with the wider schema (the S12
+    // retro-migration under continuous ingest: offsets survive, the
+    // MERGE's ADD-COLUMN evolution widens the table, and the two eras'
+    // rows coexist — old rows read back with a null tier)
+    writeFile("b2", t0 + 5000L, Seq(
+      """{"k":2,"v":"B","ver":3,"tier":"gold"}""",
+      """{"k":3,"v":"c","ver":4,"tier":"basic"}"""))
+    run(wide)
+    val snap = MergeTable.snapshot(spark, tbl)
+      .select("k", "v", "tier").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(snap == Map(
+      1L -> (("a", None)),          // pre-evolution row: null tier
+      2L -> (("B", Some("gold"))),  // updated across the evolution
+      3L -> (("c", Some("basic")))), snap.toString)
+    // and only b2 was processed by the restart (offsets survived)
+    assert(MergeTable.versions(spark, tbl).size == 2)
+  }
+
+  test("state-store metrics: watermark eviction observed, not inferred (dedup and interval join)") {
+    // dedup: 3 one-file batches a day apart, unique keys per batch, 1h
+    // watermark — state for a batch's keys must be EVICTED once the
+    // next day's batch moves the watermark past them
+    val src = Files.createTempDirectory("graft_metrics").toString
+    writeEvents(src, "b1", (1L to 40L).map(i =>
+      (i, "2024-01-01T10:00:00Z", "view", 1.0)))
+    writeEvents(src, "b2", (101L to 140L).map(i =>
+      (i, "2024-01-02T10:00:00Z", "view", 1.0)))
+    writeEvents(src, "b3", (201L to 240L).map(i =>
+      (i, "2024-01-03T10:00:00Z", "view", 1.0)))
+    val t0 = System.currentTimeMillis() - 60000L
+    Seq("b1", "b2", "b3").zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Paths.get(s"$src/$n.json").toFile.setLastModified(t0 + i * 5000L)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(src)
+    val q = StreamAnalytics.startToMemory(
+      StreamAnalytics.dedupedStream(stream, watermark = "1 hour"), "metrics_dedup")
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(progress.length >= 3, "expected one progress row per micro-batch")
+    val totals = progress.map(_.stateOperators(0).numRowsTotal)
+    val removed = progress.map(_.stateOperators(0).numRowsRemoved).sum
+    // eviction OBSERVED: rows left the store, and no batch ever held
+    // anywhere near the 120 keys ingested — state is bounded by the
+    // watermark horizon, not the corpus
+    assert(removed > 0, s"no state rows evicted: totals=${totals.toSeq}")
+    assert(totals.max <= 80L,
+      s"state grew past the watermark horizon: totals=${totals.toSeq}")
+    assert(totals.last < 120L, "final state holds the whole corpus")
+  }
+
+  test("ProcessingTime trigger tails a growing staging dir with live batch cadence") {
+    import graft.operators.MergeTable
+    val src = Files.createTempDirectory("graft_pt_src").toString
+    val tbl = Files.createTempDirectory("graft_pt_tbl").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_pt_ck").toString
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType)))
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        rows.map { case (k, v, ver) => s"""{"k":$k,"v":"$v","ver":$ver}""" }
+          .mkString("\n").getBytes("UTF-8"))
+
+    writeBatch("b1", Seq((1L, "a", 1L), (2L, "b", 2L)))
+    val stream = spark.readStream.schema(cdcSchema).json(src)
+    // the continuous form cdcApply was built for: a live trigger
+    // tailing the dir — processAllAvailable() gives a deterministic
+    // barrier per arrival instead of sleeping on wall-clock cadence
+    val q = StreamAnalytics.cdcApply(stream, tbl, "k", "ver",
+      checkpointDir = Some(ckpt),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      q.processAllAvailable()
+      def state(): Map[Long, String] = MergeTable.snapshot(spark, tbl)
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state() == Map(1L -> "a", 2L -> "b"))
+
+      writeBatch("b2", Seq((2L, "B", 3L), (3L, "c", 4L)))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+      assert(q.isActive, "a ProcessingTime query must keep tailing between arrivals")
+      // two non-empty micro-batches fired at the live cadence
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+      assert(MergeTable.versions(spark, tbl).size == 2)
+    } finally q.stop()
+  }
+
   test("crash between MERGE commit and checkpoint commit absorbs the replayed batch idempotently") {
     import graft.operators.{MergeTable, Upsert}
     val src = Files.createTempDirectory("graft_cr_src").toString
