@@ -184,6 +184,10 @@ object Relational extends QueryModule {
         val monthly = orders(s, dir)
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
           .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        // unpartitioned window BY DESIGN (WindowExec warns): the frame is
+        // the post-aggregate monthly series — one row per distinct month,
+        // bounded by the corpus' calendar span at ANY data scale, so the
+        // single-partition sort is over dozens of rows, never the fact table
         val w = Window.orderBy(col("month"))
         monthly
           .withColumn("prev_rev", lag(col("rev"), 1).over(w))
@@ -206,6 +210,8 @@ object Relational extends QueryModule {
         val daily = orders(s, dir)
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
           .agg(count(lit(1)).as("n"))
+        // unpartitioned running frame over the same calendar-bounded
+        // monthly series as above — see rel_monthly_revenue_delta
         val w = Window.orderBy(col("month"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         daily.withColumn("cum_orders", sum(col("n")).over(w))
