@@ -648,9 +648,14 @@ object EventAnalytics extends QueryModule {
             base58_decode(col("b58")).isNull.as("ok"),
             lit(1L).as("n"))
         val bytes = unhex(md5(col("event_id").cast("string")))
+        // coalesce(rt, false): the invalid-decode row makes NULL a legal
+        // base58_decode output, so a bug that misclassifies SOME valid
+        // encodings as invalid yields rt=NULL rows — bool_and skips
+        // NULLs and would stay TRUE. Folding NULL to false keeps the
+        // roundtrip contract hard against exactly that failure class.
         val corpus = Tables.events(s, dir)
           .select((base58_decode(base58_encode(bytes)) === bytes).as("rt"))
-          .agg(count(lit(1)).as("n"), expr("bool_and(rt)").as("ok"))
+          .agg(count(lit(1)).as("n"), expr("bool_and(coalesce(rt, false))").as("ok"))
           .select(lit("events_md5_roundtrip").as("case_id"),
             lit(null).cast("string").as("b58"),
             lit(null).cast("string").as("hex_out"), col("ok"), col("n"))

@@ -35,11 +35,20 @@ object IngestQueries extends QueryModule {
     * are deterministic, so every materialization is byte-equivalent —
     * three declared queries call this, and re-writing identical blocks
     * per query was pure harness replay. */
-  private val materialized = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var materialized = false
   private[graft] def materializedBlocks(s: SparkSession): DataFrame = {
-    if (materialized.compareAndSet(false, true)) {
-      Backfill.fetchRange(s, FirstSlot, TipSlot, workers = 8)
-        .write.mode("overwrite").parquet(RawBlocksPath)
+    // The success flag flips only AFTER the write commits (and callers
+    // serialize through the lock): a failed first write would otherwise
+    // poison every later ingest query in the JVM with a missing or
+    // half-committed path — and since the oracle reads the SAME parquet,
+    // a partial commit could even keep the differential green on
+    // truncated input. A retry after a transient failure self-heals.
+    if (!materialized) synchronized {
+      if (!materialized) {
+        Backfill.fetchRange(s, FirstSlot, TipSlot, workers = 8)
+          .write.mode("overwrite").parquet(RawBlocksPath)
+        materialized = true
+      }
     }
     s.read.parquet(RawBlocksPath)
   }

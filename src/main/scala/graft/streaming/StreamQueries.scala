@@ -61,9 +61,19 @@ object StreamQueries extends QueryModule {
     * changes. Both the per-run temp dirs and the corpus cache live here
     * so the hardlink fast path stays same-device. */
   private lazy val scratchBase: java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
-    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // tmpfs is RAM-capped (typically 50% of physical memory), so only
+    // take it with real headroom — a larger-SF run on a constrained box
+    // must degrade to disk latency, not ENOSPC mid-stream. Overridable
+    // for harnesses that know better.
+    val MinShmHeadroom = 8L << 30
+    sys.env.get("GRAFT_STREAM_SCRATCH").map(java.nio.file.Paths.get(_)).getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val shmOk = java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm) &&
+        (try java.nio.file.Files.getFileStore(shm).getUsableSpace >= MinShmHeadroom
+         catch { case _: java.io.IOException => false })
+      if (shmOk) shm else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
   }
 
   /** JVM-lifetime scratch root for materialized query results and the
@@ -75,11 +85,7 @@ object StreamQueries extends QueryModule {
   private lazy val resultsRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(scratchBase, "graft-stream-results")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      rm(p.toFile)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(p.toFile); ()
     }))
     p
   }
@@ -674,9 +680,10 @@ object StreamQueries extends QueryModule {
              |        ORDER BY cos DESC, cell NULLS FIRST) AS rk
              |    -- the engine's per-candidate NaN quarantine, mirrored: a
              |    -- degenerate (zero-norm) centroid's NaN/NULL cosine must
-             |    -- cost that CANDIDATE, never rank first (DuckDB sorts
-             |    -- NaN last DESC but the engine skips it outright — make
-             |    -- the contract explicit instead of corpus-dependent)
+             |    -- cost that CANDIDATE, never rank first. LOAD-BEARING:
+             |    -- DuckDB orders NaN GREATER than every value, so under
+             |    -- ORDER BY cos DESC an unfiltered NaN would rank FIRST
+             |    -- and win every vec_id — do not drop this as redundant
              |    FROM scored WHERE cos IS NOT NULL AND NOT isnan(cos))
              |  WHERE rk = 1)
              |SELECT vec_id, cell FROM asg
@@ -758,6 +765,12 @@ object StreamQueries extends QueryModule {
         // (the stream itself reads the native source, never this parquet)
         IngestQueries.materializedBlocks(s)
 
+        // The oracle pins n_batches to the LITERAL Chunks; floor division
+        // here would silently admit an extra remainder batch if the slot
+        // range ever stopped dividing evenly — fail at plan-build instead.
+        require((IngestQueries.TipSlot - IngestQueries.FirstSlot) % Chunks == 0,
+          s"slot range ${IngestQueries.FirstSlot}..${IngestQueries.TipSlot} must divide " +
+            s"evenly into $Chunks admission batches to match the oracle's n_batches pin")
         val perTrigger = (IngestQueries.TipSlot - IngestQueries.FirstSlot) / Chunks
         val raw = s.readStream.format("graft.sources.BlockSource")
           .option("startSlot", IngestQueries.FirstSlot)

@@ -91,9 +91,14 @@ object ProfileBlockStream {
 
     require(versions.length == expectBatches,
       s"admission cadence broke: ${versions.length} batches != $expectBatches")
-    require(gotSlots == presentSlots && stats.getLong(2) == 1L && stats.getLong(3) == nSlots,
+    // span endpoints are over PRESENT slots too: slot 1 is never a
+    // multiple of 97 so min is always 1, but the last slot (nSlots) is
+    // missing whenever 97 | nSlots — demand the last present slot, not
+    // the raw range end, or healthy runs at e.g. tip=9701 fail here
+    val maxPresent = if (nSlots % 97 == 0) nSlots - 1 else nSlots
+    require(gotSlots == presentSlots && stats.getLong(2) == 1L && stats.getLong(3) == maxPresent,
       s"offset coverage broke: $gotSlots distinct slots (expect $presentSlots), " +
-        s"span [${stats.getLong(2)},${stats.getLong(3)}]")
+        s"span [${stats.getLong(2)},${stats.getLong(3)}] (expect [1,$maxPresent])")
 
     val fs = new org.apache.hadoop.fs.Path(tmp.toString)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

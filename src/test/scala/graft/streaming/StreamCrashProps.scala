@@ -113,23 +113,46 @@ class StreamCrashProps extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got == expected, s"schedule $schedule (plan $plan): $got != $expected")
 
-      // version log: strictly monotone, and exactly one commit per
-      // logical batch plus one per post-MERGE crash replay
+      // version log: commits are DENSE (each claims basis+1, so any gap
+      // means a lost or overwritten commit — `versions` returns sorted
+      // names, so sortedness itself is not the checkable property), and
+      // there is exactly one per logical batch plus one per post-MERGE
+      // crash replay
       val vs = MergeTable.versions(spark, tbl)
-      assert(vs == vs.sorted && vs.distinct.size == vs.size,
-        s"schedule $schedule: version log not strictly monotone: $vs")
+      assert(vs.nonEmpty && vs == (vs.head to vs.last),
+        s"schedule $schedule: version log not dense: $vs")
       assert(vs.size == batches.size + afterCrashes,
         s"schedule $schedule (plan $plan): ${vs.size} commits, " +
           s"expected ${batches.size} + $afterCrashes replays")
-
-      // a post-MERGE replay must be STATE-idempotent: the snapshot at
-      // the pre-replay version equals the one after it
       assert(pending.isEmpty, s"schedule $schedule left crashes unfired")
 
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      // STATE-idempotence, checked per version: the file source delivers
+      // batches in mtime order under the same ids across restarts, so
+      // the commit sequence is b0 [, b0-replay], b1 [, b1-replay], b2
+      // [, b2-replay]. Replay the model fold prefix-by-prefix and
+      // demand the time-travel snapshot at EVERY version matches — in
+      // particular a post-MERGE replay commit must reproduce the
+      // pre-crash state exactly (a re-merge that double-applied or
+      // rewrote content would diverge here even though the final
+      // snapshot looks right).
+      val foldAfter: Seq[Map[Long, String]] = batches.indices.map { i =>
+        batches.take(i + 1).flatten
+          .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._3)._2 }
       }
-      rm(base.toFile)
+      val expectedStates = batches.indices.flatMap { b =>
+        val st = foldAfter(b)
+        if (plan.get(b.toLong).contains(AfterMerge)) Seq(st, st) else Seq(st)
+      }
+      assert(vs.size == expectedStates.size)
+      vs.zip(expectedStates).foreach { case (v, st) =>
+        val snap = MergeTable.snapshot(spark, tbl, asOf = Some(v))
+          .select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(snap == st,
+          s"schedule $schedule (plan $plan) version $v: $snap != $st")
+      }
+
+      org.apache.hadoop.fs.FileUtil.fullyDelete(base.toFile)
     }
   }
 }
