@@ -59,7 +59,7 @@ object CorpusPipeline {
       // stage 1 — exact dedup on normalized text (three consumers:
       // shingling, the near-dup anti-join, the stage union)
       val exactKept = pin(docs
-        .withColumn("h", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+        .withColumn("h", Dedup.normHash(col("text")))
         .withColumn("keeper", min(col("doc_id"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keeper"))
@@ -98,7 +98,7 @@ object CorpusPipeline {
   private def dCleanCtes: String =
     s"""norm AS (
        |  SELECT doc_id, text,
-       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+       |    ${Dedup.dNormHash} AS h
        |  FROM documents),
        |exact_kept AS (
        |  SELECT doc_id, text FROM (
@@ -128,7 +128,7 @@ object CorpusPipeline {
        |quality_kept AS (
        |  SELECT doc_id FROM neardup_kept
        |  WHERE len(regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}')) BETWEEN 20 AND 500
-       |    AND len(regexp_extract_all(lower(text), '\\b(the|a|an|and|of|to|in|is)\\b')) > 0)""".stripMargin
+       |    AND len(regexp_extract_all(lower(text), '${TextAnalytics.dStop}')) > 0)""".stripMargin
 
   val defs: Seq[(String, Q)] = Seq(
     "corpus_clean_summary" -> Q(

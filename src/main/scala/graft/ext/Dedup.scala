@@ -343,9 +343,31 @@ object Dedup extends QueryModule {
         min(col("s1")).as("first_pos"))
   }
 
-  /** Shared 60-bit md5-derived hash (DuckDB-reproducible). */
-  private def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-  private def dH60(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  /** THE exact-dedup text normalization — whitespace runs collapsed to
+    * one space, trimmed, lowercased — hashed to md5; ONE Spark + SQL
+    * pair shared by the standalone `dedup_exact_summary` query and the
+    * corpus pipeline's stage 1, so "exact duplicate" cannot mean two
+    * different things in the standalone query and the composed funnel.
+    * (The pipeline's oracle previously re-typed the regex as '\\s+' —
+    * a literal-backslash pattern that never matched, inert only
+    * because the test corpus has no whitespace runs.) */
+  private[ext] def normHash(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+  private[ext] val dNormHash =
+    """md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"""
+
+  /** THE md5-prefix hash key (DuckDB-reproducible, Spark + SQL pair) —
+    * the single definition behind every salted pseudo-random key in the
+    * package (split assignment, sampling, weights, caps, shards,
+    * semantic-dedup seeds). `hexLen` 15 = 60 bits (the default); 13 =
+    * 52 bits for uses that must stay float-exact as a double. Keeping
+    * one (substring width, radix) pair here means a one-character slip
+    * can no longer break a single query's parity while the others stay
+    * green. */
+  private[ext] def h60(c: Column, hexLen: Int = 15): Column =
+    conv(substring(md5(c), 1, hexLen), 16, 10).cast("long")
+  private[ext] def dH60(e: String, hexLen: Int = 15): String =
+    s"('0x' || substr(md5($e), 1, $hexLen))::BIGINT"
 
   /** THE simhash oracle — shared verbatim by `dedup_simhash` (grouped
     * pipeline) and `dedup_simhash_expr` (native expression), so the two
@@ -510,7 +532,7 @@ object Dedup extends QueryModule {
     // standard first pass (hash, not raw text, as the shuffle key).
     "dedup_exact_summary" -> Q(
       (s, dir) => {
-        val norm = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        val norm = normHash(col("text"))
         val groups = docs(s, dir)
           .groupBy(norm.as("text_hash"))
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical_doc"))
@@ -519,8 +541,8 @@ object Dedup extends QueryModule {
           count(when(col("n") > 1, 1)).as("n_dup_groups"),
           sum(col("n") - 1).as("n_redundant_docs"))
       },
-      Some("""WITH g AS (
-             |  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+      Some(s"""WITH g AS (
+             |  SELECT $dNormHash AS text_hash,
              |    count(*) AS n, min(doc_id) AS canonical_doc
              |  FROM documents GROUP BY 1)
              |SELECT count(*) AS n_unique_texts,

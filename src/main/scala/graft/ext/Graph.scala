@@ -73,8 +73,7 @@ object Graph extends QueryModule {
       : (DataFrame, DataFrame, DataFrame) = {
     val inc = topTokens(events, topK)
     val sizes = inc.groupBy(col("k")).agg(count(lit(1)).as("_ksz"))
-    val ukey = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val ukey = Dedup.h60(col("user_id").cast("string"))
     val thinned = inc.join(broadcast(sizes), Seq("k"))
       .filter(ukey.cast("double") * col("_ksz").cast("double") <
         lit(Similarity.thinningBound(maxMembers)))
@@ -417,7 +416,7 @@ object Graph extends QueryModule {
        |ksz AS (SELECT k, count(*) AS n FROM inc GROUP BY 1),
        |thin AS (
        |  SELECT i.user_id, i.k FROM inc i JOIN ksz USING (k)
-       |  WHERE CAST(('0x' || substr(md5(CAST(i.user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+       |  WHERE CAST(${Dedup.dH60("CAST(i.user_id AS VARCHAR)")} AS DOUBLE)
        |        * CAST(ksz.n AS DOUBLE) < ${Similarity.thinningBound(maxMembers)}),
        |capped AS (
        |  SELECT user_id, k FROM (

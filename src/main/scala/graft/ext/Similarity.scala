@@ -166,9 +166,7 @@ object Similarity extends QueryModule {
   private[ext] def cappedClusterMembers(asg: DataFrame, maxMembers: Int,
       chunkSize: Int = SemDedupChunk): DataFrame = {
     val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("_csz"))
-    val key = conv(substring(
-      md5(concat(lit("sd_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    val key = Dedup.h60(concat(lit("sd_"), col("vec_id").cast("string")))
     val thinned = asg.join(broadcast(sizes), Seq("cluster_id"))
       .filter(key.cast("double") * col("_csz").cast("double") <
         lit(thinningBound(maxMembers)))
@@ -379,8 +377,16 @@ object Similarity extends QueryModule {
     * `sim_neardup_lsh` query and ScaleGateSpec; the oracle mirrors the
     * same formula in SQL). Every test SF (≤ 2k embedding vectors)
     * resolves to [[LshBits]]; growth past ~3.2k buys bits. */
-  def autoBits(n: Long): Int = math.max(LshBits,
-    math.ceil(math.log(n / NeardupTargetBucket.toDouble) / math.log(2.0)).toInt)
+  def autoBits(n: Long): Int = {
+    // exact integer form of ceil(log2(n / target)): the binary length
+    // of ceil(n/target) − 1. The ln-quotient double form computes e.g.
+    // ln(2^29)/ln(2) = 29.000000000000004, so at exact power-of-two
+    // ratios (first at n = 50·2^29) its ceil lands one ABOVE the true
+    // value while an oracle using a correctly-rounded log2 does not —
+    // the geometry must never depend on which libm the engine links.
+    val v = math.max(1L, (n + NeardupTargetBucket - 1) / NeardupTargetBucket)
+    math.max(LshBits, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v - 1L)))
+  }
 
   /** Two-stage md5 bucket thinning for [[neardupLshPairs]]'s sketch
     * rows, keyed by the RAW bucket (table_id, bucket) — capping there
@@ -1213,7 +1219,13 @@ object Similarity extends QueryModule {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |g AS (SELECT greatest($LshBits, CAST(ceil(log2(count(*) / $NeardupTargetBucket.0)) AS INT)) AS bits
+              |-- exact-integer mirror of autoBits: binary length of
+              |-- ceil(n/target) - 1, never a float log whose libm
+              |-- rounding could disagree with the engine's at exact
+              |-- power-of-two ratios
+              |g AS (SELECT greatest($LshBits,
+              |        length(printf('%b', greatest(1,
+              |          (count(*) + $NeardupTargetBucket - 1) // $NeardupTargetBucket - 1)))) AS bits
               |      FROM e),
               |planes AS (
               |  SELECT p, list_transform(generate_series(0, 63), d ->
@@ -1418,7 +1430,7 @@ object Similarity extends QueryModule {
               |thin AS (
               |  SELECT a.vec_id, a.cluster_id, a.v
               |  FROM asg a JOIN sz USING (cluster_id)
-              |  WHERE CAST(('0x' || substr(md5('sd_' || a.vec_id::VARCHAR), 1, 15))::BIGINT AS DOUBLE)
+              |  WHERE CAST(${Dedup.dH60("'sd_' || a.vec_id::VARCHAR")} AS DOUBLE)
               |        * CAST(sz.csz AS DOUBLE) < ${thinningBound(SemDedupMaxMembers)}),
               |capped AS (
               |  SELECT vec_id, cluster_id, v,

@@ -25,7 +25,7 @@ object TextAnalytics extends QueryModule {
   private[ext] val tokExpr = s"regexp_extract_all(lower(text), '$TokenPattern', 0)"
   private[ext] val dTok = s"regexp_extract_all(lower(text), '$TokenPattern')"
   private[ext] val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
-  private val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"
+  private[ext] val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
@@ -244,7 +244,13 @@ object TextAnalytics extends QueryModule {
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
              | list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |     list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+             |     -- the engine's contract skips ALL Unicode line
+             |     -- terminators (\n \r NEL LS PS — Java-regex '.'
+             |     -- semantics); RE2's '.' skips only \n, so the skip
+             |     -- set must be spelled out or a \r-bearing corpus
+             |     -- (any CRLF text) hashes differently here
+             |     list_transform(regexp_extract_all(text, '[^\n\r\x{0085}\x{2028}\x{2029}]'),
+             |       c -> CAST(ascii(c) AS BIGINT))),
              |   (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "rolling-hash document fingerprinting"),

@@ -40,14 +40,13 @@ object TrainPrep extends QueryModule {
     * `corpus_train_export`): salt, key width, and thresholds can only
     * change for all of them at once. */
   private[ext] def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val b = conv(substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 15),
-      16, 10).cast("long") % 100L
+    val b = Dedup.h60(concat(lit("split:"), docId.cast("string"))) % 100L
     when(b < 80, "train").when(b < 90, "valid").otherwise("test")
   }
 
   /** DuckDB mirror of [[splitCol]] over a doc_id reference. */
   private[ext] def dSplitExpr(ref: String): String = {
-    val b = s"('0x' || substr(md5('split:' || CAST($ref AS VARCHAR)), 1, 15))::BIGINT % 100"
+    val b = s"${Dedup.dH60(s"'split:' || CAST($ref AS VARCHAR)")} % 100"
     s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' ELSE 'test' END"
   }
 
@@ -55,7 +54,7 @@ object TrainPrep extends QueryModule {
     * half of the decontamination rule. */
   private[ext] def dGramBenchCtes: String =
     s"""grams AS (
-       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+       |  SELECT DISTINCT doc_id, ${Dedup.dH60("g")} AS h
        |  FROM documents, UNNEST($dGram5) AS u(g)),
        |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0)""".stripMargin
 
@@ -80,8 +79,7 @@ object TrainPrep extends QueryModule {
   private[ext] def gram5Rows(docsDf: DataFrame): DataFrame = {
     val (toks, grams) = Dedup.tokGrams(docsDf, 5)
     toks.select(col("doc_id"), explode(array_distinct(
-      transform(grams, g =>
-        conv(substring(md5(g), 1, 15), 16, 10).cast("long")))).as("h"))
+      transform(grams, g => Dedup.h60(g)))).as("h"))
   }
 
   /** Per-doc average unigram log-probability under the corpus model —
@@ -142,8 +140,7 @@ object TrainPrep extends QueryModule {
     // rebalancing mix, the usual reason to stratify).
     "prep_sample_stratified" -> Q(
       (s, dir) => {
-        val key = conv(substring(md5(concat(lit("smp:"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 10000L
+        val key = Dedup.h60(concat(lit("smp:"), col("doc_id").cast("string"))) % 10000L
         val rateBp = when(col("lang") === "en", 5000L).otherwise(2500L)
         docs(s, dir)
           .withColumn("in_sample", key < rateBp)
@@ -154,10 +151,10 @@ object TrainPrep extends QueryModule {
             sum(when(col("in_sample"), col("n_chars")).otherwise(0L)).as("chars_sampled"))
           .orderBy(col("lang"))
       },
-      Some("""SELECT lang, count(*) AS n_total,
-             | count(*) FILTER (WHERE ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      Some(s"""SELECT lang, count(*) AS n_total,
+             | count(*) FILTER (WHERE ${Dedup.dH60("'smp:' || CAST(doc_id AS VARCHAR)")} % 10000
              |     < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END) AS n_sampled,
-             | CAST(sum(CASE WHEN ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+             | CAST(sum(CASE WHEN ${Dedup.dH60("'smp:' || CAST(doc_id AS VARCHAR)")} % 10000
              |     < CASE WHEN lang = 'en' THEN 5000 ELSE 2500 END THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "deterministic hash-keyed stratified sampling per lang"),
@@ -179,8 +176,7 @@ object TrainPrep extends QueryModule {
     // docs win on every run, engine, and cluster size.
     "prep_sample_weighted" -> Q(
       (s, dir) => {
-        val h52 = conv(substring(md5(concat(lit("ws:"),
-          col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+        val h52 = Dedup.h60(concat(lit("ws:"), col("doc_id").cast("string")), hexLen = 13)
         val u = (h52 + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
         docs(s, dir)
           .withColumn("skey", log(u) * sqrt(col("n_chars").cast("double")))
@@ -192,10 +188,10 @@ object TrainPrep extends QueryModule {
           .select(col("rank").cast("long").as("rank"), col("doc_id"),
             col("source"), col("n_chars"))
       },
-      Some("""SELECT rank, doc_id, source, n_chars FROM (
+      Some(s"""SELECT rank, doc_id, source, n_chars FROM (
              |  SELECT doc_id, source, n_chars,
              |    ROW_NUMBER() OVER (ORDER BY
-             |      ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+             |      ln((${Dedup.dH60("'ws:' || CAST(doc_id AS VARCHAR)", hexLen = 13)} + 1)
              |          / 4503599627370496.0)
              |        * sqrt(CAST(n_chars AS DOUBLE)) DESC,
              |      doc_id ASC) AS rank
@@ -246,8 +242,7 @@ object TrainPrep extends QueryModule {
     "prep_cap_per_source" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val key = conv(substring(md5(concat(lit("cap:"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        val key = Dedup.h60(concat(lit("cap:"), col("doc_id").cast("string")))
         val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
         docs(s, dir)
           .withColumn("rk", row_number().over(w).cast("long"))
@@ -259,10 +254,10 @@ object TrainPrep extends QueryModule {
             sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
           .orderBy(col("source"))
       },
-      Some("""WITH r AS (
+      Some(s"""WITH r AS (
              |  SELECT source, n_chars,
              |    ROW_NUMBER() OVER (PARTITION BY source
-             |      ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT NULLS FIRST,
+             |      ORDER BY ${Dedup.dH60("'cap:' || CAST(doc_id AS VARCHAR)")} NULLS FIRST,
              |               doc_id NULLS FIRST) AS rk
              |  FROM documents)
              |SELECT source, count(*) AS n_total,
@@ -312,8 +307,7 @@ object TrainPrep extends QueryModule {
     // other docs are added, unlike position-based splits).
     "prep_split_shuffle" -> Q(
       (s, dir) => {
-        def key(salt: String) = conv(substring(md5(concat(lit(salt),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        def key(salt: String) = Dedup.h60(concat(lit(salt), col("doc_id").cast("string")))
         docs(s, dir)
           .withColumn("split", splitCol(col("doc_id")))
           .withColumn("shard", key("shard:") % 8L)
@@ -327,7 +321,7 @@ object TrainPrep extends QueryModule {
       },
       Some(s"""WITH t AS (
              |  SELECT doc_id, n_chars, ${dSplitExpr("doc_id")} AS split,
-             |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+             |    ${Dedup.dH60("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
              |  FROM documents)
              |SELECT split, shard, count(*) AS n_docs,
              | CAST(sum(n_chars) AS BIGINT) AS n_chars,
@@ -815,7 +809,16 @@ object TrainPrep extends QueryModule {
          |  FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
          |        FROM $prev WHERE len(s) >= 2)
          |  GROUP BY 1, 2),
-         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |-- always exactly 1 row: a NULL sentinel when no pair remains, so
+         |-- the CROSS JOIN below keeps carrying the symbol state forward
+         |-- as a no-op merge (the engine's loop STOPS and keeps its last
+         |-- state when merges exhaust — an empty b$i here would instead
+         |-- collapse every later round's symbol state to zero rows)
+         |b$i AS (
+         |  SELECT * FROM (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)
+         |  UNION ALL
+         |  SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+         |  WHERE NOT EXISTS (SELECT 1 FROM p$i)),
          |x$i AS (
          |  SELECT q.w, q.freq, CAST(q.i AS INTEGER) AS i,
          |    q.s[CAST(q.i AS INTEGER)] AS sym, r.a || r.b AS ab,
@@ -856,7 +859,7 @@ object TrainPrep extends QueryModule {
       s"""SELECT CAST($i AS BIGINT) AS round, b$i.a AS left_sym, b$i.b AS right_sym,
          |  CAST(b$i.cnt AS BIGINT) AS pair_count,
          |  (SELECT CAST(sum(freq * len(s)) AS BIGINT) FROM s$i) AS toks_after
-         |FROM b$i""".stripMargin)
+         |FROM b$i WHERE b$i.a IS NOT NULL""".stripMargin)
       .mkString("\nUNION ALL\n")
     s"""${dBpeChain(rounds)}
        |$rows

@@ -64,6 +64,11 @@ class ScaleGateSpec extends SparkSpec {
     assert(Similarity.autoBits(500) == 6 && Similarity.autoBits(2000) == 6)
     assert(Similarity.autoBits(50000) == 10)
     assert(Similarity.autoBits(200000) == 12)
+    // exact power-of-two ratio: the ln-quotient double form lands one
+    // bit HIGH here (ln(2^29)/ln(2) = 29.000000000000004); the integer
+    // binary-length form must give the true ceil
+    assert(Similarity.autoBits(50L * (1L << 29)) == 29)
+    assert(Similarity.autoBits(50L * (1L << 29) + 1) == 30)
 
     // 100× the sf0.001 embeddings = 50k vectors — PAST the fixed-
     // geometry regime (bits 7 > LshBits): the round-8 failure mode was
