@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsRunner {
 
-  /** wallet = first signer, promoted at parse time into the payload
-    * (docs/SCHEMA.md:56-66 declares the column the reference never
-    * fills — promoting it avoids re-parsing JSON in every query). */
+  /** wallet = first signer (docs/SCHEMA.md:56-66 declares the column
+    * the reference never fills). Each query below projects the JSON
+    * extraction ONCE, right after its selective (non-JSON) filter, and
+    * then filters/groups/aggregates on the typed column — the payload
+    * is parsed exactly once per surviving row, never re-parsed in the
+    * shuffle key or inside each aggregate. */
   private def wallet = get_json_object(col("raw_payload"), "$.wallet")
   private def errType = get_json_object(col("raw_payload"), "$.err")
   private def mint = get_json_object(col("raw_payload"), "$.token_mint")
@@ -50,9 +53,10 @@ object AnalyticsRunner {
   /** analytics_active_programs (analytics.rs:74-82,360-404). */
   def activePrograms(fact: DataFrame): DataFrame =
     fact.filter(col("program_id").isNotNull)
+      .select(col("program_id"), wallet.as("wallet"), col("block_time"))
       .groupBy(col("program_id"))
       .agg(count(lit(1)).as("transaction_count"),
-        countDistinct(wallet).as("unique_wallets"),
+        countDistinct(col("wallet")).as("unique_wallets"),
         max(col("block_time")).as("last_seen"))
       .orderBy(col("transaction_count").desc, col("program_id"))
       .limit(50)
@@ -60,17 +64,21 @@ object AnalyticsRunner {
   /** analytics_token_transfers (analytics.rs:92-99,407-456): one
     * multi-distinct pass replaces three scalar queries (SURVEY §7.5). */
   def tokenTransfers(fact: DataFrame): DataFrame =
-    fact.filter(col("event_type") === "token_transfer").agg(
-      count(lit(1)).as("total_transfers"),
-      countDistinct(mint).as("unique_tokens"),
-      countDistinct(toWallet).as("unique_receivers"))
+    fact.filter(col("event_type") === "token_transfer")
+      .select(mint.as("mint"), toWallet.as("to_wallet"))
+      .agg(
+        count(lit(1)).as("total_transfers"),
+        countDistinct(col("mint")).as("unique_tokens"),
+        countDistinct(col("to_wallet")).as("unique_receivers"))
 
   /** analytics_top_tokens (analytics.rs:109-116,459-495). */
   def topTokens(fact: DataFrame): DataFrame =
-    fact.filter(col("event_type") === "token_transfer" && mint.isNotNull)
-      .groupBy(mint.as("token_mint"))
+    fact.filter(col("event_type") === "token_transfer")
+      .select(mint.as("token_mint"), toWallet.as("to_wallet"))
+      .filter(col("token_mint").isNotNull)
+      .groupBy(col("token_mint"))
       .agg(count(lit(1)).as("transfer_count"),
-        countDistinct(toWallet).as("unique_wallets"))
+        countDistinct(col("to_wallet")).as("unique_wallets"))
       .orderBy(col("transfer_count").desc, col("token_mint"))
       .limit(20)
 
@@ -100,19 +108,23 @@ object AnalyticsRunner {
   /** analytics_wallet_activity (analytics.rs:157-163,573-615). */
   def walletActivity(fact: DataFrame, anchor: java.sql.Timestamp): DataFrame = {
     val a = lit(anchor)
-    val tx = fact.filter(col("event_type") === "transaction" && wallet.isNotNull)
-    tx.agg(
-      countDistinct(wallet).as("active_wallets_total"),
-      countDistinct(when(to_date(col("block_time")) === to_date(a), wallet))
-        .as("active_wallets_today"),
-      countDistinct(when(col("block_time") >= date_sub(a, 7), wallet))
-        .as("active_wallets_week"))
+    fact.filter(col("event_type") === "transaction")
+      .select(wallet.as("wallet"), col("block_time"))
+      .filter(col("wallet").isNotNull)
+      .agg(
+        countDistinct(col("wallet")).as("active_wallets_total"),
+        countDistinct(when(to_date(col("block_time")) === to_date(a), col("wallet")))
+          .as("active_wallets_today"),
+        countDistinct(when(col("block_time") >= date_sub(a, 7), col("wallet")))
+          .as("active_wallets_week"))
   }
 
   /** analytics_top_wallets (analytics.rs:173-181,619-654). */
   def topWallets(fact: DataFrame): DataFrame =
-    fact.filter(col("event_type") === "transaction" && wallet.isNotNull)
-      .groupBy(wallet.as("wallet"))
+    fact.filter(col("event_type") === "transaction")
+      .select(wallet.as("wallet"), col("block_time"))
+      .filter(col("wallet").isNotNull)
+      .groupBy(col("wallet"))
       .agg(count(lit(1)).as("transaction_count"),
         min(col("block_time")).as("first_seen"),
         max(col("block_time")).as("last_seen"))
@@ -137,8 +149,10 @@ object AnalyticsRunner {
   /** dim_wallets (docs/SCHEMA.md:192-218) from the canonical-event fact:
     * first/last seen slot+time plus activity counts, one grouped pass. */
   def dimWallets(fact: DataFrame): DataFrame =
-    fact.filter(col("event_type") === "transaction" && wallet.isNotNull)
-      .groupBy(wallet.as("wallet"))
+    fact.filter(col("event_type") === "transaction")
+      .select(wallet.as("wallet"), col("slot"), col("block_time"))
+      .filter(col("wallet").isNotNull)
+      .groupBy(col("wallet"))
       .agg(
         min(col("slot")).as("first_seen_slot"),
         min(col("block_time")).as("first_seen_time"),
@@ -159,11 +173,13 @@ object AnalyticsRunner {
   /** dim_tokens (docs/SCHEMA.md:243-262): mint + decimals from the
     * transfer payloads. */
   def dimTokens(fact: DataFrame): DataFrame =
-    fact.filter(col("event_type") === "token_transfer" && mint.isNotNull)
-      .groupBy(mint.as("token_mint"))
+    fact.filter(col("event_type") === "token_transfer")
+      .select(mint.as("token_mint"),
+        get_json_object(col("raw_payload"), "$.decimals").cast("int").as("decimals"))
+      .filter(col("token_mint").isNotNull)
+      .groupBy(col("token_mint"))
       .agg(
-        max(get_json_object(col("raw_payload"), "$.decimals").cast("int"))
-          .as("decimals"),
+        max(col("decimals")).as("decimals"),
         count(lit(1)).as("transfer_count"))
 
   /** Run all ten summary families PLUS the three star dims

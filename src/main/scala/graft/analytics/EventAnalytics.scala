@@ -94,7 +94,9 @@ object EventAnalytics extends QueryModule {
               | count(DISTINCT user_id) AS uniq_wallets,
               | max($dNs) // 1000 AS last_seen_us
               |FROM events GROUP BY 1
-              |ORDER BY tx_count DESC, event_type LIMIT 50""".stripMargin),
+              |-- NULLS FIRST pins the limit boundary: Spark's ASC tie-break
+              |-- sorts a NULL group first, DuckDB's default sorts it last
+              |ORDER BY tx_count DESC, event_type NULLS FIRST LIMIT 50""".stripMargin),
       doc = "ref analytics.rs:360-404 (active programs, COUNT DISTINCT + MAX)"),
 
     // A4: exact multi-distinct in ONE aggregate
@@ -212,7 +214,8 @@ object EventAnalytics extends QueryModule {
       Some(s"""SELECT user_id, count(*) AS tx_count,
               | min($dNs) // 1000 AS first_seen_us, max($dNs) // 1000 AS last_seen_us
               |FROM events GROUP BY 1
-              |ORDER BY tx_count DESC, user_id LIMIT 20""".stripMargin),
+              |-- NULLS FIRST: same limit-boundary pin as evt_active_programs
+              |ORDER BY tx_count DESC, user_id NULLS FIRST LIMIT 20""".stripMargin),
       doc = "ref analytics.rs:619-654 (top wallets MIN/MAX)"),
 
     // A9 + J2: per-program daily trends — the reference's top-10-then-
@@ -233,7 +236,9 @@ object EventAnalytics extends QueryModule {
       },
       Some(s"""WITH top3 AS (
               |  SELECT event_type FROM events GROUP BY 1
-              |  ORDER BY count(*) DESC, event_type LIMIT 3)
+              |  -- NULLS FIRST pins which group takes the 3rd slot when a
+              |  -- NULL event_type ties on count (Spark ASC sorts it first)
+              |  ORDER BY count(*) DESC, event_type NULLS FIRST LIMIT 3)
               |SELECT e.event_type, $dDay AS day, count(*) AS cnt
               |FROM events e JOIN top3 USING (event_type)
               |WHERE $dNs >= $MonthAgoNs
@@ -265,7 +270,7 @@ object EventAnalytics extends QueryModule {
              |      WHERE event_type = 'purchase' GROUP BY 1) p
              |FULL JOIN (SELECT user_id, count(*) AS errors FROM events
              |           WHERE event_type = 'error' GROUP BY 1) r USING (user_id)
-             |ORDER BY user_id""".stripMargin),
+             |ORDER BY user_id NULLS FIRST""".stripMargin),
       doc = "ref parsers.rs:179-182 (pre/post balance netting, full-outer)"),
 
     // §1.3 VariantType path: the reference's JSONB column as Spark 4
@@ -403,7 +408,7 @@ object EventAnalytics extends QueryModule {
               | max(tus) AS session_end_us,
               | CAST(count(*) AS BIGINT) AS n_events
               |FROM sess GROUP BY user_id, session_idx
-              |ORDER BY user_id, session_idx""".stripMargin),
+              |ORDER BY user_id NULLS FIRST, session_idx""".stripMargin),
       doc = "gaps-and-islands sessionization (6h idle gap; micros-exact both engines)"),
 
     // Retention cohorts: users bucketed by first-activity week, counted
@@ -497,10 +502,13 @@ object EventAnalytics extends QueryModule {
               |    AND $dNs < ${Tables.WeekAgoNs}),
               |cur AS (SELECT DISTINCT user_id FROM events
               |  WHERE $dNs >= ${Tables.WeekAgoNs} AND $dNs < ${Tables.AnchorNs})
+              |-- EXISTS/NOT EXISTS, never IN/NOT IN: one NULL user_id in
+              |-- either week would make NOT IN collapse the churn/new count
+              |-- to 0 while the Spark left_anti keeps counting
               |SELECT
-              | (SELECT count(*) FROM prev WHERE user_id IN (SELECT user_id FROM cur)) AS n_retained,
-              | (SELECT count(*) FROM prev WHERE user_id NOT IN (SELECT user_id FROM cur)) AS n_churned,
-              | (SELECT count(*) FROM cur WHERE user_id NOT IN (SELECT user_id FROM prev)) AS n_new""".stripMargin),
+              | (SELECT count(*) FROM prev p WHERE EXISTS (SELECT 1 FROM cur c WHERE c.user_id = p.user_id)) AS n_retained,
+              | (SELECT count(*) FROM prev p WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.user_id = p.user_id)) AS n_churned,
+              | (SELECT count(*) FROM cur c WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.user_id = c.user_id)) AS n_new""".stripMargin),
       doc = "week-over-week churn/retained/new user-set algebra"),
 
     // F1 + §2.10 fan-out shape: canonical-event projection with the

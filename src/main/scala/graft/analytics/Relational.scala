@@ -131,10 +131,14 @@ object Relational extends QueryModule {
           .orderBy(col("c_nationkey"))
       },
       Some("""WITH oo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |-- EXISTS, not IN: the anti side must stay null-safe — one NULL
+             |-- o_custkey would make NOT IN return NULL for every unmatched
+             |-- customer (without_open = 0 engine-wide) while the Spark
+             |-- left_anti keeps counting them
              |SELECT c_nationkey,
-             | count(*) FILTER (WHERE c_custkey IN (SELECT o_custkey FROM oo)) AS with_open,
-             | count(*) FILTER (WHERE c_custkey NOT IN (SELECT o_custkey FROM oo)) AS without_open
-             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
+             | count(*) FILTER (WHERE EXISTS (SELECT 1 FROM oo WHERE oo.o_custkey = c.c_custkey)) AS with_open,
+             | count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM oo WHERE oo.o_custkey = c.c_custkey)) AS without_open
+             |FROM customer c GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "ref warehouse.rs:287-299 (J3 anti-join) generalized"),
 
     // Window: rank rows within groups — top-3 orders per customer via

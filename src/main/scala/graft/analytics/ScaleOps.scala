@@ -108,7 +108,7 @@ object ScaleOps extends QueryModule {
              |SELECT event_type, max(n) AS n_events,
              | round(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN value END), 4) AS p50_value,
              | round(max(CASE WHEN rk = (n * 99 + 99) // 100 THEN value END), 4) AS p99_value
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+             |FROM r GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin),
       doc = "exact per-type value quantiles (oracle-checked twin of the sketch)"),
 
     // Sketch-based per-group distincts (the A3 shape at scale), in the
@@ -131,7 +131,7 @@ object ScaleOps extends QueryModule {
              |  count(DISTINCT user_id) AS exact_wallets,
              |  TRUE AS wallets_ok
              |FROM events GROUP BY 1
-             |ORDER BY cnt DESC, event_type""".stripMargin),
+             |ORDER BY cnt DESC, event_type NULLS FIRST""".stripMargin),
       doc = "per-group HLL distinct bound-checked against the exact twin (scale path of A3)"),
 
     // Same shape through the engine's OWN TypedImperativeAggregate HLL
@@ -178,7 +178,7 @@ object ScaleOps extends QueryModule {
              |    ELSE round((0.7213e0 / (1e0 + 1.079e0 / 4096)) * 4096 * 4096 * 562949953421312e0 / s) END AS BIGINT)
              |    AS hll_wallets
              |FROM counts c JOIN est USING (event_type)
-             |ORDER BY cnt DESC, event_type""".stripMargin),
+             |ORDER BY cnt DESC, event_type NULLS FIRST""".stripMargin),
       doc = "custom TypedImperativeAggregate HLL sketch, oracle-rederived in SQL (SURVEY §7.3)"),
 
     // Bloom-filter membership probe — the at-scale primitive for "has
@@ -395,7 +395,7 @@ object ScaleOps extends QueryModule {
               |   ELSE round(CAST(sum(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
               |     / CAST(max(t.t1) * max(t.t2) AS DOUBLE), 4) END AS l1_drift
               |FROM c JOIN t USING (event_type)
-              |GROUP BY 1 ORDER BY 1""".stripMargin),
+              |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin),
       doc = "integer-exact L1 distribution drift per event_type across the anchor"),
 
     // Daily-count anomaly detection: z-score of each (event_type, day)
@@ -483,7 +483,7 @@ object ScaleOps extends QueryModule {
              |     CAST(CASE WHEN abs(CAST(cnt * 7 - s1 AS DOUBLE)
              |       / sqrt(CAST(s2 * 7 - s1 * s1 AS DOUBLE))) > 3.0e0
              |       THEN 1 ELSE 0 END AS BIGINT) END AS anomaly
-             |FROM scored ORDER BY 1, 2""".stripMargin),
+             |FROM scored ORDER BY 1 NULLS FIRST, 2""".stripMargin),
       doc = "trailing-window z-score anomaly flags on dense daily counts (integer-exact)"),
 
     // Equi-width value histogram per event type: one grouped pass,

@@ -278,7 +278,7 @@ object Star extends QueryModule {
              |       events,
              |       CAST(valid_to = max(valid_to) OVER (PARTITION BY program_id)
              |         AS INT) AS is_current
-             |FROM ranges ORDER BY program_id, version""".stripMargin),
+             |FROM ranges ORDER BY program_id NULLS FIRST, version""".stripMargin),
       doc = "SCD2 dimension history: versioned activity-tier ranges per program"),
 
     // CDC snapshot diff: dim rebuilt pre-anchor vs full history,
@@ -336,7 +336,7 @@ object Star extends QueryModule {
               |      FROM events) e
               |JOIN hist h ON e.program_id = h.program_id
               | AND e.day >= h.valid_from AND e.day <= h.valid_to
-              |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
+              |GROUP BY 1, 2, 3 ORDER BY 1 NULLS FIRST, 2""".stripMargin),
       doc = "temporal SCD2 join: events enriched with the tier valid at their time"),
   )
 }
