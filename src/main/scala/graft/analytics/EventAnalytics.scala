@@ -347,7 +347,12 @@ object EventAnalytics extends QueryModule {
           .filter(col("event_type") === "error")
           .select(col("event_id"), col("user_id"),
             expr("ts div 1000").as("ts_us"),
-            expr("last_purchase_ns div 1000").as("last_purchase_us"))
+            // JOIN semantics on the NULL key: the window PARTITION BY
+            // groups NULL users into one real partition (so a NULL-user
+            // error would "see" a NULL-user purchase), but an as-of
+            // JOIN never matches NULL = NULL — mask it
+            when(col("user_id").isNotNull, expr("last_purchase_ns div 1000"))
+              .as("last_purchase_us"))
           .orderBy(col("event_id"))
       },
       Some(s"""SELECT e.event_id, e.user_id, epoch_ns(e.ts) // 1000 AS ts_us,
@@ -397,10 +402,12 @@ object EventAnalytics extends QueryModule {
               |    CASE WHEN lag(tus) OVER w IS NULL
               |              OR tus - lag(tus) OVER w > ${6L * 3600L * 1000000L}
               |         THEN 1 ELSE 0 END AS new_sess
-              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+              |  -- tus NULLS FIRST: a timeless row must occupy the same
+              |  -- frame position as in Spark's ASC-nulls-first window
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus NULLS FIRST, event_id)),
               |sess AS (
               |  SELECT user_id, tus,
-              |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus NULLS FIRST, event_id
               |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
               |  FROM flagged)
               |SELECT user_id, session_idx,

@@ -225,8 +225,10 @@ object Relational extends QueryModule {
       Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
              |          FROM orders GROUP BY 1)
              |SELECT month, n,
-             | CAST(sum(n) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders
-             |FROM m ORDER BY month""".stripMargin),
+             | -- month NULLS FIRST: a dateless order's NULL month must
+             | -- enter the running sum where Spark's ASC window puts it
+             | CAST(sum(n) OVER (ORDER BY month NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders
+             |FROM m ORDER BY month NULLS FIRST""".stripMargin),
       doc = "SURVEY §2.5 running-total frame"),
 
     // Window breadth: dense_rank, ntile quartiles, percent_rank over the
@@ -318,9 +320,9 @@ object Relational extends QueryModule {
              | first_value(o_orderkey) OVER w AS first_order,
              | last_value(o_orderkey) OVER w AS last_order
              |FROM orders
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY o_custkey""".stripMargin),
+             |ORDER BY o_custkey NULLS FIRST""".stripMargin),
       doc = "first/last value with full-partition frame (SURVEY §2.5)"),
 
     // Array aggregation: per-nation sorted key list via collect_list +
@@ -347,7 +349,11 @@ object Relational extends QueryModule {
     "rel_status_map" -> Q(
       (s, dir) =>
         orders(s, dir)
-          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          // NULL can't be a map key (map_from_entries throws
+          // NULL_MAP_KEY and a single dirty row would kill the job):
+          // fold it to a sentinel status so the group stays counted
+          .groupBy(col("o_orderpriority"),
+            coalesce(col("o_orderstatus"), lit("<null>")).as("o_orderstatus"))
           .agg(count(lit(1)).as("n"))
           .groupBy(col("o_orderpriority"))
           .agg(map_from_entries(array_sort(
@@ -356,14 +362,16 @@ object Relational extends QueryModule {
             coalesce(element_at(col("m"), "O"), lit(0L)).as("open_orders"),
             coalesce(element_at(col("m"), "F"), lit(0L)).as("finished_orders"),
             size(col("m")).cast("long").as("n_statuses"))
-          .orderBy(col("o_orderpriority")),
-      Some("""WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+          .orderBy(col("o_orderpriority").asc_nulls_first),
+      Some("""WITH c AS (SELECT o_orderpriority,
+             |            coalesce(o_orderstatus, '<null>') AS o_orderstatus,
+             |            count(*) AS n
              |          FROM orders GROUP BY 1, 2)
              |SELECT o_orderpriority,
              | coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS open_orders,
              | coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS finished_orders,
              | count(*) AS n_statuses
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+             |FROM c GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin),
       doc = "map functions (map_from_entries/element_at) coverage"),
 
     // ROLLUP hierarchy totals (grouping-set coverage beyond the ref).

@@ -165,7 +165,10 @@ object ScaleOps extends QueryModule {
              |  SELECT b.event_type, b.j, coalesce(regs.r, 0) AS r
              |  FROM (SELECT c.event_type, g.j
              |        FROM counts c, UNNEST(generate_series(0, 4095)) AS g(j)) b
-             |  LEFT JOIN regs ON regs.event_type = b.event_type AND regs.j = b.j),
+             |  -- IS NOT DISTINCT FROM: a NULL event_type is a real group
+             |  -- in the engine's groupBy; an equality join would drop it
+             |  LEFT JOIN regs ON regs.event_type IS NOT DISTINCT FROM b.event_type
+             |    AND regs.j = b.j),
              |est AS (
              |  SELECT event_type,
              |    CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS DOUBLE) AS s,
@@ -177,8 +180,8 @@ object ScaleOps extends QueryModule {
              |    THEN round(4096 * ln(4096e0 / zeros))
              |    ELSE round((0.7213e0 / (1e0 + 1.079e0 / 4096)) * 4096 * 4096 * 562949953421312e0 / s) END AS BIGINT)
              |    AS hll_wallets
-             |FROM counts c JOIN est USING (event_type)
-             |ORDER BY cnt DESC, event_type NULLS FIRST""".stripMargin),
+             |FROM counts c JOIN est ON c.event_type IS NOT DISTINCT FROM est.event_type
+             |ORDER BY cnt DESC, c.event_type NULLS FIRST""".stripMargin),
       doc = "custom TypedImperativeAggregate HLL sketch, oracle-rederived in SQL (SURVEY §7.3)"),
 
     // Bloom-filter membership probe — the at-scale primitive for "has

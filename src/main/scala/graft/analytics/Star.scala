@@ -204,10 +204,12 @@ object Star extends QueryModule {
       |  SELECT program_id, day, cnt, tier,
       |    CASE WHEN lag(tier) OVER w IS NULL
       |           OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
-      |  FROM tiered WINDOW w AS (PARTITION BY program_id ORDER BY day)),
+      |  -- day NULLS FIRST: a NULL day (timeless event) must take the
+      |  -- same versioning position as in Spark's ASC-nulls-first window
+      |  FROM tiered WINDOW w AS (PARTITION BY program_id ORDER BY day NULLS FIRST)),
       |versioned AS (
       |  SELECT program_id, day, cnt, tier,
-      |    CAST(sum(chg) OVER (PARTITION BY program_id ORDER BY day
+      |    CAST(sum(chg) OVER (PARTITION BY program_id ORDER BY day NULLS FIRST
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
       |  FROM flagged)""".stripMargin
 

@@ -164,7 +164,10 @@ object Multimodal extends QueryModule {
     import spark.implicits._
     graft.Tables.widen(media.select(col("doc_id").cast("long"), col("mime"), col("payload")))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, mime, payload) =>
+      .mapPartitions(_.map { case (id, mime, rawPayload) =>
+        // NULL payload ≡ empty media object (same contract as
+        // [[frameSample]]): parses as `unknown`, digests the empty body
+        val payload = if (rawPayload == null) Array.empty[Byte] else rawPayload
         val h = parseMediaHeader(payload)
         val bodySha = java.security.MessageDigest.getInstance("SHA-256")
           .digest(java.util.Arrays.copyOfRange(payload, h.bodyOffset, payload.length))
@@ -200,7 +203,10 @@ object Multimodal extends QueryModule {
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, payload) =>
+      .flatMap { case (id, rawPayload) =>
+        // NULL payload ≡ empty media object: one empty frame, never an
+        // NPE — a single null row must not kill a cluster-wide decode
+        val payload = if (rawPayload == null) Array.empty[Byte] else rawPayload
         val len = payload.length
         (0 until math.min(n, math.max(len, 1))).iterator.map { i =>
           val off = (len.toLong * i) / n
@@ -234,7 +240,8 @@ object Multimodal extends QueryModule {
     Tables.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val body = text.getBytes("UTF-8")
+        // NULL text ≡ empty content body (the header still encodes)
+        val body = (if (text == null) "" else text).getBytes("UTF-8")
         val w = 16 + (Math.floorMod(id, 64L) * 16).toInt
         val h = 16 + (Math.floorMod(id, 48L) * 16).toInt
         Math.floorMod(id, 3L) match {
@@ -263,7 +270,9 @@ object Multimodal extends QueryModule {
              | CASE WHEN doc_id % 3 = 0 THEN 'image/png'
              |      WHEN doc_id % 3 = 1 THEN 'audio/wav'
              |      ELSE 'video/mp4' END AS mime,
-             | octet_length(text::BLOB) AS payload_len,
+             | -- encode(), not ::BLOB: the cast ERRORS on non-ASCII text
+             | -- while encode is plain UTF-8 bytes (and NULL-safe)
+             | octet_length(encode(text)) AS payload_len,
              | sha256(text) AS payload_sha
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "multimodal binary column + typed metadata (north-star)"),
@@ -299,7 +308,8 @@ object Multimodal extends QueryModule {
              |         ELSE 8000 + (doc_id % 8) * 4000 END AS w,
              |    CASE WHEN doc_id % 3 < 2 THEN 16 + (doc_id % 48) * 16
              |         ELSE 1 + (doc_id % 2) END AS h,
-             |    octet_length(text::BLOB) AS body_len, sha256(text) AS fh
+             |    octet_length(encode(coalesce(text, ''))) AS body_len,
+             |    sha256(coalesce(text, '')) AS fh
              |  FROM documents)
              |SELECT mime, count(*) AS n_media,
              |  CAST(count(*) AS BIGINT) AS n_detected,
@@ -313,11 +323,11 @@ object Multimodal extends QueryModule {
     // Frame sampling as a query: the 1→N partition-parallel fan-out
     // ([[frameSample]]: 8 evenly-spaced byte-slice "frames" per payload,
     // flatMap, no shuffle — the video-decode shape) rolled up per doc.
-    // The oracle replays the byte arithmetic and slice digests exactly;
-    // it slices VARCHAR where Spark slices payload BYTES, which agree
-    // because this corpus is pure ASCII (octet_length == length,
-    // asserted by the mm_binary_meta payload_len row already) — a real
-    // deployment keeps the binary side as the source of truth.
+    // The oracle replays the byte arithmetic BYTE-accurately on any
+    // text (hex(encode(…)) is 2 hex chars per byte, so a hex-string
+    // slice at (off·2, flen·2) is exactly the engine's byte slice —
+    // no ASCII assumption); uniq_frames only needs DISTINCTNESS, so
+    // the hex slices stand in for the engine's slice digests.
     "mm_frame_sample" -> Q(
       (s, dir) =>
         frameSample(mediaTable(s, dir), 8).toDF()
@@ -329,15 +339,16 @@ object Multimodal extends QueryModule {
             max(col("offset")).as("last_off"))
           .orderBy(col("doc_id")),
       Some("""WITH m AS (
-             |  SELECT doc_id, text AS t, CAST(octet_length(text::BLOB) AS BIGINT) AS len
+             |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+             |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS len
              |  FROM documents),
              |f AS (
              |  SELECT doc_id,
              |    (len * i) // 8 AS off,
              |    least((len * i) // 8 + 64, len) - (len * i) // 8 AS flen,
-             |    sha256(substring(t, CAST((len * i) // 8 AS INTEGER) + 1,
-             |      CAST(least((len * i) // 8 + 64, len) - (len * i) // 8 AS INTEGER))) AS fh
-             |  FROM (SELECT doc_id, t, len,
+             |    substring(hx, CAST((len * i) // 8 AS INTEGER) * 2 + 1,
+             |      CAST(least((len * i) // 8 + 64, len) - (len * i) // 8 AS INTEGER) * 2) AS fh
+             |  FROM (SELECT doc_id, hx, len,
              |          unnest(generate_series(0, least(8, greatest(len, 1)) - 1)) AS i
              |        FROM m))
              |SELECT doc_id, count(*) AS n_frames,

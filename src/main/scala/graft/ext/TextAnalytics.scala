@@ -51,8 +51,11 @@ object TextAnalytics extends QueryModule {
               | len($dTok) AS n_tokens,
               | length(text) AS n_chars_calc,
               | len(regexp_extract_all(lower(text), '$dStop')) AS n_stopwords,
-              | list_reduce(list_prepend(0, list_transform($dTok, t -> length(t))),
-              |     (a, t) -> a + t) AS alpha_len,
+              | -- NULL text must yield NULL (Spark's aggregate over a NULL
+              | -- array), but list_prepend(0, NULL) is [0] here → force it
+              | CASE WHEN text IS NULL THEN NULL ELSE
+              |   list_reduce(list_prepend(0, list_transform($dTok, t -> length(t))),
+              |     (a, t) -> a + t) END AS alpha_len,
               | CASE WHEN len($dTok) > 0
               |   THEN CAST(list_reduce(list_prepend(0, list_transform($dTok, t -> length(t))), (a, t) -> a + t) AS DOUBLE)
               |        / CAST(len($dTok) AS DOUBLE)
@@ -243,6 +246,7 @@ object TextAnalytics extends QueryModule {
             graft.functions.TextExpressions.rolling_hash(col("text")).as("fingerprint"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
+             | CASE WHEN text IS NULL THEN NULL ELSE
              | list_reduce(list_prepend(CAST(0 AS BIGINT),
              |     -- the engine's contract skips ALL Unicode line
              |     -- terminators (\n \r NEL LS PS — Java-regex '.'
@@ -251,7 +255,7 @@ object TextAnalytics extends QueryModule {
              |     -- (any CRLF text) hashes differently here
              |     list_transform(regexp_extract_all(text, '[^\n\r\x{0085}\x{2028}\x{2029}]'),
              |       c -> CAST(ascii(c) AS BIGINT))),
-             |   (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+             |   (h, c) -> (h * 31 + c) % 1000000007) END AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "rolling-hash document fingerprinting"),
 

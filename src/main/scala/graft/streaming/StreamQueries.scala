@@ -209,6 +209,13 @@ object StreamQueries extends QueryModule {
     * +`tsw`, the TimestampType watermark column. */
   private def eventsFrame(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
+      // EXPLICIT event-time contract: a streaming pipeline cannot
+      // watermark, order, or chunk-stage a timeless row. Without this
+      // filter a NULL ts is dropped SILENTLY at staging (chunkOf(NULL)
+      // matches no chunk file) while every oracle's batch replay keeps
+      // it — the declared quarantine keeps both sides honest (each
+      // event-shaped stream oracle mirrors `ts IS NOT NULL`).
+      .filter(col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
       .withColumn("ver", concat(
@@ -387,8 +394,12 @@ object StreamQueries extends QueryModule {
         // while still evicting state a bit more than one chunk behind
         // the frontier
         val delayMs = (mx - mn) / Chunks / 1000000L + 12L * 3600 * 1000
+        // upsert contract: the MERGE key must be non-null — a NULL key
+        // never matches ON t.user_id = s.user_id, so every batch would
+        // re-INSERT the row instead of upserting it
         val stream = StreamAnalytics.dedupedStream(chunkStream(s, staging),
             watermark = s"$delayMs milliseconds", tsCol = "tsw")
+          .filter(col("user_id").isNotNull)
           .drop("tsw")
         val q = StreamAnalytics.cdcApply(stream, root, key = "user_id",
           versionCol = "ver", checkpointDir = Some(ckpt))
@@ -413,7 +424,9 @@ object StreamQueries extends QueryModule {
              |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS tsn,
              |         row_number() OVER (PARTITION BY user_id
              |             ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
-             |  FROM events)
+             |  -- mirrors the stream's declared quarantines: event time
+             |  -- required, upsert key non-null
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
              |SELECT event_type AS last_event_type, count(*) AS n_users,
              |  CAST(sum(event_id) AS BIGINT) AS eid_sum,
              |  CAST(sum(tsn // 1000000000) AS BIGINT) AS ts_sum,
@@ -467,7 +480,8 @@ object StreamQueries extends QueryModule {
       Some("""SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS ws_us,
              |  event_type, CAST(count(*) AS BIGINT) AS cnt,
              |  sum(value) AS total_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+             |-- ts IS NOT NULL mirrors the stream's event-time quarantine
+             |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "streaming tumbling-window agg, append mode; late poison rows must be watermark-dropped; emitted windows vs batch replay"),
 
     /** Streaming SESSION WINDOWS on the hard signal: 6-hour-gap
@@ -496,7 +510,8 @@ object StreamQueries extends QueryModule {
       },
       Some(s"""WITH e AS (
              |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus, value
-             |  FROM events),
+             |  -- ts IS NOT NULL mirrors the stream's event-time quarantine
+             |  FROM events WHERE ts IS NOT NULL),
              |flagged AS (
              |  SELECT user_id, event_id, tus, value,
              |    CASE WHEN lag(tus) OVER w IS NULL
@@ -529,8 +544,14 @@ object StreamQueries extends QueryModule {
         linkChunks(eventsCorpus(s, dir).dir, staging)
 
         import s.implicits._
+        // coalesce BEFORE the typed boundary: KeyedEvent.value is a
+        // primitive Double, so one NULL value would throw
+        // NOT_NULL_ASSERT_VIOLATION and kill the stream. Folding NULL
+        // to +0.0 equals the oracle's sum(value) (which skips NULLs)
+        // while the row still counts toward total_events on both sides.
         val keyed = chunkStream(s, staging)
-          .select(col("user_id").cast("string").as("key"), col("value"))
+          .select(col("user_id").cast("string").as("key"),
+            coalesce(col("value"), lit(0.0)).as("value"))
           .as[KeyedEvent]
         val totals = StreamAnalytics.runningTotals(keyed).toDF()
         drainToParquet(s, totals, ckpt)
@@ -541,8 +562,9 @@ object StreamQueries extends QueryModule {
       },
       Some("""SELECT CAST(user_id AS VARCHAR) AS key,
              |  CAST(count(*) AS BIGINT) AS total_events,
-             |  sum(value) AS total_value
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+             |  coalesce(sum(value), 0.0) AS total_value
+             |-- ts IS NOT NULL mirrors the stream's event-time quarantine
+             |FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "flatMapGroupsWithState running totals across micro-batches; final per-key state vs batch groupBy replay"),
 
     /** STREAM-STREAM INTERVAL JOIN on the hard signal: clicks in the
