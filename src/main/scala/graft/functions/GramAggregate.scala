@@ -61,6 +61,15 @@ case class GramAggregate(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // ONE home for the argument contract (the SQL builder and the Scala
+  // gram_acc entry point both construct this class): past d = 2048 the
+  // 16·d(d+1)/2-byte buffer exceeds 33 MB per task (and d ≥ 65536
+  // overflows `cells` into a NEGATIVE array size deep inside a task);
+  // a non-positive fpScale would silently zero every Q-sum
+  require(dims >= 1 && dims <= 2048,
+    s"gram_acc dims must be in [1, 2048] (buffer is 16*d*(d+1)/2 bytes), got $dims")
+  require(fpScale > 0, s"gram_acc fpScale must be positive, got $fpScale")
+
   private val cells = dims * (dims + 1) / 2
 
   override def children: Seq[Expression] = Seq(child)

@@ -39,6 +39,13 @@ case class HllAggregate(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
+  // p ≥ 19 is a >512 KB buffer for no accuracy anyone needs; p ≤ 3 (and
+  // anything negative/huge) breaks the register math — 1 << 31 is a
+  // NEGATIVE buffer size and a 49..60 precision wraps the rank shifts
+  // through Java's 6-bit shift masking into silently-wrong estimates
+  require(precision >= 4 && precision <= 18,
+    s"hll_distinct precision must be in [4, 18], got $precision")
+
   private val m = 1 << precision
   private val wBits = 60 - precision
 
@@ -49,28 +56,13 @@ case class HllAggregate(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
-  @transient private lazy val md5Local =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   /** 60-bit md5-prefix hash of the value's canonical rendering (decimal
-    * for integers, raw bytes for strings) — the oracle-shared formula. */
-  private def hash60(v: Any): Long = {
-    val bytes = v match {
-      case s: UTF8String => s.getBytes
-      case other => other.toString.getBytes("UTF-8")
-    }
-    val d = md5Local.get()
-    d.reset()
-    val dig = d.digest(bytes)
-    // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
-    (h << 4) | ((dig(7) & 0xf0L) >>> 4)
-  }
+    * for integers, raw bytes for strings) — the oracle-shared formula,
+    * one implementation for the whole package ([[Md5Hash.prefix60]]). */
+  private def hash60(v: Any): Long = Md5Hash.prefix60(v match {
+    case s: UTF8String => s.getBytes
+    case other => other.toString.getBytes("UTF-8")
+  })
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)

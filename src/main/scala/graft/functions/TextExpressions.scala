@@ -65,10 +65,6 @@ object TextExpressions {
   private val TokenRegex =
     graft.ext.TextAnalytics.TokenPattern.r
 
-  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 
   /** 16-bit SimHash of a document, bit-for-bit equal to the
     * explode/groupBy `dedup_simhash` formulation (TextExpressionsSpec
@@ -84,16 +80,11 @@ object TextExpressions {
     // Turkish dotted/dotless I whenever the input has non-ASCII bytes)
     val toks = TokenRegex.findAllIn(s.toLowerCase.toString).toArray
     if (toks.isEmpty) return null
-    val md = mdLocal.get()
     val sums = new Array[Int](16)
     toks.foreach { t =>
-      val b = md.digest(t.getBytes("UTF-8"))
-      // first 15 hex chars = high 60 bits; keep as Long exactly like
+      // the shared 60-bit md5-prefix ([[Md5Hash.prefix60]]) — exactly
       // conv(substring(md5(tok), 1, 15), 16, 10)
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
-      h = h >>> 4 // 64 accumulated bits → the leading 15 nibbles
+      val h = Md5Hash.prefix60(t.getBytes("UTF-8"))
       var bit = 0
       while (bit < 16) {
         sums(bit) += (if (((h >>> bit) & 1L) == 1L) 1 else -1)

@@ -47,6 +47,16 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *    drop — they can never match, and a NULL result stays NULL while
   *    the list is non-empty); `<=>` is two-valued, so it rewrites for
   *    EVERY literal (unaligned ⇒ constant FALSE).
+  *  - DOMAIN BOUND (inherent to the convention, not this rule): int64
+  *    epoch-nanos can only represent instants up to 2262-04-11 — the
+  *    same bound as the reference's i64 nanos. A parquet timestamp past
+  *    that has NO faithful nanos rendering: the loader's `·1000` wraps
+  *    silently (non-ANSI), so the visible nanos value is garbage with
+  *    or without this rule, and the rewritten (true-micros) and
+  *    unrewritten (wrapped) predicates can disagree on such rows.
+  *    Every fixture, anchor, and oracle lives centuries inside the
+  *    bound; a corpus that doesn't must re-base its epoch before the
+  *    nanos convention applies (FIXTURES.md §1).
   *
   * Registered per-session via [[NanosFilter.register]] (from
   * `Tables.load`, so every entry path — Verify, Bench, Main, specs — gets

@@ -61,4 +61,42 @@ class VectorExpressionsSpec extends SparkSpec {
       df.select(vector_dot(col("id"), col("a"))).collect()
     }
   }
+
+  test("NULL elements and ragged lengths yield NULL, matching the HOF twin") {
+    // zip_with pads the shorter side with NULL and the fold propagates
+    // it — the native expressions must agree (getDouble on a null slot
+    // would instead read 0.0 and produce a silently-finite wrong answer)
+    val dirty = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](4.0, 5.0, 6.0)),
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)))
+      .toDF("id", "a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = dirty
+      .select(col("id"), vector_dot(col("a"), col("b")).as("nat"),
+        hofDot.as("hof"), vector_cosine(col("a"), col("b")).as("cos"))
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(rows(1L) == ((true, true, true)))   // null element
+    assert(rows(2L) == ((true, true, true)))   // ragged lengths
+    assert(rows(3L) == ((false, false, false))) // clean row unaffected
+  }
+
+  test("aggregate argument contracts fail loudly at construction") {
+    intercept[IllegalArgumentException] {
+      HllAggregate(org.apache.spark.sql.catalyst.expressions.Literal(1L), precision = 31)
+    }
+    intercept[IllegalArgumentException] {
+      HllAggregate(org.apache.spark.sql.catalyst.expressions.Literal(1L), precision = 3)
+    }
+    intercept[IllegalArgumentException] {
+      GramAggregate(org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        dims = 65536, fpScale = 1L << 24) // cells would overflow Int
+    }
+    intercept[IllegalArgumentException] {
+      GramAggregate(org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        dims = 8, fpScale = 0L)
+    }
+  }
 }
