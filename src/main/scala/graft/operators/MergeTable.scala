@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -191,28 +191,52 @@ object MergeTable {
     liveAdds(manifest(spark, root, asOf))
       .select(col("file"), col("min_key"), col("max_key"), col("n_rows"))
 
-  /** Read the table as of `asOf` (latest if None). Fails loudly below
-    * the vacuum floor — those versions' files are physically gone, and
-    * an empty read would impersonate history. */
-  def snapshot(spark: SparkSession, root: String,
-      asOf: Option[Long] = None): DataFrame = {
+  /** The floor gate every versioned read shares: time travel below the
+    * vacuum floor must refuse — those versions' files are physically
+    * gone, and an empty read would impersonate history. */
+  private def requireAboveFloor(spark: SparkSession, root: String,
+      asOf: Option[Long]): Unit = {
     val fl = vacuumFloor(spark, root)
     asOf.foreach { v =>
       require(v >= fl,
         s"version $v predates the vacuum floor $fl: its files were " +
           "physically deleted; time travel below the floor cannot answer")
     }
+  }
+
+  /** The era-aligned reader every data-file read shares: read through
+    * the declared schema of THAT version — files predating an added
+    * column yield typed nulls for it, a time-travel read from before an
+    * evolution sees the era's own (narrower) schema, and a multi-era
+    * file set never depends on whichever footer Spark samples. Returns
+    * the declared schema too (callers thread it into commits and
+    * empty-table fallbacks) so the manifest is folded exactly once. */
+  private def eraReader(spark: SparkSession, root: String, asOf: Option[Long])
+      : (Option[StructType], org.apache.spark.sql.DataFrameReader) = {
+    val declared = declaredSchema(spark, root, asOf)
+    (declared, declared.map(spark.read.schema(_)).getOrElse(spark.read))
+  }
+
+  /** Read the table as of `asOf` (latest if None). Fails loudly below
+    * the vacuum floor. A committed table whose live file set is EMPTY —
+    * a merge whose CDC batch deleted every remaining row — answers as
+    * an empty frame with the era's declared schema (the manifest's
+    * schema action is exactly the carrier that makes this answerable);
+    * only a table with no declared schema at all (never committed, or a
+    * wrong root path) still refuses. */
+  def snapshot(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    requireAboveFloor(spark, root, asOf)
     val files = liveFiles(spark, root, asOf).select(col("file"))
       .collect().map(r => s"$root/${r.getString(0)}")
-    require(files.nonEmpty,
-      s"merge table at $root has no live files" +
-        asOf.map(v => s" as of version $v").getOrElse(""))
-    // read through the declared schema of THAT version: files predating
-    // an added column yield typed nulls for it, and a time-travel read
-    // from before the evolution sees the era's own (narrower) schema
-    val reader = declaredSchema(spark, root, asOf)
-      .map(spark.read.schema(_)).getOrElse(spark.read)
-    reader.parquet(files.toIndexedSeq: _*)
+    val (declared, reader) = eraReader(spark, root, asOf)
+    if (files.isEmpty) {
+      require(declared.isDefined,
+        s"merge table at $root has no live files" +
+          asOf.map(v => s" as of version $v").getOrElse("") +
+          " and no declared schema — not a committed table")
+      spark.createDataFrame(new java.util.ArrayList[Row](), declared.get)
+    } else reader.parquet(files.toIndexedSeq: _*)
   }
 
   /** Read-side file skipping: the snapshot restricted to files whose
@@ -226,12 +250,7 @@ object MergeTable {
     * the overlapping files only, not the table. */
   def snapshotRange(spark: SparkSession, root: String, lo: Any, hi: Any,
       asOf: Option[Long] = None): DataFrame = {
-    val fl = vacuumFloor(spark, root)
-    asOf.foreach { v =>
-      require(v >= fl,
-        s"version $v predates the vacuum floor $fl: its files were " +
-          "physically deleted; time travel below the floor cannot answer")
-    }
+    requireAboveFloor(spark, root, asOf)
     val loC = lit(lo)
     val t: org.apache.spark.sql.types.DataType = lo match {
       case _: Int | _: Long | _: Short | _: Byte => LongType
@@ -254,12 +273,16 @@ object MergeTable {
         (col("mx") >= loC && col("mn") <= lit(hi)))
       .select(col("file"))
       .collect().map(r => s"$root/${r.getString(0)}")
-    require(files.nonEmpty,
-      s"no live file of $root can hold keys in [$lo, $hi]" +
-        " — empty range reads need an explicit schema, refuse instead")
-    val reader = declaredSchema(spark, root, asOf)
-      .map(spark.read.schema(_)).getOrElse(spark.read)
-    reader.parquet(files.toIndexedSeq: _*)
+    val (declared, reader) = eraReader(spark, root, asOf)
+    if (files.isEmpty) {
+      // a fully-pruned range is a legitimately EMPTY answer whenever
+      // the era's declared schema can type it; refuse only when no
+      // schema was ever committed (schema inference has nothing to read)
+      require(declared.isDefined,
+        s"no live file of $root can hold keys in [$lo, $hi] and the " +
+          "table has no declared schema — empty range reads need one")
+      spark.createDataFrame(new java.util.ArrayList[Row](), declared.get)
+    } else reader.parquet(files.toIndexedSeq: _*)
   }
 
   /** Change data feed: the row-level diff between two committed
@@ -304,9 +327,7 @@ object MergeTable {
     val added = (after -- before).toIndexedSeq.sorted
     val removed = (before -- after).toIndexedSeq.sorted
 
-    val declared = declaredSchema(spark, root, Some(toV))
-    val reader = declared
-      .map(spark.read.schema(_)).getOrElse(spark.read)
+    val (declared, reader) = eraReader(spark, root, Some(toV))
     // only planned when one side has no files; the common both-sides
     // case must not pay a full snapshot planning pass for it
     lazy val empty = declared match {
@@ -333,7 +354,8 @@ object MergeTable {
       if (preImages) array(ev("update_preimage", col("_old")),
         ev("update_postimage", col("_new")))
       else array(ev("update", col("_new")))
-    o.join(n, Seq("_ck"), "full_outer")
+    val keyedDiff = o.filter(col("_ck").isNotNull)
+      .join(n.filter(col("_ck").isNotNull), Seq("_ck"), "full_outer")
       // no-ops: rows copied unchanged into a rewritten file. Null-safe
       // per-column compare (a struct <=> struct would also compare the
       // key twice; payload-only keeps it honest under key reuse)
@@ -346,6 +368,31 @@ object MergeTable {
         when(col("_old").isNull, array(ev("insert", col("_new"))))
           .when(col("_new").isNull, array(ev("delete", col("_old"))))
           .otherwise(updateEvs)).as("_ev"))
+
+    // NULL-key rows: merge() admits them as pure inserts and no key
+    // match can ever update or delete one, so key identity is
+    // meaningless here — the keyed join above would either fabricate a
+    // delete+insert pair for every null-key row carried UNCHANGED
+    // through a rewrite (plain equality: NULL never pairs with itself)
+    // or, made null-safe, cross k null-key rows into k² pairs. Diff
+    // them as a MULTISET over the full row image instead: per image,
+    // the new-side excess emits inserts, the old-side excess emits
+    // deletes, balance is a carried no-op; updates cannot exist without
+    // identity. Grouping on the image struct is no new restriction —
+    // the keyed no-op filter's `<=>` already excludes unorderable
+    // (map-typed) payloads from this feed.
+    val nullKeyDiff = o.filter(col("_ck").isNull)
+      .select(col("_old").as("_img"), lit(-1L).as("_d"))
+      .unionByName(n.filter(col("_ck").isNull)
+        .select(col("_new").as("_img"), lit(1L).as("_d")))
+      .groupBy(col("_img")).agg(sum(col("_d")).as("_net"))
+      .filter(col("_net") =!= 0L)
+      .select(explode(array_repeat(
+        when(col("_net") > 0L, ev("insert", col("_img")))
+          .otherwise(ev("delete", col("_img"))),
+        abs(col("_net")).cast("int"))).as("_ev"))
+
+    keyedDiff.unionByName(nullKeyDiff)
       .select(col("_ev.t").as("change_type") +:
         cols.map(c => col(s"_ev.img.$c").as(c)): _*)
   }
@@ -410,12 +457,10 @@ object MergeTable {
     if (small.size < 2) return None
     val total = small.map(_._2).sum
     val nOut = math.max(1L, (total + targetRows - 1L) / targetRows).toInt
-    // through the declared schema: compaction may rebin files from
+    // through the era-aligned reader: compaction may rebin files from
     // different schema eras, and a sampled-footer read would silently
     // drop an evolved column from the rewritten (now authoritative) file
-    val declared = declaredSchema(spark, root, Some(basis))
-    val reader = declared
-      .map(spark.read.schema(_)).getOrElse(spark.read)
+    val (declared, reader) = eraReader(spark, root, Some(basis))
     val df = reader.parquet(small.map(f => s"$root/${f._1}"): _*)
     Some(commit(spark, root, df.repartition(nOut), key,
       removes = small.map(_._1), basis, declared))
@@ -451,9 +496,7 @@ object MergeTable {
       .select(col("file"))
       .collect().map(_.getString(0)).toIndexedSeq
     require(live.nonEmpty, s"merge table at $root has no live files")
-    val declared = declaredSchema(spark, root, Some(basis))
-    val reader = declared
-      .map(spark.read.schema(_)).getOrElse(spark.read)
+    val (declared, reader) = eraReader(spark, root, Some(basis))
     val df = reader.parquet(live.map(f => s"$root/$f"): _*)
     // z-order columns must exist and be integral: pmod over a float
     // column would silently bucket truncated values, and a missing
@@ -608,7 +651,7 @@ object MergeTable {
 
     // one manifest read serves the column gate, the era-aligned file
     // reader, and the commit's schema widening
-    val declared = declaredSchema(spark, root, asOfB)
+    val (declared, tblReader) = eraReader(spark, root, asOfB)
     val tableCols = declared.map(_.fieldNames.toSet)
       .getOrElse(snapshot(spark, root, asOfB).columns.toSet)
     if (evolveSchema)
@@ -638,10 +681,8 @@ object MergeTable {
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
 
-    // touched files may span multiple schema eras themselves — read
-    // them through the declared schema, not whichever footer is sampled
-    val tblReader = declared
-      .map(spark.read.schema(_)).getOrElse(spark.read)
+    // touched files may span multiple schema eras themselves — the
+    // era-aligned reader, not whichever footer is sampled
     val survivors =
       if (touched.isEmpty) inserts.limit(0)
       else tblReader.parquet(touched.map(f => s"$root/$f"): _*)
@@ -899,8 +940,25 @@ object MergeTable {
     val floorPath = s"$root/$FloorDir"
     if (fs.exists(new Path(floorPath)))
       StoreOps.replaceWith(spark, floorPath, Seq(floor).toDF("floor"))
-    else // first floor: no prior copy to stage aside, plain write suffices
-      Seq(floor).toDF("floor").write.parquet(floorPath)
+    else {
+      // first floor: no prior copy to stage aside, but an in-place
+      // write is NOT crash-safe — a kill mid-write leaves a torn
+      // `_floor` dir (exists, holds no parquet) that vacuumFloor can
+      // neither read nor distinguish from a real floor, bricking every
+      // read AND write path of the table. Stage, then publish with the
+      // one atomic rename every other mutation here uses. Overwrite
+      // mode absorbs a crashed predecessor's own staging leftover.
+      val staged = new Path(floorPath + "_staged")
+      Seq(floor).toDF("floor").write
+        .mode(SaveMode.Overwrite).parquet(staged.toString)
+      if (!fs.rename(staged, new Path(floorPath))) {
+        fs.delete(staged, true)
+        // vacuum is a single-writer maintenance op (like replaceWith);
+        // a failed publish with no floor in place is environmental
+        require(fs.exists(new Path(floorPath)),
+          s"could not publish the first vacuum floor at $floorPath")
+      }
+    }
 
     // The reachability view must NOT be the checkpointed read view: a
     // checkpoint holds only the live add-set, so files removed at ≤ C

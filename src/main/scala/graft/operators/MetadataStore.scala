@@ -85,7 +85,26 @@ object MetadataStore {
     * version-travel reads into the discarded history. */
   def compact(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
-    val raw = rawLog(spark, path).filter(col("key") =!= FloorKey)
+    // Heal BEFORE the first read, not inside a later snapshot() call: a
+    // torn prior swap reads as an EMPTY log, so the floor math below
+    // would compute 0 from it and the compacted store would forget that
+    // its early history is gone — then the heal inside snapshot() would
+    // resurrect the data but not the floor.
+    StoreOps.recoverInterrupted(spark, path)
+    // one materialized read serves the floor, the discard ceiling, and
+    // the snapshot fold — compact runs precisely when the log is large,
+    // so three passes over it are two too many (and the persist also
+    // pins one consistent view under the replaceWith swap below)
+    val raw0 = rawLog(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try compactPinned(spark, path, raw0)
+    finally raw0.unpersist()
+  }
+
+  private def compactPinned(spark: SparkSession, path: String,
+      raw0: DataFrame): Unit = {
+    import spark.implicits._
+    val raw = raw0.filter(col("key") =!= FloorKey)
     // The floor is the exact as-of horizon compaction destroys: a key
     // with a SINGLE version keeps its full history (the one row answers
     // every as-of), so only keys holding ≥ 2 versions lose anything —
@@ -104,8 +123,8 @@ object MetadataStore {
       .filter(col("n") > 1)
       .agg(max(col("latest"))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
-    val floor = math.max(floorOf(rawLog(spark, path)), discardedCeil)
-    val snap = snapshot(spark, path)
+    val floor = math.max(floorOf(raw0), discardedCeil)
+    val snap = Upsert.lastWriteWins(raw, "key", "updated_at")
     val withMarker =
       if (floor == 0L) snap // nothing ever discarded: no floor to record
       else snap.unionByName(

@@ -20,10 +20,23 @@ object Upsert {
     * so version ties resolve deterministically instead of by shuffle
     * arrival (the nondeterminism this operator exists to remove). One
     * shuffle on the key — the same cost dropDuplicates pays, but with
-    * defined semantics. */
+    * defined semantics.
+    *
+    * Unorderable columns (maps) tiebreak through their canonical string
+    * cast instead of directly: `orderBy(mapCol)` fails analysis, and
+    * this operator is the generic sink primitive — it must accept every
+    * schema `dropDuplicates` would. The cast is a pure function of the
+    * row, so the order stays total and deterministic (two rows differing
+    * only in map ENTRY ORDER rank by their rendered forms — arbitrary
+    * but stable, exactly the contract version ties need). */
   def lastWriteWins(df: DataFrame, key: String, versionCol: String): DataFrame = {
-    val tiebreak = df.columns.filterNot(c => c == key || c == versionCol)
-      .map(col(_).desc)
+    val tiebreak = df.schema.fields
+      .filterNot(f => f.name == key || f.name == versionCol)
+      .map { f =>
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType)) col(f.name).desc
+        else col(f.name).cast("string").desc
+      }
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc +: tiebreak.toIndexedSeq: _*)
     df.withColumn("__graft_rn", row_number().over(w))

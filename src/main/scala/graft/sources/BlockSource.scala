@@ -39,12 +39,16 @@ class BlockSource extends TableProvider {
     Schemas.rawBlockSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new BlockTable(properties)
+    new BlockTable
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private[sources] class BlockTable(props: util.Map[String, String])
-    extends Table with SupportsRead {
+/** All option resolution happens at scan-build time from the
+  * CaseInsensitiveStringMap Spark passes per read — the table holds no
+  * option state (a constructor copy of the table properties would be
+  * dead weight that a future reader could mistake for an honored
+  * configuration channel). */
+private[sources] class BlockTable extends Table with SupportsRead {
   override def name(): String = "graft_blocks"
   override def schema(): StructType = Schemas.rawBlockSchema
   override def capabilities(): util.Set[TableCapability] =

@@ -284,10 +284,11 @@ class MergeTableSpec extends SparkSpec {
     val exact = pruned.filter(col("k").between(150L, 160L))
       .select("k").as[Long].collect().toSet
     assert(exact == (150L to 160L).toSet)
-    // an empty range refuses loudly rather than inventing a schema
-    intercept[IllegalArgumentException] {
-      MergeTable.snapshotRange(spark, root, 1000L, 2000L)
-    }
+    // an empty range answers empty, typed by the declared schema (no
+    // schema is ever INVENTED — the manifest's schema action types it)
+    val none = MergeTable.snapshotRange(spark, root, 1000L, 2000L)
+    assert(none.columns.toSeq == Seq("k", "v"))
+    assert(none.count() == 0L)
   }
 
   test("compactFiles folds small files into one commit without changing state") {
@@ -541,5 +542,73 @@ class MergeTableSpec extends SparkSpec {
     val pruned = MergeTable.snapshotRange(spark, root, 10L, 20L)
       .filter(col("k").between(10, 20))
     assert(pruned.count() == 11)
+  }
+
+  test("a delete-all merge leaves an empty but readable and writable table") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    MergeTable.merge(spark, root,
+      Seq((1L, "a", true), (2L, "b", true)).toDF("k", "v", "deleted"),
+      "k", deleteCol = Some("deleted"))
+    // the emptied table must still ANSWER (empty, with the declared
+    // schema), not refuse every future read
+    val snap = MergeTable.snapshot(spark, root)
+    assert(snap.columns.toSeq == Seq("k", "v"))
+    assert(snap.count() == 0L)
+    // the CDC feed over the emptying window sees exactly two deletes
+    val feed = MergeTable.changeFeed(spark, root, "k", 1L, 2L)
+      .select(col("change_type"), col("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("delete", 1L), ("delete", 2L)))
+    // and the table is still writable: life goes on after the wipe
+    MergeTable.merge(spark, root, Seq((3L, "c")).toDF("k", "v"), "k")
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((3L, "c")))
+    // time travel back into the pre-wipe era still answers
+    assert(rowsOf(MergeTable.snapshot(spark, root, Some(1L))) ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("snapshotRange answers a fully-pruned range as empty, typed by the declared schema") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    val out = MergeTable.snapshotRange(spark, root, 100L, 200L)
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.count() == 0L)
+  }
+
+  test("changeFeed multiset-diffs null-key rows instead of fabricating phantom pairs") {
+    val root = tmpRoot()
+    // one file holding keyed AND null-key rows (incl. a duplicated null
+    // image), so a keyed rewrite carries every null row along
+    val init = Seq((Option(1L), "a"), (Option.empty[Long], "n1"),
+      (Option.empty[Long], "n1"), (Option.empty[Long], "z"))
+      .toDF("k", "v").coalesce(1)
+    MergeTable.append(spark, root, init, "k")
+    // update the keyed row; insert one NEW null-key row
+    MergeTable.merge(spark, root,
+      Seq((Option(1L), "A"), (Option.empty[Long], "n2")).toDF("k", "v"), "k")
+    val feed = MergeTable.changeFeed(spark, root, "k", 1L, 2L)
+      .select(col("change_type"), col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the three carried null-key rows (two of them an identical image —
+    // the multiset case) are NO-OPS; only the real changes surface
+    assert(feed == Set(("update", "A"), ("insert", "n2")), feed)
+  }
+
+  test("first vacuum floor publishes atomically and absorbs a crashed predecessor's staging") {
+    val root = tmpRoot()
+    MergeTable.append(spark, root, Seq((1L, "a")).toDF("k", "v"), "k")
+    MergeTable.merge(spark, root, Seq((1L, "b")).toDF("k", "v"), "k")
+    // simulate a predecessor that crashed between staging and publish
+    val staged = new java.io.File(s"$root/_floor_staged")
+    assert(staged.mkdirs())
+    java.nio.file.Files.write(staged.toPath.resolve("garbage"),
+      Array[Byte](1, 2, 3))
+    // the torn state is INVISIBLE to reads (floor dir itself absent)
+    assert(MergeTable.vacuumFloor(spark, root) == 0L)
+    // and the next vacuum overwrites the leftover and publishes
+    MergeTable.vacuum(spark, root, horizon = 1L, graceMs = 0L)
+    assert(MergeTable.vacuumFloor(spark, root) == 1L)
+    assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "b")))
   }
 }

@@ -61,4 +61,29 @@ class UpsertSpec extends SparkSpec {
       .select("event_id", "payload").as[(String, String)].collect().toMap
     assert(got == Map("e1" -> "v1", "e2" -> "v3", "e3" -> "v1"))
   }
+
+  test("lastWriteWins accepts unorderable (map) payload columns") {
+    // the generic sink primitive must take every schema dropDuplicates
+    // would — a direct orderBy on a map column fails analysis
+    val df = Seq(
+      ("e1", 2L, Map("a" -> 1)), ("e1", 1L, Map("b" -> 2)),
+      ("e2", 1L, Map("c" -> 3)))
+      .toDF("event_id", "updated_at", "props")
+    val got = Upsert.lastWriteWins(df, "event_id", "updated_at")
+      .select("event_id", "updated_at").as[(String, Long)].collect().toMap
+    assert(got == Map("e1" -> 2L, "e2" -> 1L))
+
+    // version TIES among rows differing only in the map still resolve
+    // deterministically (via the canonical string cast), independent of
+    // partitioning
+    val tied = Seq(
+      ("e1", 5L, Map("x" -> 1)), ("e1", 5L, Map("y" -> 9)))
+      .toDF("event_id", "updated_at", "props")
+    val results = (1 to 3).map { p =>
+      Upsert.lastWriteWins(tied.repartition(p * 2), "event_id", "updated_at")
+        .select("props").as[Map[String, Int]].collect().toSeq
+    }
+    assert(results.distinct.size == 1, results)
+    assert(results.head == Seq(Map("y" -> 9))) // "{y -> 9}" > "{x -> 1}"
+  }
 }
