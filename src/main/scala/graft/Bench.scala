@@ -30,7 +30,16 @@ object Bench {
         if (!scala.util.control.NonFatal(e)) fatal.set(true)
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         -1.0 }
-    spark.catalog.clearCache() // per-query caches must not leak across entries
+    // per-query caches must not leak across entries — but the cleanup
+    // itself must honor the same best-effort-continue contract: on an
+    // OOM-degraded JVM a throwing clearCache would otherwise abort the
+    // WHOLE sweep after the sentinel machinery already absorbed the
+    // query's own failure
+    try spark.catalog.clearCache()
+    catch { case e: Throwable =>
+      if (!scala.util.control.NonFatal(e)) fatal.set(true)
+      System.err.println(s"[bench] clearCache after $name failed: ${e.getClass.getName}")
+    }
     dt
   }
 
@@ -92,7 +101,10 @@ object Bench {
     val qIdx = text.indexOf("\"queries\"")
     if (qIdx < 0) return None
     val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
-    val entry = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+    // exponent part matters: Scala renders doubles below 1e-3 as
+    // "8.7E-4", and truncating it would read 8.7 — a ~10,000× inflated
+    // baseline the 2× tripwire could never fire against
+    val entry = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
     val times = entry.findAllMatchIn(text.drop(qIdx))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     sf.map(_ -> times)
@@ -122,7 +134,7 @@ object Bench {
 
   /** The baseline file's canary seconds, if recorded. */
   private[graft] def parseCanary(text: String): Option[Double] =
-    """"canary_sec":(-?[0-9.]+)""".r.findFirstMatchIn(text)
+    """"canary_sec":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r.findFirstMatchIn(text)
       .map(_.group(1).toDouble)
 
   /** Epoch calibration factor: the SQUARE ROOT of this sweep's canary
@@ -161,15 +173,16 @@ object Bench {
       }
     }
 
-  /** The committed same-SF baseline timings, if any. */
-  private[graft] def baselineTimes(sfDir: String): Option[Map[String, Double]] = {
-    val base = java.nio.file.Paths.get("bench_baseline.json")
-    if (!java.nio.file.Files.exists(base)) None
-    else parseTimings(java.nio.file.Files.readString(base)) match {
+  /** The committed same-SF baseline timings from the already-read file
+    * text (main reads bench_baseline.json ONCE and derives both the
+    * canary and the timings from the same content — two reads could
+    * observe different file states under a mid-run rewrite). */
+  private[graft] def baselineTimes(sfDir: String,
+      text: Option[String]): Option[Map[String, Double]] =
+    text.flatMap(parseTimings) match {
       case Some((sf, times)) if sf == sfDir => Some(times)
       case _ => None // cross-SF ratios are meaningless
     }
-  }
 
   /** How many extra samples a tripwire suspect gets before it's flagged. */
   private[graft] val RemeasureRuns = 2
@@ -220,16 +233,7 @@ object Bench {
     // optional arg (dev only): comma-separated query-name subset, for
     // cheap micro-benching of a few queries without the full sweep
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build("graft-bench")
     // Warmup pass: run every query once unmeasured so the measured pass
     // reports steady-state latency — per-query one-time costs (codegen
     // compilation, JIT, file-listing, page cache) are fixed session
@@ -259,7 +263,7 @@ object Bench {
     val firstPass = queries.map { case (name, fn) =>
       name -> execOne(spark, sfDir, name, fn, fatal) }
     val qmap = queries.toMap
-    val baseTimes = baselineTimes(sfDir) // parse the committed file once
+    val baseTimes = baselineTimes(sfDir, baseText)
     val results = remeasureSuspects(firstPass, baseTimes, { name =>
       val t = execOne(spark, sfDir, name, qmap(name), fatal)
       System.err.println(f"[bench] re-measured tripwire suspect $name: $t%.2f s")

@@ -15,40 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object Main {
 
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
-      .appName("graft-etl")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  private def session(): SparkSession = LocalSession.build("graft-etl")
 
   def main(args: Array[String]): Unit = args.toList match {
     // optional trailing arg = etl_checkpoints path: the run is then
     // recorded in_progress/completed/failed and resumable via
     // Checkpoints.incomplete (SCHEMA.md:283-300)
     case "backfill" :: start :: end :: workers :: out :: rest if rest.length <= 1 =>
+      // numeric args validated BEFORE the session spins up (the health
+      // convention): malformed input earns the usage message, not a
+      // NumberFormatException after seconds of SparkSession startup
+      val startL = num("backfill", "start_slot", start)(_.toLong)
+      val endL = num("backfill", "end_slot", end)(_.toLong)
+      val workersI = num("backfill", "workers", workers)(_.toInt)
       val spark = session()
       rest.headOption match {
         case Some(ckpt) =>
           ingest.Checkpoints.runTracked(spark, ckpt, s"bf_${start}_$end",
-            start.toLong, end.toLong, workers.toInt, out)
+            startL, endL, workersI, out)
         case None =>
-          ingest.Backfill.run(spark, start.toLong, end.toLong, workers.toInt, out)
+          ingest.Backfill.run(spark, startL, endL, workersI, out)
       }
       println(s"backfill complete: ${spark.read.parquet(out).count()} events")
       spark.stop()
 
     case "incremental" :: src :: sink :: ckpt :: rest =>
+      val intervalSec = rest.headOption
+        .map(s => num("incremental", "intervalSec", s)(_.toLong))
       val spark = session()
-      val trigger = rest.headOption match {
+      val trigger = intervalSec match {
         case Some(sec) => org.apache.spark.sql.streaming.Trigger
           .ProcessingTime(s"$sec seconds") // the reference's poll interval
         case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
@@ -61,9 +56,11 @@ object Main {
     // offsets (no drop-directory needed) — parse + idempotent sink are
     // the same foreachBatch tail as the file path.
     case "incremental-blocks" :: start :: tip :: sink :: ckpt :: Nil =>
+      val startL = num("incremental-blocks", "startSlot", start)(_.toLong)
+      val tipL = num("incremental-blocks", "tipSlot", tip)(_.toLong)
       val spark = session()
       val raw = spark.readStream.format("graft.sources.BlockSource")
-        .option("startSlot", start.toLong).option("tipSlot", tip.toLong)
+        .option("startSlot", startL).option("tipSlot", tipL)
         .option("workers", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
         .load()
       val q = ingest.Incremental.startFromRaw(raw, sink, ckpt)
@@ -72,13 +69,20 @@ object Main {
       spark.stop()
 
     case "analytics" :: fact :: out :: rest =>
-      val spark = session()
       // the anchor is a UTC instant — Timestamp.valueOf would interpret
-      // it in the host JVM's zone and shift every period boundary
-      val anchor = java.sql.Timestamp.from(
+      // it in the host JVM's zone and shift every period boundary.
+      // Parsed before the session for the same usage-path reason as the
+      // numeric args.
+      val anchor = try java.sql.Timestamp.from(
         java.time.LocalDateTime
           .parse(rest.headOption.getOrElse("2024-01-16T00:00:00"))
           .toInstant(java.time.ZoneOffset.UTC))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          usageExit(s"analytics: malformed anchor timestamp: ${rest.head} " +
+            "(want ISO local date-time, e.g. 2024-01-16T00:00:00)")
+      }
+      val spark = session()
       val counts = analytics.AnalyticsRunner.runAll(
         spark, spark.read.parquet(fact), anchor, out)
       counts.toSeq.sortBy(_._1).foreach { case (t, n) => println(s"$t: $n rows") }
@@ -99,8 +103,16 @@ object Main {
         case Right(v) => v
       }
       val spark = session()
-      val row = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0)
-      val tip = if (row.isNullAt(0)) -1L else row.getLong(0)
+      // a sink that does not exist yet (fresh deployment, backfill not
+      // landed) is the SAME healthy-but-behind state as a zero-row one
+      // — a monitoring probe needs the JSON verdict, not a
+      // PATH_NOT_FOUND stack trace
+      val tip = try {
+        val row = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0)
+        if (row.isNullAt(0)) -1L else row.getLong(0)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => -1L
+      }
       slo match {
         case Some((chainTip, maxLag)) =>
           val lag = math.max(0L, chainTip - tip)
@@ -150,6 +162,15 @@ object Main {
     } catch {
       case _: NumberFormatException =>
         Left(s"health: malformed numeric argument: ${rest.mkString(" ")}")
+    }
+
+  /** Parse a numeric CLI arg through the usage/exit-2 path — every
+    * subcommand validates BEFORE `session()`, so a typo never costs a
+    * SparkSession spin-up and dies as a bare NumberFormatException. */
+  private def num[T](cmd: String, name: String, v: String)(f: String => T): T =
+    try f(v) catch {
+      case _: NumberFormatException =>
+        usageExit(s"$cmd: malformed numeric argument $name: $v")
     }
 
   private def usageExit(msg: String): Nothing = {

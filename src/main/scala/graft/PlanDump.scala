@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the AQE-final executed plan of named queries (all
   * queries when no names given) against a testdata dir — the source of
@@ -12,15 +11,9 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // the shared builder, so the dumped plans carry the SAME
+    // parallelism/AQE posture Bench and Verify actually execute under
+    val spark = LocalSession.build("graft-plandump", logLevel = "ERROR")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       // materialize df's OWN QueryExecution so AQE finalizes join

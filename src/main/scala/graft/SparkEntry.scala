@@ -29,7 +29,19 @@ object SparkEntry {
     streaming.StreamQueries,
   )
 
-  private lazy val all: Seq[(String, Q)] = modules.flatMap(_.defs)
+  private lazy val all: Seq[(String, Q)] = {
+    val defs = modules.flatMap(_.defs)
+    // A duplicate name across modules would SILENTLY corrupt the
+    // correctness gate: `queries`/`oracleSql` are maps (last
+    // registration wins) while `orderedQueries` keeps both, so Verify
+    // could pair one module's plan with another's oracle SQL and the
+    // differential would compare the wrong two results. Refuse at
+    // assembly instead.
+    val dups = defs.groupBy(_._1).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names across modules: ${dups.toSeq.sorted.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

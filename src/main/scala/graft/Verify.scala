@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -7,20 +6,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev only): comma-separated query-name subset,
     // for fast differential iteration on a few queries
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [name,name,...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(",").toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): read as bigint epoch-nanos
-      // (FIXTURES.md §1 oracle convention).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -30,7 +22,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // per-query caches must not leak across entries
+      // per-query caches must not leak across entries; best-effort for
+      // the same reason the query itself is — one degraded entry must
+      // not abort the remaining queries' correctness dumps
+      try spark.catalog.clearCache()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] clearCache after $name failed: ${e.getClass.getName}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

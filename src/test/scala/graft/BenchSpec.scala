@@ -147,6 +147,17 @@ class BenchSpec extends SparkSpec {
     assert(Bench.parseTimings("{}").isEmpty)
   }
 
+  test("parse helpers read exponent-form doubles (Scala renders <1e-3 as 8.7E-4)") {
+    // truncating the exponent would read 8.7E-4 as 8.7 s — a ~10,000×
+    // inflated baseline the 2× tripwire could never fire against
+    val text =
+      s"""{"metric":"bench_last","canary_sec":8.7E-4,"sf":"/sf0.1",
+         |"queries":{"q_tiny":8.7E-4,"q_norm":1.5}}""".stripMargin
+    assert(Bench.parseCanary(text).contains(8.7e-4))
+    val Some((_, times)) = Bench.parseTimings(text)
+    assert(times == Map("q_tiny" -> 8.7e-4, "q_norm" -> 1.5))
+  }
+
   test("committed bench artifacts: tripwire audit (warn-only, driver rewrites last)") {
     // deterministic given the committed files; warn-only because the
     // driver regenerates bench_last.json between commits — Bench.main
