@@ -280,6 +280,110 @@ object LakeQueries extends QueryModule {
              |FROM merged WHERE o_orderkey BETWEEN $RangeLo AND $RangeHi
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "stats-pruned range read (snapshotRange) through a range-clustered, merged table"),
+
+    // NULL-key rows through the full CDC lifecycle. The table contract
+    // admits a NULL merge key as a pure insert (no key match can ever
+    // update or delete it), so null-key rows live in the same files as
+    // keyed rows and get CARRIED through every copy-on-write rewrite —
+    // where a keyed diff would fabricate a delete+insert pair for each
+    // (NULL never pairs with itself in a join). The feed must instead
+    // multiset-diff them: this query plants nulls (keys ≡ 3 mod 97
+    // nulled), rewrites their files via a keyed update batch that also
+    // INSERTS fresh null-key rows, and asserts the feed carries exactly
+    // the real changes while the snapshot retains every null row once.
+    // The update payload is made unconditionally-changing
+    // (coalesce(price+1, -1)) so a dirty NULL price cannot turn an
+    // update into an engine-side no-op the oracle still counts.
+    "lake_null_key_cdc" -> Q(
+      (s, dir) => withRoot(s) { root =>
+        val b0 = base(s, dir)
+        val withNulls = b0.withColumn("o_orderkey",
+          when(col("o_orderkey") % KeyMod === 3, lit(null).cast("long"))
+            .otherwise(col("o_orderkey")))
+        val v1 = MergeTable.append(s, root, withNulls, "o_orderkey")
+        val upd = b0.filter(col("o_orderkey") % KeyMod === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            coalesce(col("o_totalprice") + lit(1.0d), lit(-1.0d))
+              .as("o_totalprice"))
+        val ins = b0.filter(col("o_orderkey") % KeyMod === 5)
+          .select(lit(null).cast("long").as("o_orderkey"),
+            lit("X").as("o_orderstatus"), col("o_totalprice"))
+        val v2 = MergeTable.merge(s, root, upd.unionByName(ins), "o_orderkey")
+        val feedAgg = MergeTable.changeFeed(s, root, "o_orderkey", v1, v2)
+          .groupBy(concat(lit("feed_"), col("change_type")).as("section"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+        val snapNull = MergeTable.snapshot(s, root)
+          .filter(col("o_orderkey").isNull)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .select(lit("snap_nullkeys").as("section"), col("n_rows"),
+            col("key_sum"), col("min_price"), col("max_price"))
+        feedAgg.unionByName(snapNull).orderBy(col("section"))
+      },
+      Some(s"""WITH upd AS (
+             |  SELECT o_orderkey,
+             |         coalesce(o_totalprice + 1.0, -1.0) AS o_totalprice
+             |  FROM orders WHERE o_orderkey % $KeyMod = 0),
+             |ins AS (
+             |  SELECT CAST(NULL AS BIGINT) AS o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % $KeyMod = 5),
+             |-- carried null-key rows: planted (≡ 3 mod 97, their key
+             |-- NULLED at append) plus any the fixture already holds —
+             |-- both are pure carries, never events
+             |nullsnap AS (
+             |  SELECT CAST(NULL AS BIGINT) AS o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey IS NULL OR o_orderkey % $KeyMod = 3),
+             |sections AS (
+             |  SELECT 'feed_update' AS section, o_orderkey, o_totalprice FROM upd
+             |  UNION ALL
+             |  SELECT 'feed_insert', o_orderkey, o_totalprice FROM ins
+             |  UNION ALL
+             |  SELECT 'snap_nullkeys', o_orderkey, o_totalprice FROM nullsnap
+             |  UNION ALL
+             |  SELECT 'snap_nullkeys', o_orderkey, o_totalprice FROM ins)
+             |SELECT section, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+             |FROM sections GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "null-key rows through CDC: carried rewrites are feed no-ops (multiset diff), fresh null inserts surface, snapshot keeps every null row once"),
+
+    // Delete-all and life after it: a CDC batch that deletes every
+    // remaining row must leave a table that still ANSWERS (empty, typed
+    // by the declared schema carried in the manifest) and still ACCEPTS
+    // the next merge — not one bricked behind a no-live-files refusal.
+    // Both phases are pinned: the post-wipe snapshot aggregates to the
+    // (0, NULL) row, and the rebuild merge's snapshot replays
+    // relationally.
+    "lake_wipe_rebuild" -> Q(
+      (s, dir) => withRoot(s) { root =>
+        val b = base(s, dir).filter(col("o_orderkey") % KeyMod === 0)
+        MergeTable.append(s, root, b, "o_orderkey")
+        MergeTable.merge(s, root, b.withColumn("deleted", lit(true)),
+          "o_orderkey", deleteCol = Some("deleted"))
+        // snapshot() plans its (empty) file list EAGERLY, so this frame
+        // is immune to the rebuild merge that follows
+        val afterWipe = MergeTable.snapshot(s, root)
+          .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit("after_wipe").as("phase"), col("n_rows"), col("key_sum"))
+        MergeTable.merge(s, root,
+          base(s, dir).filter(col("o_orderkey") % KeyMod === 1), "o_orderkey")
+        val afterRebuild = MergeTable.snapshot(s, root)
+          .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+          .select(lit("after_rebuild").as("phase"), col("n_rows"), col("key_sum"))
+        afterWipe.unionByName(afterRebuild).orderBy(col("phase"))
+      },
+      Some(s"""SELECT 'after_rebuild' AS phase, count(*) AS n_rows,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % $KeyMod = 1
+             |UNION ALL
+             |SELECT 'after_wipe', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+             |ORDER BY phase""".stripMargin),
+      doc = "delete-all CDC wipe answers empty through the declared schema, then accepts the rebuild merge"),
   )
 
   /** Fixed lookup range for `lake_point_lookup` — inside every SF's key
