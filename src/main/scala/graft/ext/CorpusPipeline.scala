@@ -72,14 +72,19 @@ object CorpusPipeline {
         Dedup.DefaultMaxShingleDf))
       val pairs = Dedup.verifyJaccard(sh, Dedup.bandCandidatesOf(sh), 0.5)
       val dupIds = pairs.select(col("d2").as("doc_id")).distinct()
-      val neardupKept = pin(exactKept.join(dupIds, Seq("doc_id"), "left_anti"))
-
-      // stage 3 — quality filter; tokenize once per row (the two range
-      // bounds would otherwise each re-run the regexp)
-      val qualityKept = neardupKept
+      // the quality counters ride the PINNED frame: computed once per
+      // row at materialization. A post-pin `withColumn("n_tok", ...)`
+      // would NOT tokenize once — the filter's alias references get
+      // inlined below the Project (PushPredicateThroughNonJoin), so
+      // each range bound re-runs the full-text regexp; behind the
+      // localCheckpoint leaf there is nothing to push into.
+      val neardupKept = pin(exactKept.join(dupIds, Seq("doc_id"), "left_anti")
         .withColumn("n_tok", expr(s"size($tok)"))
-        .filter(col("n_tok") >= 20 && col("n_tok") <= 500 && expr(stop) > 0)
-        .drop("n_tok")
+        .withColumn("n_stop", expr(stop)))
+
+      // stage 3 — quality filter over the materialized counters
+      val qualityKept = neardupKept
+        .filter(col("n_tok") >= 20 && col("n_tok") <= 500 && col("n_stop") > 0)
 
       val staged = exactKept.select(col("doc_id"), lit("exact_kept").as("stage"))
         .unionByName(neardupKept.select(col("doc_id"), lit("neardup_kept").as("stage")))
@@ -104,11 +109,7 @@ object CorpusPipeline {
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY h) AS keeper
        |    FROM norm) WHERE doc_id = keeper),
-       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '${TextAnalytics.TokenPattern}') AS ts
-       |         FROM exact_kept),
-       |sh0 AS (SELECT DISTINCT doc_id, s AS shingle
-       |  FROM toks, UNNEST(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
-       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(s)),
+       |sh0 AS (${Dedup.dShingleRowsFrom("exact_kept")}),
        |${Dedup.dCapCtes("sh0", "sh", Dedup.DefaultMaxShingleDf)},
        |${Dedup.dBandCtes("sh")},
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

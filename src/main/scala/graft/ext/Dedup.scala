@@ -145,13 +145,25 @@ object Dedup extends QueryModule {
     * is the term to re-measure. Callers holding a cached/checkpointed
     * index (the corpus pipeline's loan scope) pass it here directly. */
   private[ext] def jaccardOnCapped(capped: DataFrame, threshold: Double): DataFrame = {
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("doc_id").as("d1"), col("shingle"))
     val b = capped.select(col("doc_id").as("d2"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val commons = a.join(b, Seq("shingle"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
+    jaccardFinish(capped, commons, threshold)
+  }
+
+  /** The ONE Scala-side definition of the near-dup decision over a
+    * (d1, d2, common) frame: sizes join + |A∩B| / |A∪B| + threshold —
+    * shared by the exact self-join path ([[jaccardOnCapped]]) and the
+    * candidate-verify path ([[verifyJaccard]]) so a formula or
+    * threshold-semantics change cannot land in one and not the other
+    * (the SQL twin of this contract is [[dJaccardCtes]]). */
+  private def jaccardFinish(sh: DataFrame, commons: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    commons
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
       .withColumn("jaccard",
@@ -213,6 +225,7 @@ object Dedup extends QueryModule {
     * fixture, noted for operators shipping non-Latin corpora). */
   // compiled once — docBandKeys is the per-document streaming hot path
   private val TokenRegex = TextAnalytics.TokenPattern.r
+  private val HexChars = "0123456789abcdef".toCharArray
 
   private[graft] def docBandKeys(text: String): Seq[(Int, String)] = {
     if (text == null) return Seq.empty
@@ -225,11 +238,21 @@ object Dedup extends QueryModule {
     val shingles = (0 to toks.length - 3)
       .map(i => toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).distinct
     val md = java.security.MessageDigest.getInstance("MD5")
+    // char-table hex, not f"%02x": the interpolator allocates a
+    // java.util.Formatter per byte — 32 per digest, 4 digests per
+    // shingle — which would dominate the cheap MD5 work with pure GC
+    // pressure on this per-document streaming hot path
     def hex(s: String): String = {
       val b = md.digest(s.getBytes("UTF-8"))
-      val sb = new StringBuilder(32)
-      b.foreach(x => sb.append(f"${x & 0xff}%02x"))
-      sb.toString
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        val v = b(i) & 0xff
+        out(2 * i) = HexChars(v >>> 4)
+        out(2 * i + 1) = HexChars(v & 0xf)
+        i += 1
+      }
+      new String(out)
     }
     val mins = Array.ofDim[Long](8)
     for (s0 <- 0 until 4) {
@@ -263,23 +286,22 @@ object Dedup extends QueryModule {
     * (MinHash bands at scale), never all-shared-shingle pairs. */
   private[ext] def verifyJaccard(sh: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    cand
+    val commons = cand
       .join(sh.select(col("doc_id").as("d1"), col("shingle")), Seq("d1"))
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("n1") + col("n2") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+    jaccardFinish(sh, commons, threshold)
   }
 
-  private val dShingleRows =
-    s"SELECT DISTINCT doc_id, sh AS shingle FROM documents, UNNEST($dShingles) AS u(sh)"
+  /** [[dShingleRows]] over an arbitrary (doc_id, text) relation — the
+    * corpus pipeline shingles its exact-dedup SURVIVORS, not raw
+    * documents, and hand-retyping the generator there is exactly the
+    * drift [[dNGrams]]' one-definition contract exists to prevent. */
+  private[ext] def dShingleRowsFrom(src: String): String =
+    s"SELECT DISTINCT doc_id, sh AS shingle FROM $src, UNNEST($dShingles) AS u(sh)"
+
+  private val dShingleRows = dShingleRowsFrom("documents")
 
   /** The shingle-rows SQL for oracles composed OUTSIDE this module
     * (the streaming band-dedup replay reuses the exact batch banding). */

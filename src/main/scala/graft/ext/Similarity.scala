@@ -136,6 +136,18 @@ object Similarity extends QueryModule {
     e.join(broadcast(seeds), lit(true))
       .withColumn("cos",
         graft.functions.VectorExpressions.vector_cosine(col("v"), col("sv")))
+      // per-candidate NaN/NULL quarantine (the batch twin of the
+      // streaming assignToCells contract): a zero-norm vector or seed
+      // folds to NaN, which max_by ranks ABOVE every real cosine — it
+      // would win the argmax on the Spark side while the DuckDB
+      // replays diverge (and a NaN cos would later poison the int64
+      // cohesion fold as CAST(NaN AS BIGINT) = 0 vs a DuckDB cast
+      // error). The filter costs the degenerate CANDIDATE only; a
+      // fully degenerate vector ends up unassigned — mirrored by
+      // `cos IS NOT NULL AND NOT isnan(cos)` in every consumer oracle.
+      // Downstream pair cosines (semdedup) are then NaN-free too:
+      // every assigned member has a positive norm.
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("cluster_id"), col("cos"), col("v")),
@@ -395,9 +407,10 @@ object Similarity extends QueryModule {
   private[ext] def capBuckets(sk: DataFrame, maxBucket: Int): DataFrame = {
     val gs = Seq(col("table_id"), col("bucket"))
     val sizes = sk.groupBy(gs: _*).agg(count(lit(1)).as("_bsz"))
-    val key = conv(substring(
-      md5(concat(lit("nd_"), col("vec_id").cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    // the shared 60-bit key, not a re-inlined copy — Dedup.h60 is THE
+    // single definition behind every salted pseudo-random key here, and
+    // its oracle twin dH60 is what the sim_neardup_lsh cap mirror uses
+    val key = Dedup.h60(concat(lit("nd_"), col("vec_id").cast("string")))
     // stage 1: probabilistic threshold cuts any hot bucket to ~2·cap
     // with no per-group sort; stage 2: exact md5 rank restores ≤ cap
     val thinned = sk.join(sizes, Seq("table_id", "bucket"))
@@ -895,7 +908,11 @@ object Similarity extends QueryModule {
         // strategy is sim_ann_lsh below. Left-to-right summation keeps
         // bit-parity with the oracle's list_dot_product.
         import s.implicits._
+        // declared quarantine, mirrored in the oracle's e CTE: a NULL
+        // embedding would NPE the JVM kernel (v.map) where the oracle
+        // silently drops the row — make the drop explicit on BOTH sides
         val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+          .filter(col("embedding").isNotNull)
           .as[(Long, Array[Float])]
         // LOUD guard: this baseline broadcasts the whole corpus (what
         // broadcast() itself would do) and is only valid while it fits
@@ -930,11 +947,16 @@ object Similarity extends QueryModule {
         }.toDF("id_a", "id_b", "sim")
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              |          WHERE embedding IS NOT NULL)
               |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               | round(${dCos("a.v", "b.v")}, 4) AS sim
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE round(${dCos("a.v", "b.v")}, 4) >= 0.4
+              |  -- mirrors the kernel's NaN drop (Scala NaN >= t is false,
+              |  -- DuckDB ranks NaN above every value): a zero-norm pair
+              |  -- must fail the threshold on BOTH sides
+              |  AND NOT isnan(round(${dCos("a.v", "b.v")}, 4))
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "embedding-cosine near-dup pairs (threshold 0.4)"),
 
@@ -1025,6 +1047,11 @@ object Similarity extends QueryModule {
         val asg = incoming.join(broadcast(cents), lit(true))
           .withColumn("sim", graft.functions.VectorExpressions
             .vector_cosine(col("v"), col("centroid")))
+          // same per-candidate NaN/NULL quarantine as [[assignToSeeds]]
+          // — without it a zero-norm incoming vector wins a cell with
+          // sim = NaN, and the int64 quantization below silently folds
+          // that NaN to 0 (Spark) while the oracle's CAST errors
+          .filter(col("sim").isNotNull && !isnan(col("sim")))
           .groupBy(col("vec_id"))
           .agg(max_by(struct(col("cell"), col("sim")),
             struct(col("sim"), (-col("cell")).as("nc"))).as("best"))
@@ -1054,7 +1081,10 @@ object Similarity extends QueryModule {
               |    SELECT i.vec_id, c.cell, ${dCos("i.v", "c.centroid")} AS sim,
               |      ROW_NUMBER() OVER (PARTITION BY i.vec_id
               |        ORDER BY ${dCos("i.v", "c.centroid")} DESC, c.cell NULLS FIRST) AS rk
-              |    FROM inc i CROSS JOIN cents c) WHERE rk = 1),
+              |    FROM inc i CROSS JOIN cents c
+              |    -- the engine's per-candidate NaN/NULL quarantine, mirrored
+              |    WHERE ${dCos("i.v", "c.centroid")} IS NOT NULL
+              |      AND NOT isnan(${dCos("i.v", "c.centroid")})) WHERE rk = 1),
               |occ AS (SELECT label AS cell, count(*) AS n_indexed FROM ix GROUP BY 1),
               |d AS (
               |  SELECT cell, count(*) AS n_new,
@@ -1238,13 +1268,27 @@ object Similarity extends QueryModule {
               |    CAST(sum(CASE WHEN list_dot_product(p.w, e.v) > 0
               |                  THEN 1 << (p.p % g.bits) ELSE 0 END) AS BIGINT) AS bucket
               |  FROM e, planes p, g GROUP BY 1, 2),
+              |-- capBuckets mirrored verbatim (same two md5 stages as the
+              |-- semdedup member cap): inert while every bucket holds
+              |-- <= $NeardupMaxBucket members, but the cap is part of the
+              |-- declared answer, so a hot-bucket corpus stays gated
+              |bsz AS (SELECT table_id, bucket, count(*) AS n FROM sk GROUP BY 1, 2),
+              |skc AS (
+              |  SELECT vec_id, table_id, bucket FROM (
+              |    SELECT s.vec_id, s.table_id, s.bucket,
+              |      ROW_NUMBER() OVER (PARTITION BY s.table_id, s.bucket
+              |        ORDER BY md5('nd_' || s.vec_id::VARCHAR), s.vec_id) AS brn
+              |    FROM sk s JOIN bsz USING (table_id, bucket)
+              |    WHERE CAST(${Dedup.dH60("'nd_' || s.vec_id::VARCHAR")} AS DOUBLE)
+              |          * CAST(bsz.n AS DOUBLE) < ${thinningBound(NeardupMaxBucket)})
+              |  WHERE brn <= $NeardupMaxBucket),
               |mk AS (
               |  SELECT vec_id, table_id, t.tag, bucket & ~(1 << t.tag) AS masked
-              |  FROM sk, generate_series(0, 63) AS t(tag), g
+              |  FROM skc, generate_series(0, 63) AS t(tag), g
               |  WHERE t.tag < g.bits AND g.bits = $LshBits),
               |cand AS (
               |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
-              |  FROM sk x JOIN sk y
+              |  FROM skc x JOIN skc y
               |    ON x.table_id = y.table_id AND x.bucket = y.bucket
               |    AND x.vec_id < y.vec_id
               |  UNION
@@ -1365,7 +1409,13 @@ object Similarity extends QueryModule {
               |    SELECT e.vec_id, s.cluster_id, e.v, ${dCos("e.v", "s.sv")} AS cos,
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
               |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id NULLS FIRST) AS rk
-              |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+              |    FROM e CROSS JOIN seeds s
+              |    -- the engine's per-candidate NaN/NULL quarantine,
+              |    -- mirrored (assignToSeeds): DuckDB ranks NaN above
+              |    -- every value, so an unfiltered degenerate candidate
+              |    -- would win the argmax here while the engine drops it
+              |    WHERE ${dCos("e.v", "s.sv")} IS NOT NULL
+              |      AND NOT isnan(${dCos("e.v", "s.sv")})) WHERE rk = 1),
               |cents AS (
               |  ${dCentroids("asg", "cluster_id", "cluster_id")}),
               |stats AS (
@@ -1425,7 +1475,11 @@ object Similarity extends QueryModule {
               |    SELECT e.vec_id, s.cluster_id, e.v,
               |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
               |        ORDER BY ${dCos("e.v", "s.sv")} DESC, s.cluster_id NULLS FIRST) AS rk
-              |    FROM e CROSS JOIN seeds s) WHERE rk = 1),
+              |    FROM e CROSS JOIN seeds s
+              |    -- assignToSeeds' per-candidate NaN/NULL quarantine,
+              |    -- mirrored — DuckDB ranks NaN above every value
+              |    WHERE ${dCos("e.v", "s.sv")} IS NOT NULL
+              |      AND NOT isnan(${dCos("e.v", "s.sv")})) WHERE rk = 1),
               |sz AS (SELECT cluster_id, count(*) AS csz FROM asg GROUP BY 1),
               |thin AS (
               |  SELECT a.vec_id, a.cluster_id, a.v
@@ -1459,8 +1513,9 @@ object Similarity extends QueryModule {
       doc = "semantic dedup: within-cluster cosine near-dups, one representative kept"),
 
     // PQ codebook training, one Lloyd step per subspace: every vector
-    // splits into M=4 subvectors, each assigned to its nearest of K=8
-    // seed codes (L2², argmin via the map-side max_by collapse), and
+    // splits into M=[[PqSubspaces]] subvectors, each assigned to its
+    // nearest of K=[[PqCodes]] seed codes (L2², argmin via the
+    // map-side max_by collapse), and
     // the codebook updates as exact Q24 fixed-point means per
     // (subspace, code) — the [[centroids]] guarantees (order-free int64
     // sums, O(1) agg state, bit-identical cross-engine) on the composite
