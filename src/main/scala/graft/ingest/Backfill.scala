@@ -67,18 +67,28 @@ object Backfill {
   }
 
   /** Reads the sink if it has data; None for absent/empty sinks (a dir
-    * holding only _SUCCESS would make the read throw). */
-  private def readSinkIfAny(spark: SparkSession, path: String,
-      format: String): Option[DataFrame] =
+    * holding only _SUCCESS would make the read throw). Shared by every
+    * sink probe in the package — the caught-exception set must not
+    * diverge between the backfill guard, the incremental guard, and the
+    * lag probe. */
+  private[ingest] def readSinkIfAny(spark: SparkSession, path: String,
+      format: String = "parquet"): Option[DataFrame] =
     try Some(spark.read.format(format).load(path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Full backfill: fetch → parse → dedup → date-partitioned APPEND,
-    * guarded by the slot-level anti-join (S11): already-loaded slots are
-    * skipped, so identical replays are no-ops and OVERLAPPING or partial
-    * re-runs only add the missing slots. (A partition-overwrite write
-    * would delete previously loaded slots sharing a date partition with
-    * the re-run range.) */
+    * guarded by an EVENT-level anti-join over the re-run's slot range.
+    * Event granularity (not slot — see [[filterProcessed]]) is what
+    * makes a crashed run heal: the append is a plain parquet write, NOT
+    * atomic, so a kill mid job-commit can leave a slot PARTIALLY
+    * visible in the sink — a slot-level guard would then skip that
+    * slot's missing events on every replay, forever. Pruning the sink
+    * read to the re-run's slot span first (pushed to parquet row-group
+    * stats) keeps the guard's cost range-sized, not sink-sized, at any
+    * table size. Identical replays are no-ops; overlapping or partial
+    * re-runs add exactly the missing events. (A partition-overwrite
+    * write would delete previously loaded slots sharing a date
+    * partition with the re-run range.) */
   /** `format` is the warehouse-dispatch axis (warehouse.rs:30-39's
     * backend factory): any Spark batch file format (parquet, orc, …)
     * plugs in without touching the pipeline shape. */
@@ -88,7 +98,10 @@ object Backfill {
     val events = Parse.parse(fetchRange(spark, startSlot, endSlot, workers, fetcher))
       .withColumn("block_date", to_date(col("block_time")))
     val toWrite = readSinkIfAny(spark, outPath, format) match {
-      case Some(existing) => filterProcessed(events, existing)
+      case Some(existing) => events.join(
+        existing.filter(col("slot").between(startSlot, endSlot - 1))
+          .select(col("event_id")),
+        Seq("event_id"), "left_anti")
       case None => events
     }
     toWrite.write
@@ -98,9 +111,13 @@ object Backfill {
       .save(outPath)
   }
 
-  /** Idempotent reload guard (S11/J3, warehouse.rs:287-299): drop slots
+  /** Slot-dedup probe (S11/J3, warehouse.rs:287-299): drop slots
     * already present in the sink via a left-anti join — one distributed
-    * pass instead of the reference's per-slot COUNT(*) probe. */
+    * pass instead of the reference's per-slot COUNT(*) probe. This is
+    * the reference's WORKLIST shape (which ranges still need fetching);
+    * [[run]]'s write guard deliberately does NOT use it — slot
+    * granularity assumes a slot is all-or-nothing in the sink, which a
+    * non-atomic append cannot promise after a crash. */
   def filterProcessed(incoming: DataFrame, existing: DataFrame): DataFrame =
     incoming.join(existing.select(col("slot")).distinct(), Seq("slot"), "left_anti")
 }

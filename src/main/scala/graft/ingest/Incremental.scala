@@ -54,27 +54,45 @@ object Incremental {
         // anti-join against the sink (warehouse.rs:227-229 semantics —
         // first write wins per event_id; replays converge).
         val spark = batch.sparkSession
+        // three consumers below (date probe, anti-join, write): pin so
+        // the batch's parse work runs once per trigger
         val deduped = batch.dropDuplicates("event_id")
-        // read-if-any: an absent sink OR a dir holding only _SUCCESS
-        // (empty batch 0) both mean "nothing to anti-join against"
-        val toWrite =
-          try {
-            val existing = spark.read.parquet(sinkPath).select("event_id")
-            deduped.join(existing, Seq("event_id"), "left_anti")
-          } catch {
-            case _: org.apache.spark.sql.AnalysisException => deduped
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // the guard read is PRUNED to the batch's own date span: the
+          // sink is date-partitioned and a replayed batch re-lands on
+          // its own dates, so the anti-join scans only partitions the
+          // batch can collide with. An unpruned read was a full-sink
+          // scan per trigger — a 30 s cadence is eventually outrun by
+          // its own lifetime data. (The date probe is metadata-plane:
+          // one tiny distinct over the already-pinned batch.)
+          val dates = deduped.select(col("block_date")).distinct()
+            .collect().map(_.getDate(0))
+          val toWrite = Backfill.readSinkIfAny(spark, sinkPath) match {
+            case Some(existing) => deduped.join(
+              existing.filter(col("block_date").isin(dates.toIndexedSeq: _*))
+                .select(col("event_id")),
+              Seq("event_id"), "left_anti")
+            case None => deduped
           }
-        toWrite.write.mode("append").partitionBy("block_date").parquet(sinkPath)
+          toWrite.write.mode("append").partitionBy("block_date").parquet(sinkPath)
+        } finally deduped.unpersist()
         ()
       }
       .start()
 
   /** Chain-tip vs sink-tip lag (ST11, health.rs:51-54): trivial batch
-    * query instead of a skipped check. An empty sink (max(slot) null)
-    * reports the full distance from slot -1. */
+    * query instead of a skipped check. An empty OR NOT-YET-CREATED sink
+    * reports the full distance from slot -1 — the lag probe matters
+    * most in exactly the startup window where the sink may not exist,
+    * so an unreadable path must be a big lag, never a stack trace. */
   def slotLag(spark: SparkSession, sinkPath: String, chainTip: Long): Long = {
-    val row = spark.read.parquet(sinkPath).agg(max(col("slot"))).collect()(0)
-    val sinkTip = if (row.isNullAt(0)) -1L else row.getLong(0)
+    val sinkTip = Backfill.readSinkIfAny(spark, sinkPath) match {
+      case Some(sink) =>
+        val row = sink.agg(max(col("slot"))).collect()(0)
+        if (row.isNullAt(0)) -1L else row.getLong(0)
+      case None => -1L
+    }
     chainTip - sinkTip
   }
 }

@@ -28,7 +28,14 @@ object Upsert {
     * schema `dropDuplicates` would. The cast is a pure function of the
     * row, so the order stays total and deterministic (two rows differing
     * only in map ENTRY ORDER rank by their rendered forms — arbitrary
-    * but stable, exactly the contract version ties need). */
+    * but stable, exactly the contract version ties need).
+    *
+    * NULL keys pass through UNFOLDED: `ON CONFLICT (key)` never fires
+    * on NULL (SQL null semantics — no two NULLs conflict), so every
+    * null-key row is its own insert. The window partitions all NULL
+    * keys together, so folding them would keep exactly one and silently
+    * DROP rows the MERGE layer downstream (whose contract is "a null
+    * update key matches nothing — pure insert") would have kept. */
   def lastWriteWins(df: DataFrame, key: String, versionCol: String): DataFrame = {
     val tiebreak = df.schema.fields
       .filterNot(f => f.name == key || f.name == versionCol)
@@ -40,7 +47,7 @@ object Upsert {
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc +: tiebreak.toIndexedSeq: _*)
     df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
+      .filter(col("__graft_rn") === 1 || col(key).isNull)
       .drop("__graft_rn")
   }
 

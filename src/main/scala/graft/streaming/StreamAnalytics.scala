@@ -92,29 +92,76 @@ object StreamAnalytics {
     * Within a micro-batch arrivals process in doc_id order, so emission
     * is deterministic; the same pair can surface once per colliding
     * band (downstream dedups on (doc, partner), exactly as the batch
-    * path distincts its candidates). */
+    * path distincts its candidates).
+    *
+    * `idleTtl` bounds the KEY COUNT for open-ended deployments: the
+    * postings cap bounds state PER key, but band keys accumulate ~4 per
+    * distinct document forever under `NoTimeout` — a long-running
+    * stream's state store (and every checkpoint commit) grows with
+    * lifetime corpus size, the unbounded-state class this file refuses
+    * everywhere else. With a TTL, a band key idle past it is evicted
+    * (processing-time timeout), so state tracks the ACTIVE corpus
+    * window; a later document can no longer pair with evicted postings
+    * — the standard dedup-horizon trade, stated rather than implied.
+    * The declared harness query passes None: eviction is wall-clock-
+    * dependent, and the differential oracle needs the deterministic
+    * full-history semantics.
+    *
+    * DRAIN CAVEAT under a TTL: `ProcessingTimeTimeout` makes the
+    * operator report `shouldRunAnotherBatch = true` on EVERY trigger
+    * (Spark must keep running batches so expired groups can fire), so
+    * the engine never reaches the no-new-data quiescent point and
+    * `StreamingQuery.processAllAvailable()` NEVER RETURNS — it is a
+    * test/drain convenience gated on exactly that point. A TTL'd
+    * deployment drains by stopping the query or awaiting its
+    * termination, never by processAllAvailable (a test that tried hung
+    * forever at ~12k empty timeout-check batches). The handler itself
+    * is wall-clock-free and is pinned deterministically via
+    * `TestGroupState` in StreamSpec. */
   def streamingBandDedup(docs: Dataset[DocText],
-      maxPostings: Int = 8): Dataset[DupCandidate] = {
+      maxPostings: Int = 8,
+      idleTtl: Option[java.time.Duration] = None): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
+    val timeout =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs
       .flatMap(d => graft.ext.Dedup.docBandKeys(d.text)
         .map { case (b, k) => (b + ":" + k, d.doc_id) })
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[Long], DupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (band: String, posts: Iterator[(String, Long)], state: GroupState[List[Long]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer.empty[DupCandidate]
-          posts.map(_._2).toSeq.distinct.sorted.foreach { id =>
-            if (!seen.contains(id) && seen.size < maxPostings) {
-              seen.foreach(p => out += DupCandidate(id, p, band))
-              seen = id :: seen
-            }
-          }
-          state.update(seen)
-          out.iterator
-      }
+        OutputMode.Append(), timeout)(bandDedupHandler(maxPostings, idleTtl))
   }
+
+  /** The per-band-key group handler of [[streamingBandDedup]], named so
+    * the spec can drive it directly through `TestGroupState` — the TTL
+    * path (timeout fires → postings evicted; fresh arrivals re-arm the
+    * clock) is wall-clock-scheduled in a live run, so the deterministic
+    * pin belongs at the handler contract, not an end-to-end sleep. */
+  private[streaming] def bandDedupHandler(maxPostings: Int,
+      idleTtl: Option[java.time.Duration])(
+      band: String, posts: Iterator[(String, Long)],
+      state: GroupState[List[Long]]): Iterator[DupCandidate] =
+    if (state.hasTimedOut) {
+      // an idle band key past its TTL: drop its postings so state
+      // tracks the active corpus window, not lifetime corpus size
+      state.remove()
+      Iterator.empty
+    } else {
+      var seen = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.ListBuffer.empty[DupCandidate]
+      posts.map(_._2).toSeq.distinct.sorted.foreach { id =>
+        if (!seen.contains(id) && seen.size < maxPostings) {
+          seen.foreach(p => out += DupCandidate(id, p, band))
+          seen = id :: seen
+        }
+      }
+      state.update(seen)
+      // data arrival re-arms the idle clock (setTimeoutDuration is
+      // relative to the CURRENT batch's processing time)
+      idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      out.iterator
+    }
 
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the PRECEDING hour — the streaming twin of the
@@ -250,7 +297,10 @@ object StreamAnalytics {
     * unacknowledged micro-batch; re-merging an identical batch is
     * STATE-idempotent (same final rows — matched keys replace with the
     * same values), though it appends a new table version, so the
-    * version log records the retry rather than hiding it. */
+    * version log records the retry rather than hiding it. NULL-key
+    * rows ride through the pre-fold unfolded (Upsert.lastWriteWins'
+    * SQL ON CONFLICT null semantics) and land as pure inserts — the
+    * MERGE layer's own contract. */
   def cdcApply(updates: DataFrame, root: String, key: String,
       versionCol: String, deleteCol: Option[String] = None,
       checkpointDir: Option[String] = None,

@@ -86,4 +86,17 @@ class UpsertSpec extends SparkSpec {
     assert(results.distinct.size == 1, results)
     assert(results.head == Seq(Map("y" -> 9))) // "{y -> 9}" > "{x -> 1}"
   }
+
+  test("NULL keys never conflict: every null-key row passes through unfolded") {
+    // SQL ON CONFLICT (key) semantics — no two NULLs conflict, so each
+    // null-key row is its own insert; folding them would silently drop
+    // rows the MERGE layer (null key = pure insert) would have kept
+    val df = Seq(
+      (Option("e1"), 1L, "old"), (Option("e1"), 2L, "new"),
+      (Option.empty[String], 5L, "n1"), (Option.empty[String], 6L, "n2"))
+      .toDF("event_id", "updated_at", "payload")
+    val got = Upsert.lastWriteWins(df, "event_id", "updated_at")
+      .select("payload").as[String].collect().toSet
+    assert(got == Set("new", "n1", "n2"))
+  }
 }

@@ -526,6 +526,59 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming band dedup: idleTtl evicts idle band keys (bounded state for open-ended streams)") {
+    // Driven through TestGroupState, NOT an end-to-end run: with
+    // ProcessingTimeTimeout the operator reports shouldRunAnotherBatch
+    // on every trigger, so processAllAvailable() NEVER returns (the
+    // no-new-data quiescent point it waits for is unreachable) — the
+    // live schedule is Spark's wall-clock contract; OUR contract is the
+    // handler's TTL behavior, pinned here deterministically.
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val noWm = Optional.empty[Long]()
+    val ttl = Some(java.time.Duration.ofMillis(100))
+    def run(posts: Seq[Long], state: TestGroupState[List[Long]]) =
+      StreamAnalytics.bandDedupHandler(8, ttl)(
+        "b:k", posts.map(("b:k", _)).iterator, state).toList
+
+    // batch 1: doc 1 arrives — postings recorded, idle clock armed
+    val s1 = TestGroupState.create[List[Long]](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L, noWm, hasTimedOut = false)
+    assert(run(Seq(1L), s1).isEmpty) // first posting: nothing to pair with
+    assert(s1.get == List(1L))
+    assert(s1.getTimeoutTimestampMs.get() == 1100L) // armed at +TTL
+    // batch 2 (before the horizon): a duplicate PAIRS, clock re-arms
+    val s2 = TestGroupState.create[List[Long]](
+      Optional.of(List(1L)), GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1050L, noWm, hasTimedOut = false)
+    assert(run(Seq(2L), s2).map(c => (c.doc_id, c.partner_doc)) == List((2L, 1L)))
+    assert(s2.getTimeoutTimestampMs.get() == 1150L)
+    // the horizon passes idle: Spark hands the group back timed-out —
+    // the handler must evict every posting and emit nothing
+    val s3 = TestGroupState.create[List[Long]](
+      Optional.of(List(2L, 1L)), GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 2000L, noWm, hasTimedOut = true)
+    assert(run(Seq.empty, s3).isEmpty)
+    assert(s3.isRemoved)
+    // a late duplicate after eviction starts a FRESH key: no pair with
+    // the evicted postings — the declared trade of a bounded-state dedup
+    val s4 = TestGroupState.create[List[Long]](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 3000L, noWm, hasTimedOut = false)
+    assert(run(Seq(4L), s4).isEmpty)
+    assert(s4.get == List(4L))
+    // and with NO ttl the handler must never touch the timeout clock
+    // (NoTimeout streams reject setTimeoutDuration with an error)
+    val s5 = TestGroupState.create[List[Long]](
+      Optional.empty(), GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 1000L, noWm, hasTimedOut = false)
+    assert(StreamAnalytics.bandDedupHandler(8, None)(
+      "b:k", Iterator(("b:k", 7L)), s5).toList.isEmpty)
+    assert(s5.get == List(7L))
+  }
+
   test("crash between MERGE commit and checkpoint commit absorbs the replayed batch idempotently") {
     import graft.operators.{MergeTable, Upsert}
     val src = Files.createTempDirectory("graft_cr_src").toString
