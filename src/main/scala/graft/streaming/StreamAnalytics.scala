@@ -300,7 +300,13 @@ object StreamAnalytics {
     * version log records the retry rather than hiding it. NULL-key
     * rows ride through the pre-fold unfolded (Upsert.lastWriteWins'
     * SQL ON CONFLICT null semantics) and land as pure inserts — the
-    * MERGE layer's own contract. */
+    * MERGE layer's own contract — which also bounds the replay
+    * guarantee: a re-delivered batch re-INSERTS its null-key rows
+    * (ON t.k = s.k can never match them), so exactly-once holds for
+    * keyed rows and null-key rows are AT-LEAST-ONCE under
+    * crash-replay. That is inherent to SQL MERGE on a nullable key,
+    * not a quirk here; a deployment that needs replay-stable null-key
+    * rows gives them a surrogate key upstream. */
   def cdcApply(updates: DataFrame, root: String, key: String,
       versionCol: String, deleteCol: Option[String] = None,
       checkpointDir: Option[String] = None,

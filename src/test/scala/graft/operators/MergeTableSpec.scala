@@ -27,6 +27,23 @@ class MergeTableSpec extends SparkSpec {
       Set((1L, "a"), (2L, "B"), (4L, "d")))
   }
 
+  test("replaying a batch is exactly-once for keyed rows, at-least-once for null-key rows") {
+    // SQL MERGE on a nullable key: ON t.k = s.k never matches a NULL,
+    // so every replay re-INSERTS the null-key rows while matched keys
+    // replace with the same values. Pinning the bound keeps the
+    // crash-replay claim honest — exactly-once is a KEYED-row
+    // guarantee, inherent to MERGE semantics, not an implementation
+    // choice to paper over.
+    val root = tmpRoot()
+    val batch = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "n"))
+      .toDF("k", "v")
+    MergeTable.merge(spark, root, batch, "k")
+    MergeTable.merge(spark, root, batch, "k") // the re-delivered batch
+    val snap = MergeTable.snapshot(spark, root)
+    assert(snap.filter(col("k").isNotNull).count() == 2) // idempotent
+    assert(snap.filter(col("k").isNull).count() == 2)    // at-least-once
+  }
+
   test("a NULL delete flag means UPDATE, never a silent delete") {
     val root = tmpRoot()
     MergeTable.append(spark, root,
