@@ -852,5 +852,96 @@ object StreamQueries extends QueryModule {
              |  ${Chunks} AS n_batches
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "native DSv2 slot-offset source -> admission-controlled micro-batches -> parse fan-out -> CDC MERGE; snapshot + commit cadence vs JSON re-parse"),
+
+    /** MID-STREAM SCHEMA EVOLUTION on the hard signal — the S12
+      * retro-migration under continuous ingest, previously spec-only
+      * (StreamSpec's ADD-COLUMN test): era 1 streams chunks 0–1 with
+      * the narrow schema into the CDC MERGE lake table; the reader then
+      * RESTARTS FROM THE SAME CHECKPOINT with a widened schema and
+      * streams chunks 2–3, which carry an added `tier` column. The
+      * MERGE's ADD-COLUMN evolution widens the table mid-stream; offsets
+      * survive the restart (era-1 files are not reprocessed — pinned by
+      * `n_batches` = the version-log length = 4, two non-empty MERGE
+      * commits per era); pre-evolution rows read back with a NULL tier
+      * and coexist with post-evolution rows in one snapshot.
+      *
+      * Differential teeth: the oracle replays last-write-wins per user
+      * over the quarantined events, re-derives each winner's CHUNK with
+      * the exact staging arithmetic ([[chunkOf]]'s formula inline), and
+      * pins tier = parity(event_id) for era-2 winners, NULL for era-1
+      * winners — so a restart that reprocesses era-1 files (extra
+      * batches), an evolution that rewrites instead of null-filling old
+      * rows (era-1 winners gaining a tier), or a widened read that
+      * drops pre-evolution rows all turn the row red. Tier derives from
+      * event_id PARITY (integer, both engines truncate % identically)
+      * rather than a float threshold, so a planted NaN value could
+      * never rank the two engines differently. */
+    "stream_schema_evolution" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, root) =>
+        import org.apache.spark.sql.types.{StructField, StructType, StringType}
+        // upsert contract: non-null key (see stream_cdc_snapshot); the
+        // ts quarantine is already in eventsFrame
+        val (ev0, _, _) = withChunks(eventsFrame(s, dir).drop("tsw"), "ts")
+        val ev = ev0.filter(col("user_id").isNotNull)
+          .withColumn("tier",
+            when(col("event_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+        ev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val baseMs = System.currentTimeMillis() - 3600L * 1000
+          // era 1: narrow files (no tier column in the parquet schema)
+          (0 to 1).foreach { c =>
+            writeFileAt(s, ev.filter(col("chunk") === c).drop("chunk", "tier"),
+              staging, f"chunk-$c%04d.parquet", baseMs + c * 60000L)
+          }
+          val narrow = s.read.parquet(staging).schema
+          def run(schema: StructType): Unit =
+            StreamAnalytics.cdcApply(
+              s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+                .parquet(staging),
+              root, key = "user_id", versionCol = "ver",
+              checkpointDir = Some(ckpt), evolveSchema = true)
+              .awaitTermination()
+          run(narrow)
+          // era 2: the added column arrives mid-stream; same checkpoint
+          (2 to 3).foreach { c =>
+            writeFileAt(s, ev.filter(col("chunk") === c).drop("chunk"),
+              staging, f"chunk-$c%04d.parquet", baseMs + c * 60000L)
+          }
+          run(StructType(narrow.fields :+ StructField("tier", StringType)))
+        } finally { ev.unpersist(); () }
+
+        val versions = graft.operators.MergeTable.versions(s, root)
+        graft.operators.MergeTable.snapshot(s, root)
+          .groupBy(col("event_type"), col("tier"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("event_id")).as("eid_sum"))
+          .withColumn("n_batches", lit(versions.length))
+          .orderBy(col("event_type"), col("tier"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+             |  -- mirrors the stream's declared quarantines: event time
+             |  -- required, upsert key non-null
+             |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             |b AS (SELECT min(tsn) AS mn, max(tsn) AS mx FROM e),
+             |ranked AS (
+             |  SELECT e.user_id, e.event_id, e.event_type,
+             |    (4 * (e.tsn - b.mn)) // (b.mx - b.mn + 1) AS chunk,
+             |    row_number() OVER (PARTITION BY e.user_id
+             |      ORDER BY e.tsn DESC, e.event_id DESC) AS rn
+             |  FROM e, b),
+             |last AS (SELECT * FROM ranked WHERE rn = 1)
+             |SELECT event_type,
+             |  -- era-2 winners carry the added column; era-1 winners are
+             |  -- pre-evolution rows the widened table must null-fill
+             |  CASE WHEN chunk >= 2 THEN
+             |    CASE WHEN event_id % 2 = 0 THEN 'even' ELSE 'odd' END
+             |  END AS tier,
+             |  count(*) AS n_users,
+             |  CAST(sum(event_id) AS BIGINT) AS eid_sum,
+             |  4 AS n_batches
+             |FROM last GROUP BY 1, 2
+             |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
+      doc = "mid-stream ADD-COLUMN evolution through the CDC MERGE path: checkpointed restart with a wider schema, eras coexist in one snapshot vs relational replay"),
   )
 }
