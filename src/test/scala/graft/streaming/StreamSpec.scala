@@ -100,6 +100,54 @@ class StreamSpec extends SparkSpec {
     assert(byKey("purchase") == ("purchase", 1L, 10.0), byKey)
   }
 
+  test("RocksDB state store provider: the 100TB-state posture runs the same pipelines identically") {
+    // The default HDFSBackedStateStoreProvider keeps every store's
+    // working set on the executor HEAP — fine at harness state sizes,
+    // the wrong posture once keyed state outgrows memory (lifetime-keyed
+    // dedup, wide session maps). The deployment answer is the bundled
+    // RocksDB provider (spilling, incremental snapshots); this pins that
+    // our stateful operators are provider-agnostic: same multi-batch
+    // running-totals output, with RocksDB OBSERVED engaged via its
+    // provider-specific progress metrics, not assumed from the conf.
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_rocks").toString
+    writeEvents(src, "b1", Seq(
+      (1L, "2024-01-01T10:00:00Z", "view", 1.0),
+      (2L, "2024-01-01T10:01:00Z", "view", 2.0),
+      (3L, "2024-01-01T10:02:00Z", "purchase", 10.0)))
+    writeEvents(src, "b2", Seq(
+      (4L, "2024-01-01T10:05:00Z", "view", 4.0)))
+    val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src)
+        .select(col("event_type").as("key"), col("value"))
+        .as[KeyedEvent]
+      val q = StreamAnalytics.runningTotals(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocks_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val byKey = spark.table("rocks_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(byKey("view") == ("view", 3L, 7.0), byKey)
+      assert(byKey("purchase") == ("purchase", 1L, 10.0), byKey)
+      val custom = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .flatMap(_.stateOperators(0).customMetrics.keySet.toArray(Array.empty[String]))
+      assert(custom.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged; custom metrics: ${custom.distinct.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark absorbs replayed event ids") {
     val src = Files.createTempDirectory("graft_dedup").toString
     writeEvents(src, "b1", Seq(
