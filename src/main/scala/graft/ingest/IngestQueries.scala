@@ -53,6 +53,44 @@ object IngestQueries extends QueryModule {
     s.read.parquet(RawBlocksPath)
   }
 
+  /** Planted malformed blocks for the etl_errors differential
+    * (`ingest_parse_errors`): the drop classes the tolerant parse
+    * absorbs, as a tiny parquet BOTH engines read. Planted cases stay
+    * inside the classification contract the two engines share — invalid
+    * JSON text, a MISSING blockTime key, signature-less / empty-array /
+    * null transactions. Deliberately NOT planted: `"blockTime": null`
+    * and type-mismatched values, where Spark's from_json (SQL null)
+    * and DuckDB's json_extract (JSON 'null' / raw value) genuinely
+    * disagree about nullness — those are schema-contract decisions, not
+    * parse tolerance, and the engine's parse layer never emits them. */
+  private[graft] val DirtyBlocksPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ingest_dirty_blocks_${ProcessHandle.current().pid()}.parquet"
+
+  @volatile private var dirtyMaterialized = false
+  private[graft] def materializedDirtyBlocks(s: SparkSession): DataFrame = {
+    // same commit-then-flip discipline as [[materializedBlocks]]
+    if (!dirtyMaterialized) synchronized {
+      if (!dirtyMaterialized) {
+        import s.implicits._
+        Seq(
+          (9001L, "{not json"),
+          (9002L, """{"blockhash":"bh_9002","transactions":[]}"""),
+          // one block, TWO signature-less txs + one valid: the distinct
+          // error ids must not collapse (position enters the id)
+          (9003L, """{"blockTime":1704100000,"transactions":[""" +
+            """{"transaction":{"message":{}},"meta":{}},""" +
+            """{"transaction":{"signatures":[],"message":{}},"meta":{}},""" +
+            """{"transaction":{"signatures":["sig_9003_ok"],"message":{"accountKeys":["w1"],"instructions":[]}},"meta":{"err":null,"fee":1}}]}"""),
+          (9004L, """{"blockTime":1704100060,"transactions":[null]}"""))
+          .toDF("slot", "block_json")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(DirtyBlocksPath)
+        dirtyMaterialized = true
+      }
+    }
+    s.read.parquet(DirtyBlocksPath)
+  }
+
   private[graft] val tokenList = Schemas.TokenPrograms.map(p => s"'$p'").mkString(", ")
 
   // DuckDB mirror of Parse.parseBlocks + the per-tx signature guard.
@@ -115,6 +153,53 @@ object IngestQueries extends QueryModule {
 
     // The netting join the reference sketches (parsers.rs:179-182),
     // oracle-checked by re-deriving pre/post balance deltas in DuckDB.
+    /** The etl_errors channel on the hard signal (SCHEMA.md:303-320 —
+      * the drop ACCOUNTING of the tolerant parse, previously spec-only):
+      * [[Parse.parseErrors]] over the clean corpus UNION the planted
+      * malformed blocks ([[materializedDirtyBlocks]]). Teeth: the clean
+      * 200-slot corpus must contribute ZERO rows (a guard that
+      * misclassifies valid blocks inflates a count → red), every planted
+      * drop must surface under its declared reason, and
+      * `n_distinct_ids` is pinned to the row count — slot 9003 carries
+      * TWO signature-less txs, so an error id that forgot the tx
+      * position would collapse them and turn the row red. */
+    "ingest_parse_errors" -> Q(
+      (s, _) => {
+        val raw = materializedBlocks(s).unionByName(materializedDirtyBlocks(s))
+        Parse.parseErrors(raw)
+          .groupBy(col("error_type"))
+          .agg(count(lit(1)).as("n_errors"),
+            countDistinct(col("slot")).as("n_slots"),
+            countDistinct(col("error_id")).as("n_distinct_ids"))
+          .orderBy(col("error_type"))
+      },
+      Some(s"""WITH raw AS (
+              |  SELECT slot, block_json FROM read_parquet('$RawBlocksPath/*.parquet')
+              |  UNION ALL
+              |  SELECT slot, block_json FROM read_parquet('$DirtyBlocksPath/*.parquet')),
+              |blk AS (
+              |  SELECT slot,
+              |    CASE WHEN json_valid(block_json) THEN block_json END AS j
+              |  FROM raw),
+              |block_errs AS (
+              |  SELECT slot FROM blk
+              |  WHERE j IS NULL OR json_extract(j, '$$.blockTime') IS NULL),
+              |txs AS (
+              |  SELECT slot, unnest(CAST(json_extract(j, '$$.transactions') AS JSON[])) AS tx
+              |  FROM blk WHERE j IS NOT NULL AND json_extract(j, '$$.blockTime') IS NOT NULL),
+              |tx_errs AS (
+              |  SELECT slot FROM txs
+              |  WHERE tx IS NULL OR CAST(tx AS VARCHAR) = 'null'
+              |     OR json_extract_string(tx, '$$.transaction.signatures[0]') IS NULL),
+              |errs AS (
+              |  SELECT 'block_parse_error' AS error_type, slot FROM block_errs
+              |  UNION ALL SELECT 'tx_missing_signature', slot FROM tx_errs)
+              |SELECT error_type, count(*) AS n_errors,
+              |  count(DISTINCT slot) AS n_slots,
+              |  count(*) AS n_distinct_ids
+              |FROM errs GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "etl_errors drop accounting: tolerant-parse drops surfaced with positional error ids vs DuckDB JSON re-derivation over clean + planted-malformed blocks"),
+
     "ingest_net_transfers" -> Q(
       (s, _) => {
         val blocks = Parse.parseBlocks(materializedBlocks(s))
