@@ -68,10 +68,20 @@ object Incremental {
           // one tiny distinct over the already-pinned batch.)
           val dates = deduped.select(col("block_date")).distinct()
             .collect().map(_.getDate(0))
+          // Parse guarantees non-null block_time today, but the prune
+          // must not DEGRADE SILENTLY if that contract ever slips: a
+          // null Date in an isin list never matches the sink's
+          // null-date partition, so such rows would bypass the
+          // anti-join and duplicate on replay. Extend the prune to the
+          // null partition exactly when the batch carries null dates.
+          val (nullDates, realDates) = dates.partition(_ == null)
+          val prune = {
+            val in = col("block_date").isin(realDates.toIndexedSeq: _*)
+            if (nullDates.nonEmpty) in || col("block_date").isNull else in
+          }
           val toWrite = Backfill.readSinkIfAny(spark, sinkPath) match {
             case Some(existing) => deduped.join(
-              existing.filter(col("block_date").isin(dates.toIndexedSeq: _*))
-                .select(col("event_id")),
+              existing.filter(prune).select(col("event_id")),
               Seq("event_id"), "left_anti")
             case None => deduped
           }

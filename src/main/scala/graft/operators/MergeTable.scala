@@ -951,10 +951,16 @@ object MergeTable {
       val staged = new Path(floorPath + "_staged")
       Seq(floor).toDF("floor").write
         .mode(SaveMode.Overwrite).parquet(staged.toString)
-      if (!fs.rename(staged, new Path(floorPath))) {
+      // publish through the same atomic refuse-if-exists primitive as
+      // every manifest commit: a plain fs.rename on RawLocalFileSystem
+      // would NEST the staged dir inside a destination that appeared
+      // between check and rename (a racing publisher) and report
+      // success — the exact hazard commitRename exists to close.
+      if (!commitRename(fs, staged, new Path(floorPath))) {
         fs.delete(staged, true)
         // vacuum is a single-writer maintenance op (like replaceWith);
-        // a failed publish with no floor in place is environmental
+        // losing the publish race is a contract violation, but the
+        // winner's floor is in place — verify and proceed loudly
         require(fs.exists(new Path(floorPath)),
           s"could not publish the first vacuum floor at $floorPath")
       }

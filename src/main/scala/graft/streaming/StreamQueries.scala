@@ -880,9 +880,15 @@ object StreamQueries extends QueryModule {
       (s, dir) => withStreamRun(s, dir) { (staging, ckpt, root) =>
         import org.apache.spark.sql.types.{StructField, StructType, StringType}
         // upsert contract: non-null key (see stream_cdc_snapshot); the
-        // ts quarantine is already in eventsFrame
-        val (ev0, _, _) = withChunks(eventsFrame(s, dir).drop("tsw"), "ts")
-        val ev = ev0.filter(col("user_id").isNotNull)
+        // ts quarantine is already in eventsFrame. The key quarantine
+        // must land BEFORE the chunk bounds are derived: tier/era
+        // attribution depends on chunk, and the oracle's bounds CTE
+        // reads events already filtered by user_id IS NOT NULL — a
+        // null-key row holding the corpus min/max event time would
+        // otherwise shift every boundary on this side only.
+        val (ev0, _, _) = withChunks(
+          eventsFrame(s, dir).drop("tsw").filter(col("user_id").isNotNull), "ts")
+        val ev = ev0
           .withColumn("tier",
             when(col("event_id") % 2 === 0, lit("even")).otherwise(lit("odd")))
         ev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -53,10 +53,16 @@ object DirtyFixtureGen {
   private def emit(outDir: String, name: String, df: DataFrame): Unit = {
     val tmp = Paths.get(outDir, s"_$name")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    // Files.list/walk hold a directory handle until closed — leak one
+    // per emitted table otherwise
+    val part = scala.util.Using.resource(Files.list(tmp)) {
+      _.filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    }
     Files.move(part, Paths.get(outDir, s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(tmp)) {
+      _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   def main(args: Array[String]): Unit = {
