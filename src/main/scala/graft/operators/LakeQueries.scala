@@ -384,6 +384,81 @@ object LakeQueries extends QueryModule {
              |SELECT 'after_wipe', CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
              |ORDER BY phase""".stripMargin),
       doc = "delete-all CDC wipe answers empty through the declared schema, then accepts the rebuild merge"),
+
+    // The table-maintenance lifecycle on the hard signal: trickle
+    // ingest (4 stripe appends + a CDC merge) leaves the small-file
+    // mess maintenance exists for; then OPTIMIZE (compactFiles),
+    // OPTIMIZE ZORDER BY (full re-cluster), and VACUUM (physical
+    // delete + time-travel floor) run back-to-back. The observable
+    // state must be EXACTLY the relational merge DuckDB replays —
+    // compaction or re-clustering that drops, duplicates, or reorders
+    // a row into the wrong file reds the differential aggregate, and
+    // a vacuum that deletes a live file makes the post-vacuum
+    // snapshot unreadable (the row errors, which is also red). The
+    // maintenance-specific invariants ride as contract columns pinned
+    // literal TRUE oracle-side, same pattern as the ANN recall
+    // floors: the fold actually shrank the live file set, the state
+    // survived both rewrites bit-identically, time travel below the
+    // floor refuses, and every pre-ZORDER file is physically gone.
+    "lake_maintenance" -> Q(
+      (s, dir) => withRoot(s) { root =>
+        // o_custkey joins the schema as the second ZORDER dimension
+        val b = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        // interleaved key stripes: every append's file spans the whole
+        // key range, so maintenance cannot cheat via disjoint spans
+        (0L to 3L).foreach { i =>
+          MergeTable.append(s, root,
+            b.filter(pmod(col("o_orderkey"), lit(4L)) === i), "o_orderkey")
+          ()
+        }
+        MergeTable.merge(s, root, cdcBatch(b), "o_orderkey",
+          deleteCol = Some("deleted"))
+
+        val before = summarize(MergeTable.snapshot(s, root)).collect().toSeq
+        val filesBefore = MergeTable.liveFiles(s, root).count()
+        val folded = MergeTable.compactFiles(s, root, "o_orderkey")
+        val filesAfterFold = MergeTable.liveFiles(s, root).count()
+        // ZORDER rewrites every live file, so the entire pre-ZORDER
+        // live set becomes vacuum-eligible garbage at floor = zv
+        val preZorder = MergeTable.liveFiles(s, root)
+          .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+        val zv = MergeTable.optimizeZorder(s, root, "o_orderkey",
+          "o_orderkey", "o_custkey")
+        MergeTable.vacuum(s, root, zv)
+
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val garbageGone = preZorder.forall(f =>
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$root/$f")))
+        val oldReadRefused =
+          try { MergeTable.snapshot(s, root, Some(zv - 1)); false }
+          catch { case _: IllegalArgumentException => true }
+        val after = summarize(MergeTable.snapshot(s, root)).collect().toSeq
+
+        summarize(MergeTable.snapshot(s, root))
+          .withColumn("files_folded",
+            lit(folded.nonEmpty && filesAfterFold < filesBefore))
+          .withColumn("state_unchanged", lit(before == after))
+          .withColumn("old_read_refused", lit(oldReadRefused))
+          .withColumn("garbage_deleted", lit(garbageGone))
+      },
+      Some(s"""WITH upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         o_totalprice + 1.0 AS o_totalprice,
+             |         (o_orderkey % ${2 * KeyMod} = 0) AS deleted
+             |  FROM orders WHERE o_orderkey % $KeyMod = 0),
+             |merged AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+             |  WHERE NOT deleted)
+             |SELECT o_orderstatus AS status, $summaryCols,
+             |  TRUE AS files_folded, TRUE AS state_unchanged,
+             |  TRUE AS old_read_refused, TRUE AS garbage_deleted
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "OPTIMIZE + ZORDER + VACUUM over a trickle-ingested table: state bit-stable across both rewrites, floor refusal and physical delete pinned as contract columns"),
   )
 
   /** Fixed lookup range for `lake_point_lookup` — inside every SF's key

@@ -311,14 +311,32 @@ object StreamAnalytics {
       versionCol: String, deleteCol: Option[String] = None,
       checkpointDir: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      evolveSchema: Boolean = false): StreamingQuery = {
+      evolveSchema: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
+    // compactEvery > 0: fold small files every N-th micro-batch, inline
+    // in the single-writer foreachBatch (no racing maintenance job to
+    // coordinate with). Trickle CDC is exactly the workload that turns
+    // a year of 30 s commits into tens of thousands of tiny files; a
+    // cadence keeps live-file count bounded by N × files-per-commit
+    // instead of by commit history. Safe under replay because
+    // compaction is state-preserving: a restarted batch that re-runs
+    // it, or crashes before it, converges to the same logical table —
+    // the next cadence hit folds whatever the crash left behind.
+    // VACUUM stays explicit: advancing the time-travel floor destroys
+    // history and must be a deliberate operator action, never a
+    // side effect of ingest.
+    require(compactEvery >= 0,
+      s"compactEvery must be ≥ 0 (0 disables), got $compactEvery")
     val w = updates.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.operators.MergeTable.merge(batch.sparkSession, root,
             graft.operators.Upsert.lastWriteWins(batch, key, versionCol),
             key, deleteCol, evolveSchema = evolveSchema)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.operators.MergeTable.compactFiles(
+              batch.sparkSession, root, key)
         }
         ()
       }

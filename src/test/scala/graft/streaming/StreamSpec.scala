@@ -393,6 +393,65 @@ class StreamSpec extends SparkSpec {
     assert(MergeTable.versions(spark, tbl).size == 3)
   }
 
+  test("cdcApply compactEvery folds small files inline: state and change feed unchanged") {
+    import graft.operators.MergeTable
+    val src = Files.createTempDirectory("graft_cdcc_src").toString
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType)))
+    val t0 = System.currentTimeMillis() - 60000L
+    // 6 single-file batches with disjoint ascending key ranges: every
+    // merge is a pure-insert commit (adds one small file, rewrites
+    // none) — the trickle-CDC shape that makes live files grow with
+    // commit COUNT until a compaction cadence bins them
+    (0 until 6).foreach { i =>
+      val f = java.nio.file.Paths.get(f"$src/b$i%02d.json")
+      Files.write(f, Seq(2 * i + 1, 2 * i + 2).map(k =>
+        s"""{"k":$k,"v":"v$k","ver":1}""").mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(t0 + i * 1000L); ()
+    }
+    def run(compactEvery: Int): String = {
+      val tbl = Files.createTempDirectory("graft_cdcc_tbl").resolve("t").toString
+      val ckpt = Files.createTempDirectory("graft_cdcc_ck").toString
+      val stream = spark.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", 1).json(src)
+      StreamAnalytics.cdcApply(stream, tbl, "k", "ver",
+        checkpointDir = Some(ckpt), compactEvery = compactEvery)
+        .awaitTermination()
+      tbl
+    }
+    val plain = run(compactEvery = 0)
+    val compacted = run(compactEvery = 3)
+
+    def state(tbl: String): Map[Long, String] =
+      MergeTable.snapshot(spark, tbl).select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // maintenance is invisible to the logical table
+    assert(state(compacted) == state(plain))
+    assert(state(plain).size == 12)
+
+    // 6 merge commits each; the cadence adds one compaction commit
+    // after batches 2 and 5 (batchId is 0-based)
+    val vsP = MergeTable.versions(spark, plain)
+    val vsC = MergeTable.versions(spark, compacted)
+    assert(vsP.size == 6, vsP.toString)
+    assert(vsC.size == 8, vsC.toString)
+
+    // live-file count is bounded by the cadence, not by commit history
+    val filesP = MergeTable.liveFiles(spark, plain).count()
+    val filesC = MergeTable.liveFiles(spark, compacted).count()
+    // each insert commit adds ≥1 file (2-row batches may split across
+    // writer partitions) — the point is growth WITH commit count
+    assert(filesP >= 6L, s"expected ≥1 live file per insert commit, got $filesP")
+    assert(filesC == 1L, s"expected the final cadence fold to one file, got $filesC")
+
+    // a compaction-only window emits ZERO change events: the rewrite's
+    // rows are no-ops under the feed's null-safe full-row compare
+    val feed = MergeTable.changeFeed(spark, compacted, "k",
+      fromV = vsC(2), toV = vsC(3))
+    assert(feed.count() == 0L, "compaction must be invisible to the change feed")
+  }
+
   test("staging chunk assignment is exact at event-time spans where double division rounds") {
     import spark.implicits._
     // a ~115-day span in nanos: 4*(mx-mn) ≈ 4e16 > 2^53, where the old
