@@ -14,6 +14,52 @@ class MergeTableSpec extends SparkSpec {
     df.select(col("k"), col("v")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
+  test("trickle maintenance gate: compaction cadence bounds live files, periodic vacuum bounds disk") {
+    // The production lifecycle of a long-lived trickle-ingested table,
+    // run 40 commits deep: compact every 8, vacuum (retain the last 4
+    // versions) every 16. Two bounds must hold INDEPENDENTLY of commit
+    // count — live files (scan parallelism stays matched to data size,
+    // not commit history) and total on-disk data files (compaction
+    // turns live files into garbage; without periodic vacuum the disk
+    // grows forever even though every scan is fast). Work-bound gate,
+    // never wall-clock (PLANS.md container-epoch variance).
+    val root = tmpRoot()
+    def dataFilesOnDisk(): Long = {
+      val dir = java.nio.file.Paths.get(root, "data")
+      if (!java.nio.file.Files.exists(dir)) 0L
+      else scala.util.Using.resource(java.nio.file.Files.walk(dir)) {
+        _.filter(_.toString.endsWith(".parquet")).count()
+      }
+    }
+    (0 until 40).foreach { i =>
+      // disjoint ascending stripes: pure-insert commits, 1 file each
+      MergeTable.append(spark, root,
+        Seq.tabulate(50)(j => (i * 50L + j, s"v$i")).toDF("k", "v")
+          .repartition(1), "k")
+      if ((i + 1) % 8 == 0) MergeTable.compactFiles(spark, root, "k")
+      if ((i + 1) % 16 == 0) {
+        val latest = MergeTable.versions(spark, root).last
+        MergeTable.vacuum(spark, root, latest - 4)
+        // retained window: time travel ≥ the floor still answers
+        assert(MergeTable.snapshot(spark, root, Some(latest - 4)).count() >= 0L)
+      }
+      // live-file bound: ≤ cadence uncompacted commits + 1 folded file,
+      // at EVERY point of the table's life
+      val live = MergeTable.liveFiles(spark, root).count()
+      assert(live <= 9L, s"live files $live exceed the cadence bound at commit $i")
+    }
+    // state: every inserted row survived 5 compactions and 2 vacuums
+    assert(MergeTable.snapshot(spark, root).count() === 40L * 50)
+    // disk bound: garbage is limited to what accumulated since the last
+    // vacuum window, not the 45-commit history (40 inserts + 5 folds
+    // wrote ≥45 data files; a history-proportional disk would hold most
+    // of them). Since the last vacuum at commit 32: ≤8 insert files +
+    // 1 fold + ~9 files the retained 4-version window may reference +
+    // the fold's own rewrite garbage — comfortably under half history.
+    val disk = dataFilesOnDisk()
+    assert(disk <= 22L, s"on-disk data files $disk not bounded by the vacuum cadence")
+  }
+
   test("merge = update matched, insert unmatched, delete flagged") {
     val root = tmpRoot()
     MergeTable.append(spark,
