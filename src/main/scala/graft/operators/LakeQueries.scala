@@ -402,9 +402,13 @@ object LakeQueries extends QueryModule {
     // floor refuses, and every pre-ZORDER file is physically gone.
     "lake_maintenance" -> Q(
       (s, dir) => withRoot(s) { root =>
-        // o_custkey joins the schema as the second ZORDER dimension
+        // o_custkey joins the schema as the second ZORDER dimension;
+        // pinned — the 4 stripe appends and the CDC batch would
+        // otherwise each re-scan the source parquet
         val b = Tables.orders(s, dir).select(col("o_orderkey"),
           col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // interleaved key stripes: every append's file spans the whole
         // key range, so maintenance cannot cheat via disjoint spans
         (0L to 3L).foreach { i =>
@@ -418,11 +422,12 @@ object LakeQueries extends QueryModule {
         val before = summarize(MergeTable.snapshot(s, root)).collect().toSeq
         val filesBefore = MergeTable.liveFiles(s, root).count()
         val folded = MergeTable.compactFiles(s, root, "o_orderkey")
-        val filesAfterFold = MergeTable.liveFiles(s, root).count()
         // ZORDER rewrites every live file, so the entire pre-ZORDER
         // live set becomes vacuum-eligible garbage at floor = zv
+        // (one manifest read serves both the fold count and the set)
         val preZorder = MergeTable.liveFiles(s, root)
           .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+        val filesAfterFold = preZorder.size.toLong
         val zv = MergeTable.optimizeZorder(s, root, "o_orderkey",
           "o_orderkey", "o_custkey")
         MergeTable.vacuum(s, root, zv)
@@ -442,6 +447,7 @@ object LakeQueries extends QueryModule {
           .withColumn("state_unchanged", lit(before == after))
           .withColumn("old_read_refused", lit(oldReadRefused))
           .withColumn("garbage_deleted", lit(garbageGone))
+        } finally { b.unpersist(); () }
       },
       Some(s"""WITH upd AS (
              |  SELECT o_orderkey, 'U' AS o_orderstatus,

@@ -401,15 +401,24 @@ object StreamQueries extends QueryModule {
             watermark = s"$delayMs milliseconds", tsCol = "tsw")
           .filter(col("user_id").isNotNull)
           .drop("tsw")
+        // compactEvery = 2: the declared stream runs inline small-file
+        // maintenance and must STILL match the relational oracle — a
+        // fold that dropped or duplicated a row reds this row, which is
+        // what keeps the cadence honest on the hard signal
         val q = StreamAnalytics.cdcApply(stream, root, key = "user_id",
-          versionCol = "ver", checkpointDir = Some(ckpt))
+          versionCol = "ver", checkpointDir = Some(ckpt), compactEvery = 2)
         q.awaitTermination()
 
         val versions = graft.operators.MergeTable.versions(s, root)
-        require(versions.length >= 3,
-          s"expected a multi-batch stream (≥3 MERGE commits), got " +
-            s"${versions.length} — the chunked file source collapsed " +
-            "into too few micro-batches")
+        // 4 chunk files × maxFilesPerTrigger=1 → 4 MERGE commits, plus
+        // the cadence's folds after batches 2 and 4 (each finds ≥2
+        // small files — every MERGE commit writes multiple shuffle
+        // partitions). Fewer than 6 means either the file source
+        // collapsed chunks into fewer micro-batches or the compaction
+        // cadence silently stopped firing.
+        require(versions.length >= 6,
+          s"expected 4 MERGE commits + 2 cadence folds (≥6 versions), " +
+            s"got ${versions.length}")
         graft.operators.MergeTable.snapshot(s, root)
           .groupBy(col("event_type").as("last_event_type"))
           .agg(count(lit(1)).as("n_users"),
