@@ -171,7 +171,8 @@ object StreamAnalytics {
     * reach: join state is bounded, the requirement for an unbounded
     * deployment (an unconstrained stream-stream join buffers forever).
     */
-  def purchaseClickJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+  def purchaseClickJoin(events: DataFrame, watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("pts"))
@@ -180,10 +181,20 @@ object StreamAnalytics {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("cts"))
       .withWatermark("cts", watermark)
+    // joinType = "left_outer": an unmatched purchase emits ONCE with
+    // null click columns, at the point the click-side watermark passes
+    // its pts (the interval condition bounds matches to cts < pts, so
+    // that is when Spark can PROVE no partner can still arrive — outer
+    // emission is a watermark-expiry event, not an input event). The
+    // global watermark is the MIN across both sides' nodes
+    // (multipleWatermarkPolicy default), so a drain that needs every
+    // unmatched left flushed must advance BOTH sides past the corpus
+    // max event time, not just the right side.
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
-        col("cts") < col("pts"))
+        col("cts") < col("pts"),
+      joinType)
   }
 
   /** Streaming ANN-index maintenance: assign each incoming embedding

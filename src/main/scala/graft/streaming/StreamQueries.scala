@@ -296,9 +296,10 @@ object StreamQueries extends QueryModule {
     * `Trigger.AvailableNow` terminates. Its own window never closes, so
     * it is withheld from the output by construction — the oracle never
     * sees it and never needs to exclude it. */
-  private def sentinel(s: SparkSession, maxTsNs: Long, chunk: Int): DataFrame = {
+  private def sentinel(s: SparkSession, maxTsNs: Long, chunk: Int,
+      eventType: String = "zz_sentinel", eventId: Long = -1L): DataFrame = {
     import s.implicits._
-    Seq((-1L, -1L, "zz_sentinel", 0.0d, maxTsNs + 100L * 86400L * 1000000000L))
+    Seq((eventId, -1L, eventType, 0.0d, maxTsNs + 100L * 86400L * 1000000000L))
       .toDF("event_id", "user_id", "event_type", "value", "ts")
       .withColumn("chunk", lit(chunk.toLong))
       .withColumn("ver", concat(
@@ -618,6 +619,57 @@ object StreamQueries extends QueryModule {
              |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
              |ORDER BY p.purchase_id, c.click_id""".stripMargin),
       doc = "watermarked stream-stream interval join (clicks in the hour before each purchase); bounded state, poisoned late clicks must not re-match"),
+
+    /** STREAM-STREAM LEFT OUTER INTERVAL JOIN on the hard signal: the
+      * inner join above plus the semantics that make outer joins the
+      * subtle streaming operator — an unmatched purchase emits ONCE,
+      * null-padded, at WATERMARK EXPIRY (when the click watermark
+      * passes its pts, proving no partner can still arrive), not on any
+      * input event. Two far-future sentinels ride the final
+      * micro-batch: a sentinel CLICK advances the click-side node so
+      * every real unmatched purchase flushes before AvailableNow
+      * terminates, and a sentinel PURCHASE advances the purchase-side
+      * node (the global watermark is the MIN of the two — one sentinel
+      * alone pins it at the real corpus frontier and the tail of
+      * unmatched purchases would be withheld forever). Neither sentinel
+      * reaches the output: the sentinel click is an unmatched RIGHT row
+      * (left-outer emits no unmatched rights), and the sentinel
+      * purchase's own expiry point lies past the final watermark by
+      * construction. The differential teeth cut both ways: a flush
+      * failure (missing no-data batch, one-sided sentinel, eager state
+      * eviction) LOSES null rows or matched pairs, and a double-emit
+      * (an outer row for a purchase that also matched) ADDS rows — the
+      * LEFT JOIN replay reds either. */
+    "stream_interval_join_outer" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val sc = eventsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
+        stageExtras(s,
+          sentinel(s, sc.mx, Chunks, eventType = "purchase", eventId = -1L)
+            .unionByName(sentinel(s, sc.mx, Chunks, eventType = "click",
+              eventId = -2L)),
+          staging, sc.baseMs)
+
+        val stream = chunkStream(s, staging).drop("ts")
+          .withColumnRenamed("tsw", "ts")
+        val joined = StreamAnalytics.purchaseClickJoin(stream,
+            watermark = "2 hours", joinType = "left_outer")
+          .select(col("purchase_id"), col("click_id"),
+            unix_micros(col("pts")).as("p_us"), unix_micros(col("cts")).as("c_us"))
+        drainToParquet(s, joined, ckpt)
+          .orderBy(col("purchase_id"), col("click_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+             |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+             |c AS (
+             |  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+             |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
+             |SELECT p.purchase_id, c.click_id, p.p_us, c.c_us
+             |FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+             |ORDER BY p.purchase_id, c.click_id""".stripMargin),
+      doc = "left-outer stream-stream interval join: unmatched purchases emit null-padded at watermark expiry; dual sentinels advance the min-of-both global watermark"),
 
     /** STREAMING INCREMENTAL DEDUP on the hard signal: documents arrive
       * in 4 doc_id-ordered micro-batches; each document's MinHash band
