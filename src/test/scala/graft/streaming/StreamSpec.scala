@@ -596,6 +596,54 @@ class StreamSpec extends SparkSpec {
     assert(totals.last < 120L, "final state holds the whole corpus")
   }
 
+  test("left-outer interval join: null rows emit at watermark expiry, frontier row withheld, state evicted") {
+    val src = Files.createTempDirectory("graft_oj").toString
+    val ojSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    def write(name: String, mtime: Long,
+        rows: Seq[(Long, Long, String, String)]): Unit = {
+      val f = java.nio.file.Paths.get(s"$src/$name.json")
+      Files.write(f, rows.map { case (id, u, ts, et) =>
+        s"""{"event_id":$id,"user_id":$u,"ts":"$ts","event_type":"$et"}"""
+      }.mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(mtime); ()
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    // b1: one matched purchase (user 1), one unmatched (user 2)
+    write("b1", t0, Seq(
+      (10L, 1L, "2024-01-01T10:00:00Z", "purchase"),
+      (11L, 1L, "2024-01-01T09:30:00Z", "click"),
+      (12L, 2L, "2024-01-01T10:00:00Z", "purchase")))
+    // b2/b3: each a day later, BOTH types present so both watermark
+    // nodes advance (the global watermark is their min)
+    write("b2", t0 + 5000L, Seq(
+      (20L, 3L, "2024-01-02T10:00:00Z", "purchase"),
+      (21L, 9L, "2024-01-02T10:00:00Z", "click")))
+    write("b3", t0 + 10000L, Seq(
+      (30L, 8L, "2024-01-03T10:00:00Z", "purchase"),
+      (31L, 9L, "2024-01-03T10:00:00Z", "click")))
+    val stream = spark.readStream.schema(ojSchema)
+      .option("maxFilesPerTrigger", 1).json(src)
+    val q = StreamAnalytics.startToMemory(
+      StreamAnalytics.purchaseClickJoin(stream, watermark = "1 hour",
+        joinType = "left_outer"), "oj_out")
+    q.awaitTermination()
+    val out = spark.table("oj_out")
+      .select(col("purchase_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // 10 matched on arrival; 12 and 20 emitted null-padded once the
+    // click watermark passed their pts (batch 3 and the trailing
+    // no-data batch respectively — expiry events, not input events);
+    // 30 sits at the stream frontier, its expiry point NEVER passed, so
+    // it is withheld — exactly why the declared drain needs sentinels.
+    assert(out == Set((10L, 11L), (12L, -1L), (20L, -1L)), out.toString)
+    // eviction observed: matched/expired state left the join stores
+    val removed = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsRemoved).sum
+    assert(removed > 0, "no join state evicted across the 2-day span")
+  }
+
   test("ProcessingTime trigger tails a growing staging dir with live batch cadence") {
     import graft.operators.MergeTable
     val src = Files.createTempDirectory("graft_pt_src").toString
