@@ -40,6 +40,16 @@ object StreamAnalytics {
         col("event_type"), col("cnt"), col("total_value"))
   }
 
+  /** Stream-static dim enrichment (J1 under continuous ingest): each
+    * micro-batch left-joins the broadcast static side — STATELESS, no
+    * watermark requirement, no join state store; the dim is re-planned
+    * per batch from its (batch) source, which is what makes a
+    * slowly-refreshed dim table pick up changes between batches in a
+    * live deployment. Left join so an unknown key keeps the event with
+    * a null dim payload instead of silently dropping it. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Per-user session windows (gap-based): activity bursts separated by
     * more than `gap` close a session. Beyond the reference's surface —
     * the natural sessionization of its wallet-activity family. */

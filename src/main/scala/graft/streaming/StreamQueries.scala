@@ -671,6 +671,55 @@ object StreamQueries extends QueryModule {
              |ORDER BY p.purchase_id, c.click_id""".stripMargin),
       doc = "left-outer stream-stream interval join: unmatched purchases emit null-padded at watermark expiry; dual sentinels advance the min-of-both global watermark"),
 
+    /** STREAM-STATIC ENRICHMENT on the hard signal: each micro-batch
+      * left-joins a BROADCAST static dim (per-user activity cohort,
+      * derived once from the batch table with integer thresholds), then
+      * feeds the one allowed streaming aggregation — daily tumbling
+      * counts per cohort. The canonical production shape: a stateless
+      * dim join (no watermark requirement, no join state) composed
+      * under a stateful windowed agg. NULL-user events stay NULL-cohort
+      * on BOTH engines (a join on a null key matches nothing even
+      * though the dim carries a null-user row — the oracle's LEFT JOIN
+      * has identical semantics), and the far-future sentinel flushes
+      * every real day window while its own never closes. An enrichment
+      * that drops unmatched events, double-counts under the broadcast,
+      * or re-derives the dim per-batch differently reds the counts. */
+    "stream_static_enrich" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val sc = eventsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
+        stageExtras(s, sentinel(s, sc.mx, Chunks), staging, sc.baseMs)
+        val dim = graft.Tables.events(s, dir).filter(col("ts").isNotNull)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            when(col("n") >= 20L, lit("heavy"))
+              .when(col("n") >= 5L, lit("mid"))
+              .otherwise(lit("light")).as("cohort"))
+        val stream = chunkStream(s, staging).drop("ts")
+          .withColumnRenamed("tsw", "ts")
+        val agg = StreamAnalytics.enrichWithDim(stream, dim, "user_id")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("cohort"))
+          .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("eid_sum"))
+          .select(unix_micros(col("w.start")).as("day_us"), col("cohort"),
+            col("cnt"), col("eid_sum"))
+        drainToParquet(s, agg, ckpt).orderBy(col("day_us"), col("cohort"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id,
+             |    CASE WHEN count(*) >= 20 THEN 'heavy'
+             |         WHEN count(*) >= 5 THEN 'mid' ELSE 'light' END AS cohort
+             |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+             |e AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) AS tsn
+             |  FROM events WHERE ts IS NOT NULL)
+             |SELECT ((e.tsn // 1000) // 86400000000) * 86400000000 AS day_us,
+             |  d.cohort, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(e.event_id) AS BIGINT) AS eid_sum
+             |FROM e LEFT JOIN dim d ON e.user_id = d.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin),
+      doc = "stream-static broadcast dim enrichment under a daily windowed agg; null-key events keep a null cohort on both engines"),
+
     /** STREAMING INCREMENTAL DEDUP on the hard signal: documents arrive
       * in 4 doc_id-ordered micro-batches; each document's MinHash band
       * keys (JVM twin of the batch band pipeline — parity spec'd in

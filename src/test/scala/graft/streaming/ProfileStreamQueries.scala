@@ -8,14 +8,18 @@ import org.apache.spark.sql.SparkSession
   * wall-clock + result rows — the 10× check that the chunked staging,
   * watermark margins, and state sizes hold past the bench SF.
   * Run: sbt 'Test/runMain graft.streaming.ProfileStreamQueries target/sf10'
+  * (optional 2nd arg: comma-separated query subset)
   */
 object ProfileStreamQueries {
-  private val Queries = Seq("stream_cdc_snapshot", "stream_windowed_volume",
+  private val All = Seq("stream_cdc_snapshot", "stream_windowed_volume",
     "stream_sessionize", "stream_running_totals", "stream_interval_join",
-    "stream_band_dedup", "stream_ivf_assign", "stream_pq_encode")
+    "stream_interval_join_outer", "stream_band_dedup", "stream_ivf_assign",
+    "stream_pq_encode")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/sf10")
+    val Queries = args.drop(1).headOption
+      .map(_.split(",").toSeq).getOrElse(All)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
