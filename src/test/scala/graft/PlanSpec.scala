@@ -349,6 +349,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("stream-static enrichment plans as a broadcast hash join of the dim") {
+    // batch-mode twin of the stream_static_enrich composition: each
+    // micro-batch plans the SAME join, so the batch plan is the gate —
+    // a dim that stopped broadcasting would shuffle the fact side on
+    // every trigger
+    val ev = Tables.events(spark, Sf).filter(col("ts").isNotNull)
+    val dim = ev.groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val joined = graft.streaming.StreamAnalytics.enrichWithDim(
+      ev, dim, "user_id")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
+
   test("SCD2 windows partition by program — never a global single-partition sort") {
     val p = planOf("star_scd2_programs")
     // every windowspecdefinition in the plan opens with the program_id
