@@ -155,4 +155,101 @@ class StreamCrashProps extends SparkSpec {
       org.apache.hadoop.fs.FileUtil.fullyDelete(base.toFile)
     }
   }
+
+  test("random crash schedules WITH the compaction cadence: state sequence is exactly the model fold prefixes") {
+    // The compactEvery path under the same crash model. Fold commits
+    // make the exact version-count prediction of the first property
+    // brittle (a fold fires only when ≥2 small files exist), so the
+    // load-bearing invariant here is stronger and count-free: walking
+    // the version log, the sequence of DISTINCT consecutive states must
+    // be exactly the model fold prefixes — a fold or an idempotent
+    // replay may repeat its predecessor's state, but no commit may ever
+    // produce a state outside the fold sequence (a fold that loses or
+    // duplicates rows, or a replay that double-applies, lands a foreign
+    // state and fails here even if the FINAL snapshot looks right).
+    val rnd = new scala.util.Random(20260815L)
+    for (schedule <- 1 to 20) {
+      val base = Files.createTempDirectory(f"graft-crashc-$schedule%02d")
+      val src = base.resolve("src").toString
+      val tbl = base.resolve("t").toString
+      val ckpt = base.resolve("ck").toString
+      new java.io.File(src).mkdirs()
+
+      var ver = 0L
+      val batches: Seq[Seq[(Long, String, Long)]] = (0 until 3).map { b =>
+        val keys = rnd.shuffle((0L to 5L).toList).take(2 + rnd.nextInt(3))
+        keys.map { k => ver += 1; (k, s"b$b-k$k-v$ver", ver) }
+      }
+      val t0 = System.currentTimeMillis() - 60000L
+      batches.zipWithIndex.foreach { case (rows, b) =>
+        val f = java.nio.file.Paths.get(s"$src/b$b.json")
+        Files.write(f, rows.map { case (k, v, vr) =>
+          s"""{"k":$k,"v":"$v","ver":$vr}"""
+        }.mkString("\n").getBytes("UTF-8"))
+        f.toFile.setLastModified(t0 + b * 5000L); ()
+      }
+      val plan = scala.collection.mutable.Map.empty[Long, Crash]
+      rnd.shuffle((0L until 3L).toList).take(rnd.nextInt(3)).foreach { b =>
+        plan(b) = if (rnd.nextBoolean()) BeforeMerge else AfterMerge
+      }
+      val pending = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      plan.keys.foreach(b => pending.add(b))
+
+      def run(): Unit = {
+        val q = spark.readStream.schema(cdcSchema)
+          .option("maxFilesPerTrigger", 1).json(src)
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (!batch.isEmpty) {
+              if (plan.get(id).contains(BeforeMerge) && pending.remove(id))
+                throw new RuntimeException(s"simulated crash before merge $id")
+              MergeTable.merge(batch.sparkSession, tbl,
+                Upsert.lastWriteWins(batch, "k", "ver"), "k")
+              if (plan.get(id).contains(AfterMerge) && pending.remove(id))
+                throw new RuntimeException(s"simulated crash after merge $id")
+              if ((id + 1) % 2 == 0)
+                MergeTable.compactFiles(batch.sparkSession, tbl, "k")
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      var starts = 0
+      var done = false
+      while (!done) {
+        starts += 1
+        assert(starts <= 6, s"schedule $schedule did not converge")
+        try { run(); done = true }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            assert(e.getMessage.contains("simulated crash"),
+              s"schedule $schedule died for a non-injected reason: $e")
+        }
+      }
+
+      val foldAfter: Seq[Map[Long, String]] = batches.indices.map { i =>
+        batches.take(i + 1).flatten
+          .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._3)._2 }
+      }
+      val vs = MergeTable.versions(spark, tbl)
+      assert(vs.nonEmpty && vs == (vs.head to vs.last),
+        s"schedule $schedule: version log not dense: $vs")
+      val states = vs.map { v =>
+        MergeTable.snapshot(spark, tbl, asOf = Some(v))
+          .select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      val distinctRun = states.foldLeft(List.empty[Map[Long, String]]) {
+        (acc, st) => if (acc.headOption.contains(st)) acc else st :: acc
+      }.reverse
+      assert(distinctRun == foldAfter,
+        s"schedule $schedule (plan $plan): state sequence $distinctRun != model $foldAfter")
+      assert(pending.isEmpty, s"schedule $schedule left crashes unfired")
+
+      org.apache.hadoop.fs.FileUtil.fullyDelete(base.toFile)
+    }
+  }
 }
