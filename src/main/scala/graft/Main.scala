@@ -123,6 +123,22 @@ object Main {
       }
       spark.stop()
 
+    // table maintenance from the CLI (the ops verb every lakehouse
+    // deployment schedules): OPTIMIZE small-file fold, plus VACUUM when
+    // a retention is declared — keep the last `retainVersions` versions
+    // answerable, physically delete everything below. ZORDER stays a
+    // programmatic call (optimizeZorder): it needs a column-pair choice
+    // no generic CLI default can make safely. Emits one JSON line, the
+    // health-verb convention, so a cron wrapper can assert on it.
+    case "maintain" :: root :: key :: rest if rest.length <= 1 =>
+      val retain = rest.headOption.map(s =>
+        num("maintain", "retainVersions", s)(_.toLong))
+      val spark = session()
+      if (operators.MergeTable.versions(spark, root).isEmpty)
+        usageExit(s"maintain: no committed merge table at $root")
+      println(maintain(spark, root, key, retain))
+      spark.stop()
+
     // the whole registered query surface from the CLI: list names, or
     // run one by name against a testdata-layout dir (show to stdout, or
     // parquet when an output path is given) — what makes every operator
@@ -149,6 +165,28 @@ object Main {
 
     case other =>
       usageExit(s"unknown command: ${other.mkString(" ")}")
+  }
+
+  /** The `maintain` verb's body, session-injected so specs drive it on
+    * the shared test session (the CLI case owns its own session and
+    * stop). Fold first, then vacuum against the POST-fold latest: the
+    * fold may have committed a new version, and `retainVersions` is a
+    * promise about the versions the operator can still see. */
+  private[graft] def maintain(spark: SparkSession, root: String, key: String,
+      retain: Option[Long]): String = {
+    val folded = operators.MergeTable.compactFiles(spark, root, key)
+    val live = operators.MergeTable.liveFiles(spark, root).count()
+    val deleted = retain match {
+      case Some(r) =>
+        val latest = operators.MergeTable.versions(spark, root).last
+        operators.MergeTable.vacuum(spark, root,
+          math.max(operators.MergeTable.vacuumFloor(spark, root),
+            math.max(0L, latest - r)))
+      case None => 0L
+    }
+    s"""{"compacted":${folded.nonEmpty},"live_files":$live,""" +
+      s""""files_deleted":$deleted,"floor":${
+        operators.MergeTable.vacuumFloor(spark, root)}}"""
   }
 
   /** health's optional `[chainTipSlot [maxSlotLag]]` args.

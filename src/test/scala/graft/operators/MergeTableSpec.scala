@@ -60,6 +60,37 @@ class MergeTableSpec extends SparkSpec {
     assert(disk <= 22L, s"on-disk data files $disk not bounded by the vacuum cadence")
   }
 
+  test("Main.maintain: fold + declared-retention vacuum, one JSON verdict line") {
+    val root = tmpRoot()
+    (0 until 4).foreach { i =>
+      MergeTable.append(spark, root,
+        Seq.tabulate(10)(j => (i * 10L + j, s"v$i")).toDF("k", "v")
+          .repartition(1), "k")
+      ()
+    }
+    // no retention: fold only, nothing deleted, floor untouched
+    val out1 = graft.Main.maintain(spark, root, "k", retain = None)
+    assert(out1.contains("\"compacted\":true") &&
+      out1.contains("\"live_files\":1") &&
+      out1.contains("\"files_deleted\":0") &&
+      out1.contains("\"floor\":0"), out1)
+    assert(MergeTable.snapshot(spark, root).count() == 40L)
+    // retention 0 (only the latest version answerable): the 4 insert
+    // files the fold replaced become unreachable and are physically
+    // deleted; the floor lands at the post-fold latest; state untouched.
+    // (retain = 1 would delete NOTHING — the pre-fold files are still
+    // answerable at latest - 1; the retention is a promise, not a hint.)
+    val out2 = graft.Main.maintain(spark, root, "k", retain = Some(0L))
+    val latest = MergeTable.versions(spark, root).last
+    assert(out2.contains(s""""floor":$latest"""), out2)
+    assert(!out2.contains("\"files_deleted\":0"), out2)
+    assert(MergeTable.snapshot(spark, root).count() == 40L)
+    intercept[IllegalArgumentException] {
+      MergeTable.snapshot(spark, root, Some(latest - 1))
+    }
+    ()
+  }
+
   test("merge = update matched, insert unmatched, delete flagged") {
     val root = tmpRoot()
     MergeTable.append(spark,
