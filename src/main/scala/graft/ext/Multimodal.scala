@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * feature-extract stage.
   *
   * The decode step is a REAL container-header parser: byte-level PNG
-  * (signature + IHDR), JFIF/JPEG (segment walk to SOF), and RIFF/WAVE
-  * (fmt chunk) readers pull width/height (or sample-rate/channels) and
-  * the post-header content stream straight from the binary column — no
+  * (signature + IHDR), JFIF/JPEG (segment walk to SOF), RIFF/WAVE
+  * (fmt chunk), and ISO-BMFF/MP4 (top-level box walk to moov/mvhd)
+  * readers pull width/height (or sample-rate/channels, or
+  * timescale/duration) and the post-header content stream straight
+  * from the binary column — no
   * claimed-mime shortcuts, detection is by magic bytes. Full pixel/PCM
   * decoding would need codec libraries this container doesn't ship, so
   * payloads carry spec-correct HEADERS over a raw content body
@@ -23,9 +25,10 @@ import org.apache.spark.sql.functions._
 object Multimodal extends QueryModule {
 
   /** A decoded media record: `container` is the format DETECTED from the
-    * bytes (png/jpeg/wav/unknown — never read from the mime column);
-    * width/height are the parsed dimensions (for WAV: sample-rate and
-    * channel count); `feature_hash` digests the post-header content
+    * bytes (png/jpeg/wav/mp4/unknown — never read from the mime
+    * column); width/height are the parsed dimensions (for WAV:
+    * sample-rate and channel count; for MP4: timescale and duration in
+    * movie-time units); `feature_hash` digests the post-header content
     * stream, so a parser that mis-computes the header length produces a
     * wrong hash, not just wrong metadata. */
   final case class MediaFeature(
@@ -92,6 +95,31 @@ object Multimodal extends QueryModule {
   private def ascii(b: Array[Byte], i: Int, n: Int): String =
     if (i + n <= b.length) new String(b, i, n, "US-ASCII") else ""
 
+  /** ISO-BMFF (MP4): `ftyp` (20 B: isom major brand) + `moov` holding a
+    * version-0 `mvhd` (116 B: timescale + duration in movie-time units,
+    * unity rate/volume/matrix) + the `mdat` header (8 B) over the body
+    * — 144 header bytes total, each box size a real big-endian field
+    * the parser must walk. */
+  def mp4Bytes(timescale: Int, duration: Int, body: Array[Byte]): Array[Byte] = {
+    val a = "US-ASCII"
+    val ftyp = be32(20) ++ "ftyp".getBytes(a) ++
+      "isom".getBytes(a) ++ be32(0x200) ++ "isom".getBytes(a)
+    val mvhd = be32(108) ++ "mvhd".getBytes(a) ++
+      be32(0) ++             // version 0 + flags
+      be32(0) ++ be32(0) ++  // creation / modification time
+      be32(timescale) ++ be32(duration) ++
+      be32(0x00010000) ++    // rate 1.0 (16.16 fixed)
+      Array(0x01.toByte, 0x00.toByte) ++       // volume 1.0 (8.8 fixed)
+      Array.fill(10)(0.toByte) ++               // reserved
+      (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)) ++ // unity matrix
+      Array.fill(24)(0.toByte) ++               // pre_defined
+      be32(2)                                   // next_track_ID
+    val moov = be32(116) ++ "moov".getBytes(a) ++ mvhd
+    ftyp ++ moov ++ (be32(8 + body.length) ++ "mdat".getBytes(a)) ++ body
+  }
+
   /** Detect the container by MAGIC BYTES and parse its header. PNG: the
     * 8-byte signature, then the first chunk must be IHDR (per spec) —
     * width/height big-endian at 16/20, body after the chunk's CRC. JPEG:
@@ -148,6 +176,49 @@ object Multimodal extends QueryModule {
         bounded(MediaHeader("wav", rLe32(b, 24), rLe16(b, 22),
           if (ascii(b, dataHdr, 4) == "data") dataHdr + 8 else dataHdr))
       }
+    } else if (b.length >= 16 && ascii(b, 4, 4) == "ftyp") {
+      // ISO-BMFF: walk the top-level boxes by their declared big-endian
+      // sizes (untrusted 32-bit fields — a size below the 8-byte box
+      // header, a sign-flipped size, or one past EOF degrades to
+      // `unknown`; size 0 legally means to-EOF). Timescale/duration come
+      // from `mvhd` inside `moov` (version 0: 32-bit fields at +20/+24;
+      // version 1: 64-bit times push them to +28 and +32, where the low
+      // word of the 64-bit duration is at +36). Body = mdat payload, or
+      // EOF when no mdat box exists (headers-only file).
+      var i = 0
+      var ts = -1; var dur = -1; var bodyOff = -1; var bad = false
+      while (!bad && i + 8 <= b.length) {
+        val declared = rBe32(b, i)
+        val size = if (declared == 0) b.length - i else declared
+        if (size < 8 || i.toLong + size > b.length) bad = true
+        else {
+          ascii(b, i + 4, 4) match {
+            case "moov" =>
+              var j = i + 8
+              val end = i + size
+              while (!bad && j + 8 <= end) {
+                val cs = rBe32(b, j)
+                if (cs < 8 || j.toLong + cs > end) bad = true
+                else {
+                  if (ascii(b, j + 4, 4) == "mvhd") u8(b, j + 8) match {
+                    case 0 if cs >= 108 =>
+                      ts = rBe32(b, j + 20); dur = rBe32(b, j + 24)
+                    case 1 if cs >= 120 =>
+                      ts = rBe32(b, j + 28); dur = rBe32(b, j + 36)
+                    case _ => bad = true
+                  }
+                  j += cs
+                }
+              }
+            case "mdat" => bodyOff = i + 8
+            case _ => ()
+          }
+          i += size
+        }
+      }
+      if (bad || ts < 0) unknown
+      else bounded(MediaHeader("mp4", ts, dur,
+        if (bodyOff >= 0) bodyOff else b.length))
     } else unknown
   }
 
@@ -233,8 +304,10 @@ object Multimodal extends QueryModule {
     * doc_id arithmetic — the ground truth the oracle recomputes
     * independently while [[decodeMedia]] must recover it from the bytes:
     * PNG/JPEG w = 16+(id%64)·16, h = 16+(id%48)·16; WAV sample-rate =
-    * 8000+(id%8)·4000, channels = 1+(id%2). Header sizes are fixed by
-    * the encoders: PNG 33, JPEG 39, WAV 44 bytes. */
+    * 8000+(id%8)·4000, channels = 1+(id%2); MP4 timescale =
+    * 600·(1+(id%5)), duration = 1000+(id%97)·250 movie-time units.
+    * Header sizes are fixed by the encoders: PNG 33, JPEG 39, WAV 44,
+    * MP4 144 bytes. */
   def encodedMediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id").cast("long"), col("text"))
@@ -244,12 +317,15 @@ object Multimodal extends QueryModule {
         val body = (if (text == null) "" else text).getBytes("UTF-8")
         val w = 16 + (Math.floorMod(id, 64L) * 16).toInt
         val h = 16 + (Math.floorMod(id, 48L) * 16).toInt
-        Math.floorMod(id, 3L) match {
+        Math.floorMod(id, 4L) match {
           case 0L => (id, "image/png", pngBytes(w, h, body))
           case 1L => (id, "image/jpeg", jpegBytes(w, h, body))
-          case _ => (id, "audio/wav",
+          case 2L => (id, "audio/wav",
             wavBytes(8000 + (Math.floorMod(id, 8L) * 4000).toInt,
               1 + Math.floorMod(id, 2L).toInt, body))
+          case _ => (id, "video/mp4",
+            mp4Bytes(600 * (1 + Math.floorMod(id, 5L).toInt),
+              1000 + Math.floorMod(id, 97L).toInt * 250, body))
         }
       }).toDF("doc_id", "mime", "payload")
   }
@@ -301,13 +377,16 @@ object Multimodal extends QueryModule {
           .orderBy(col("mime")),
       Some("""WITH m AS (
              |  SELECT doc_id,
-             |    CASE doc_id % 3 WHEN 0 THEN 'image/png'
-             |         WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
-             |    CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END AS hdr,
-             |    CASE WHEN doc_id % 3 < 2 THEN 16 + (doc_id % 64) * 16
-             |         ELSE 8000 + (doc_id % 8) * 4000 END AS w,
-             |    CASE WHEN doc_id % 3 < 2 THEN 16 + (doc_id % 48) * 16
-             |         ELSE 1 + (doc_id % 2) END AS h,
+             |    CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+             |         WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+             |    CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 39
+             |         WHEN 2 THEN 44 ELSE 144 END AS hdr,
+             |    CASE WHEN doc_id % 4 < 2 THEN 16 + (doc_id % 64) * 16
+             |         WHEN doc_id % 4 = 2 THEN 8000 + (doc_id % 8) * 4000
+             |         ELSE 600 * (1 + doc_id % 5) END AS w,
+             |    CASE WHEN doc_id % 4 < 2 THEN 16 + (doc_id % 48) * 16
+             |         WHEN doc_id % 4 = 2 THEN 1 + (doc_id % 2)
+             |         ELSE 1000 + (doc_id % 97) * 250 END AS h,
              |    octet_length(encode(coalesce(text, ''))) AS body_len,
              |    sha256(coalesce(text, '')) AS fh
              |  FROM documents)
@@ -318,7 +397,7 @@ object Multimodal extends QueryModule {
              |  CAST(max(w) AS BIGINT) AS max_width,
              |  CAST(max(h) AS BIGINT) AS max_height
              |FROM m GROUP BY 1 ORDER BY mime""".stripMargin),
-      doc = "partition-parallel media decode: real PNG/JFIF/RIFF header parsing vs planted ground truth"),
+      doc = "partition-parallel media decode: real PNG/JFIF/RIFF/ISO-BMFF header parsing vs planted ground truth"),
 
     // Frame sampling as a query: the 1→N partition-parallel fan-out
     // ([[frameSample]]: 8 evenly-spaced byte-slice "frames" per payload,

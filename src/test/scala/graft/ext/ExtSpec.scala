@@ -450,19 +450,25 @@ class ExtSpec extends SparkSpec {
     val media = Multimodal.encodedMediaTable(spark, Sf)
     val feats = Multimodal.decodeMedia(media)
     assert(feats.count() == media.count())
-    // doc 7: 7 % 3 == 1 → JFIF/JPEG; dims planted as 16+(7%64)*16 =
-    // 16+(7%48)*16 = 128, recovered by the SOF segment walk
-    val f = feats.filter(col("doc_id") === 7).collect()(0)
+    // doc 5: 5 % 4 == 1 → JFIF/JPEG; dims planted as 16+(5%64)*16 =
+    // 16+(5%48)*16 = 96, recovered by the SOF segment walk
+    val f = feats.filter(col("doc_id") === 5).collect()(0)
     assert(f.mime == "image/jpeg" && f.container == "jpeg")
-    assert(f.width == 128 && f.height == 128)
+    assert(f.width == 96 && f.height == 96)
     assert(f.payload_len > 39 && f.feature_hash.length == 64)
+    // doc 7: 7 % 4 == 3 → ISO-BMFF; timescale 600·(1+7%5) = 1800,
+    // duration 1000+(7%97)·250 = 2750, recovered by the box walk
+    val v = feats.filter(col("doc_id") === 7).collect()(0)
+    assert(v.mime == "video/mp4" && v.container == "mp4")
+    assert(v.width == 1800 && v.height == 2750)
+    assert(v.payload_len > 144 && v.feature_hash.length == 64)
     // every row's detected container matches its claimed mime subtype
     val mismatches = feats.toDF()
       .filter(element_at(split(col("mime"), "/"), 2) =!= col("container"))
       .count()
     assert(mismatches == 0L)
     // deterministic: same input → same features
-    val again = Multimodal.decodeMedia(media).filter(col("doc_id") === 7).collect()(0)
+    val again = Multimodal.decodeMedia(media).filter(col("doc_id") === 5).collect()(0)
     assert(again == f)
   }
 
@@ -474,6 +480,8 @@ class ExtSpec extends SparkSpec {
     assert(jpg == Multimodal.MediaHeader("jpeg", 1024, 768, 39))
     val wav = Multimodal.parseMediaHeader(Multimodal.wavBytes(44100, 2, body))
     assert(wav == Multimodal.MediaHeader("wav", 44100, 2, 44))
+    val mp4 = Multimodal.parseMediaHeader(Multimodal.mp4Bytes(600, 24000, body))
+    assert(mp4 == Multimodal.MediaHeader("mp4", 600, 24000, 144))
     // the JPEG walk really SKIPS segments by declared length: corrupt
     // the APP0 length and the SOF is never found at the shifted offset
     val broken = Multimodal.jpegBytes(64, 64, body)
@@ -516,5 +524,42 @@ class ExtSpec extends SparkSpec {
     // EOI before any SOF frame: malformed, rejected
     val eoiFirst = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) ++ body
     assert(Multimodal.parseMediaHeader(eoiFirst).container == "unknown")
+  }
+
+  test("ISO-BMFF walk: size-0 to-EOF boxes, v1 mvhd, corrupt box sizes, missing mdat") {
+    val a = "US-ASCII"
+    def b32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val body = "mdat content".getBytes("UTF-8")
+
+    // declared size 0 on the last box legally means to-EOF: the mdat
+    // payload is still the content stream
+    val mp4 = Multimodal.mp4Bytes(600, 24000, body)
+    val zeroSized = mp4.clone()
+    b32(0).copyToArray(zeroSized, 136) // mdat's own size field
+    val h0 = Multimodal.parseMediaHeader(zeroSized)
+    assert(h0 == Multimodal.MediaHeader("mp4", 600, 24000, 144), h0.toString)
+
+    // version-1 mvhd: 64-bit times push timescale to +28, duration's low
+    // word to +36 — a real-world file class the fixture never emits
+    val mvhd1 = b32(120) ++ "mvhd".getBytes(a) ++ Array[Byte](1, 0, 0, 0) ++
+      Array.fill(16)(0.toByte) ++ // 64-bit creation + modification
+      b32(90000) ++               // timescale
+      b32(0) ++ b32(123456) ++    // 64-bit duration
+      Array.fill(80)(0.toByte)    // rate .. next_track_ID
+    val v1 = b32(16) ++ "ftyp".getBytes(a) ++ "isom".getBytes(a) ++ b32(0) ++
+      b32(128) ++ "moov".getBytes(a) ++ mvhd1
+    val h1 = Multimodal.parseMediaHeader(v1)
+    // no mdat box: the whole file is header, body at EOF (empty stream)
+    assert(h1 == Multimodal.MediaHeader("mp4", 90000, 123456, v1.length), h1.toString)
+
+    // corrupt (oversized) moov size: degrade to unknown, never OOB
+    val tornMoov = mp4.clone()
+    tornMoov(20) = 0x40.toByte // moov size -> 0x40000074
+    assert(Multimodal.parseMediaHeader(tornMoov).container == "unknown")
+    // sub-header-sized mvhd declared length inside moov
+    val tinyMvhd = mp4.clone()
+    b32(4).copyToArray(tinyMvhd, 28) // mvhd size 4 < 8
+    assert(Multimodal.parseMediaHeader(tinyMvhd).container == "unknown")
   }
 }
