@@ -671,6 +671,45 @@ object StreamQueries extends QueryModule {
              |ORDER BY p.purchase_id, c.click_id""".stripMargin),
       doc = "left-outer stream-stream interval join: unmatched purchases emit null-padded at watermark expiry; dual sentinels advance the min-of-both global watermark"),
 
+    /** FULL OUTER completion of the interval-join family: unmatched
+      * PURCHASES emit null-padded when the click watermark passes their
+      * pts (as in the left-outer twin), and unmatched CLICKS emit
+      * null-padded when the purchase watermark passes cts + 1h — the
+      * latest pts that could still match them (the condition is
+      * cts < pts ≤ cts + 1h, so a right row's expiry point trails its
+      * event time by the full join reach). The SAME dual sentinels
+      * drain both sides; both stay withheld — each sentinel's own
+      * expiry point lies past the final watermark by construction. */
+    "stream_interval_join_full" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val sc = eventsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
+        stageExtras(s,
+          sentinel(s, sc.mx, Chunks, eventType = "purchase", eventId = -1L)
+            .unionByName(sentinel(s, sc.mx, Chunks, eventType = "click",
+              eventId = -2L)),
+          staging, sc.baseMs)
+        val stream = chunkStream(s, staging).drop("ts")
+          .withColumnRenamed("tsw", "ts")
+        val joined = StreamAnalytics.purchaseClickJoin(stream,
+            watermark = "2 hours", joinType = "full_outer")
+          .select(col("purchase_id"), col("click_id"),
+            unix_micros(col("pts")).as("p_us"), unix_micros(col("cts")).as("c_us"))
+        drainToParquet(s, joined, ckpt)
+          .orderBy(col("purchase_id"), col("click_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS p_us
+             |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+             |c AS (
+             |  SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS c_us
+             |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
+             |SELECT p.purchase_id, c.click_id, p.p_us, c.c_us
+             |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+             |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+             |ORDER BY p.purchase_id, c.click_id""".stripMargin),
+      doc = "full-outer stream-stream interval join: both sides' unmatched rows emit null-padded at their own expiry points"),
+
     /** STREAM-STATIC ENRICHMENT on the hard signal: each micro-batch
       * left-joins a BROADCAST static dim (per-user activity cohort,
       * derived once from the batch table with integer thresholds), then
