@@ -133,6 +133,8 @@ object Main {
     case "maintain" :: root :: key :: rest if rest.length <= 1 =>
       val retain = rest.headOption.map(s =>
         num("maintain", "retainVersions", s)(_.toLong))
+      retain.filter(_ < 0).foreach(r =>
+        usageExit(s"maintain: retainVersions must be >= 0, got $r"))
       val spark = session()
       if (operators.MergeTable.versions(spark, root).isEmpty)
         usageExit(s"maintain: no committed merge table at $root")

@@ -200,12 +200,18 @@ object Multimodal extends QueryModule {
                 val cs = rBe32(b, j)
                 if (cs < 8 || j.toLong + cs > end) bad = true
                 else {
-                  if (ascii(b, j + 4, 4) == "mvhd") u8(b, j + 8) match {
-                    case 0 if cs >= 108 =>
-                      ts = rBe32(b, j + 20); dur = rBe32(b, j + 24)
-                    case 1 if cs >= 120 =>
-                      ts = rBe32(b, j + 28); dur = rBe32(b, j + 36)
-                    case _ => bad = true
+                  if (ascii(b, j + 4, 4) == "mvhd") {
+                    // the version byte lives INSIDE the box: a declared
+                    // size of exactly 8 (header only) ending at EOF
+                    // would otherwise read one byte past the payload
+                    if (cs < 9) bad = true
+                    else u8(b, j + 8) match {
+                      case 0 if cs >= 108 =>
+                        ts = rBe32(b, j + 20); dur = rBe32(b, j + 24)
+                      case 1 if cs >= 120 =>
+                        ts = rBe32(b, j + 28); dur = rBe32(b, j + 36)
+                      case _ => bad = true
+                    }
                   }
                   j += cs
                 }

@@ -75,10 +75,12 @@ object Incremental {
           // anti-join and duplicate on replay. Extend the prune to the
           // null partition exactly when the batch carries null dates.
           val (nullDates, realDates) = dates.partition(_ == null)
-          val prune = {
-            val in = col("block_date").isin(realDates.toIndexedSeq: _*)
-            if (nullDates.nonEmpty) in || col("block_date").isNull else in
-          }
+          val prune =
+            if (realDates.isEmpty) col("block_date").isNull
+            else {
+              val in = col("block_date").isin(realDates.toIndexedSeq: _*)
+              if (nullDates.nonEmpty) in || col("block_date").isNull else in
+            }
           val toWrite = Backfill.readSinkIfAny(spark, sinkPath) match {
             case Some(existing) => deduped.join(
               existing.filter(prune).select(col("event_id")),

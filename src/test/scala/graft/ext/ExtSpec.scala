@@ -561,5 +561,13 @@ class ExtSpec extends SparkSpec {
     val tinyMvhd = mp4.clone()
     b32(4).copyToArray(tinyMvhd, 28) // mvhd size 4 < 8
     assert(Multimodal.parseMediaHeader(tinyMvhd).container == "unknown")
+
+    // header-only mvhd (size exactly 8) whose box ends at EOF: the
+    // version byte would be one past the payload — must classify
+    // unknown, never throw (the never-OOB decoder contract)
+    val headerOnlyMvhd = b32(16) ++ "ftyp".getBytes(a) ++
+      "isom".getBytes(a) ++ b32(0) ++
+      b32(16) ++ "moov".getBytes(a) ++ b32(8) ++ "mvhd".getBytes(a)
+    assert(Multimodal.parseMediaHeader(headerOnlyMvhd).container == "unknown")
   }
 }
