@@ -494,6 +494,43 @@ object StreamQueries extends QueryModule {
              |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "streaming tumbling-window agg, append mode; late poison rows must be watermark-dropped; emitted windows vs batch replay"),
 
+    /** HOPPING (sliding) windows on the hard signal — the third window
+      * family next to tumbling and session: width 2 h, slide 1 h, so
+      * every event belongs to exactly TWO overlapping windows (starts
+      * at hourFloor(t) and hourFloor(t) − 1 h). The oracle replays the
+      * multi-window assignment with a 2-row unnest per event — an
+      * engine that assigned events to one window, mis-aligned the
+      * hop, or double-flushed an overlapping window diverges on
+      * counts, sums, or window starts. The far-future sentinel pushes
+      * the final watermark past every real window end so append mode
+      * flushes all of them (both hops) before AvailableNow stops. */
+    "stream_hopping_volume" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        val sc = eventsCorpus(s, dir)
+        linkChunks(sc.dir, staging)
+        stageExtras(s, sentinel(s, sc.mx, Chunks), staging, sc.baseMs)
+        val stream = chunkStream(s, staging).drop("ts")
+          .withColumnRenamed("tsw", "ts")
+        val agg = StreamAnalytics.windowedVolume(stream,
+          width = "2 hours", slide = Some("1 hour"), watermark = "1 hour")
+        drainToParquet(s, agg, ckpt)
+          .select(unix_micros(col("window_start")).as("ws_us"),
+            col("event_type"), col("cnt"), col("total_value"))
+          .orderBy(col("ws_us"), col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, value, epoch_ns(ts) // 1000 AS tus
+             |  -- ts IS NOT NULL mirrors the stream's event-time quarantine
+             |  FROM events WHERE ts IS NOT NULL),
+             |hopped AS (
+             |  SELECT ((tus // 3600000000) - i) * 3600000000 AS ws_us,
+             |    event_type, value
+             |  FROM e, UNNEST([0, 1]) AS u(i))
+             |SELECT ws_us, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |  sum(value) AS total_value
+             |FROM hopped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "hopping windows (width 2h, slide 1h): every event in exactly two overlapping windows vs a 2-row unnest replay"),
+
     /** Streaming SESSION WINDOWS on the hard signal: 6-hour-gap
       * sessions per user, built incrementally across 4 ts-ordered
       * micro-batches — sessions spanning a chunk boundary exercise the
