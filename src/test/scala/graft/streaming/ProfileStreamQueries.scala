@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileStreamQueries {
   private val All = Seq("stream_cdc_snapshot", "stream_windowed_volume",
+    "stream_hopping_volume",
     "stream_sessionize", "stream_running_totals", "stream_interval_join",
     "stream_interval_join_outer", "stream_interval_join_full",
     "stream_static_enrich", "stream_band_dedup", "stream_ivf_assign",
