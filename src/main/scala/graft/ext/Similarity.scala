@@ -895,6 +895,41 @@ object Similarity extends QueryModule {
               |ORDER BY query_id, rank""".stripMargin),
       doc = "brute-force cosine top-k (correctness baseline for ANN)"),
 
+    // Metadata-FILTERED vector search — the production shape every
+    // vector store serves ("nearest within this category"): the label
+    // predicate PRUNES candidate generation (an equi-join key on the
+    // label, so only same-label pairs are ever scored), never a
+    // post-filter over an unfiltered top-k — post-filtering both scores
+    // the whole corpus AND under-fills k when the filter is selective.
+    // At 100 TB the same plan holds: the filter column is the partition
+    // /bucket key and the scan touches one label's shard. Top-5 runs
+    // through the native bounded-heap operator like the unfiltered twin.
+    "sim_knn_filtered" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), col("label"),
+          vecD(col("embedding")).as("v"))
+        val q = e.select(col("vec_id").as("query_id"), col("label"),
+          col("v").as("qv")).filter(col("query_id") < 8)
+        val scored = e.join(broadcast(q), Seq("label"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(graft.functions.VectorExpressions.vector_cosine(
+              col("qv"), col("v")), 4).as("sim"))
+        topPerQuery(scored).orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id AS neighbor_id,
+              |    round(${dCos("q.qv", "e.v")}, 4) AS sim
+              |  FROM e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id)
+              |SELECT query_id, rank, neighbor_id, sim FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY sim DESC, neighbor_id NULLS FIRST) AS rank
+              |  FROM scored) WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+      doc = "metadata-filtered vector search: label prunes candidate generation (equi-join), top-5 via the bounded-heap operator"),
+
     // Embedding near-dup pairs: all pairs above a cosine threshold.
     // Exact-checkable at these SFs; the LSH query below is the scale path.
     "sim_neardup_pairs" -> Q(
