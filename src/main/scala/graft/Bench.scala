@@ -100,11 +100,15 @@ object Bench {
   private[graft] def parseTimings(text: String): Option[(String, Map[String, Double])] = {
     val qIdx = text.indexOf("\"queries\"")
     if (qIdx < 0) return None
-    val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+    val sf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
     // exponent part matters: Scala renders doubles below 1e-3 as
     // "8.7E-4", and truncating it would read 8.7 — a ~10,000× inflated
-    // baseline the 2× tripwire could never fire against
-    val entry = """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
+    // baseline the 2× tripwire could never fire against. Whitespace
+    // around the colon matters too: round 11 recommitted the baseline
+    // pretty-printed ("name": 1.2) and the colon-tight regex silently
+    // parsed ZERO entries, disabling the tripwire, epoch calibration,
+    // and remeasure loop for the whole driver sweep.
+    val entry = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
     val times = entry.findAllMatchIn(text.drop(qIdx))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     sf.map(_ -> times)
@@ -134,7 +138,7 @@ object Bench {
 
   /** The baseline file's canary seconds, if recorded. */
   private[graft] def parseCanary(text: String): Option[Double] =
-    """"canary_sec":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r.findFirstMatchIn(text)
+    """"canary_sec"\s*:\s*(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r.findFirstMatchIn(text)
       .map(_.group(1).toDouble)
 
   /** Epoch calibration factor: the SQUARE ROOT of this sweep's canary

@@ -179,9 +179,45 @@ class BenchSpec extends SparkSpec {
             case (name, t, b) =>
               alert(f"BENCH REGRESSION $name: $t%.2f s vs epoch-scaled baseline $b%.2f s (${t / b}%.1fx)")
           }
-        case _ => ()
+        case (_, baseParsed) =>
+          // a committed baseline the runtime can't read is the round-11
+          // failure mode: the tripwire/epoch/remeasure machinery all
+          // silently no-op. That must be a red suite, not a shrug.
+          assert(baseParsed.exists(_._2.nonEmpty),
+            "committed bench_baseline.json exists but parses to zero timings — " +
+              "the 2x tripwire is silently disabled (round-11 defect)")
       }
     }
+  }
+
+  test("committed baseline must parse: >0 timings, a canary, and the bench SF") {
+    // guards the FORMAT of the committed file itself: a pretty-printed
+    // rewrite (round 11) defeated the colon-tight regexes and disabled
+    // the tripwire for a whole driver sweep while every test stayed
+    // green. This test reads the file the runtime reads.
+    val base = java.nio.file.Paths.get("bench_baseline.json")
+    if (java.nio.file.Files.exists(base)) {
+      val text = java.nio.file.Files.readString(base)
+      val parsed = Bench.parseTimings(text)
+      assert(parsed.nonEmpty, "baseline has no parseable queries map")
+      val (sf, times) = parsed.get
+      assert(times.size > 100,
+        s"baseline parsed only ${times.size} timings — format drift?")
+      assert(Bench.parseCanary(text).exists(_ > 0),
+        "baseline canary_sec missing/unparseable — epoch calibration dead")
+      assert(sf.nonEmpty, "baseline sf tag missing — cross-SF guard dead")
+    }
+  }
+
+  test("parse helpers tolerate pretty-printed JSON (space after colon)") {
+    // the exact shape that disabled the round-11 tripwire
+    val text =
+      s"""{"metric": "bench_last", "canary_sec": 0.088, "sf": "/sf0.1",
+         |"queries": {"q_a": 0.825389301, "q_b": 1.5}}""".stripMargin
+    assert(Bench.parseCanary(text).contains(0.088))
+    val Some((sf, times)) = Bench.parseTimings(text)
+    assert(sf == "/sf0.1")
+    assert(times == Map("q_a" -> 0.825389301, "q_b" -> 1.5))
   }
 
   test("mass failure: trailer stays tail-safe, true count kept, sentinels in chunks") {
