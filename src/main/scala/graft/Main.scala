@@ -28,13 +28,17 @@ object Main {
       val startL = num("backfill", "start_slot", start)(_.toLong)
       val endL = num("backfill", "end_slot", end)(_.toLong)
       val workersI = num("backfill", "workers", workers)(_.toInt)
+      val cfg = EtlConfig()
       val spark = session()
       rest.headOption match {
         case Some(ckpt) =>
           ingest.Checkpoints.runTracked(spark, ckpt, s"bf_${start}_$end",
-            startL, endL, workersI, out)
+            startL, endL, workersI, out,
+            checkpointInterval = Some(cfg.checkpointInterval),
+            chunkSize = Some(cfg.backfillChunkSize))
         case None =>
-          ingest.Backfill.run(spark, startL, endL, workersI, out)
+          ingest.Backfill.run(spark, startL, endL, workersI, out,
+            chunkSize = Some(cfg.backfillChunkSize))
       }
       println(s"backfill complete: ${spark.read.parquet(out).count()} events")
       spark.stop()
@@ -43,12 +47,8 @@ object Main {
       val intervalSec = rest.headOption
         .map(s => num("incremental", "intervalSec", s)(_.toLong))
       val spark = session()
-      val trigger = intervalSec match {
-        case Some(sec) => org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime(s"$sec seconds") // the reference's poll interval
-        case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
-      }
-      val q = ingest.Incremental.start(spark, src, sink, ckpt, trigger)
+      val q = ingest.Incremental.start(spark, src, sink, ckpt,
+        triggerFor(intervalSec, sys.env))
       q.awaitTermination()
       spark.stop()
 
@@ -62,6 +62,10 @@ object Main {
       val raw = spark.readStream.format("graft.sources.BlockSource")
         .option("startSlot", startL).option("tipSlot", tipL)
         .option("workers", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+        // one micro-batch = one idempotent sink commit, so the
+        // reference's events-per-flush cap (ETL_BATCH_SIZE,
+        // incremental.rs:68) becomes the per-trigger slot admission
+        .option("maxSlotsPerTrigger", EtlConfig().batchSize)
         .load()
       val q = ingest.Incremental.startFromRaw(raw, sink, ckpt)
       q.awaitTermination()
@@ -98,7 +102,7 @@ object Main {
       // healthy-but-behind, not a crash. Args are validated BEFORE the
       // session spins up: a malformed number goes through the usage/
       // exit-2 path, not a bare NumberFormatException stack trace.
-      val slo = parseHealthArgs(rest) match {
+      val slo = parseHealthArgs(rest, EtlConfig().maxSlotLag) match {
         case Left(err) => usageExit(err)
         case Right(v) => v
       }
@@ -113,23 +117,34 @@ object Main {
       } catch {
         case _: org.apache.spark.sql.AnalysisException => -1L
       }
-      slo match {
-        case Some((chainTip, maxLag)) =>
+      // chain side of the reference's health (health.rs:12-20: getSlot
+      // proves RPC reachability and prices the tip): with no explicit
+      // chainTipSlot arg but a live endpoint configured, probe the
+      // chain; an unreachable endpoint is a FAILED health verdict (the
+      // reference returns Err), not a silent fallback to sink-only.
+      chainTipSlo(slo, sys.env,
+        () => new sources.RpcClient(sources.RpcConfig.fromEnv()).getSlot()) match {
+        case Left(err) =>
+          println(s"""{"status":"rpc_failed","sink_tip_slot":$tip,"error":"${err.replace('"', '\'')}"}""")
+        case Right(Some((chainTip, maxLag))) =>
           val lag = math.max(0L, chainTip - tip)
           val status = if (lag <= maxLag) "ok" else "behind"
           println(s"""{"status":"$status","sink_tip_slot":$tip,"slot_lag":$lag,"max_slot_lag":$maxLag}""")
-        case None =>
+        case Right(None) =>
           println(s"""{"status":"ok","sink_tip_slot":$tip}""")
       }
       spark.stop()
 
     // table maintenance from the CLI (the ops verb every lakehouse
     // deployment schedules): OPTIMIZE small-file fold, plus VACUUM when
-    // a retention is declared — keep the last `retainVersions` versions
-    // answerable, physically delete everything below. ZORDER stays a
-    // programmatic call (optimizeZorder): it needs a column-pair choice
-    // no generic CLI default can make safely. Emits one JSON line, the
-    // health-verb convention, so a cron wrapper can assert on it.
+    // a retention is declared — physically delete below the floor.
+    // ZORDER stays a programmatic call (optimizeZorder): it needs a
+    // column-pair choice
+    // no generic CLI default can make safely. Retention semantics: with
+    // floor = latest − retain, the LATEST plus the last `retainVersions`
+    // PRIOR versions stay answerable (retain=0 keeps just the latest;
+    // retain=30 keeps 31). Emits one JSON line, the health-verb
+    // convention, so a cron wrapper can assert on it.
     case "maintain" :: root :: key :: rest if rest.length <= 1 =>
       val retain = rest.headOption.map(s =>
         num("maintain", "retainVersions", s)(_.toLong))
@@ -193,15 +208,52 @@ object Main {
 
   /** health's optional `[chainTipSlot [maxSlotLag]]` args.
     * Left = usage error (malformed number), Right(None) = no SLO check,
-    * Right(Some((chainTip, maxLag))) = enforce the slot-lag SLO. */
-  private[graft] def parseHealthArgs(rest: List[String]): Either[String, Option[(Long, Long)]] =
+    * Right(Some((chainTip, maxLag))) = enforce the slot-lag SLO.
+    * `defaultMaxLag` comes from ETL_MAX_SLOT_LAG (config.rs:80-83) when
+    * no explicit bound is given. */
+  private[graft] def parseHealthArgs(rest: List[String],
+      defaultMaxLag: Long = 1000L): Either[String, Option[(Long, Long)]] =
     try rest match {
       case Nil => Right(None)
       case chainTip :: more =>
-        Right(Some((chainTip.toLong, more.headOption.map(_.toLong).getOrElse(1000L))))
+        Right(Some((chainTip.toLong,
+          more.headOption.map(_.toLong).getOrElse(defaultMaxLag))))
     } catch {
       case _: NumberFormatException =>
         Left(s"health: malformed numeric argument: ${rest.mkString(" ")}")
+    }
+
+  /** Health's chain-side SLO resolution: an explicit chainTipSlot wins;
+    * otherwise a configured live endpoint (SOLANA_RPC_URL) is PROBED —
+    * and an unreachable endpoint is a failed verdict (Left), exactly
+    * the reference's health contract (health.rs:12-20 returns Err),
+    * never a silent fallback to sink-only. No arg, no endpoint → plain
+    * sink probe. */
+  private[graft] def chainTipSlo(slo: Option[(Long, Long)],
+      env: Map[String, String], probe: () => Long)
+      : Either[String, Option[(Long, Long)]] = slo match {
+    case some @ Some(_) => Right(some)
+    case None if env.contains("SOLANA_RPC_URL") =>
+      try Right(Some((probe(), EtlConfig(env).maxSlotLag)))
+      catch { case scala.util.control.NonFatal(e) => Left(String.valueOf(e.getMessage)) }
+    case None => Right(None)
+  }
+
+  /** Incremental trigger resolution: an explicit interval argument wins;
+    * otherwise an ETL_INTERVAL_SECONDS present IN THE ENVIRONMENT
+    * selects the reference's poll cadence (incremental.rs:10-17,
+    * config.rs:76-79); with neither, AvailableNow drains the backlog
+    * and stops (the testable batch posture). The env var must be
+    * PRESENT, not merely defaulted, to flip the CLI into a
+    * never-terminating poll loop — a daemon posture nobody asked for
+    * is worse than a drained exit. */
+  private[graft] def triggerFor(argSec: Option[Long],
+      env: Map[String, String]): org.apache.spark.sql.streaming.Trigger =
+    argSec.orElse(
+      env.get("ETL_INTERVAL_SECONDS").flatMap(_.toLongOption).filter(_ > 0)) match {
+      case Some(sec) =>
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$sec seconds")
+      case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
     }
 
   /** Parse a numeric CLI arg through the usage/exit-2 path — every

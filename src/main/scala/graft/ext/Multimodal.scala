@@ -185,6 +185,15 @@ object Multimodal extends QueryModule {
       // version 1: 64-bit times push them to +28 and +32, where the low
       // word of the 64-bit duration is at +36). Body = mdat payload, or
       // EOF when no mdat box exists (headers-only file).
+      // mvhd fields are UNSIGNED 32-bit: read via a long mask — a
+      // duration of 0xFFFFFFFF is the spec's unknown-duration sentinel
+      // (common in real files) and maps to 0, and a timescale/duration
+      // ≥ 2^31 saturates to Int.MaxValue rather than flipping negative
+      // and misclassifying an otherwise valid file as `unknown`.
+      def u32(i: Int): Long = rBe32(b, i) & 0xffffffffL
+      def sat(v: Long): Int = math.min(v, Int.MaxValue.toLong).toInt
+      // the sentinel applies to DURATION only; timescale just saturates
+      def durField(v: Long): Int = if (v == 0xffffffffL) 0 else sat(v)
       var i = 0
       var ts = -1; var dur = -1; var bodyOff = -1; var bad = false
       while (!bad && i + 8 <= b.length) {
@@ -207,9 +216,9 @@ object Multimodal extends QueryModule {
                     if (cs < 9) bad = true
                     else u8(b, j + 8) match {
                       case 0 if cs >= 108 =>
-                        ts = rBe32(b, j + 20); dur = rBe32(b, j + 24)
+                        ts = sat(u32(j + 20)); dur = durField(u32(j + 24))
                       case 1 if cs >= 120 =>
-                        ts = rBe32(b, j + 28); dur = rBe32(b, j + 36)
+                        ts = sat(u32(j + 28)); dur = durField(u32(j + 36))
                       case _ => bad = true
                     }
                   }

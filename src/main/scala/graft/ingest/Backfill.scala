@@ -55,12 +55,25 @@ object Backfill {
   }
 
   /** Fetch a slot range as raw (slot, block_json) rows, `workers`-way
-    * parallel (backfill.rs:22-60). */
+    * parallel (backfill.rs:22-60). `chunkSize` (ETL_BACKFILL_CHUNK_SIZE,
+    * backfill.rs:22) caps the slots per task: partitions =
+    * max(workers, ceil(range / chunk)), so per-task work — and the
+    * refetch blast radius of a lost task — is bounded by the chunk
+    * while small ranges still fan out to every worker. At 100 TB the
+    * chunk is what keeps one straggling partition from owning
+    * range/workers ≫ memory-and-retry-sized work. */
   def fetchRange(spark: SparkSession, startSlot: Long, endSlot: Long,
-      workers: Int, fetcher: BlockFetcher = syntheticBlock): DataFrame = {
+      workers: Int, fetcher: BlockFetcher = syntheticBlock,
+      chunkSize: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    val total = math.max(0L, endSlot - startSlot)
+    val n = chunkSize.filter(_ > 0) match {
+      case Some(c) => math.max(workers.toLong, (total + c - 1) / c)
+        .min(Int.MaxValue.toLong).toInt.max(1)
+      case None => workers
+    }
     spark.range(startSlot, endSlot)
-      .repartition(workers)
+      .repartition(n)
       .as[Long]
       .mapPartitions(slots => slots.flatMap(s => fetcher(s).map(j => (s, j))))
       .toDF("slot", "block_json")
@@ -94,8 +107,9 @@ object Backfill {
     * plugs in without touching the pipeline shape. */
   def run(spark: SparkSession, startSlot: Long, endSlot: Long, workers: Int,
       outPath: String, fetcher: BlockFetcher = syntheticBlock,
-      format: String = "parquet"): Unit = {
-    val events = Parse.parse(fetchRange(spark, startSlot, endSlot, workers, fetcher))
+      format: String = "parquet", chunkSize: Option[Long] = None): Unit = {
+    val events = Parse.parse(
+      fetchRange(spark, startSlot, endSlot, workers, fetcher, chunkSize))
       .withColumn("block_date", to_date(col("block_time")))
     val toWrite = readSinkIfAny(spark, outPath, format) match {
       case Some(existing) => events.join(

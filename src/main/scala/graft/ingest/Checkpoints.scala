@@ -50,18 +50,38 @@ object Checkpoints {
 
   /** Backfill a range under checkpoint tracking: in_progress before the
     * run, completed after, failed (with the range left resumable) when
-    * the fetch/parse/write pipeline throws. */
+    * the fetch/parse/write pipeline throws.
+    *
+    * `checkpointInterval` (ETL_CHECKPOINT_INTERVAL, backfill.rs:119:
+    * record `last_processed_slot` every N slots) segments the range:
+    * each N-slot segment lands fully before its progress row commits,
+    * so a crash resumes from `last_processed_slot + 1` instead of
+    * re-running the whole range — the failed row carries the true
+    * high-water mark, and Backfill.run's event-level anti-join makes
+    * the re-run of the crashed segment itself converge. None keeps the
+    * single-segment behavior (one in_progress → one terminal row). */
   def runTracked(spark: SparkSession, ckptPath: String, checkpointId: String,
       startSlot: Long, endSlot: Long, workers: Int, outPath: String,
       fetcher: Backfill.BlockFetcher = Backfill.syntheticBlock,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", checkpointInterval: Option[Long] = None,
+      chunkSize: Option[Long] = None): Unit = {
     record(spark, ckptPath, checkpointId, startSlot, endSlot, startSlot - 1, InProgress)
+    val step = checkpointInterval.filter(_ > 0).getOrElse(endSlot - startSlot)
+    var done = startSlot // next slot to process
     try {
-      Backfill.run(spark, startSlot, endSlot, workers, outPath, fetcher, format)
-      record(spark, ckptPath, checkpointId, startSlot, endSlot, endSlot - 1, Completed)
+      while (done < endSlot) {
+        val segEnd = math.min(done + step, endSlot)
+        Backfill.run(spark, done, segEnd, workers, outPath, fetcher, format, chunkSize)
+        done = segEnd
+        val status = if (done >= endSlot) Completed else InProgress
+        record(spark, ckptPath, checkpointId, startSlot, endSlot, done - 1, status)
+      }
+      // zero-length range: no segment loop ran, still mark completed
+      if (startSlot >= endSlot)
+        record(spark, ckptPath, checkpointId, startSlot, endSlot, endSlot - 1, Completed)
     } catch {
       case e: Throwable =>
-        record(spark, ckptPath, checkpointId, startSlot, endSlot, startSlot - 1, Failed)
+        record(spark, ckptPath, checkpointId, startSlot, endSlot, done - 1, Failed)
         throw e
     }
   }

@@ -46,17 +46,24 @@ import org.apache.spark.sql.types._
 object MergeTable {
 
   private val DataDir = "data"
-  private val LogDir = "_log"
+  // log layout visible to the package so MergeTableSpec can synthesize
+  // large manifests (10k-file planning gates) without 10k real files
+  private[operators] val LogDir = "_log"
   private val FloorDir = "_floor"
   private val CheckpointDir = "_checkpoint"
 
-  private def fmtLog(v: Long) = f"v$v%020d"
+  private[operators] def fmtLog(v: Long) = f"v$v%020d"
+
+  /** Live-file count past which [[snapshot]] warns: the driver path
+    * list and scan task count both scale with it; compaction is the
+    * fix. */
+  private[operators] val PlannedFilesWarnAt = 1000000
   private def fmtData(v: Long) = f"v$v%05d"
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val manifestSchema = StructType(Seq(
+  private[operators] val manifestSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("op", StringType, nullable = false),
     StructField("file", StringType, nullable = false),
@@ -227,8 +234,20 @@ object MergeTable {
   def snapshot(spark: SparkSession, root: String,
       asOf: Option[Long] = None): DataFrame = {
     requireAboveFloor(spark, root, asOf)
+    // The live PATH list must reach the driver — Spark plans file
+    // splits driver-side in every file source (Delta's log-backed
+    // FileIndex holds the same list). What makes this scale is that
+    // the list is O(live files) — checkpointed manifest fold, never
+    // O(commits) — and live-file count is bounded by compaction
+    // cadence. The guard makes an uncompacted table loud instead of
+    // mysteriously slow: 1M paths ≈ 100 MB of driver strings is where
+    // planning pain starts.
     val files = liveFiles(spark, root, asOf).select(col("file"))
       .collect().map(r => s"$root/${r.getString(0)}")
+    if (files.length > PlannedFilesWarnAt)
+      System.err.println(s"[merge-table] ${files.length} live files at " +
+        s"$root exceeds $PlannedFilesWarnAt — run compactFiles; driver " +
+        "planning memory and scan task count both scale with this")
     val (declared, reader) = eraReader(spark, root, asOf)
     if (files.isEmpty) {
       require(declared.isDefined,
@@ -319,13 +338,17 @@ object MergeTable {
     // from its own checkpoint choice (a checkpoint ≤ toV but > fromV
     // has already folded away removes inside the window — restricting
     // its rows to version ≤ fromV would silently drop them from the
-    // before-set and the feed would miss those deletes)
-    val fileSet = (v: Long) => liveFiles(spark, root, Some(v))
-      .select(col("file")).collect().map(_.getString(0)).toSet
-    val before = fileSet(fromV)
-    val after = fileSet(toV)
-    val added = (after -- before).toIndexedSeq.sorted
-    val removed = (before -- after).toIndexedSeq.sorted
+    // before-set and the feed would miss those deletes). The symmetric
+    // diff is DataFrame-side (two anti-joins), so the driver holds only
+    // the WINDOW'S CHURN — the rewritten file names — never both full
+    // live sets: a day's CDC feed against a 100 TB table collects that
+    // day's files, not two million-entry path lists.
+    val beforeF = liveFiles(spark, root, Some(fromV)).select(col("file"))
+    val afterF = liveFiles(spark, root, Some(toV)).select(col("file"))
+    val added = afterF.join(beforeF, Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toIndexedSeq.sorted
+    val removed = beforeF.join(afterF, Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toIndexedSeq.sorted
 
     val (declared, reader) = eraReader(spark, root, Some(toV))
     // only planned when one side has no files; the common both-sides

@@ -63,7 +63,8 @@ private[sources] class BlockTable extends Table with SupportsRead {
       FetchPolicy(
         options.getDouble("ratePerSec", 0.0),
         options.getInt("maxRetries", 3),
-        options.getLong("retryBaseMs", 10L)))
+        options.getLong("retryBaseMs", 10L),
+        Option(options.get("endpoint"))))
 }
 
 /** Per-partition fetch pacing + retry config (the reference's
@@ -72,8 +73,27 @@ private[sources] class BlockTable extends Table with SupportsRead {
   * note the ceiling is PER PARTITION, so the cluster-wide request rate
   * is workers × ratePerSec, exactly the reference's
   * per-worker-connection scheme. */
+/** `endpoint`: a JSON-RPC URL switches the reader from the synthetic
+  * stand-in to the live [[RpcClient]] — same pacing/retry envelope,
+  * real getBlock. Absent ⇒ deterministic synthetic blocks (tests, CI).
+  */
 private[sources] case class FetchPolicy(
-    ratePerSec: Double, maxRetries: Int, retryBaseMs: Long)
+    ratePerSec: Double, maxRetries: Int, retryBaseMs: Long,
+    endpoint: Option[String] = None) {
+  /** The single-attempt fetch this policy's reader wraps with ITS OWN
+    * limiter+retry (one permit per attempt, rpc.rs:48-108). The live
+    * client therefore runs with retries/pacing DISABLED internally —
+    * double-wrapping would square the backoff schedule and halve the
+    * effective rate. Lazy + one client per reader = the reference's
+    * connection-per-worker (backfill.rs:46-48). */
+  def rawFetcher(): Long => Option[String] = endpoint match {
+    case None => Backfill.syntheticBlock
+    case Some(url) =>
+      val client = new RpcClient(RpcConfig(url = url, maxRetries = 0,
+        ratePerSec = 0.0, retryBaseMs = retryBaseMs))
+      client.getBlock
+  }
+}
 
 /** Nanotime token bucket: each `acquire` claims the next free slot on a
   * fixed `1/ratePerSec` cadence and parks until it arrives. Single-
@@ -106,13 +126,24 @@ private[sources] final class RateLimiter(ratePerSec: Double,
   * and VM errors must surface immediately, not sit out a backoff
   * schedule. */
 private[sources] object FetchRetry {
+  /** Retryability default: any NonFatal — EXCEPT an [[RpcError]] that
+    * declares itself permanent (bad params, method not found;
+    * rpc.rs:85-104 retries only 429/5xx). Retrying a deterministic
+    * failure burns `maxRetries` rate-limiter permits to reach the same
+    * exception. */
+  def defaultRetryable(e: Throwable): Boolean = e match {
+    case r: RpcError => r.retryable
+    case e => scala.util.control.NonFatal(e)
+  }
+
   def withRetry[T](maxRetries: Int, baseDelayMs: Long,
-      sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+      sleep: Long => Unit = Thread.sleep,
+      retryOn: Throwable => Boolean = defaultRetryable)(f: => T): T = {
     var attempt = 0
     while (true) {
       try return f
       catch {
-        case scala.util.control.NonFatal(_) if attempt < maxRetries =>
+        case e: Throwable if retryOn(e) && attempt < maxRetries =>
           sleep(baseDelayMs << attempt)
           attempt += 1
       }
@@ -247,10 +278,11 @@ private[sources] class BlockReaderFactory(policy: FetchPolicy = FetchPolicy(0.0,
       // endpoint is failing (retries must not multiply the rate,
       // rpc.rs:48-108)
       private val limiter = new RateLimiter(policy.ratePerSec)
+      private val fetch = policy.rawFetcher()
       private val slots = Iterator.range(lo, hi).flatMap { s =>
         FetchRetry.withRetry(policy.maxRetries, policy.retryBaseMs) {
           limiter.acquire()
-          Backfill.syntheticBlock(s)
+          fetch(s)
         }.map(j => (s, j))
       }
       private var current: (Long, String) = _

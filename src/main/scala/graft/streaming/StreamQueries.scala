@@ -411,15 +411,25 @@ object StreamQueries extends QueryModule {
         q.awaitTermination()
 
         val versions = graft.operators.MergeTable.versions(s, root)
-        // 4 chunk files × maxFilesPerTrigger=1 → 4 MERGE commits, plus
-        // the cadence's folds after batches 2 and 4 (each finds ≥2
-        // small files — every MERGE commit writes multiple shuffle
-        // partitions). Fewer than 6 means either the file source
-        // collapsed chunks into fewer micro-batches or the compaction
-        // cadence silently stopped firing.
-        require(versions.length >= 6,
-          s"expected 4 MERGE commits + 2 cadence folds (≥6 versions), " +
-            s"got ${versions.length}")
+        // 4 chunk files × maxFilesPerTrigger=1 → 4 MERGE commits; the
+        // compactEvery=2 cadence folds after batches 2 and 4 WHEN a
+        // fold has work (≥2 small files — today every MERGE commit
+        // writes multiple shuffle partitions, so both folds fire and
+        // versions ≥ 6). Gate on the OBSERVABLE, not the mechanism: at
+        // least the 4 commits, and either the folds fired or the live
+        // file count is already at the folded bound — so a future
+        // writer that coalesces each commit to one file (AQE, config)
+        // reads as "compaction not needed", not a red row, while a
+        // cadence that silently stops firing against a fragmented
+        // table still fails loudly.
+        require(versions.length >= 4,
+          s"expected 4 MERGE commits (4 chunks × maxFilesPerTrigger=1), " +
+            s"got ${versions.length} versions")
+        val folds = versions.length - 4
+        val live = graft.operators.MergeTable.liveFiles(s, root).count()
+        require(folds >= 2 || live <= 4,
+          s"compaction cadence dead: $folds folds fired yet $live live " +
+            s"files remain (single-file commits would leave ≤4)")
         graft.operators.MergeTable.snapshot(s, root)
           .groupBy(col("event_type").as("last_event_type"))
           .agg(count(lit(1)).as("n_users"),

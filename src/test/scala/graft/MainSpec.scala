@@ -16,4 +16,55 @@ class MainSpec extends AnyFunSuite {
     assert(Main.parseHealthArgs(List("5000", "banana")).isLeft)
     assert(Main.parseHealthArgs(List("12x")).isLeft)
   }
+
+  test("ETL_MAX_SLOT_LAG drives the health SLO default (config.rs:80-83)") {
+    assert(Main.parseHealthArgs(List("5000"), defaultMaxLag = 77L)
+      == Right(Some((5000L, 77L))))
+    // an explicit CLI bound still wins over the env default
+    assert(Main.parseHealthArgs(List("5000", "50"), defaultMaxLag = 77L)
+      == Right(Some((5000L, 50L))))
+  }
+
+  test("EtlConfig: reference env names, defaults, and malformed-value fallback " +
+      "(config.rs:63-83)") {
+    val d = EtlConfig(Map.empty[String, String])
+    assert(d == EtlConfig(1000L, 100L, 1000L, 30L, 1000L))
+    val c = EtlConfig(Map(
+      "ETL_BATCH_SIZE" -> "250", "ETL_CHECKPOINT_INTERVAL" -> "10",
+      "ETL_BACKFILL_CHUNK_SIZE" -> "500", "ETL_INTERVAL_SECONDS" -> "5",
+      "ETL_MAX_SLOT_LAG" -> "99"))
+    assert(c == EtlConfig(250L, 10L, 500L, 5L, 99L))
+    // .parse().ok().unwrap_or(default): garbage and non-positive fall back
+    assert(EtlConfig(Map("ETL_BATCH_SIZE" -> "banana")).batchSize == 1000L)
+    assert(EtlConfig(Map("ETL_INTERVAL_SECONDS" -> "0")).intervalSeconds == 30L)
+    assert(EtlConfig(Map("ETL_MAX_SLOT_LAG" -> "-5")).maxSlotLag == 1000L)
+  }
+
+  test("health chain side: explicit arg wins, SOLANA_RPC_URL probes getSlot, " +
+      "unreachable endpoint FAILS the verdict (health.rs:12-20)") {
+    val env = Map("SOLANA_RPC_URL" -> "http://h/", "ETL_MAX_SLOT_LAG" -> "42")
+    // explicit arg: never probes (a throwing probe proves it)
+    assert(Main.chainTipSlo(Some((5000L, 10L)), env,
+      () => sys.error("must not probe")) == Right(Some((5000L, 10L))))
+    // endpoint configured: probe supplies the tip, env the SLO bound
+    assert(Main.chainTipSlo(None, env, () => 7777L) == Right(Some((7777L, 42L))))
+    // endpoint configured but down: FAILED verdict, not sink-only
+    assert(Main.chainTipSlo(None, env, () => sys.error("conn refused"))
+      == Left("conn refused"))
+    // no arg, no endpoint: plain sink probe
+    assert(Main.chainTipSlo(None, Map.empty, () => sys.error("no")) == Right(None))
+  }
+
+  test("incremental trigger: arg > ETL_INTERVAL_SECONDS > AvailableNow") {
+    import org.apache.spark.sql.streaming.Trigger
+    assert(Main.triggerFor(Some(7L), Map("ETL_INTERVAL_SECONDS" -> "60"))
+      == Trigger.ProcessingTime("7 seconds"))
+    assert(Main.triggerFor(None, Map("ETL_INTERVAL_SECONDS" -> "60"))
+      == Trigger.ProcessingTime("60 seconds"))
+    assert(Main.triggerFor(None, Map.empty) == Trigger.AvailableNow())
+    // a malformed env interval must not crash the CLI path — it falls
+    // through to the drain-and-exit posture
+    assert(Main.triggerFor(None, Map("ETL_INTERVAL_SECONDS" -> "x"))
+      == Trigger.AvailableNow())
+  }
 }

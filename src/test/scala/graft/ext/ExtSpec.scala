@@ -569,5 +569,18 @@ class ExtSpec extends SparkSpec {
       "isom".getBytes(a) ++ b32(0) ++
       b32(16) ++ "moov".getBytes(a) ++ b32(8) ++ "mvhd".getBytes(a)
     assert(Multimodal.parseMediaHeader(headerOnlyMvhd).container == "unknown")
+
+    // mvhd fields are UNSIGNED 32-bit: duration 0xFFFFFFFF is the
+    // spec's unknown-duration sentinel (common in real files) → 0,
+    // and a timescale past 2^31 saturates instead of flipping
+    // negative and misclassifying the whole file as unknown
+    val sentinelDur = Multimodal.parseMediaHeader(
+      Multimodal.mp4Bytes(600, -1 /* 0xFFFFFFFF */, body))
+    assert(sentinelDur == Multimodal.MediaHeader("mp4", 600, 0, 144),
+      sentinelDur.toString)
+    val hugeTs = Multimodal.parseMediaHeader(
+      Multimodal.mp4Bytes(Int.MinValue /* u32 2^31 */, 24000, body))
+    assert(hugeTs == Multimodal.MediaHeader("mp4", Int.MaxValue, 24000, 144),
+      hugeTs.toString)
   }
 }

@@ -25,6 +25,20 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("ETL_BACKFILL_CHUNK_SIZE bounds per-task slots (backfill.rs:22): " +
+      "partitions = max(workers, ceil(range/chunk))") {
+    // 1000 slots / chunk 100 → 10 partitions even with 4 workers
+    assert(Backfill.fetchRange(spark, 0L, 1000L, workers = 4,
+      chunkSize = Some(100L)).rdd.getNumPartitions == 10)
+    // small range: workers stays the parallelism floor (chunk is an
+    // UPPER bound on task size, never a reason to idle executors)
+    assert(Backfill.fetchRange(spark, 0L, 50L, workers = 4,
+      chunkSize = Some(100L)).rdd.getNumPartitions == 4)
+    // no chunk → the previous workers-partition behavior
+    assert(Backfill.fetchRange(spark, 0L, 1000L, workers = 4)
+      .rdd.getNumPartitions == 4)
+  }
+
   test("overlapping backfill re-run adds only missing slots, deletes nothing") {
     val out = Files.createTempDirectory("graft_overlap").toString + "/events"
     Backfill.run(spark, 1L, 201L, workers = 4, out)

@@ -705,4 +705,46 @@ class MergeTableSpec extends SparkSpec {
     assert(MergeTable.vacuumFloor(spark, root) == 1L)
     assert(rowsOf(MergeTable.snapshot(spark, root)) == Set((1L, "b")))
   }
+
+  test("10k-file manifest: key-span read plans only overlapping files; " +
+      "change feed collects only the window's churn") {
+    // The manifest entries point at files that DO NOT EXIST on disk —
+    // so any code path that plans (or reads) a non-overlapping file
+    // crashes the test, which is the gate: planning over a large
+    // manifest must be a distributed fold + pruned collect, never a
+    // read-everything pass. 10k entries ≈ a multi-TB table's live set.
+    val root = tmpRoot()
+    MergeTable.append(spark, root,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), "k")
+    val nReal = MergeTable.liveFiles(spark, root).count()
+    val fakes = (0 until 10000).map { i =>
+      org.apache.spark.sql.Row(2L, "add", s"data/v00002/fake_$i.parquet",
+        (100000 + 2 * i).toString, (100001 + 2 * i).toString, 1L)
+    }
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(fakes).asJava),
+        MergeTable.manifestSchema)
+      .write.parquet(s"$root/${MergeTable.LogDir}/${MergeTable.fmtLog(2L)}")
+    assert(MergeTable.versions(spark, root) == Seq(1L, 2L))
+    assert(MergeTable.liveFiles(spark, root).count() == nReal + 10000L)
+
+    // range read over the real keys: prunes 10k fake spans DataFrame-
+    // side, plans exactly the real files (one per shuffle partition)
+    val pruned = MergeTable.snapshotRange(spark, root, 1L, 10L)
+    assert(pruned.count() == 10L)
+    assert(pruned.inputFiles.length == nReal, pruned.inputFiles.mkString(","))
+    // a fully-pruned range over the fake gap between spans: empty, no read
+    assert(MergeTable.snapshotRange(spark, root, 99000L, 99500L).count() == 0L)
+
+    // version 3 appends one more real file; the change feed across the
+    // 10k-entry manifests diffs by anti-join and touches ONLY the churn
+    // (one added file) — collecting either full live set would be 10k
+    // paths, reading it would crash on the fakes
+    val v3 = MergeTable.append(spark, root,
+      (20L to 25L).map(k => (k, s"w$k")).toDF("k", "v"), "k")
+    val feed = MergeTable.changeFeed(spark, root, "k", 2L, v3)
+    assert(feed.filter(col("change_type") === "insert").count() == 6L)
+    assert(feed.count() == 6L)
+  }
 }

@@ -644,6 +644,64 @@ class StreamSpec extends SparkSpec {
     assert(removed > 0, "no join state evicted across the 2-day span")
   }
 
+  test("outer interval joins: state-row high-water mark bounded by the " +
+      "watermark horizon across a 10-day drain (left_outer and full_outer)") {
+    // 100×-rehearsal companion gate (PLANS.md has wall/rows for these;
+    // this pins the STATE peak): 10 day-spaced micro-batches × 80 rows,
+    // 1h watermark — the join stores must hold ~the in-horizon batches,
+    // never the corpus, and must evict as the watermark advances.
+    // Otherwise an outer join that silently stopped evicting (e.g. a
+    // watermark node lost in a refactor) scales its state with input —
+    // the exact failure mode that OOMs a 100× run.
+    val ojSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    val perBatch = 80 // 40 purchases + 40 clicks
+    for (joinType <- Seq("left_outer", "full_outer")) {
+      val src = Files.createTempDirectory(s"graft_ojs_$joinType").toString
+      val t0 = System.currentTimeMillis() - 120000L
+      (0 until 10).foreach { d =>
+        val day = f"2024-01-${d + 1}%02d"
+        val rows = (0 until 40).flatMap { i =>
+          val u = d * 1000L + i
+          // half the purchases get an in-window click partner, half not
+          val click =
+            if (i % 2 == 0)
+              Seq(s"""{"event_id":${u * 10 + 1},"user_id":$u,"ts":"${day}T09:30:00Z","event_type":"click"}""")
+            else
+              Seq(s"""{"event_id":${u * 10 + 2},"user_id":${u + 500},"ts":"${day}T09:30:00Z","event_type":"click"}""")
+          s"""{"event_id":${u * 10},"user_id":$u,"ts":"${day}T10:00:00Z","event_type":"purchase"}""" +: click
+        }
+        val f = java.nio.file.Paths.get(s"$src/d$d.json")
+        Files.write(f, rows.mkString("\n").getBytes("UTF-8"))
+        f.toFile.setLastModified(t0 + d * 3000L); ()
+      }
+      val stream = spark.readStream.schema(ojSchema)
+        .option("maxFilesPerTrigger", 1).json(src)
+      val q = StreamAnalytics.startToMemory(
+        StreamAnalytics.purchaseClickJoin(stream, watermark = "1 hour",
+          joinType = joinType), s"ojs_$joinType")
+      q.awaitTermination()
+      val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val totals = progress.map(_.stateOperators(0).numRowsTotal)
+      val removed = progress.map(_.stateOperators(0).numRowsRemoved).sum
+      // numRowsRemoved only ticks on the inner-eviction path; full-outer
+      // eviction drains through the outer-emission iterator and reports
+      // 0 (observed: totals flat at 2 batches while 80 rows/batch
+      // arrive). Eviction is therefore asserted by CONSERVATION — the
+      // peak bound below — and the metric only where it's wired.
+      if (joinType == "left_outer")
+        assert(removed > 0, s"$joinType: no join state evicted across 10 days")
+      // peak ≤ ~3 day-batches of rows (in-flight + horizon + frontier);
+      // the corpus is 800 — an unbounded store would sit near it
+      assert(totals.max <= 3L * perBatch,
+        s"$joinType: state peak ${totals.max} exceeds the watermark " +
+          s"horizon bound (totals=${totals.toSeq})")
+      assert(totals.last < 10L * perBatch / 2,
+        s"$joinType: final state ${totals.last} holds most of the corpus")
+    }
+  }
+
   test("ProcessingTime trigger tails a growing staging dir with live batch cadence") {
     import graft.operators.MergeTable
     val src = Files.createTempDirectory("graft_pt_src").toString
