@@ -21,6 +21,10 @@ class RpcClientSpec extends SparkSpec {
   private def withStub[T](
       script: (String, Option[Long], Int) => Either[(Int, String), String])(
       body: String => T): T = {
+    // JDK HttpServer leaves Nagle on → ~40ms delayed-ACK stalls per
+    // loopback request (measured in ProfileRpcBackfill); irrelevant to
+    // correctness but it makes the Spark end-to-end tests crawl
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val perKey = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]
     server.createContext("/", { (ex: HttpExchange) =>
