@@ -54,4 +54,15 @@ object EtlConfig {
     * job. */
   private def longVar(env: Map[String, String], name: String, dflt: Long): Long =
     env.get(name).flatMap(_.toLongOption).filter(_ > 0).getOrElse(dflt)
+
+  /** Presence-gated knob read — for the vars whose mere PRESENCE flips
+    * a behavior (segmented backfill checkpointing, the incremental
+    * poll-vs-drain posture) rather than tuning an always-on one. The
+    * value still parses with [[longVar]]'s tolerance so `set but
+    * malformed` keeps the reference's unwrap_or(default) semantics
+    * instead of silently disabling the behavior the operator asked
+    * for. One parser for each var: callers must not re-parse. */
+  def explicitLong(env: Map[String, String], name: String,
+      dflt: Long): Option[Long] =
+    if (env.contains(name)) Some(longVar(env, name, dflt)) else None
 }

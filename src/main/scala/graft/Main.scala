@@ -29,12 +29,21 @@ object Main {
       val endL = num("backfill", "end_slot", end)(_.toLong)
       val workersI = num("backfill", "workers", workers)(_.toInt)
       val cfg = EtlConfig()
+      // segmentation is PRESENCE-gated: each segment is a full Spark
+      // pipeline (fetch + parse + sink anti-join + append) plus two
+      // checkpoint-log passes, so defaulting to the reference's
+      // interval=100 — a cheap per-row DB update there — would turn a
+      // 1M-slot backfill into 10,000 sequential jobs with O(n²) sink
+      // listing. An operator who wants mid-range resume sets the var
+      // and sizes it for resume granularity, not row-update parity.
+      val segInterval = EtlConfig.explicitLong(
+        sys.env, "ETL_CHECKPOINT_INTERVAL", cfg.checkpointInterval)
       val spark = session()
       rest.headOption match {
         case Some(ckpt) =>
           ingest.Checkpoints.runTracked(spark, ckpt, s"bf_${start}_$end",
             startL, endL, workersI, out,
-            checkpointInterval = Some(cfg.checkpointInterval),
+            checkpointInterval = segInterval,
             chunkSize = Some(cfg.backfillChunkSize))
         case None =>
           ingest.Backfill.run(spark, startL, endL, workersI, out,
@@ -122,10 +131,15 @@ object Main {
       // chainTipSlot arg but a live endpoint configured, probe the
       // chain; an unreachable endpoint is a FAILED health verdict (the
       // reference returns Err), not a silent fallback to sink-only.
+      // fail-fast probe posture: a health check inheriting the backfill
+      // retry budget (5 retries × 30 s timeouts + backoff ≈ minutes)
+      // would outlive any monitoring wrapper's own timeout and report
+      // nothing; one retry and a 10 s cap still absorbs a blip
       chainTipSlo(slo, sys.env,
-        () => new sources.RpcClient(sources.RpcConfig.fromEnv()).getSlot()) match {
+        () => new sources.RpcClient(sources.RpcConfig.fromEnv().copy(
+          maxRetries = 1, timeoutSeconds = 10L)).getSlot()) match {
         case Left(err) =>
-          println(s"""{"status":"rpc_failed","sink_tip_slot":$tip,"error":"${err.replace('"', '\'')}"}""")
+          println(s"""{"status":"rpc_failed","sink_tip_slot":$tip,"error":${jsonString(err)}}""")
         case Right(Some((chainTip, maxLag))) =>
           val lag = math.max(0L, chainTip - tip)
           val status = if (lag <= maxLag) "ok" else "behind"
@@ -242,19 +256,35 @@ object Main {
   /** Incremental trigger resolution: an explicit interval argument wins;
     * otherwise an ETL_INTERVAL_SECONDS present IN THE ENVIRONMENT
     * selects the reference's poll cadence (incremental.rs:10-17,
-    * config.rs:76-79); with neither, AvailableNow drains the backlog
-    * and stops (the testable batch posture). The env var must be
-    * PRESENT, not merely defaulted, to flip the CLI into a
-    * never-terminating poll loop — a daemon posture nobody asked for
-    * is worse than a drained exit. */
+    * config.rs:76-79) — present-but-malformed polls at the reference's
+    * 30 s default (its own unwrap_or semantics: a set var states the
+    * intent to poll); with the var absent, AvailableNow drains the
+    * backlog and stops (the testable batch posture — a
+    * never-terminating daemon nobody asked for is worse than a drained
+    * exit). Single parser: delegates to [[EtlConfig.explicitLong]]. */
   private[graft] def triggerFor(argSec: Option[Long],
       env: Map[String, String]): org.apache.spark.sql.streaming.Trigger =
-    argSec.orElse(
-      env.get("ETL_INTERVAL_SECONDS").flatMap(_.toLongOption).filter(_ > 0)) match {
+    argSec.orElse(EtlConfig.explicitLong(env, "ETL_INTERVAL_SECONDS", 30L)) match {
       case Some(sec) =>
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(s"$sec seconds")
       case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
     }
+
+  /** Minimal JSON string literal escaper for the health verb's one-line
+    * verdict: quotes, backslashes, and control characters (multi-line
+    * TLS errors!) must not break the one-JSON-line contract a
+    * monitoring wrapper asserts on — exactly when the verdict matters
+    * most. */
+  private[graft] def jsonString(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
 
   /** Parse a numeric CLI arg through the usage/exit-2 path — every
     * subcommand validates BEFORE `session()`, so a typo never costs a

@@ -59,7 +59,15 @@ object Checkpoints {
     * re-running the whole range — the failed row carries the true
     * high-water mark, and Backfill.run's event-level anti-join makes
     * the re-run of the crashed segment itself converge. None keeps the
-    * single-segment behavior (one in_progress → one terminal row). */
+    * single-segment behavior (one in_progress → one terminal row).
+    *
+    * Size the interval for RESUME GRANULARITY, not row-update parity:
+    * each segment is a full pipeline run (fetch + parse + sink-pruned
+    * anti-join + append) plus two checkpoint-log passes, where the
+    * reference's interval=100 priced a single-row DB UPDATE
+    * (backfill.rs:119). A useful interval is ≥ chunkSize × workers —
+    * work you are willing to refetch after a crash — so a 1M-slot
+    * range stays tens of segments, never ten thousand. */
   def runTracked(spark: SparkSession, ckptPath: String, checkpointId: String,
       startSlot: Long, endSlot: Long, workers: Int, outPath: String,
       fetcher: Backfill.BlockFetcher = Backfill.syntheticBlock,

@@ -160,7 +160,16 @@ final class RpcClient(config: RpcConfig,
             val err = node.get("error")
             if (err == null || err.isNull) {
               val res = node.get("result")
-              return if (res == null) mapper.getNodeFactory.nullNode() else res
+              // a 200 body with NEITHER result nor error is not
+              // JSON-RPC (a gateway's "quota exceeded" page, a proxy
+              // interstitial): it must NOT read as `"result":null` —
+              // getBlock would map every slot to chain-skipped None
+              // and a backfill would mark the range complete having
+              // fetched nothing. 502 keeps it in the retryable band
+              // (gateway hiccups heal), then it surfaces loudly.
+              if (res == null) RpcError(502,
+                s"malformed JSON-RPC response (no result/error): ${resp.body().take(200)}")
+              else return res
             } else RpcError(
               Option(err.get("code")).map(_.asLong(-1L)).getOrElse(-1L),
               Option(err.get("message")).map(_.asText("")).getOrElse(""))

@@ -62,9 +62,29 @@ class MainSpec extends AnyFunSuite {
     assert(Main.triggerFor(None, Map("ETL_INTERVAL_SECONDS" -> "60"))
       == Trigger.ProcessingTime("60 seconds"))
     assert(Main.triggerFor(None, Map.empty) == Trigger.AvailableNow())
-    // a malformed env interval must not crash the CLI path — it falls
-    // through to the drain-and-exit posture
+    // present-but-malformed keeps the reference's unwrap_or semantics:
+    // a SET var states the intent to poll, so it polls at the 30s
+    // default rather than silently flipping to drain-and-exit
     assert(Main.triggerFor(None, Map("ETL_INTERVAL_SECONDS" -> "x"))
-      == Trigger.AvailableNow())
+      == Trigger.ProcessingTime("30 seconds"))
+  }
+
+  test("explicitLong: presence-gated, value still default-tolerant") {
+    assert(EtlConfig.explicitLong(Map.empty, "K", 7L).isEmpty)
+    assert(EtlConfig.explicitLong(Map("K" -> "3"), "K", 7L).contains(3L))
+    assert(EtlConfig.explicitLong(Map("K" -> "banana"), "K", 7L).contains(7L))
+    assert(EtlConfig.explicitLong(Map("K" -> "0"), "K", 7L).contains(7L))
+  }
+
+  test("health verdict JSON escaping survives quotes, backslashes, newlines") {
+    assert(Main.jsonString("""plain""") == "\"plain\"")
+    assert(Main.jsonString("a\"b") == "\"a\\\"b\"")
+    assert(Main.jsonString("a\\b") == "\"a\\\\b\"")
+    assert(Main.jsonString("line1\nline2\ttab") == "\"line1\\u000aline2\\u0009tab\"")
+    // the round-trip proof: what we emit, a JSON parser reads back
+    val tricky = "TLS \"handshake\"\nfailed: C:\\certs\u0001"
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s"""{"error":${Main.jsonString(tricky)}}""")
+    assert(parsed.get("error").asText() == tricky)
   }
 }

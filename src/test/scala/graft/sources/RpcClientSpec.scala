@@ -74,6 +74,21 @@ class RpcClientSpec extends SparkSpec {
     }
   }
 
+  test("200 body with NEITHER result nor error is a loud 502, never a " +
+      "silent chain-skipped None") {
+    // a gateway interstitial ({"message":"quota exceeded"}) parsed as
+    // `result: null` would make a backfill fetch nothing and mark the
+    // range complete — permanent silent data loss
+    withStub { case ("getBlock", _, _) =>
+      Left(200 -> """{"message":"quota exceeded"}""")
+    } { url =>
+      val e = intercept[RpcError](
+        new RpcClient(cfg(url, retries = 1), sleep = _ => ()).getBlock(1L))
+      assert(e.code == 502 && e.retryable)
+      assert(e.getMessage.contains("quota exceeded"))
+    }
+  }
+
   test("429 then 5xx then success: bounded exponential backoff, every attempt counted") {
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
     // attempt 0 fails at the HTTP layer (429); attempt 1 returns an

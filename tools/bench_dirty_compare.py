@@ -40,7 +40,10 @@ def main():
         ratio = (d / c) if c > 0 else None
         exempt = c < 0.5
         rows[fam] = {"clean_sec": round(c, 3), "dirty_sec": round(d, 3),
-                     "ratio": round(ratio, 3) if ratio else None,
+                     # `is not None`, not truthiness: a fully-failed dirty
+                     # family sums to 0.0 and must record ratio 0.0, not
+                     # masquerade as "clean sum was zero, undefined"
+                     "ratio": round(ratio, 3) if ratio is not None else None,
                      "exempt_small": exempt}
         if ratio is not None and not exempt and ratio > bound:
             breaches.append(fam)
