@@ -63,19 +63,27 @@ object Main {
 
     // incremental from the native block source: slots are the streaming
     // offsets (no drop-directory needed) — parse + idempotent sink are
-    // the same foreachBatch tail as the file path.
+    // the same foreachBatch tail as the file path. With SOLANA_RPC_URL
+    // set this is the fully LIVE path: tipSlot `auto` probes getSlot
+    // (the reference's chain-tip read, incremental.rs:30-ish), and the
+    // endpoint rides into every partition reader.
     case "incremental-blocks" :: start :: tip :: sink :: ckpt :: Nil =>
       val startL = num("incremental-blocks", "startSlot", start)(_.toLong)
-      val tipL = num("incremental-blocks", "tipSlot", tip)(_.toLong)
+      val endpoint = sys.env.get("SOLANA_RPC_URL")
+      val tipL = tipSlotArg(tip, endpoint.nonEmpty,
+        () => new sources.RpcClient(sources.RpcConfig.fromEnv()).getSlot()) match {
+        case Right(v) => v
+        case Left(err) => usageExit(s"incremental-blocks: $err")
+      }
       val spark = session()
-      val raw = spark.readStream.format("graft.sources.BlockSource")
+      val raw0 = spark.readStream.format("graft.sources.BlockSource")
         .option("startSlot", startL).option("tipSlot", tipL)
         .option("workers", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
         // one micro-batch = one idempotent sink commit, so the
         // reference's events-per-flush cap (ETL_BATCH_SIZE,
         // incremental.rs:68) becomes the per-trigger slot admission
         .option("maxSlotsPerTrigger", EtlConfig().batchSize)
-        .load()
+      val raw = endpoint.fold(raw0)(u => raw0.option("endpoint", u)).load()
       val q = ingest.Incremental.startFromRaw(raw, sink, ckpt)
       q.awaitTermination()
       println(s"incremental-blocks complete: ${spark.read.parquet(sink).count()} events")
@@ -270,6 +278,21 @@ object Main {
       case None => org.apache.spark.sql.streaming.Trigger.AvailableNow()
     }
 
+  /** incremental-blocks' tipSlot argument: a number, or `auto` to probe
+    * the chain tip over the configured endpoint — `auto` WITHOUT an
+    * endpoint is a usage error (there is nothing to probe), and a probe
+    * failure surfaces as one (the run cannot size its offsets). */
+  private[graft] def tipSlotArg(tip: String, hasEndpoint: Boolean,
+      probe: () => Long): Either[String, Long] = tip match {
+    case "auto" if !hasEndpoint =>
+      Left("tipSlot auto needs SOLANA_RPC_URL set")
+    case "auto" =>
+      try Right(probe())
+      catch { case scala.util.control.NonFatal(e) =>
+        Left(s"chain-tip probe failed: ${e.getMessage}") }
+    case n => n.toLongOption.toRight(s"malformed numeric argument tipSlot: $n")
+  }
+
   /** Minimal JSON string literal escaper for the health verb's one-line
     * verdict: quotes, backslashes, and control characters (multi-line
     * TLS errors!) must not break the one-JSON-line contract a
@@ -300,7 +323,7 @@ object Main {
       s"""$msg
          |usage: backfill <start> <end> <workers> <out> [ckptPath]
          |       incremental <src_dir> <sink> <ckpt> [intervalSec]
-         |       incremental-blocks <startSlot> <tipSlot> <sink> <ckpt>
+         |       incremental-blocks <startSlot> <tipSlot|auto> <sink> <ckpt>
          |       analytics <fact_path> <out_dir> [anchorTimestamp]
          |       health <fact_path> [chainTipSlot [maxSlotLag]]
          |       queries

@@ -76,6 +76,17 @@ class MainSpec extends AnyFunSuite {
     assert(EtlConfig.explicitLong(Map("K" -> "0"), "K", 7L).contains(7L))
   }
 
+  test("tipSlot arg: number, or `auto` probing the endpoint; auto without " +
+      "an endpoint and probe failures are usage errors") {
+    assert(Main.tipSlotArg("5000", hasEndpoint = false,
+      () => sys.error("must not probe")) == Right(5000L))
+    assert(Main.tipSlotArg("auto", hasEndpoint = true, () => 123L) == Right(123L))
+    assert(Main.tipSlotArg("auto", hasEndpoint = false, () => 123L).isLeft)
+    assert(Main.tipSlotArg("auto", hasEndpoint = true,
+      () => sys.error("down")).swap.exists(_.contains("down")))
+    assert(Main.tipSlotArg("12x", hasEndpoint = true, () => 1L).isLeft)
+  }
+
   test("health verdict JSON escaping survives quotes, backslashes, newlines") {
     assert(Main.jsonString("""plain""") == "\"plain\"")
     assert(Main.jsonString("a\"b") == "\"a\\\"b\"")

@@ -208,6 +208,32 @@ class RpcClientSpec extends SparkSpec {
     }
   }
 
+  test("incremental-blocks over live RPC: streaming DSv2 + endpoint drains " +
+      "to the tip through the idempotent sink (429s healed mid-stream)") {
+    withStub {
+      case ("getBlock", Some(s), 0) if s % 7 == 0 => Left(429 -> "busy")
+      case ("getBlock", Some(s), _) =>
+        Backfill.syntheticBlock(s).map(Right(_)).getOrElse(Right("null"))
+      case other => fail(s"unexpected: $other")
+    } { url =>
+      val base = java.nio.file.Files.createTempDirectory("rpc_inc").toString
+      val raw = spark.readStream.format("graft.sources.BlockSource")
+        .option("startSlot", 1L).option("tipSlot", 61L)
+        .option("workers", 2).option("maxSlotsPerTrigger", 20L)
+        .option("endpoint", url)
+        .option("maxRetries", 3).option("retryBaseMs", 1L)
+        .load()
+      val q = graft.ingest.Incremental.startFromRaw(raw, s"$base/sink", s"$base/ckpt")
+      q.awaitTermination()
+      val got = spark.read.parquet(s"$base/sink")
+      val expect = graft.ingest.Parse.parse(
+        Backfill.fetchRange(spark, 1L, 61L, 2))
+      assert(got.count() == expect.count())
+      assert(got.select("slot").distinct().count() ==
+        (1L until 61L).count(_ % 97 != 0))
+    }
+  }
+
   test("DSv2 endpoint option: batch read fetches via live RPC with per-attempt permits") {
     withStub {
       case ("getBlock", Some(s), 0) if s % 3 == 0 => Left(429 -> "busy")
