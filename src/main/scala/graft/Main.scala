@@ -143,19 +143,28 @@ object Main {
       // retry budget (5 retries × 30 s timeouts + backoff ≈ minutes)
       // would outlive any monitoring wrapper's own timeout and report
       // nothing; one retry and a 10 s cap still absorbs a blip
-      chainTipSlo(slo, sys.env,
+      val rpcFailed = chainTipSlo(slo, sys.env,
         () => new sources.RpcClient(sources.RpcConfig.fromEnv().copy(
           maxRetries = 1, timeoutSeconds = 10L)).getSlot()) match {
         case Left(err) =>
           println(s"""{"status":"rpc_failed","sink_tip_slot":$tip,"error":${jsonString(err)}}""")
+          true
         case Right(Some((chainTip, maxLag))) =>
           val lag = math.max(0L, chainTip - tip)
           val status = if (lag <= maxLag) "ok" else "behind"
           println(s"""{"status":"$status","sink_tip_slot":$tip,"slot_lag":$lag,"max_slot_lag":$maxLag}""")
+          false
         case Right(None) =>
           println(s"""{"status":"ok","sink_tip_slot":$tip}""")
+          false
       }
       spark.stop()
+      // a dead RPC endpoint is a FAILED check to the exit code too —
+      // the reference's health returns Err (nonzero, main.rs:61) and a
+      // monitoring wrapper asserting only on $? must not read it as
+      // healthy. ("behind" stays exit-0: it is a lag VERDICT the
+      // wrapper alerts on from the JSON, not a probe failure.)
+      if (rpcFailed) sys.exit(1)
 
     // table maintenance from the CLI (the ops verb every lakehouse
     // deployment schedules): OPTIMIZE small-file fold, plus VACUUM when

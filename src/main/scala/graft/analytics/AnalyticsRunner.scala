@@ -182,6 +182,29 @@ object AnalyticsRunner {
         max(col("decimals")).as("decimals"),
         count(lit(1)).as("transfer_count"))
 
+  /** fact_telemetry (docs/SCHEMA.md:161-188): the telemetry fact
+    * projection over canonical telemetry events ([[graft.ingest.Parse
+    * .parseTelemetry]] output, or any fact slice whose event_type is in
+    * the telemetry namespace). The reference declares this table and the
+    * TelemetryEvent struct (events.rs:62-72) but never populates either;
+    * here the six telemetry-specific columns come off `raw_payload` by
+    * JSON path — the same codegen'd extraction every other payload
+    * projection uses — with the SCHEMA.md integer types restored by
+    * cast. */
+  def factTelemetry(fact: DataFrame): DataFrame =
+    fact.filter(col("event_type").startsWith("telemetry_"))
+      .select(
+        col("event_id"), col("slot"), col("block_time"),
+        col("tx_signature"), col("program_id"),
+        col("instruction_index"), col("event_type"),
+        get_json_object(col("raw_payload"), "$.user_id").as("user_id"),
+        get_json_object(col("raw_payload"), "$.api_endpoint").as("api_endpoint"),
+        get_json_object(col("raw_payload"), "$.feature_name").as("feature_name"),
+        get_json_object(col("raw_payload"), "$.request_id").as("request_id"),
+        get_json_object(col("raw_payload"), "$.response_code").cast("long").as("response_code"),
+        get_json_object(col("raw_payload"), "$.latency_ms").cast("long").as("latency_ms"),
+        col("raw_payload"))
+
   /** Run all ten summary families PLUS the three star dims
     * (docs/SCHEMA.md:190-262 — declared-only in the reference) and
     * materialize them under `outDir` — the full `analytics` subcommand
@@ -201,7 +224,14 @@ object AnalyticsRunner {
       "analytics_program_trends" -> programTrends(fact, anchor),
       "dim_wallets" -> dimWallets(fact),
       "dim_programs" -> dimPrograms(fact),
-      "dim_tokens" -> dimTokens(fact))
+      "dim_tokens" -> dimTokens(fact),
+      // fact_telemetry (SCHEMA.md:161-188): declared-only in the
+      // reference (its parser never emits telemetry rows). Materialized
+      // here so the warehouse surface is complete — EMPTY (schema-only)
+      // when the fact stream carries no telemetry events, exactly the
+      // state a reference deployment's table is in today; fills as soon
+      // as a Parse.parseTelemetry feed is unioned into the fact.
+      "fact_telemetry" -> factTelemetry(fact))
     tables.map { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
       name -> spark.read.parquet(s"$outDir/$name").count()

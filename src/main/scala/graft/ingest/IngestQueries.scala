@@ -99,6 +99,53 @@ object IngestQueries extends QueryModule {
 
   private[graft] val tokenList = Schemas.TokenPrograms.map(p => s"'$p'").mkString(", ")
 
+  /** Deterministic synthetic telemetry feed for the fact_telemetry
+    * differential (SCHEMA.md:161-188 — the reference declares the table
+    * but its parser never emits a row, so there is no upstream producer
+    * to stand in for; this is the product-side webhook/API-log feed the
+    * schema describes). Record i: every 5th is a feature-usage event,
+    * the rest are API calls with a deterministic latency/response-code
+    * mix; every 11th links to an on-chain slot. Planted tolerance
+    * cases: invalid JSON, missing ts, missing request_id, a record
+    * classifiable as neither type (all dropped), and an exact-duplicate
+    * record (collapsed by event_id dedup). */
+  private[graft] def syntheticTelemetry(i: Long): String = {
+    if (i == 490) return "{not json"
+    if (i == 491) return s"""{"user_id":"user_1","request_id":"req_no_ts","api_endpoint":"/api/v0/r0"}"""
+    if (i == 492) return s"""{"ts":1704067200,"user_id":"user_2","api_endpoint":"/api/v0/r0"}"""
+    if (i == 493) return s"""{"ts":1704067200,"user_id":"user_3","request_id":"req_untyped"}"""
+    val n = if (i == 494) 3L else i // 494 duplicates record 3 exactly
+    val ts = 1704067200L + n * 30
+    val link =
+      if (n % 11 == 0) s""""slot":$n,"tx_signature":"sig_${n}_0","program_id":"prog_${n % 7}","""
+      else ""
+    if (n % 5 == 0)
+      s"""{"ts":$ts,$link"user_id":"user_${n % 37}","request_id":"req_$n","feature_name":"feat_${n % 13}"}"""
+    else {
+      val code = if (n % 19 == 0) 500 else if (n % 23 == 0) 404 else 200
+      s"""{"ts":$ts,$link"user_id":"user_${n % 37}","request_id":"req_$n","api_endpoint":"/api/v${n % 3}/r${n % 17}","response_code":$code,"latency_ms":${(n * 7) % 400 + 5}}"""
+    }
+  }
+
+  private[graft] val TelemetryPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_telemetry_${ProcessHandle.current().pid()}.parquet"
+
+  @volatile private var telemetryMaterialized = false
+  private[graft] def materializedTelemetry(s: SparkSession): DataFrame = {
+    // same commit-then-flip discipline as [[materializedBlocks]]
+    if (!telemetryMaterialized) synchronized {
+      if (!telemetryMaterialized) {
+        import s.implicits._
+        s.range(0L, 495L).as[Long].map(syntheticTelemetry)
+          .toDF("telemetry_json")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(TelemetryPath)
+        telemetryMaterialized = true
+      }
+    }
+    s.read.parquet(TelemetryPath)
+  }
+
   // DuckDB mirror of Parse.parseBlocks + the per-tx signature guard.
   private[graft] val dTxs =
     s"""blocks AS (
@@ -294,5 +341,60 @@ object IngestQueries extends QueryModule {
               | CAST(sum(net_amount) AS BIGINT) AS total_net
               |FROM net GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "ref parsers.rs:179-182 pre/post netting (J4, differential re-derive)"),
+
+    // fact_telemetry end-to-end (SCHEMA.md:161-188, events.rs:62-72 —
+    // the reference's last declared-only schema element): raw telemetry
+    // JSON → Parse.parseTelemetry (tolerance + classification + id
+    // dedup) → AnalyticsRunner.factTelemetry projection → usage rollup.
+    // The oracle re-derives the WHOLE path in DuckDB JSON SQL over the
+    // same parquet, including the event-id dedup (mirrored as a
+    // row_number over the exact id-key tuple) and every planted drop.
+    "evt_telemetry_usage" -> Q(
+      (s, _) => {
+        val fact = graft.analytics.AnalyticsRunner.factTelemetry(
+          Parse.parseTelemetry(materializedTelemetry(s)))
+        fact.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("latency_ms")).as("total_latency_ms"),
+            count(when(col("response_code") >= 400, 1)).as("n_errors"),
+            countDistinct(col("slot")).as("n_linked_slots"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH raw AS (
+              |  SELECT telemetry_json FROM read_parquet('$TelemetryPath/*.parquet')),
+              |recs AS (
+              |  SELECT CAST(json_extract(j, '$$.ts') AS BIGINT) AS ts,
+              |    CAST(json_extract(j, '$$.slot') AS BIGINT) AS slot,
+              |    json_extract_string(j, '$$.tx_signature') AS tx_signature,
+              |    json_extract_string(j, '$$.user_id') AS user_id,
+              |    json_extract_string(j, '$$.api_endpoint') AS api_endpoint,
+              |    json_extract_string(j, '$$.feature_name') AS feature_name,
+              |    json_extract_string(j, '$$.request_id') AS request_id,
+              |    CAST(json_extract(j, '$$.response_code') AS BIGINT) AS response_code,
+              |    CAST(json_extract(j, '$$.latency_ms') AS BIGINT) AS latency_ms
+              |  FROM (SELECT CASE WHEN json_valid(telemetry_json)
+              |                 THEN telemetry_json END AS j FROM raw)
+              |  WHERE j IS NOT NULL),
+              |typed AS (
+              |  SELECT *,
+              |    CASE WHEN api_endpoint IS NOT NULL THEN '${Schemas.EvTelemetryApiCall}'
+              |         WHEN feature_name IS NOT NULL THEN '${Schemas.EvTelemetryFeature}'
+              |    END AS event_type
+              |  FROM recs WHERE ts IS NOT NULL AND request_id IS NOT NULL),
+              |dedup AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY coalesce(slot, 0),
+              |        coalesce(tx_signature, request_id), event_type
+              |      ORDER BY request_id) AS rn
+              |    FROM typed WHERE event_type IS NOT NULL) WHERE rn = 1)
+              |SELECT event_type, count(*) AS n_events,
+              |  count(DISTINCT user_id) AS n_users,
+              |  CAST(sum(latency_ms) AS BIGINT) AS total_latency_ms,
+              |  count(CASE WHEN response_code >= 400 THEN 1 END) AS n_errors,
+              |  count(DISTINCT slot) AS n_linked_slots
+              |FROM dedup GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "fact_telemetry (SCHEMA.md:161-188) end-to-end: the reference's declared-only telemetry surface, parsed + projected + rolled up, differential JSON re-derive"),
   )
 }

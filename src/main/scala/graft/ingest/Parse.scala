@@ -168,6 +168,56 @@ object Parse {
         col("slot"), col("tx_index"), col("error_type"), col("error_message"))
   }
 
+  /** Telemetry-event instruction_index namespace: tx events use -1,
+    * token transfers offset by 10000; telemetry records — which have no
+    * instruction position at all — take -2 so their deterministic ids
+    * can never collide with either on-chain family. */
+  private[graft] val TelemetryIndex = -2
+
+  /** Raw telemetry JSON records → canonical event rows: the engine twin
+    * of the reference's DECLARED-ONLY telemetry surface (fact_telemetry,
+    * docs/SCHEMA.md:161-188; TelemetryEvent, events.rs:62-72 — the Rust
+    * parser never emits it). Same discipline as the block parse:
+    * PERMISSIVE from_json, per-record tolerance (a record must carry a
+    * `ts` and a `request_id` — the telemetry twins of blockTime and the
+    * tx signature — or it is dropped), classification as a codegen'd
+    * CASE expression (api_endpoint ⇒ telemetry_api_call, else
+    * feature_name ⇒ telemetry_feature_usage, else dropped: the type
+    * enum is closed), and the deterministic event_id convention of
+    * events.rs:76-86 with coalesce(slot, 0) / coalesce(tx_signature,
+    * request_id) standing in for the on-chain link a pure product event
+    * lacks. Replay-safe by the same id-dedup as [[toEvents]].
+    */
+  def parseTelemetry(raw: DataFrame, dedup: Boolean = true): DataFrame = {
+    import graft.model.Schemas._
+    val rec = raw
+      .select(from_json(col("telemetry_json"), telemetrySchema).as("t"))
+      .filter(col("t").isNotNull && col("t.ts").isNotNull &&
+        col("t.request_id").isNotNull)
+      .withColumn("event_type",
+        when(col("t.api_endpoint").isNotNull, lit(EvTelemetryApiCall))
+          .when(col("t.feature_name").isNotNull, lit(EvTelemetryFeature)))
+      .filter(col("event_type").isNotNull)
+    val events = rec.select(
+      eventId(coalesce(col("t.slot"), lit(0L)),
+        coalesce(col("t.tx_signature"), col("t.request_id")),
+        lit(TelemetryIndex), col("event_type")).as("event_id"),
+      col("t.slot").as("slot"),
+      timestamp_seconds(col("t.ts")).as("block_time"),
+      col("t.tx_signature").as("tx_signature"),
+      col("t.program_id").as("program_id"),
+      lit(TelemetryIndex).as("instruction_index"),
+      col("event_type"),
+      to_json(struct(
+        col("t.user_id").as("user_id"),
+        col("t.api_endpoint").as("api_endpoint"),
+        col("t.feature_name").as("feature_name"),
+        col("t.request_id").as("request_id"),
+        col("t.response_code").as("response_code"),
+        col("t.latency_ms").as("latency_ms"))).as("raw_payload"))
+    if (dedup) events.dropDuplicates("event_id") else events
+  }
+
   /** Token-transfer netting the reference sketches but never implements
     * (parsers.rs:179-182): full-outer join of pre/post balances on
     * (signature, accountIndex, mint) with COALESCE-0 delta (SURVEY.md

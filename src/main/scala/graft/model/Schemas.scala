@@ -39,6 +39,31 @@ object Schemas {
   val EvTokenInstruction = "token_instruction"
   val EvTokenTransfer = "token_transfer"
 
+  /** Telemetry event types (SCHEMA.md:161-188 "'telemetry_api_call',
+    * 'telemetry_feature_usage', etc."). The reference DECLARES the
+    * fact_telemetry table and the TelemetryEvent struct
+    * (events.rs:62-72) but its parser never emits either — this engine
+    * closes that gap with [[graft.ingest.Parse.parseTelemetry]]. */
+  val EvTelemetryApiCall = "telemetry_api_call"
+  val EvTelemetryFeature = "telemetry_feature_usage"
+
+  /** Spark schema for one raw telemetry JSON record (the off-chain
+    * webhook/API-log shape implied by TelemetryEvent, events.rs:62-72:
+    * base-event fields optional — telemetry may or may not link to an
+    * on-chain event — plus the six telemetry-specific fields). `ts` is
+    * unix seconds, the telemetry twin of the block's `blockTime`. */
+  val telemetrySchema: StructType = StructType(Seq(
+    StructField("ts", LongType),
+    StructField("slot", LongType),             // optional on-chain link
+    StructField("tx_signature", StringType),   // optional
+    StructField("program_id", StringType),     // optional
+    StructField("user_id", StringType),
+    StructField("api_endpoint", StringType),
+    StructField("feature_name", StringType),
+    StructField("request_id", StringType),
+    StructField("response_code", IntegerType),
+    StructField("latency_ms", LongType)))
+
   /** Spark schema for the block JSON (`jsonParsed` encoding subset the
     * reference touches). `accountKeys` is left as raw JSON-capable
     * strings downstream because the wire shape is dual: plain base58

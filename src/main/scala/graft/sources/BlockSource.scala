@@ -88,11 +88,32 @@ private[sources] case class FetchPolicy(
     * connection-per-worker (backfill.rs:46-48). */
   def rawFetcher(): Long => Option[String] = endpoint match {
     case None => Backfill.syntheticBlock
-    case Some(url) =>
-      val client = new RpcClient(RpcConfig(url = url, maxRetries = 0,
-        ratePerSec = 0.0, retryBaseMs = retryBaseMs))
-      client.getBlock
+    case Some(url) => LiveClients.forEndpoint(url).getBlock
   }
+}
+
+/** Executor-local cache of live RPC clients, one per endpoint URL.
+  * Building a client per PartitionReader — per partition per
+  * micro-batch — also builds a fresh JDK HttpClient each time, whose
+  * selector thread and socket pool are reclaimed only by GC; under a
+  * long-running ProcessingTime stream that is a steady leak of OS
+  * resources. One client per (executor JVM × endpoint) is the stable
+  * form; connection reuse across micro-batches is also what a paced
+  * long-lived poller wants from the transport.
+  *
+  * Safe to SHARE across concurrent partition readers only because the
+  * cached clients are built with internal pacing and retries DISABLED
+  * (the reader's own per-partition RateLimiter + FetchRetry wrap every
+  * attempt): with `ratePerSec = 0` the client's internal limiter is a
+  * no-op touching no state, and HttpClient/ObjectMapper are
+  * thread-safe. Do not cache a client with a live internal limiter —
+  * RateLimiter is single-threaded by contract. */
+private[sources] object LiveClients {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, RpcClient]()
+  def forEndpoint(url: String): RpcClient =
+    cache.computeIfAbsent(url, u =>
+      new RpcClient(RpcConfig(url = u, maxRetries = 0, ratePerSec = 0.0)))
 }
 
 /** Nanotime token bucket: each `acquire` claims the next free slot on a

@@ -31,7 +31,12 @@ object RpcConfig {
       throw new IllegalArgumentException("SOLANA_RPC_URL is not set")),
     maxRetries = env.get("ALCHEMY_MAX_RETRIES").flatMap(_.toIntOption).getOrElse(5),
     timeoutSeconds = env.get("ALCHEMY_TIMEOUT_SECONDS").flatMap(_.toLongOption).getOrElse(30L),
-    ratePerSec = env.get("ALCHEMY_RATE_LIMIT").flatMap(_.toDoubleOption).getOrElse(50.0))
+    // floor at 1 req/s like the reference (rpc.rs:48 max(1, rate)):
+    // RateLimiter treats <=0 as UNLIMITED (a deliberate test seam), so
+    // an env misconfiguration of "0" — which the reference keeps
+    // throttled — must not reach the live client as "hammer freely"
+    ratePerSec = math.max(1.0,
+      env.get("ALCHEMY_RATE_LIMIT").flatMap(_.toDoubleOption).getOrElse(50.0)))
 }
 
 /** A JSON-RPC failure. `retryable` mirrors the reference's retry set —

@@ -17,7 +17,13 @@ class RunnerSpec extends SparkSpec {
     val anchor = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
     val counts = AnalyticsRunner.runAll(spark, fact, anchor, s"$base/analytics")
 
-    assert(counts.size == 13)
+    assert(counts.size == 14)
+    // fact_telemetry (SCHEMA.md:161-188) materializes schema-only when
+    // the fact stream carries no telemetry events — the exact state of
+    // the reference's declared table (its parser never emits rows)
+    assert(counts("fact_telemetry") == 0L)
+    assert(spark.read.parquet(s"$base/analytics/fact_telemetry")
+      .columns.toSet.contains("latency_ms"))
     // star dims (SCHEMA.md:190-262) materialize alongside the summaries
     assert(counts("dim_wallets") > 0)
     assert(counts("dim_programs") > 0)

@@ -142,4 +142,45 @@ class ParseSpec extends SparkSpec {
     assert(net("m1") == 75L)   // 175 - 100
     assert(net("m2") == 9L)    // appeared only post
   }
+
+  test("parseTelemetry: classification, tolerance, golden id, dedup") {
+    val apiCall =
+      """{"ts":1704067200,"slot":7,"tx_signature":"sigT","program_id":"p1",
+        |"user_id":"u1","api_endpoint":"/api/v1/tx","request_id":"r1",
+        |"response_code":200,"latency_ms":42}""".stripMargin.replace("\n", "")
+    val feature =
+      """{"ts":1704067260,"user_id":"u2","feature_name":"export","request_id":"r2"}"""
+    val rows = Seq(
+      apiCall,
+      feature,
+      apiCall,                                      // exact duplicate → id dedup
+      "{not json",                                  // invalid → dropped
+      """{"user_id":"u3","request_id":"r3","api_endpoint":"/x"}""",   // no ts
+      """{"ts":1,"user_id":"u4","api_endpoint":"/x"}""",              // no request_id
+      """{"ts":1,"user_id":"u5","request_id":"r5"}""")                // untyped
+      .toDF("telemetry_json")
+    val ev = Parse.parseTelemetry(rows)
+    assert(ev.count() == 2)
+    val byType = ev.collect().map(r =>
+      r.getAs[String]("event_type") -> r).toMap
+    // golden id: sha256("7:sigT:-2:telemetry_api_call") — the
+    // events.rs:76-86 convention with the telemetry index namespace
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("7:sigT:-2:telemetry_api_call".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byType(EvTelemetryApiCall).getAs[String]("event_id") == expected)
+    // a pure product event (no on-chain link) keys on (0, request_id)
+    val featExpected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("0:r2:-2:telemetry_feature_usage".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(byType(EvTelemetryFeature).getAs[String]("event_id") == featExpected)
+    // fact projection restores the SCHEMA.md:161-188 telemetry columns
+    val fact = graft.analytics.AnalyticsRunner.factTelemetry(ev)
+    val api = fact.filter($"event_type" === EvTelemetryApiCall).collect()(0)
+    assert(api.getAs[String]("user_id") == "u1")
+    assert(api.getAs[String]("api_endpoint") == "/api/v1/tx")
+    assert(api.getAs[Long]("response_code") == 200L)
+    assert(api.getAs[Long]("latency_ms") == 42L)
+    assert(api.getAs[String]("request_id") == "r1")
+  }
 }

@@ -182,6 +182,15 @@ class RpcClientSpec extends SparkSpec {
       "ALCHEMY_RATE_LIMIT" -> "9"))
     assert(c2.maxRetries == 2 && c2.timeoutSeconds == 5L && c2.ratePerSec == 9.0)
     intercept[IllegalArgumentException](RpcConfig.fromEnv(Map.empty))
+    // rate floor (rpc.rs:48 max(1, rate)): "0"/negative would read as
+    // UNLIMITED to RateLimiter — a throttled-at-the-reference deployment
+    // must not hammer unthrottled here
+    val c3 = RpcConfig.fromEnv(Map("SOLANA_RPC_URL" -> "http://h/",
+      "ALCHEMY_RATE_LIMIT" -> "0"))
+    assert(c3.ratePerSec == 1.0)
+    val c4 = RpcConfig.fromEnv(Map("SOLANA_RPC_URL" -> "http://h/",
+      "ALCHEMY_RATE_LIMIT" -> "-7"))
+    assert(c4.ratePerSec == 1.0)
   }
 
   test("backfill end-to-end through the HTTP fetcher: task-serialized closure, " +
