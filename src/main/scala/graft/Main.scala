@@ -232,7 +232,14 @@ object Main {
             math.max(0L, latest - r)))
       case None => 0L
     }
+    // needs_compaction: live files STILL past the auto-compact bound
+    // after the fold above — i.e. the residue is large files the
+    // small-file fold cannot bin; the cron wrapper's signal to schedule
+    // an optimizeZorder/targeted rewrite rather than wait for the
+    // per-commit self-heal (which will keep yielding the same residue)
+    val bound = operators.MergeTable.autoCompactBound(spark)
     s"""{"compacted":${folded.nonEmpty},"live_files":$live,""" +
+      s""""needs_compaction":${bound > 0L && live > bound},""" +
       s""""files_deleted":$deleted,"floor":${
         operators.MergeTable.vacuumFloor(spark, root)}}"""
   }

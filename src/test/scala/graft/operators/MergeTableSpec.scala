@@ -72,6 +72,7 @@ class MergeTableSpec extends SparkSpec {
     val out1 = graft.Main.maintain(spark, root, "k", retain = None)
     assert(out1.contains("\"compacted\":true") &&
       out1.contains("\"live_files\":1") &&
+      out1.contains("\"needs_compaction\":false") &&
       out1.contains("\"files_deleted\":0") &&
       out1.contains("\"floor\":0"), out1)
     assert(MergeTable.snapshot(spark, root).count() == 40L)
@@ -405,6 +406,39 @@ class MergeTableSpec extends SparkSpec {
       Set((0L, "v0")))
     // nothing left to compact → no-op
     assert(MergeTable.compactFiles(spark, root, "k").isEmpty)
+  }
+
+  test("a table past the auto-compact bound self-heals on the next commit") {
+    // The planning bound wired to compaction (not just the stderr warn):
+    // with spark.graft.autoCompactAt = 3, trickling single-file commits
+    // past 3 live files makes the NEXT commit fold inline — no operator
+    // intervention — and state/time-travel stay intact. The default
+    // bound (PlannedFilesWarnAt) is far above any test table, so every
+    // other spec runs with the self-heal armed but never firing.
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.autoCompactAt", "3")
+    try {
+      (0L until 4L).foreach { i =>
+        MergeTable.append(spark, root,
+          Seq((i, s"v$i")).toDF("k", "v").repartition(1), "k")
+      }
+      // commits 1–3 stay under the bound; commit 4 put the table at 4
+      // live files > 3 and its own post-commit check folded them
+      assert(MergeTable.liveFiles(spark, root).count() <= 2L)
+      assert(rowsOf(MergeTable.snapshot(spark, root)) ==
+        (0L until 4L).map(i => (i, s"v$i")).toSet)
+      // merges self-heal too, and the merge's own version (pre-fold
+      // state) stays time-travelable
+      (4L until 8L).foreach { i =>
+        val v = MergeTable.merge(spark, root,
+          Seq((i, s"v$i")).toDF("k", "v").repartition(1), "k")
+        assert(rowsOf(MergeTable.snapshot(spark, root, Some(v))) ==
+          (0L to i).map(j => (j, s"v$j")).toSet)
+      }
+      assert(MergeTable.liveFiles(spark, root).count() <= 2L)
+      assert(rowsOf(MergeTable.snapshot(spark, root)) ==
+        (0L until 8L).map(i => (i, s"v$i")).toSet)
+    } finally spark.conf.unset("spark.graft.autoCompactAt")
   }
 
   test("evolveSchema adds a column; old files read as nulls; time travel sees the era's schema") {
