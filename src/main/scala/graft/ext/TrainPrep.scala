@@ -659,6 +659,23 @@ object TrainPrep extends QueryModule {
     * this line runs, and a plain val would read as 0 there. */
   private[ext] final val BpeRounds = 3
 
+  /** BOUNDED-ROUNDS CONTRACT for the BPE loop: each merge round is
+    * driver-ITERATED — one `limit(1).collect()` argmax job plus one
+    * broadcast-rule map pass — so the cost is `rounds` Spark job
+    * launches, NOT `rounds` corpus passes fused into one. That is the
+    * right shape for what this operator is (a trajectory/vocabulary
+    * AUDIT over the first rounds, the thing a trainer monitors): at 3
+    * rounds the driver loop costs milliseconds. It is the WRONG tool
+    * for training a production 30–50k-merge tokenizer — 50k rounds =
+    * 50k job launches of pure scheduling overhead; that regime wants
+    * the standard single-shuffle word-frequency export (the
+    * `prep_bpe_merge_pairs` word table feeds any off-cluster BPE
+    * trainer, which is how sub-word tokenizers are trained from
+    * Spark-prepared data in practice). The cap
+    * makes reaching for the wrong tool loud instead of mysteriously
+    * slow. */
+  private[ext] final val MaxBpeRounds = 256
+
   /** [[BpeRounds]] real BPE training iterations with MERGE APPLICATION:
     * each round counts frequency-weighted adjacent symbol pairs, picks
     * the argmax merge (count desc, then pair asc — deterministic), and
@@ -720,6 +737,12 @@ object TrainPrep extends QueryModule {
     * frame the CALLER must `Dedup.release`. */
   private def bpeLoop(documents: DataFrame, rounds: Int)
       : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    require(rounds <= MaxBpeRounds,
+      s"bpeLoop is driver-iterated (one argmax job per merge round) and " +
+        s"capped at $MaxBpeRounds rounds; $rounds requested. Training a " +
+        "full tokenizer vocabulary wants the word-frequency export fed " +
+        "to an off-cluster trainer, not this audit loop — see the " +
+        "MaxBpeRounds contract.")
     val spark = documents.sparkSession
     import spark.implicits._
     // The per-round symbol table is a ROUND-ITERATED frame, so it uses

@@ -77,6 +77,21 @@ class TrainPrepSpec extends SparkSpec {
       (2L, "aa", "aa", 1L, 1L)))
   }
 
+  test("BPE rounds cap: the driver-iterated loop refuses a full-vocab train") {
+    import spark.implicits._
+    // MaxBpeRounds contract: 50k merge rounds = 50k job launches of
+    // scheduling overhead — the audit loop must fail LOUDLY there and
+    // point at the word-frequency export instead
+    val d = Seq((1L, "aaab ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TrainPrep.bpeTrainSteps(d, rounds = TrainPrep.MaxBpeRounds + 1)
+    }
+    assert(e.getMessage.contains("driver-iterated"))
+    // at the cap itself the loop runs (it just exhausts early here)
+    assert(TrainPrep.bpeTrainSteps(d, rounds = TrainPrep.MaxBpeRounds)
+      .collect().nonEmpty)
+  }
+
   test("split-leakage audit: pair matrix conserves the near-dup pair count") {
     val rows = run("prep_split_leakage").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
