@@ -361,22 +361,38 @@ object Graph extends QueryModule {
         struct(col("v").as("src"), col("u").as("dst")))).as("p"))
       .select(col("p.src"), col("p.dst")).cache()
     try {
+      // ROUND-ITERATED frame ⇒ per-round lazy localCheckpoint + eager
+      // release (the [[kcoreTrajectory]] idiom): a plain reassignment
+      // would nest round N's plan inside round N+1's, so the final
+      // 3-round plan re-derives every prior round's join+argmax on each
+      // consumption — quadratic re-execution at real round counts, and
+      // plan/analysis cost growing per round even at 3. One label frame
+      // (node-sized, tiny next to the edges) is live at a time.
       var labels = sym.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node"))
-      for (_ <- 1 to rounds) {
-        val cnt = sym
-          .join(labels.select(col("node").as("src"), col("lbl")), "src")
-          .groupBy(col("dst").as("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-        // (node, lbl) is a grouping key, so the (c, -lbl) pairs are
-        // distinct per node: the argmax is unambiguous, no tie seam
-        labels = cnt.groupBy(col("node"))
-          .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
-      }
-      val top = labels.groupBy(col("lbl").as("community"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy(col("n_members").desc, col("community").asc).limit(20)
-      spark.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
+        .localCheckpoint(false)
+      try {
+        for (_ <- 1 to rounds) {
+          val cnt = sym
+            .join(labels.select(col("node").as("src"), col("lbl")), "src")
+            .groupBy(col("dst").as("node"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+          // (node, lbl) is a grouping key, so the (c, -lbl) pairs are
+          // distinct per node: the argmax is unambiguous, no tie seam
+          val next = cnt.groupBy(col("node"))
+            .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
+            .localCheckpoint(false)
+          // materialize the new round BEFORE releasing its parent
+          try next.count()
+          catch { case t: Throwable => Dedup.release(next); throw t }
+          Dedup.release(labels)
+          labels = next
+        }
+        val top = labels.groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("community").asc).limit(20)
+        spark.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
+      } finally Dedup.release(labels)
     } finally sym.unpersist()
   }
 
