@@ -396,5 +396,44 @@ object IngestQueries extends QueryModule {
               |  count(DISTINCT slot) AS n_linked_slots
               |FROM dedup GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "fact_telemetry (SCHEMA.md:161-188) end-to-end: the reference's declared-only telemetry surface, parsed + projected + rolled up, differential JSON re-derive"),
+
+    // §1.3 VariantType on the INGEST side: the canonical events'
+    // raw_payload (the reference's JSONB column, warehouse.rs:171) read
+    // back through Spark 4 variant — parse ONCE per row, then three
+    // TYPED extractions (string/long/boolean) off the variant value,
+    // instead of three string re-parses with get_json_object. This is
+    // the schema-on-read contract raw_payload was designed for; the
+    // evt_variant_props row covers the testdata props column, this one
+    // covers the engine's own payload format end-to-end from block JSON.
+    "ingest_variant_payload" -> Q(
+      (s, _) => {
+        val tx = Parse.parse(materializedBlocks(s))
+          .filter(col("event_type") === Schemas.EvTransaction)
+          .select(expr("parse_json(raw_payload)").as("p"))
+        tx.select(
+            expr("variant_get(p, '$.wallet', 'string')").as("wallet"),
+            expr("variant_get(p, '$.fee', 'long')").as("fee"),
+            expr("variant_get(p, '$.success', 'boolean')").as("success"))
+          .groupBy(col("success"))
+          .agg(count(lit(1)).as("n_tx"),
+            countDistinct(col("wallet")).as("n_wallets"),
+            sum(col("fee")).as("total_fees"))
+          .orderBy(col("success"))
+      },
+      Some(s"""WITH $dTxs,
+              |valid AS (SELECT * FROM sigtxs WHERE sig IS NOT NULL),
+              |payload AS (
+              |  SELECT
+              |    coalesce(
+              |      json_extract_string(tx, '$$.transaction.message.accountKeys[0].pubkey'),
+              |      json_extract_string(tx, '$$.transaction.message.accountKeys[0]')) AS wallet,
+              |    CAST(json_extract(tx, '$$.meta.fee') AS BIGINT) AS fee,
+              |    (json_extract_string(tx, '$$.meta.err') IS NULL) AS success
+              |  FROM valid)
+              |SELECT success, count(*) AS n_tx,
+              |  count(DISTINCT wallet) AS n_wallets,
+              |  CAST(sum(fee) AS BIGINT) AS total_fees
+              |FROM payload GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SURVEY §1.3 VariantType over the engine's own raw_payload (warehouse.rs:171 JSONB): one parse_json, typed variant_get extractions, differential re-derive"),
   )
 }
