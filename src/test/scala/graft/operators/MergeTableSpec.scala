@@ -441,6 +441,52 @@ class MergeTableSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.autoCompactAt")
   }
 
+  test("racing writers with inline auto-compaction: folds never change " +
+      "state, losers stay loud, the table still self-heals") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
+
+    // bound 2 ⇒ the fold fires on nearly every commit, deliberately
+    // RACING the other writer's merge and the other writer's fold —
+    // the adversarial schedule for the post-commit self-heal. The
+    // invariants: a fold is state-invisible (every read equals the
+    // model over the merges that WON), a fold losing its OCC race is
+    // absorbed (warn, not a failed merge), and the table ends folded.
+    val root = tmpRoot()
+    spark.conf.set("spark.graft.autoCompactAt", "2")
+    try {
+      var model = (0L until 10L).map(k => k -> "seed").toMap
+      MergeTable.append(spark, root,
+        model.toSeq.toDF("k", "v").repartition(2), "k")
+      for (round <- 1 to 4) {
+        // key-disjoint batches: both-win order is irrelevant to state
+        val batchA = Seq((100L + round) -> s"A$round)")
+        val batchB = Seq((200L + round) -> s"B$round)")
+        val gate = new java.util.concurrent.CyclicBarrier(2)
+        def race(b: Seq[(Long, String)]): Future[Try[Long]] = Future {
+          gate.await()
+          Try(MergeTable.merge(spark, root, b.toDF("k", "v"), "k"))
+        }
+        val (fa, fb) = (race(batchA), race(batchB))
+        val (ra, rb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+        // a loser must be the loud commit-race CME, never a silent drop
+        // or an auto-compact error surfacing through merge
+        Seq(ra, rb).foreach(_.failed.foreach(e =>
+          assert(e.isInstanceOf[java.util.ConcurrentModificationException], e)))
+        if (ra.isSuccess) model ++= batchA
+        if (rb.isSuccess) model ++= batchB
+        assert(rowsOf(MergeTable.snapshot(spark, root)) ==
+          model.toSet.map((kv: (Long, String)) => (kv._1, kv._2)))
+      }
+      // the self-heal held through the contention: commits since the
+      // seed ≥ 4, yet live files stay near the bound instead of
+      // accumulating one per commit
+      assert(MergeTable.liveFiles(spark, root).count() <= 4L)
+    } finally spark.conf.unset("spark.graft.autoCompactAt")
+  }
+
   test("evolveSchema adds a column; old files read as nulls; time travel sees the era's schema") {
     val root = tmpRoot()
     MergeTable.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
