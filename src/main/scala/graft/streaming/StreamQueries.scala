@@ -1049,6 +1049,96 @@ object StreamQueries extends QueryModule {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "native DSv2 slot-offset source -> admission-controlled micro-batches -> parse fan-out -> CDC MERGE; snapshot + commit cadence vs JSON re-parse"),
 
+    /** The telemetry surface under CONTINUOUS ingest — how product
+      * telemetry actually arrives (webhook/API-log stream), closing the
+      * fact_telemetry path's streaming half the way stream_block_ingest
+      * closes the block path's: the deterministic feed staged as
+      * [[Chunks]] mtime-ordered JSONL files → file-source micro-batches
+      * → [[graft.ingest.Parse.parseTelemetry]] (dedup = false: the
+      * stream must not grow every-id-ever state; replay absorption is
+      * the MERGE's job) → CDC MERGE on event_id → snapshot rollup.
+      *
+      * Differential teeth: the planted exact-duplicate record (index
+      * 494, duplicating index 3) lands in the LAST chunk while its
+      * original is in chunk 0 — a CROSS-BATCH replay that the
+      * idempotent MERGE must absorb (an append-shaped sink would
+      * double-count n_events → red); the planted malformed/untyped
+      * records must be dropped by the stream-side parse exactly as the
+      * batch oracle drops them; and n_batches pins the version-log
+      * length to the staged chunk count (a lost or split batch turns
+      * the row red). */
+    "stream_telemetry_ingest" -> Q(
+      (s, _) => withStreamRun(s, "telemetry") { (staging, ckpt, root) =>
+        import graft.ingest.IngestQueries
+        // the oracle reads the batch-materialized parquet of the SAME
+        // generator; the stream reads its own staged JSONL
+        IngestQueries.materializedTelemetry(s)
+        val recs = (0L until 495L).map(IngestQueries.syntheticTelemetry)
+        val per = (recs.size + Chunks - 1) / Chunks
+        val baseMs = System.currentTimeMillis() - 600000L
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+        recs.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val p = java.nio.file.Paths.get(staging, f"chunk-$i%02d.jsonl")
+          java.nio.file.Files.write(p, chunk.mkString("\n").getBytes("UTF-8"))
+          p.toFile.setLastModified(baseMs + i * 1000L); ()
+        }
+        val raw = s.readStream.format("text")
+          .option("maxFilesPerTrigger", 1)
+          .load(staging)
+          .withColumnRenamed("value", "telemetry_json")
+        val ev = graft.ingest.Parse.parseTelemetry(raw, dedup = false)
+        StreamAnalytics.cdcApply(ev, root, key = "event_id",
+          versionCol = "block_time", checkpointDir = Some(ckpt))
+          .awaitTermination()
+        val versions = graft.operators.MergeTable.versions(s, root)
+        graft.analytics.AnalyticsRunner.factTelemetry(
+            graft.operators.MergeTable.snapshot(s, root))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("latency_ms")).as("total_latency_ms"),
+            count(when(col("response_code") >= 400, 1)).as("n_errors"),
+            countDistinct(col("slot")).as("n_linked_slots"))
+          .withColumn("n_batches", lit(versions.length))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH raw AS (
+              |  SELECT telemetry_json FROM read_parquet('${graft.ingest.IngestQueries.TelemetryPath}/*.parquet')),
+              |recs AS (
+              |  SELECT CAST(json_extract(j, '$$.ts') AS BIGINT) AS ts,
+              |    CAST(json_extract(j, '$$.slot') AS BIGINT) AS slot,
+              |    json_extract_string(j, '$$.tx_signature') AS tx_signature,
+              |    json_extract_string(j, '$$.user_id') AS user_id,
+              |    json_extract_string(j, '$$.api_endpoint') AS api_endpoint,
+              |    json_extract_string(j, '$$.feature_name') AS feature_name,
+              |    json_extract_string(j, '$$.request_id') AS request_id,
+              |    CAST(json_extract(j, '$$.response_code') AS BIGINT) AS response_code,
+              |    CAST(json_extract(j, '$$.latency_ms') AS BIGINT) AS latency_ms
+              |  FROM (SELECT CASE WHEN json_valid(telemetry_json)
+              |                 THEN telemetry_json END AS j FROM raw)
+              |  WHERE j IS NOT NULL),
+              |typed AS (
+              |  SELECT *,
+              |    CASE WHEN api_endpoint IS NOT NULL THEN '${graft.model.Schemas.EvTelemetryApiCall}'
+              |         WHEN feature_name IS NOT NULL THEN '${graft.model.Schemas.EvTelemetryFeature}'
+              |    END AS event_type
+              |  FROM recs WHERE ts IS NOT NULL AND request_id IS NOT NULL),
+              |dedup AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY coalesce(slot, 0),
+              |        coalesce(tx_signature, request_id), event_type
+              |      ORDER BY request_id) AS rn
+              |    FROM typed WHERE event_type IS NOT NULL) WHERE rn = 1)
+              |SELECT event_type, count(*) AS n_events,
+              |  count(DISTINCT user_id) AS n_users,
+              |  CAST(sum(latency_ms) AS BIGINT) AS total_latency_ms,
+              |  count(CASE WHEN response_code >= 400 THEN 1 END) AS n_errors,
+              |  count(DISTINCT slot) AS n_linked_slots,
+              |  $Chunks AS n_batches
+              |FROM dedup GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "fact_telemetry under continuous ingest: JSONL micro-batches -> parseTelemetry -> CDC MERGE absorbing a cross-batch duplicate; snapshot rollup + commit cadence vs the batch oracle"),
+
     /** MID-STREAM SCHEMA EVOLUTION on the hard signal — the S12
       * retro-migration under continuous ingest, previously spec-only
       * (StreamSpec's ADD-COLUMN test): era 1 streams chunks 0–1 with
