@@ -186,7 +186,14 @@ object Parse {
     * enum is closed), and the deterministic event_id convention of
     * events.rs:76-86 with coalesce(slot, 0) / coalesce(tx_signature,
     * request_id) standing in for the on-chain link a pure product event
-    * lacks. Replay-safe by the same id-dedup as [[toEvents]].
+    * lacks. Replay-safe by the same id-dedup as [[toEvents]] — and with
+    * the same survivor contract: when two records COLLIDE on the id key
+    * with DIFFERENT payloads (e.g. a retried API call logged twice with
+    * different latencies under one request_id), an unspecified one
+    * survives, exactly as SQL MERGE / the block parse behave on a key
+    * collision. A feed that needs a specific winner gives retries
+    * distinct request_ids (or a version column and the MERGE sink's
+    * last-write-wins) upstream.
     */
   def parseTelemetry(raw: DataFrame, dedup: Boolean = true): DataFrame = {
     import graft.model.Schemas._
