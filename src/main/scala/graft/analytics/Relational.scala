@@ -557,5 +557,93 @@ object Relational extends QueryModule {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "salted skew join ≡ plain join (differential proof of the rewrite)"),
+
+    // TPC-H Q21 shape — the hardest classic semi/anti composition: for
+    // each supplier, count finished orders where THEIR line shipped late
+    // (> 90 days after the order date; this schema has no commit/receipt
+    // dates, so order-date lag is the lateness signal) AND the order had
+    // at least one other supplier (EXISTS) AND no OTHER supplier was
+    // also late (NOT EXISTS) — i.e. the supplier who single-handedly
+    // kept a multi-supplier order waiting. Both correlated subqueries
+    // become one pass each over a distinct (orderkey, suppkey) frame:
+    // the EXISTS a left_semi, the NOT EXISTS a left_anti, each an
+    // equi-join on the order key with the supplier inequality riding as
+    // the join condition — no cartesian, and at 100 TB both sides
+    // shuffle-partition on l_orderkey (the same key back to back, so
+    // the exchange is reused across the semi and anti stages). The
+    // supplier dim is broadcast; top-20 is TakeOrderedAndProject.
+    "rel_waiting_suppliers" -> Q(
+      (s, dir) => {
+        val pairs = lineitem(s, dir)
+          .join(orders(s, dir).filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+              .as("late"))
+          .groupBy(col("ok"), col("sk"))
+          // a supplier is late on the order if ANY of their lines is
+          .agg(max(col("late")).as("late"))
+        val lateOnly = pairs.filter(col("late"))
+        val others = pairs.select(col("ok").as("o_ok"), col("sk").as("o_sk"),
+          col("late").as("o_late"))
+        val waiting = lateOnly
+          .join(others,
+            col("ok") === col("o_ok") && col("sk") =!= col("o_sk"), "left_semi")
+          .join(others.filter(col("o_late")),
+            col("ok") === col("o_ok") && col("sk") =!= col("o_sk"), "left_anti")
+        waiting
+          .join(broadcast(supplier(s, dir)), col("sk") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH pairs AS (
+             |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+             |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |      THEN 1 ELSE 0 END) = 1 AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F'
+             |  GROUP BY 1, 2)
+             |SELECT s_name, count(*) AS numwait
+             |FROM pairs p JOIN supplier ON p.sk = s_suppkey
+             |WHERE p.late
+             |  AND EXISTS (SELECT 1 FROM pairs q
+             |              WHERE q.ok = p.ok AND q.sk <> p.sk)
+             |  AND NOT EXISTS (SELECT 1 FROM pairs q
+             |                  WHERE q.ok = p.ok AND q.sk <> p.sk AND q.late)
+             |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin),
+      doc = "TPC-H Q21 shape: sole-late-supplier semi + anti composition over one distinct (order, supplier) frame"),
+
+    // TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    // join with a predicate in the JOIN CONDITION (urgent orders don't
+    // count, but zero-order customers must SURVIVE — the same filter in
+    // a WHERE would silently turn the outer join inner and drop them),
+    // then a double aggregation: per-customer order counts, then the
+    // histogram of those counts. The first aggregation shuffles on
+    // c_custkey (the outer join's own key, so the exchange is shared);
+    // the second is histogram-sized. count(o_orderkey) — not count(*) —
+    // is what makes the null-extended rows count 0.
+    "rel_cust_order_dist" -> Q(
+      (s, dir) => {
+        val nonUrgent = orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        customer(s, dir)
+          .join(nonUrgent, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY 1)
+             |GROUP BY 1 ORDER BY 2 DESC, 1 DESC""".stripMargin),
+      doc = "TPC-H Q13 shape: outer join with ON-clause filter (zero-order customers survive) + double aggregation"),
   )
 }

@@ -2022,5 +2022,72 @@ object Similarity extends QueryModule {
               |SELECT ratio, CAST(count(*) AS BIGINT) AS n_vecs FROM r
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "JL ±1 random projection 64→16 with norm-distortion histogram"),
+
+    // HYBRID retrieval — the fusion every modern search/RAG stack
+    // serves: one search expressed twice (lexical terms + a dense query
+    // embedding), each ranker retrieves its own top-20, and reciprocal-
+    // rank fusion (k = 60, the Cormack/Clarke constant) merges the
+    // lists: score(d) = Σ 1/(60 + rank_i(d)). RRF fuses on RANKS, not
+    // raw scores, which is exactly why it works across incomparable
+    // scoring scales (BM25 sums vs cosine) — and why it is cross-engine
+    // exact here: ranks are integers, so the fused score is the same
+    // two-term rational on both sides. The lexical ranker is the SAME
+    // bm25Scores kernel as text_bm25_search (one definition, can't
+    // drift); the dense ranker is the brute cosine baseline against
+    // query vector 0. Scale shape: each ranker's top-20 is a
+    // TakeOrderedAndProject (never a global sort), the fusion joins two
+    // 20-row frames — driver-trivial at any corpus size; swapping the
+    // dense side for the IVF/PQ candidate path changes nothing in the
+    // fusion stage.
+    "sim_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val wL = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val lex = TextAnalytics.bm25Scores(
+            Tables.documents(s, dir), TextAnalytics.Bm25QueryTerms)
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .select(col("doc_id").as("id"),
+            row_number().over(wL).cast("long").as("lex_rank"))
+        val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
+        val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val wV = org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("vec_id"))
+        val vec = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), round(
+            graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")),
+            4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(20)
+          .select(col("vec_id").as("id"),
+            row_number().over(wV).cast("long").as("vec_rank"))
+        lex.join(vec, Seq("id"), "full_outer")
+          .select(col("id"), col("lex_rank"), col("vec_rank"),
+            round(
+              coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0))
+                + coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")), lit(0.0)),
+              6).as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("id"))
+          .limit(10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |vscored AS (
+              |  SELECT e.vec_id, round(${dCos("q.qv", "e.v")}, 4) AS sim
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+              |vtop AS (
+              |  SELECT vec_id AS id,
+              |    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
+              |  FROM (SELECT * FROM vscored ORDER BY sim DESC, vec_id LIMIT 20)),
+              |${TextAnalytics.dBm25Ctes},
+              |ltop AS (
+              |  SELECT doc_id AS id,
+              |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+              |  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 20))
+              |SELECT coalesce(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+              |  round(coalesce(1.0e0 / (60.0e0 + l.lex_rank), 0.0e0)
+              |      + coalesce(1.0e0 / (60.0e0 + v.vec_rank), 0.0e0), 6) AS rrf_score
+              |FROM ltop l FULL OUTER JOIN vtop v ON l.id = v.id
+              |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
+      doc = "hybrid retrieval: BM25 top-20 + dense cosine top-20 fused by reciprocal-rank fusion (k=60); rank-space fusion is cross-engine exact"),
   )
 }

@@ -335,59 +335,82 @@ object TextAnalytics extends QueryModule {
     // order is engine- and cluster-size-independent; top-k is
     // TakeOrderedAndProject on (rounded score, doc_id).
     "text_bm25_search" -> Q(
-      (s, dir) => {
-        val qTerms = Seq("hash", "join", "vector")
-        val d = docs(s, dir)
-        val lens = d.select(col("doc_id"),
-          expr(s"size($tokExpr)").cast("long").as("dl"))
-        val corpus = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tdl"))
-        val tf = d.select(col("doc_id"), explode(expr(tokExpr)).as("term"))
-          .filter(col("term").isin(qTerms: _*))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val termScores = tf
-          .join(broadcast(dfreq), Seq("term"))
-          .join(lens, Seq("doc_id"))
-          .crossJoin(broadcast(corpus))
-          .withColumn("idf", log(
-            (col("n").cast("double") - col("df").cast("double") + lit(0.5))
-              / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-          .withColumn("s", col("idf") * (col("tf").cast("double") * lit(2.2))
-            / (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast("double") * col("n").cast("double")
-                  / col("tdl").cast("double")))))
-        termScores.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_hits"),
-            array_sort(collect_list(struct(col("term"), col("s")))).as("ts"))
-          .select(col("doc_id"), col("n_hits"),
-            round(expr("aggregate(ts, CAST(0 AS DOUBLE), (a, q) -> a + q.s)"), 4)
-              .as("score"))
+      (s, dir) =>
+        bm25Scores(docs(s, dir), Bm25QueryTerms)
           .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some(s"""WITH lens AS (SELECT doc_id, len($dTok) AS dl FROM documents),
-              |corpus AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tdl FROM lens),
-              |tf AS (
-              |  SELECT doc_id, t AS term, count(*) AS tf
-              |  FROM documents, UNNEST($dTok) AS u(t)
-              |  WHERE t IN ('hash', 'join', 'vector') GROUP BY 1, 2),
-              |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-              |ts AS (
-              |  SELECT tf.doc_id, tf.term,
-              |    ln((CAST(corpus.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5e0)
-              |       / (CAST(dfreq.df AS DOUBLE) + 0.5e0) + 1.0e0)
-              |    * (CAST(tf.tf AS DOUBLE) * 2.2e0)
-              |    / (CAST(tf.tf AS DOUBLE) + 1.2e0 *
-              |       (0.25e0 + 0.75e0 *
-              |        (CAST(lens.dl AS DOUBLE) * CAST(corpus.n AS DOUBLE)
-              |         / CAST(corpus.tdl AS DOUBLE)))) AS s
-              |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), corpus)
-              |SELECT doc_id, count(*) AS n_hits,
-              |  round(list_reduce(list_prepend(0.0e0, list(s ORDER BY term)),
-              |    (a, x) -> a + x), 4) AS score
-              |FROM ts GROUP BY doc_id
+          .limit(20),
+      Some(s"""WITH $dBm25Ctes
+              |SELECT doc_id, n_hits, score FROM bm25
               |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
       doc = "Okapi BM25 keyword search over documents (fixed query, top-20)"),
   )
+
+  /** The fixed lexical query shared by `text_bm25_search` and the
+    * hybrid-fusion query (`sim_hybrid_rrf`) — one definition so the two
+    * rankers score the same search. Lazy (as is [[dBm25Ctes]]) because
+    * `defs` above initializes FIRST and interpolates both; plain vals
+    * here would read as null there. */
+  private[ext] lazy val Bm25QueryTerms = Seq("hash", "join", "vector")
+
+  /** Per-doc Okapi BM25 scores (k1=1.2, b=0.75, +1 idf) for a fixed term
+    * set — the scorer behind `text_bm25_search`, factored out so the
+    * hybrid RRF fusion ranks over the SAME lexical scoring. Returns
+    * (doc_id, n_hits, score) for every doc hitting ≥1 term; the per-doc
+    * term-score sum folds in term order (the lm-filter discipline) so
+    * float addition is engine- and cluster-size-independent. */
+  private[ext] def bm25Scores(d: DataFrame, qTerms: Seq[String]): DataFrame = {
+    val lens = d.select(col("doc_id"),
+      expr(s"size($tokExpr)").cast("long").as("dl"))
+    val corpus = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tdl"))
+    val tf = d.select(col("doc_id"), explode(expr(tokExpr)).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val termScores = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(
+        (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("s", col("idf") * (col("tf").cast("double") * lit(2.2))
+        / (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") * col("n").cast("double")
+              / col("tdl").cast("double")))))
+    termScores.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        array_sort(collect_list(struct(col("term"), col("s")))).as("ts"))
+      .select(col("doc_id"), col("n_hits"),
+        round(expr("aggregate(ts, CAST(0 AS DOUBLE), (a, q) -> a + q.s)"), 4)
+          .as("score"))
+  }
+
+  /** DuckDB twin of [[bm25Scores]] on [[Bm25QueryTerms]]: CTE chain
+    * ending in `bm25 (doc_id, n_hits, score)`. */
+  private[ext] lazy val dBm25Ctes: String = {
+    val inList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""lens AS (SELECT doc_id, len($dTok) AS dl FROM documents),
+       |corpus AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tdl FROM lens),
+       |tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM documents, UNNEST($dTok) AS u(t)
+       |  WHERE t IN ($inList) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |ts AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln((CAST(corpus.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5e0)
+       |       / (CAST(dfreq.df AS DOUBLE) + 0.5e0) + 1.0e0)
+       |    * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+       |    / (CAST(tf.tf AS DOUBLE) + 1.2e0 *
+       |       (0.25e0 + 0.75e0 *
+       |        (CAST(lens.dl AS DOUBLE) * CAST(corpus.n AS DOUBLE)
+       |         / CAST(corpus.tdl AS DOUBLE)))) AS s
+       |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id), corpus),
+       |bm25 AS (
+       |  SELECT doc_id, count(*) AS n_hits,
+       |    round(list_reduce(list_prepend(0.0e0, list(s ORDER BY term)),
+       |      (a, x) -> a + x), 4) AS score
+       |  FROM ts GROUP BY doc_id)""".stripMargin
+  }
 }

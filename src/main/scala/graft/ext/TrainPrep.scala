@@ -634,7 +634,73 @@ object TrainPrep extends QueryModule {
              |FROM events e JOIN b USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "winsorization at exact per-type [p1, p99] (broadcast bounds, one clip pass)"),
+
+    // BPE ENCODE — the corpus-tokenization pass that closes the
+    // tokenizer lifecycle the train/vocab queries opened: apply the
+    // trained merge table to EVERY document and report the per-source
+    // token economics (total tokens, chars/token, tokens/word) a data
+    // team actually budgets against ("how many tokens is this corpus
+    // under our tokenizer?"). Because BPE merges never cross word
+    // boundaries, encoding factors through the word table: the trained
+    // (word → |symbols|) state IS the encoder, vocabulary-sized by
+    // nature, so it broadcasts into one map-side join over the exploded
+    // corpus — the corpus is touched once, shuffles only its per-source
+    // rollup, and the merge application cost is paid once per DISTINCT
+    // word, not once per occurrence. That is the 100-TB shape: train on
+    // the word-frequency table, broadcast the resulting encoder,
+    // tokenize in a single pass. The oracle replays the full 3-round
+    // train + encode chain in DuckDB, so the differential covers the
+    // whole lifecycle, not just the rollup.
+    "prep_bpe_encode" -> Q(
+      (s, dir) => bpeEncode(docs(s, dir)),
+      Some(s"""WITH ${dBpeChain(BpeRounds)},
+              |encoder AS (SELECT w, len(s) AS n_sym FROM s$BpeRounds),
+              |toks AS (
+              |  SELECT d.source, d.doc_id, tok AS w
+              |  FROM documents d, UNNEST($dTok) AS u(tok)),
+              |j AS (SELECT t.*, e.n_sym FROM toks t JOIN encoder e USING (w))
+              |SELECT source, count(DISTINCT doc_id) AS n_docs,
+              |  count(*) AS n_words,
+              |  CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+              |  round(CAST(sum(length(w)) AS DOUBLE) / CAST(sum(n_sym) AS DOUBLE), 4)
+              |    AS chars_per_token,
+              |  round(CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+              |    AS tokens_per_word
+              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "BPE encode: trained merges applied corpus-wide via a broadcast (word -> |symbols|) encoder; per-source token economics, full train+encode differential replay"),
   )
+
+  /** BPE ENCODE body behind `prep_bpe_encode` (injectable for specs):
+    * train [[BpeRounds]] merges via [[bpeLoop]], then tokenize the whole
+    * corpus through the resulting (word → |symbols|) encoder — a
+    * vocabulary-sized broadcast join over the exploded corpus — and
+    * roll up per-source token economics. The rollup is 1 row per
+    * source (bounded by construction), so the loan-scope collect (the
+    * bpeVocab idiom) is driver-safe. */
+  private[ext] def bpeEncode(d: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = d.sparkSession
+    val (_, fin) = bpeLoop(d, rounds)
+    try {
+      val encoder = fin.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+      val out = d
+        .select(col("source"), col("doc_id"),
+          explode(expr(TextAnalytics.tokExpr)).as("w"))
+        .join(broadcast(encoder), Seq("w"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_tokens"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("chars_per_token"),
+          round(col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
+            .as("tokens_per_word"))
+        .orderBy(col("source"))
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally Dedup.release(fin)
+  }
 
   /** BPE merge-iteration body (injectable for specs — see the
     * `prep_bpe_merge_pairs` entry for the full rationale). */

@@ -375,4 +375,23 @@ class PlanSpec extends SparkSpec {
     assert(specs.nonEmpty, p)
     assert(specs.forall(_.startsWith("program_id")), specs.mkString(","))
   }
+
+  test("Q21 shape: semi + anti as hash joins on the order key, top-k bounded") {
+    val p = planOf("rel_waiting_suppliers")
+    // both correlated subqueries must become hash semi/anti joins (the
+    // supplier inequality rides as the join condition) — a nested-loop
+    // for either would be all-pairs over the order's lines at scale
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20, not a global sort
+  }
+
+  test("hybrid RRF: each ranker's top-20 is a bounded TakeOrdered, fusion is outer") {
+    val p = planOf("sim_hybrid_rrf")
+    // two independent top-k branches (lexical + dense) — both must plan
+    // as TakeOrderedAndProject; a global sort on either ranker's scored
+    // set would be the 100 TB regression
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("FullOuter"), p)
+  }
 }

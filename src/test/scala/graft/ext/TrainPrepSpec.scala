@@ -77,6 +77,35 @@ class TrainPrepSpec extends SparkSpec {
       (2L, "aa", "aa", 1L, 1L)))
   }
 
+  test("BPE encode: per-source token economics match the hand-run encoder") {
+    import spark.implicits._
+    // corpus: src a = "aaab aaab ab", src b = "ab x".
+    // word freqs: aaab×2, ab×2, x×1. 1 round: pairs (a,a)=4 ties
+    // (a,b)=4 → pair-asc tie-break merges (a,a); encoder becomes
+    // aaab→[aa,a,b] (3 syms), ab→[a,b] (2), x→[x] (1).
+    //   src a: words 3, tokens 3+3+2=8, chars 10 → cpt 1.25, tpw 8/3
+    //   src b: words 2, tokens 2+1=3,   chars 3  → cpt 1.0,  tpw 1.5
+    val d = Seq((1L, "aaab aaab ab", "a"), (2L, "ab x", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TrainPrep.bpeEncode(d, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 3L, 8L, 1.25, 2.6667),
+      ("b", 1L, 2L, 3L, 1.0, 1.5)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty) // loan released
+  }
+
+  test("BPE encode total tokens equals the trajectory's final toks_after") {
+    // encode applies the SAME trained merges the trajectory audits, so
+    // corpus-wide Σ n_tokens must equal the last round's toks_after —
+    // the encoder and the training loop cannot drift
+    val docs = graft.Tables.documents(spark, Sf)
+    val lastToks = TrainPrep.bpeTrainSteps(docs).collect().last.getLong(4)
+    val encoded = TrainPrep.bpeEncode(docs).collect().map(_.getLong(3)).sum
+    assert(encoded == lastToks, s"$encoded vs $lastToks")
+  }
+
   test("BPE rounds cap: the driver-iterated loop refuses a full-vocab train") {
     import spark.implicits._
     // MaxBpeRounds contract: 50k merge rounds = 50k job launches of
