@@ -2089,5 +2089,123 @@ object Similarity extends QueryModule {
               |FROM ltop l FULL OUTER JOIN vtop v ON l.id = v.id
               |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
       doc = "hybrid retrieval: BM25 top-20 + dense cosine top-20 fused by reciprocal-rank fusion (k=60); rank-space fusion is cross-engine exact"),
+
+    // MMR diversification — the re-rank pass that follows retrieval in
+    // every dedup-aware search/RAG stack: from the top-`pool` cosine
+    // candidates, greedily select k results maximizing
+    //   score(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    // (λ = 0.7; the empty-selection max is 0, which makes round 1 the
+    // plain argmax-relevance pick — ONE formula for every round).
+    // Scale shape: retrieval (the corpus-sized work) is the same
+    // broadcast top-k scan as sim_knn_brute; MMR itself is inherently
+    // pool-bounded — rerankers operate on the retrieved page, never the
+    // corpus — so the greedy rounds run over a pool²-row sim table,
+    // driver-iterated like the BPE argmax loop (k tiny jobs). The
+    // oracle unrolls the same greedy rounds as CTEs, so selection
+    // order, tie-breaks, and the λ-blend are all on the differential.
+    "sim_mmr_rerank" -> Q(
+      (s, dir) => mmrRerank(emb(s, dir)),
+      Some(s"""WITH $dMmrCtes
+              |${(1 to MmrK).map(i =>
+                  s"SELECT CAST($i AS BIGINT) AS rank, id, rel, score FROM sel$i")
+                  .mkString("\nUNION ALL\n")}
+              |ORDER BY rank""".stripMargin),
+      doc = "MMR diversification: greedy lambda-blend re-rank of the cosine top-pool; rounds unrolled in the oracle, selection order on the differential"),
   )
+
+  /** MMR geometry: select [[MmrK]] of the top-[[MmrPool]] candidates at
+    * λ = [[MmrLambda]]. Pool-bounded by definition of re-ranking. */
+  private[ext] final val MmrK = 4
+  private[ext] final val MmrPool = 8
+  // both weights as LITERALS on both engines: 1.0 − 0.7 in IEEE is
+  // 0.30000000000000004, not the 0.3 the oracle would parse — the
+  // derived form would shear the λ-blend at the 17th digit
+  private val MmrLambda = 0.7
+  private val MmrDiversity = 0.3
+
+  /** Greedy MMR behind `sim_mmr_rerank` (injectable for specs). Every
+    * per-round frame is ≤ pool rows and the sim table ≤ pool² — the
+    * `limit(1).collect()` argmax per round is the bpeLoop idiom, bounded
+    * by k. */
+  private[ext] def mmrRerank(e0: DataFrame, k: Int = MmrK,
+      pool: Int = MmrPool): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        round(graft.functions.VectorExpressions.vector_cosine(
+          col("qv"), col("v")), 4).as("rel"), col("v"))
+      .filter(col("rel").isNotNull)
+      .orderBy(col("rel").desc, col("id")).limit(pool)
+      .cache() // ≤ pool rows by construction
+    try {
+      val ps = cands.select(col("id").as("ida"), col("v").as("va"))
+        .join(cands.select(col("id").as("idb"), col("v").as("vb")),
+          col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"),
+          round(graft.functions.VectorExpressions.vector_cosine(
+            col("va"), col("vb")), 4).as("s"))
+        .cache() // ≤ pool² rows
+      try {
+        val picked = scala.collection.mutable.Buffer[(Long, Long, Double, Double)]()
+        for (r <- 1 to k) {
+          val selIds = picked.map(_._2).toSeq
+          val maxSim =
+            if (selIds.isEmpty) lit(0.0)
+            else coalesce(col("ms"), lit(0.0))
+          val base =
+            if (selIds.isEmpty) cands.select(col("id"), col("rel"))
+            else cands.filter(!col("id").isin(selIds: _*))
+              .join(ps.filter(col("idb").isin(selIds: _*))
+                  .groupBy(col("ida")).agg(max(col("s")).as("ms")),
+                col("id") === col("ida"), "left")
+          val best = base.select(col("id"), col("rel"),
+              round(lit(MmrLambda) * col("rel")
+                - lit(MmrDiversity) * maxSim, 6).as("score"))
+            .orderBy(col("score").desc, col("id")).limit(1).collect()
+          // a pool smaller than k just ends the selection early
+          if (best.nonEmpty)
+            picked += ((r.toLong, best(0).getLong(0), best(0).getDouble(1),
+              best(0).getDouble(2)))
+        }
+        picked.toSeq.toDF("rank", "id", "rel", "score")
+      } finally { ps.unpersist(); () }
+    } finally { cands.unpersist(); () }
+  }
+
+  /** DuckDB twin of [[mmrRerank]]: candidates + pairwise sims, then the
+    * greedy rounds unrolled — sel0 is the empty seed, round i scores
+    * every unselected candidate against sel(i−1) and takes the
+    * (score DESC, id) argmax. */
+  private lazy val dMmrCtes: String = {
+    val rounds = (1 to MmrK).map { i =>
+      s"""m$i AS (
+         |  SELECT c.id, c.rel,
+         |    round(0.7e0 * c.rel - 0.3e0 * coalesce(
+         |      (SELECT max(p.s) FROM ps p WHERE p.ida = c.id
+         |         AND p.idb IN (SELECT id FROM selall${i - 1})), 0.0e0), 6) AS score
+         |  FROM cands c
+         |  WHERE c.id NOT IN (SELECT id FROM selall${i - 1})),
+         |sel$i AS (SELECT id, rel, score FROM m$i ORDER BY score DESC, id LIMIT 1),
+         |selall$i AS (SELECT id FROM selall${i - 1} UNION ALL SELECT id FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE vec_id IS NOT NULL),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id AS id, round(${dCos("q.qv", "e.v")}, 4) AS rel, e.v
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+       |cands AS (
+       |  SELECT * FROM scored WHERE rel IS NOT NULL
+       |  ORDER BY rel DESC, id LIMIT $MmrPool),
+       |ps AS (
+       |  SELECT a.id AS ida, b.id AS idb, round(${dCos("a.v", "b.v")}, 4) AS s
+       |  FROM cands a JOIN cands b ON a.id <> b.id),
+       |selall0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false),
+       |$rounds""".stripMargin
+  }
 }

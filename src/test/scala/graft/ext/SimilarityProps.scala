@@ -26,6 +26,30 @@ class SimilarityProps extends SparkSpec {
     d
   }
 
+  test("MMR rerank demotes a clone below a diverse lower-relevance result") {
+    import spark.implicits._
+    // 2-D geometry padded to 64 dims; q = vec 0 = (1,0).
+    //   v1 = (0.96, 0.28)  rel .96
+    //   v2 = clone of v1   rel .96, sim(1,2) = 1.0
+    //   v3 = (0.8, −0.6)   rel .80, sim(1,3) = sim(2,3) = 0.6
+    // round 1: 0.7·.96 = .672 → v1 (id tie-break beats its clone)
+    // round 2: v2 = .672 − .3·1.0 = .372 < v3 = .56 − .3·.6 = .38 → v3
+    //   (the DIVERSIFICATION flip: the clone loses to lower relevance)
+    // round 3: v2 at .372; round 4: pool exhausted → only 3 rows
+    def pad(a: Float, b: Float): Array[Float] =
+      Array(a, b) ++ Array.fill(62)(0f)
+    val d = Seq(
+      (0L, pad(1f, 0f)), (1L, pad(0.96f, 0.28f)),
+      (2L, pad(0.96f, 0.28f)), (3L, pad(0.8f, -0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0.96, 0.672),
+      (2L, 3L, 0.8, 0.38),
+      (3L, 2L, 0.96, 0.372)))
+  }
+
   test("Q24 centroids equal an exact BigInt reference on random vectors") {
     import spark.implicits._
     // the fixed-point accumulation claims BIT-exact, order-free means:
