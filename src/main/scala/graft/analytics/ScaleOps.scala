@@ -184,6 +184,66 @@ object ScaleOps extends QueryModule {
              |ORDER BY cnt DESC, c.event_type NULLS FIRST""".stripMargin),
       doc = "custom TypedImperativeAggregate HLL sketch, oracle-rederived in SQL (SURVEY §7.3)"),
 
+    // Sketch RE-AGGREGATION — the reason a 100 TB warehouse stores
+    // sketches instead of estimates: one m-byte hll_sketch per
+    // (event_type, day) grain cell, rolled up to all-time reach by
+    // hll_union_est (register-wise max) WITHOUT rescanning the fact
+    // table. Register max is associative and commutative, so
+    // union-of-daily-sketches ≡ one sketch over all rows — which is
+    // exactly what the oracle states (the same global-register SQL as
+    // evt_hll_program_reach): any bug in sketch serialization, binary
+    // round-tripping, or the merge changes the estimate and turns the
+    // row red. n_days pins the grain (a lost day cell is invisible to
+    // the union — max absorbs it — but not to the count).
+    "evt_hll_sketch_rollup" -> Q(
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day_idx"), col("user_id"))
+          .groupBy(col("event_type"), col("day_idx"))
+          .agg(graft.functions.HllAggregate.hll_sketch(col("user_id")).as("sk"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            graft.functions.HllAggregate.hll_union_est(col("sk")).as("hll_wallets"))
+          .orderBy(col("event_type"))
+      },
+      // n_days counts DISTINCT (type, day) cells via a distinct
+      // subquery, not count(DISTINCT day): a null-ts day is a real
+      // grain cell in the engine's groupBy and count(DISTINCT) would
+      // drop it
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             |  FROM events),
+             |regs AS (
+             |  SELECT event_type, h >> 48 AS j,
+             |    max(49 - CASE WHEN (h & 281474976710655) = 0 THEN 0
+             |          ELSE length(bin(h & 281474976710655)) END) AS r
+             |  FROM h GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT event_type,
+             |           epoch_ns(ts) // 86400000000000 AS d FROM events),
+             |ndays AS (SELECT event_type, count(*) AS n_days FROM days GROUP BY 1),
+             |allregs AS (
+             |  SELECT b.event_type, b.j, coalesce(regs.r, 0) AS r
+             |  FROM (SELECT nd.event_type, g.j
+             |        FROM ndays nd, UNNEST(generate_series(0, 4095)) AS g(j)) b
+             |  LEFT JOIN regs ON regs.event_type IS NOT DISTINCT FROM b.event_type
+             |    AND regs.j = b.j),
+             |est AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS DOUBLE) AS s,
+             |    count(*) FILTER (WHERE r = 0) AS zeros
+             |  FROM allregs GROUP BY 1)
+             |SELECT nd.event_type, nd.n_days,
+             |  CAST(CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 4096)) * 4096 * 4096 * 562949953421312e0 / s <= 2.5e0 * 4096
+             |             AND zeros > 0
+             |    THEN round(4096 * ln(4096e0 / zeros))
+             |    ELSE round((0.7213e0 / (1e0 + 1.079e0 / 4096)) * 4096 * 4096 * 562949953421312e0 / s) END AS BIGINT)
+             |    AS hll_wallets
+             |FROM ndays nd JOIN est ON nd.event_type IS NOT DISTINCT FROM est.event_type
+             |ORDER BY nd.event_type NULLS FIRST""".stripMargin),
+      doc = "HLL sketch re-aggregation: per-day binary sketches union-merged to all-time reach; oracle = the global-register formula, so merge/serialization bugs go red"),
+
     // Bloom-filter membership probe — the at-scale primitive for "has
     // this key been seen?" without shuffling the corpus. Keys are
     // (user_id, props.k) pairs; the first half (ts < anchor) builds the

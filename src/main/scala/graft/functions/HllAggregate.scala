@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HyperLogLog distinct-count sketch as a `TypedImperativeAggregate`
@@ -86,10 +86,163 @@ case class HllAggregate(
     a
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  override def eval(buf: Array[Byte]): Any =
+    HllAggregate.estimate(buf, m, wBits)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** The SKETCH form of [[HllAggregate]]: identical registers, but eval
+  * returns the raw register array as `binary` instead of the estimate —
+  * the artifact a 100 TB warehouse actually stores. Re-aggregatable
+  * rollups (daily reach → weekly → all-time) keep one m-byte sketch per
+  * grain cell and NEVER rescan the fact table; [[HllUnionAggregate]] is
+  * the merge that rolls them up. */
+case class HllSketchAggregate(
+    child: Expression,
+    precision: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(precision >= 4 && precision <= 18,
+    s"hll_sketch precision must be in [4, 18], got $precision")
+  private val m = 1 << precision
+  private val wBits = 60 - precision
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_sketch"
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  private def hash60(v: Any): Long = Md5Hash.prefix60(v match {
+    case s: UTF8String => s.getBytes
+    case other => other.toString.getBytes("UTF-8")
+  })
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hash60(v)
+      val j = (h >>> wBits).toInt
+      val w = h & ((1L << wBits) - 1)
+      val rank = wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > (buf(j) & 0xff)) buf(j) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllAggregate.mergeRegisters(a, b)
+
+  // eval must COPY: the buffer is mutable aggregation state the
+  // framework may keep reusing after the row is emitted
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Union-merge of stored [[HllSketchAggregate]] sketches (`binary`
+  * register arrays) back into one estimate — register-wise max, the
+  * associative/commutative op that makes HLL rollups exact re-
+  * aggregations: union-of-daily-sketches ≡ one sketch over the union of
+  * the days' rows, which is precisely what the differential oracle
+  * states. A sketch of the wrong length (precision mismatch with this
+  * aggregate's) fails LOUDLY — merging misaligned registers would
+  * silently estimate garbage. */
+case class HllUnionAggregate(
+    child: Expression,
+    precision: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(precision >= 4 && precision <= 18,
+    s"hll_union_est precision must be in [4, 18], got $precision")
+  private val m = 1 << precision
+  private val wBits = 60 - precision
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_union_est"
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    child.eval(input) match {
+      case null => buf
+      case sk: Array[Byte] =>
+        require(sk.length == m,
+          s"hll_union_est(p=$precision) got a ${sk.length}-register sketch; " +
+            s"expected $m — sketches and the union must use one precision")
+        HllAggregate.mergeRegisters(buf, sk)
+      case other => throw new IllegalArgumentException(
+        s"hll_union_est expects binary hll_sketch values, got ${other.getClass}")
+    }
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllAggregate.mergeRegisters(a, b)
+
+  override def eval(buf: Array[Byte]): Any =
+    HllAggregate.estimate(buf, m, wBits)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): HllUnionAggregate =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnionAggregate =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object HllAggregate {
+  /** `hll_distinct(col)` as an aggregate Column. */
+  def hll_distinct(c: Column, precision: Int = 12): Column =
+    Bridge.column(HllAggregate(Bridge.expression(c), precision).toAggregateExpression())
+
+  /** `hll_sketch(col)`: the binary register array for storage/rollup. */
+  def hll_sketch(c: Column, precision: Int = 12): Column =
+    Bridge.column(HllSketchAggregate(Bridge.expression(c), precision).toAggregateExpression())
+
+  /** `hll_union_est(sketchCol)`: merge stored sketches → estimate. */
+  def hll_union_est(c: Column, precision: Int = 12): Column =
+    Bridge.column(HllUnionAggregate(Bridge.expression(c), precision).toAggregateExpression())
+
+  /** Register-wise max into `a` (the shared HLL merge). */
+  private[functions] def mergeRegisters(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) {
+      if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  /** The shared HLL estimator over a register array: exact integer
+    * register sum (every term 2^(wBits+1−r) is an integer — a float sum
+    * would need p+wBits+1 mantissa bits), linear counting at the low
+    * range. One implementation so the scalar aggregate, the sketch
+    * rollup, and the oracle SQL can never disagree on the formula. */
+  private[functions] def estimate(buf: Array[Byte], m: Int, wBits: Int): Long = {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    // exact integer register sum (see class doc); max = m·2^(wBits+1)
-    // = 2^61 at p=12 — fits a Long
     var s = 0L; var zeros = 0; var i = 0
     while (i < m) {
       val r = buf(i) & 0xff
@@ -104,20 +257,4 @@ case class HllAggregate(
       else e
     math.round(est)
   }
-
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
-
-  override def withNewMutableAggBufferOffset(o: Int): HllAggregate =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): HllAggregate =
-    copy(inputAggBufferOffset = o)
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(child = c.head)
-}
-
-object HllAggregate {
-  /** `hll_distinct(col)` as an aggregate Column. */
-  def hll_distinct(c: Column, precision: Int = 12): Column =
-    Bridge.column(HllAggregate(Bridge.expression(c), precision).toAggregateExpression())
 }

@@ -21,6 +21,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch rollup: union of per-day sketches equals the direct estimate") {
+    // register max is associative — the stored-sketch path must land on
+    // EXACTLY the scalar aggregate's estimate, not merely near it; any
+    // serialization/merge defect shows up as an off-by-registers drift
+    val direct = SparkEntry.queries("evt_hll_program_reach")(spark, Sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("hll_wallets")).toMap
+    val rolled = SparkEntry.queries("evt_hll_sketch_rollup")(spark, Sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("hll_wallets")).toMap
+    assert(rolled == direct)
+    // a precision-mismatched sketch must fail loudly, never mis-merge
+    import spark.implicits._
+    val bad = Seq(Array.fill[Byte](16)(0)).toDF("sk")
+      .agg(graft.functions.HllAggregate.hll_union_est(col("sk")))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage != null)
+  }
+
   test("per-group approx reach: exact twin matches, rsd=1% bound holds") {
     val exact = graft.Tables.events(spark, Sf)
       .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("e"))
