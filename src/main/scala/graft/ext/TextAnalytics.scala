@@ -343,7 +343,88 @@ object TextAnalytics extends QueryModule {
               |SELECT doc_id, n_hits, score FROM bm25
               |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
       doc = "Okapi BM25 keyword search over documents (fixed query, top-20)"),
+
+    // RAKE keyphrase extraction — the unsupervised corpus-labeling pass
+    // (tags, index terms, topic seeds): candidate phrases are the
+    // maximal runs of non-stopword tokens (gaps-and-islands on token
+    // position: island id = pos − rank among the doc's non-stop
+    // tokens), each word is scored deg(w)/freq(w) over the PHRASE
+    // table (deg = Σ |phrase| across the word's phrase occurrences,
+    // freq = the occurrence count — co-occurring in long phrases raises
+    // deg), and a phrase scores the sum of its words' scores, folded in
+    // position order (the lm-filter float discipline). Scale shape:
+    // token windows partition per doc, word stats are vocabulary-sized
+    // and broadcast back, the top-20 is a TakeOrderedAndProject —
+    // nothing touches the corpus twice except the phrase/stat pair of
+    // grouped passes.
+    "text_rake_keyphrases" -> Q(
+      (s, dir) => rakeKeyphrases(docs(s, dir)),
+      // DuckDB positions are 1-based vs posexplode's 0-based: island
+      // ids shift by one but they are only grouping keys — runs group
+      // identically on both engines
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, CAST(x['p'] AS BIGINT) AS p, x['w'] AS w
+              |  FROM documents, UNNEST(list_transform(
+              |    generate_series(1, len($dTok)),
+              |    i -> {'p': i, 'w': ($dTok)[i]})) AS u(x)),
+              |ns AS (
+              |  SELECT doc_id, p, w,
+              |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+              |  FROM toks WHERE w NOT IN ($dRakeStops)),
+              |ph AS (SELECT doc_id, isl, list(w ORDER BY p) AS ws
+              |       FROM ns GROUP BY 1, 2),
+              |wstats AS (
+              |  SELECT w, count(*) AS freq, CAST(sum(l) AS BIGINT) AS deg
+              |  FROM (SELECT unnest(ws) AS w, len(ws) AS l FROM ph) GROUP BY 1),
+              |inst AS (
+              |  SELECT ns.doc_id, ns.isl,
+              |    string_agg(ns.w, ' ' ORDER BY ns.p) AS phrase,
+              |    round(list_reduce(list_prepend(0.0e0,
+              |      list(CAST(st.deg AS DOUBLE) / st.freq ORDER BY ns.p)),
+              |      (a, x) -> a + x), 4) AS score
+              |  FROM ns JOIN wstats st USING (w)
+              |  GROUP BY 1, 2)
+              |SELECT phrase, count(*) AS n_occurrences, max(score) AS score
+              |FROM inst GROUP BY 1
+              |ORDER BY score DESC, phrase LIMIT 20""".stripMargin),
+      doc = "RAKE keyphrase extraction: stopword-bounded phrase runs, deg/freq word scores, position-ordered folds, top-20"),
   )
+
+  /** RAKE stopword list (one definition for the Spark filter and the
+    * oracle's IN list). Lazy: `defs` interpolates [[dRakeStops]] at
+    * object init. */
+  private[ext] lazy val RakeStops =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  private lazy val dRakeStops = RakeStops.map(w => s"'$w'").mkString(", ")
+
+  /** RAKE body behind `text_rake_keyphrases` (injectable for specs) —
+    * see the query comment for the shape. */
+  private[ext] def rakeKeyphrases(d: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"), posexplode(expr(tokExpr)).as(Seq("p", "w")))
+    val ns = toks.filter(!col("w").isin(RakeStops: _*))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .withColumn("isl", col("p") - col("rn"))
+    val ph = ns.groupBy(col("doc_id"), col("isl"))
+      .agg(array_sort(collect_list(struct(col("p"), col("w")))).as("pw"))
+      .select(expr("transform(pw, x -> x.w)").as("ws"))
+    val wstats = ph.select(explode(col("ws")).as("w"), size(col("ws")).as("l"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("l")).as("deg"))
+    val inst = ns.join(broadcast(wstats), Seq("w"))
+      .withColumn("s", col("deg").cast("double") / col("freq").cast("double"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(array_sort(collect_list(struct(col("p"), col("w"), col("s")))).as("pws"))
+      .select(
+        expr("array_join(transform(pws, x -> x.w), ' ')").as("phrase"),
+        round(expr("aggregate(pws, CAST(0 AS DOUBLE), (a, q) -> a + q.s)"), 4)
+          .as("score"))
+    inst.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
 
   /** The fixed lexical query shared by `text_bm25_search` and the
     * hybrid-fusion query (`sim_hybrid_rrf`) — one definition so the two

@@ -10,6 +10,26 @@ class ExtSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("RAKE keyphrases: hand-computed deg/freq scores on a planted corpus") {
+    import spark.implicits._
+    // doc 1: "red apple juice and red wine to cheese" (stops: and, to)
+    //   phrases [red apple juice] [red wine] [cheese]
+    // doc 2: "red wine" → the phrase repeats corpus-wide
+    // word stats over the PHRASE table:
+    //   red f=3 deg=3+2+2=7 → 7/3; apple f=1 deg=3 → 3; juice → 3;
+    //   wine f=2 deg=4 → 2; cheese f=1 deg=1 → 1
+    // phrase scores (position-ordered folds, round 4):
+    //   red apple juice = 7/3+3+3 = 8.3333; red wine = 7/3+2 = 4.3333
+    val d = Seq((1L, "red apple juice and red wine to cheese"),
+      (2L, "red wine")).toDF("doc_id", "text")
+    val out = TextAnalytics.rakeKeyphrases(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("red apple juice", 1L, 8.3333),
+      ("red wine", 2L, 4.3333),
+      ("cheese", 1L, 1.0)))
+  }
+
   test("semantic dedup: partition invariants, min-id survivor per cluster") {
     val rows = run("sim_semdedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
