@@ -175,6 +175,33 @@ object Dedup extends QueryModule {
 
   private[ext] val DefaultMaxShingleDf = 100
 
+  /** Directed containment pairs over the SAME df-capped inverted index
+    * as [[jaccardPairs]]: candidates (d1 < d2) with their shared-shingle
+    * count, then BOTH directions scored |A∩B|/|A| and cut at the rounded
+    * `threshold` — the asymmetric twin of [[jaccardFinish]]'s symmetric
+    * decision. Columns: contained, container, common, containment. */
+  private[ext] def containmentPairs(sh: DataFrame, threshold: Double,
+      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val capped = capShingles(sh, maxDf)
+    val a = capped.select(col("doc_id").as("d1"), col("shingle"))
+    val b = capped.select(col("doc_id").as("d2"), col("shingle"))
+    val commons = a.join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sized = commons
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+    val dir1 = sized.select(col("d1").as("contained"), col("d2").as("container"),
+      col("common"),
+      round(col("common").cast("double") / col("n1").cast("double"), 4).as("containment"))
+    val dir2 = sized.select(col("d2").as("contained"), col("d1").as("container"),
+      col("common"),
+      round(col("common").cast("double") / col("n2").cast("double"), 4).as("containment"))
+    dir1.unionByName(dir2).filter(col("containment") >= threshold)
+  }
+
   /** MinHash(8) + LSH 4×2 banding over a shingle inverted index →
     * distinct candidate pairs (d1 < d2). Candidates arrive via equi-join
     * on the band key, never pairwise comparison — the piece that survives
@@ -618,6 +645,42 @@ object Dedup extends QueryModule {
               |JOIN documents db ON jp.d2 = db.doc_id
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "near-dup contamination matrix by (source, source) edge"),
+
+    // Shingle CONTAINMENT pairs — the asymmetric near-dup signal
+    // symmetric Jaccard structurally misses: a short document pasted
+    // inside a much longer one scores |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but
+    // containment |A∩B|/|A| ≈ 1. This is the dedup decision for
+    // quote-inflation / boilerplate-wrapped reposts, emitted as DIRECTED
+    // (contained, container) rows at ≥ 0.8 — a near-identical pair
+    // legitimately appears in both directions. Same df-capped inverted
+    // index and candidate equi-join as the Jaccard path (one shared
+    // candidate machinery, two decision rules); the threshold compares
+    // the ROUNDED ratio so both engines make the identical cut.
+    "dedup_containment" -> Q(
+      (s, dir) =>
+        containmentPairs(shingleRows(s, dir), 0.8)
+          .orderBy(col("contained"), col("container")),
+      Some(s"""WITH sh0 AS ($dShingleRows),
+              |${dCapCtes("sh0", "sh", DefaultMaxShingleDf)},
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |common AS (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+              |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sized AS (
+              |  SELECT d1, d2, common, s1.n_sh AS n1, s2.n_sh AS n2
+              |  FROM common
+              |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id),
+              |dirs AS (
+              |  SELECT d1 AS contained, d2 AS container, common,
+              |    round(CAST(common AS DOUBLE) / n1, 4) AS containment FROM sized
+              |  UNION ALL
+              |  SELECT d2, d1, common,
+              |    round(CAST(common AS DOUBLE) / n2, 4) FROM sized)
+              |SELECT contained, container, common, containment
+              |FROM dirs WHERE containment >= 0.8
+              |ORDER BY contained, container""".stripMargin),
+      doc = "asymmetric containment dedup |A∩B|/|A| >= 0.8 (directed pairs off the shared df-capped candidate join)"),
 
     // MinHash + LSH: 8 min-hashes per doc, banded 4×2; docs sharing any
     // band bucket are candidate near-dups. The banding join is the piece

@@ -10,6 +10,21 @@ class ExtSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("containment flags a doc-in-doc paste that Jaccard structurally misses") {
+    import spark.implicits._
+    // doc 1's 2 shingles are a strict prefix of doc 2's 8 → containment
+    // (1 in 2) = 1.0 while jaccard = 2/8 = 0.25: the asymmetric signal
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta xx1 xx2 xx3 xx4 xx5 xx6"),
+      (3L, "zz1 zz2 zz3")).toDF("doc_id", "text")
+    val sh = Dedup.shingleRowsOf(d)
+    val cont = Dedup.containmentPairs(sh, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cont.toSeq == Seq((1L, 2L, 2L, 1.0)))
+    assert(Dedup.jaccardPairs(sh, 0.5).isEmpty) // symmetric rule is blind here
+  }
+
   test("RAKE keyphrases: hand-computed deg/freq scores on a planted corpus") {
     import spark.implicits._
     // doc 1: "red apple juice and red wine to cheese" (stops: and, to)
