@@ -418,6 +418,37 @@ object EventAnalytics extends QueryModule {
               |ORDER BY user_id NULLS FIRST, session_idx""".stripMargin),
       doc = "gaps-and-islands sessionization (6h idle gap; micros-exact both engines)"),
 
+    // Event-type TRANSITION MATRIX — the first-order Markov statistics
+    // a sequence model (next-event prediction, funnel simulation, bot
+    // detection) trains on: per user, consecutive typed events within
+    // the SAME 6h session gap as evt_sessionize form a (from → to)
+    // transition; the matrix reports counts and the per-from row
+    // distribution. One window pass over the user timeline (the
+    // sessionize exchange shape), then a ≤|types|² aggregation — the
+    // per-from probabilities divide exact integer counts, so the only
+    // float is the final rounded ratio. Transitions into a TYPELESS
+    // event (null event_type) are excluded on both engines by the same
+    // IS NOT NULL predicate.
+    "evt_transition_matrix" -> Q(
+      (s, dir) => transitionMatrix(ev(s, dir)),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_id, $dNs // 1000 AS tus, event_type
+              |  FROM events),
+              |t AS (
+              |  SELECT event_type AS from_type,
+              |    lead(event_type) OVER w AS to_type,
+              |    lead(tus) OVER w - tus AS gap
+              |  FROM e WINDOW w AS (
+              |    PARTITION BY user_id ORDER BY tus NULLS FIRST, event_id)),
+              |c AS (
+              |  SELECT from_type, to_type, count(*) AS n FROM t
+              |  WHERE to_type IS NOT NULL AND gap <= ${6L * 3600L * 1000000L}
+              |  GROUP BY 1, 2)
+              |SELECT from_type, to_type, n,
+              |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+              |FROM c ORDER BY from_type NULLS FIRST, to_type""".stripMargin),
+      doc = "first-order Markov transition matrix over user timelines (6h session bound, exact counts, per-from row distribution)"),
+
     // Retention cohorts: users bucketed by first-activity week, counted
     // distinct per (cohort_week, weeks-since-cohort) — the standard
     // product-analytics retention matrix, and the cohort shape used to
@@ -716,6 +747,30 @@ object EventAnalytics extends QueryModule {
         coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"),
         col("last_click_us"))
       .orderBy(col("purchase_id"))
+  }
+
+  /** Transition-matrix body behind `evt_transition_matrix` (injectable
+    * for specs): consecutive typed events per user within the 6h
+    * session gap → (from, to, n, p). */
+  private[graft] def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 6L * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_tus", lead(col("tus"), 1).over(w))
+      .filter(col("next_type").isNotNull &&
+        col("next_tus") - col("tus") <= gapUs)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast("double"), 4))
+      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** Sliding WAU body (injectable for specs): see the `evt_wau_sliding`

@@ -668,7 +668,63 @@ object TrainPrep extends QueryModule {
               |    AS tokens_per_word
               |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "BPE encode: trained merges applied corpus-wide via a broadcast (word -> |symbols|) encoder; per-source token economics, full train+encode differential replay"),
+
+    // Sliding-window CHUNKING — the context-window packing/RAG-indexing
+    // pass: 128-token windows at stride 96 (32-token overlap) per doc.
+    // Chunk k exists while the previous chunk hasn't already covered the
+    // tail (start < n − overlap, i.e. sequence upper bound n − 33), so
+    // no fully-redundant runt chunks are emitted and coverage is exactly
+    // contiguous (stride < size). Pure map-side explode of an integer
+    // sequence — per-doc fan-out is ⌈n/96⌉, no shuffle but the
+    // per-source rollup. `duplication` (chunk tokens / corpus tokens)
+    // is the overlap tax a storage planner budgets for.
+    "prep_chunk_windows" -> Q(
+      (s, dir) => chunkWindows(docs(s, dir)),
+      Some(s"""WITH lens AS (
+              |  SELECT source, doc_id, len($dTok) AS n FROM documents),
+              |pos AS (
+              |  SELECT source, doc_id, n,
+              |    unnest(generate_series(0, greatest(n - 33, 0), 96)) AS start
+              |  FROM lens WHERE n > 0),
+              |ch AS (
+              |  SELECT source, doc_id, n, start,
+              |    least(start + 128, n) - start AS chunk_len FROM pos)
+              |SELECT source, count(DISTINCT doc_id) AS n_docs,
+              |  count(*) AS n_chunks,
+              |  CAST(sum(chunk_len) AS BIGINT) AS chunk_tokens,
+              |  round(CAST(sum(chunk_len) AS DOUBLE) / count(*), 4) AS avg_chunk_len,
+              |  round(CAST(sum(chunk_len) AS DOUBLE)
+              |    / sum(CASE WHEN start = 0 THEN n END), 4) AS duplication
+              |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "sliding-window chunking (128-token windows, stride 96): map-side integer-sequence explode, per-source chunk economics incl. the overlap duplication tax"),
   )
+
+  /** Sliding-window chunking body behind `prep_chunk_windows`
+    * (injectable for specs) — see the query comment for the bound
+    * arithmetic. */
+  private[ext] def chunkWindows(d: DataFrame): DataFrame = {
+    val lens = d
+      .select(col("source"), col("doc_id"),
+        expr(s"size(${TextAnalytics.tokExpr})").cast("long").as("n"))
+      .filter(col("n") > 0)
+    val chunks = lens
+      .select(col("source"), col("doc_id"), col("n"),
+        explode(expr("sequence(0L, greatest(n - 33L, 0L), 96L)")).as("start"))
+      .withColumn("chunk_len",
+        least(col("start") + lit(128L), col("n")) - col("start"))
+    chunks.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("chunk_tokens"),
+        sum(when(col("start") === 0, col("n"))).as("corpus_tokens"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("chunk_tokens"),
+        round(col("chunk_tokens").cast("double")
+          / col("n_chunks").cast("double"), 4).as("avg_chunk_len"),
+        round(col("chunk_tokens").cast("double")
+          / col("corpus_tokens").cast("double"), 4).as("duplication"))
+      .orderBy(col("source"))
+  }
 
   /** BPE ENCODE body behind `prep_bpe_encode` (injectable for specs):
     * train [[BpeRounds]] merges via [[bpeLoop]], then tokenize the whole

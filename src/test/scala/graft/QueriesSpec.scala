@@ -12,6 +12,25 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("transition matrix: session gap bounds transitions, rows distribute") {
+    import spark.implicits._
+    val h = 3600L * 1000000000L // ns
+    // user 1: A→B (1m), B –7h gap– C (broken), C→A (1m): A→B, C→A
+    // user 2: A→B then B→... nothing (single pair), plus A→C so the A
+    // row distributes 0.5 / 0.5 with user 1's A→B making it 2/3 : 1/3
+    val ev = Seq(
+      (1L, 0L, 1L, "A"), (2L, h / 60, 1L, "B"), (3L, 8L * h, 1L, "C"),
+      (4L, 8L * h + h / 60, 1L, "A"),
+      (5L, 0L, 2L, "A"), (6L, h / 60, 2L, "B"),
+      (7L, 2L * h, 2L, "A"), (8L, 2L * h + h / 60, 2L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = analytics.EventAnalytics.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("A", "B", 2L, 0.6667), ("A", "C", 1L, 0.3333),
+      ("B", "A", 1L, 1.0), ("C", "A", 1L, 1.0)))
+  }
+
   test("every declared query runs and every oracle key exists") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)

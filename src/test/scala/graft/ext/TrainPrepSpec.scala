@@ -77,6 +77,24 @@ class TrainPrepSpec extends SparkSpec {
       (2L, "aa", "aa", 1L, 1L)))
   }
 
+  test("chunk windows: boundary arithmetic — no redundant runts, contiguous coverage") {
+    import spark.implicits._
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // n=128 → exactly one chunk (start 96 would be fully covered);
+    // n=129 → [0,128) + [96,129): lens 128+33, duplication 161/129;
+    // n=32  → one short chunk; n=0 (empty text) → doc dropped entirely
+    val d = Seq(
+      (1L, toks(128), "a"), (2L, toks(129), "b"),
+      (3L, toks(32), "c"), (4L, "", "d")).toDF("doc_id", "text", "source")
+    val out = TrainPrep.chunkWindows(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 1L, 128L, 128.0, 1.0),
+      ("b", 1L, 2L, 161L, 80.5, 1.2481),
+      ("c", 1L, 1L, 32L, 32.0, 1.0)))
+  }
+
   test("BPE encode: per-source token economics match the hand-run encoder") {
     import spark.implicits._
     // corpus: src a = "aaab aaab ab", src b = "ab x".
