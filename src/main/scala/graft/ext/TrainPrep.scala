@@ -697,7 +697,100 @@ object TrainPrep extends QueryModule {
               |    / sum(CASE WHEN start = 0 THEN n END), 4) AS duplication
               |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "sliding-window chunking (128-token windows, stride 96): map-side integer-sequence explode, per-source chunk economics incl. the overlap duplication tax"),
+
+    // Interpolated-bigram LM filter — the CCNet-style perplexity proxy
+    // one model order above prep_lm_filter: each doc scores the average
+    // ln(0.8·P_bigram + 0.2·P_unigram) over its token transitions and
+    // the per-source rollup reports the flag rate at −3.43 (≈ the p10
+    // of this corpus). The unigram form catches rare-WORD documents;
+    // this form catches scrambled/unnatural SEQUENCES of common words —
+    // the failure mode boilerplate shufflers and spam generators
+    // actually produce. See [[bigramScores]] for the shuffle-join scale
+    // shape (a web-scale bigram model doesn't broadcast).
+    "prep_bigram_logprob" -> Q(
+      (s, dir) => {
+        bigramScores(docs(s, dir)).groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("avg_lp") < lit(-3.43), 1)).as("n_flagged"),
+            array_sort(collect_list(struct(col("doc_id"), col("avg_lp")))).as("da"))
+          .select(col("source"), col("n_docs"), col("n_flagged"),
+            round(expr("aggregate(da, CAST(0 AS DOUBLE), (a, q) -> a + q.avg_lp)")
+              / col("n_docs").cast("double"), 4).as("mean_logprob"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, source, CAST(x['p'] AS BIGINT) AS p, x['w'] AS w
+              |  FROM documents, UNNEST(list_transform(
+              |    generate_series(1, len($dTok)),
+              |    i -> {'p': i, 'w': ($dTok)[i]})) AS u(x)),
+              |uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+              |bi AS (
+              |  SELECT doc_id, source, p,
+              |    lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS w1, w AS w2
+              |  FROM toks),
+              |bc AS (SELECT w1, w2, count(*) AS cb FROM bi
+              |       WHERE w1 IS NOT NULL GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT b.doc_id, b.source, b.p,
+              |    ln(0.8e0 * CAST(bc.cb AS DOUBLE) / u1.cu
+              |       + 0.2e0 * CAST(u2.cu AS DOUBLE) / tot.t) AS s
+              |  FROM bi b
+              |  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+              |  JOIN uni u1 ON b.w1 = u1.w
+              |  JOIN uni u2 ON b.w2 = u2.w, tot
+              |  WHERE b.w1 IS NOT NULL),
+              |perdoc AS (
+              |  SELECT doc_id, source,
+              |    list_reduce(list_prepend(0.0e0, list(s ORDER BY p)),
+              |      (a, x) -> a + x) / count(*) AS avg_lp
+              |  FROM scored GROUP BY 1, 2)
+              |SELECT source, count(*) AS n_docs,
+              |  count(*) FILTER (WHERE avg_lp < -3.43e0) AS n_flagged,
+              |  round(list_reduce(list_prepend(0.0e0, list(avg_lp ORDER BY doc_id)),
+              |    (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 4) AS mean_logprob
+              |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "interpolated-bigram LM filter (0.8 bigram + 0.2 unigram backoff, position-ordered folds, shuffle-joined model)"),
   )
+
+  /** Per-doc average INTERPOLATED-BIGRAM log-probability — the scorer
+    * behind `prep_bigram_logprob` and the one-step-up perplexity proxy
+    * over [[lmScores]]'s unigram model: score(w₂|w₁) =
+    * ln(0.8·c(w₁w₂)/c(w₁) + 0.2·c(w₂)/T), i.e. an interpolated backoff
+    * to the unigram — positions without a predecessor (each doc's first
+    * token) don't score, docs under 2 tokens drop. Scale shape: the
+    * bigram model is corpus-derived and NOT broadcast-sized at web
+    * scale, so doc bigrams reach it by a shuffle equi-join on the
+    * (w₁, w₂) key (the unigram side stays a broadcast); the per-doc ln
+    * sum folds in position order for cross-engine bit parity. */
+  private[ext] def bigramScores(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"), col("source"),
+      posexplode(expr(tok)).as(Seq("p", "w")))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val t1 = uni.agg(sum(col("cu")).as("t"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val bi = toks
+      .withColumn("w1", lag(col("w"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("source"), col("p"),
+        col("w1"), col("w").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bi
+      .join(bc, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(t1))
+      .withColumn("s", log(
+        lit(0.8) * col("cb").cast("double") / col("c1").cast("double")
+          + lit(0.2) * col("c2").cast("double") / col("t").cast("double")))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(array_sort(collect_list(struct(col("p"), col("s")))).as("ps"))
+      .select(col("doc_id"), col("source"),
+        (expr("aggregate(ps, CAST(0 AS DOUBLE), (a, q) -> a + q.s)")
+          / size(col("ps")).cast("double")).as("avg_lp"))
+  }
 
   /** Sliding-window chunking body behind `prep_chunk_windows`
     * (injectable for specs) — see the query comment for the bound

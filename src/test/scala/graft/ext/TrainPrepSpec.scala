@@ -77,6 +77,25 @@ class TrainPrepSpec extends SparkSpec {
       (2L, "aa", "aa", 1L, 1L)))
   }
 
+  test("bigram LM scorer reproduces hand-computed interpolated probabilities") {
+    import spark.implicits._
+    // doc "a b a b": uni a=2 b=2 T=4; bigrams (a,b)×2, (b,a)×1
+    //   s(a→b) = ln(0.8·2/2 + 0.2·2/4) = ln(0.9)
+    //   s(b→a) = ln(0.8·1/2 + 0.2·2/4) = ln(0.5)
+    // fold in position order: ((0 + s1) + s2) + s1, ÷ 3
+    val d = Seq((1L, "a b a b", "x")).toDF("doc_id", "text", "source")
+    val out = TrainPrep.bigramScores(d).collect()
+    assert(out.length == 1)
+    val s1 = math.log(0.8 * 2.0 / 2.0 + 0.2 * 2.0 / 4.0)
+    val s2 = math.log(0.8 * 1.0 / 2.0 + 0.2 * 2.0 / 4.0)
+    val expected = (0.0 + s1 + s2 + s1) / 3.0
+    assert(out(0).getAs[Double]("avg_lp") == expected,
+      s"${out(0)} vs $expected")
+    // a 1-token doc has no transitions and must drop, not score NaN
+    val single = Seq((2L, "solo", "x")).toDF("doc_id", "text", "source")
+    assert(TrainPrep.bigramScores(single).isEmpty)
+  }
+
   test("chunk windows: boundary arithmetic — no redundant runts, contiguous coverage") {
     import spark.implicits._
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
