@@ -449,6 +449,54 @@ object EventAnalytics extends QueryModule {
               |FROM c ORDER BY from_type NULLS FIRST, to_type""".stripMargin),
       doc = "first-order Markov transition matrix over user timelines (6h session bound, exact counts, per-from row distribution)"),
 
+    // Seasonal-naive FORECAST BACKTEST — the capacity-planning loop a
+    // monitoring deployment runs on this stream: hold out the LAST
+    // observed day, forecast each (type, hour-of-day) as the training
+    // days' mean hourly count, and score MAE/bias against the held-out
+    // day over the full 24-hour spine (zero hours count — a model
+    // scored only on busy hours flatters itself). Float discipline:
+    // mean = s_h/n would make the error sum order-sensitive, so the
+    // errors are kept INTEGER by cross-multiplying — |a_h·n − s_h| —
+    // summed exactly, with ONE double division at the end (the
+    // clip-outliers idiom). The hour spine is a 24-row broadcast per
+    // type; everything else is keyed aggregation on the scan.
+    "evt_seasonal_backtest" -> Q(
+      (s, dir) => seasonalBacktest(s, ev(s, dir)),
+      Some(s"""WITH e AS (
+              |  SELECT event_type, $dNs // 86400000000000 AS day_idx,
+              |    ($dNs // 3600000000000) % 24 AS hour
+              |  FROM events WHERE $dNs IS NOT NULL),
+              |last AS (SELECT max(day_idx) AS last_day FROM e),
+              |nt AS (SELECT count(DISTINCT day_idx) AS n_train
+              |       FROM e, last WHERE day_idx < last_day),
+              |profile AS (
+              |  SELECT event_type, hour, count(*) AS s_h
+              |  FROM e, last WHERE day_idx < last_day GROUP BY 1, 2),
+              |actual AS (
+              |  SELECT event_type, hour, count(*) AS a_h
+              |  FROM e, last WHERE day_idx = last_day GROUP BY 1, 2),
+              |spine AS (
+              |  SELECT t.event_type, g.h AS hour
+              |  FROM (SELECT DISTINCT event_type FROM e) t,
+              |       UNNEST(generate_series(0, 23)) AS g(h)),
+              |cells AS (
+              |  SELECT s.event_type, nt.n_train,
+              |    coalesce(a.a_h, 0) AS a, coalesce(p.s_h, 0) AS sh
+              |  FROM spine s
+              |  LEFT JOIN profile p ON p.event_type IS NOT DISTINCT FROM s.event_type
+              |    AND p.hour = s.hour
+              |  LEFT JOIN actual a ON a.event_type IS NOT DISTINCT FROM s.event_type
+              |    AND a.hour = s.hour, nt)
+              |SELECT event_type, max(n_train) AS n_train_days,
+              |  CAST(sum(a) AS BIGINT) AS actual_events,
+              |  round(CAST(sum(abs(a * n_train - sh)) AS DOUBLE)
+              |    / (24.0e0 * max(n_train)), 4) AS mae,
+              |  round(CAST(sum(a * n_train - sh) AS DOUBLE)
+              |    / (24.0e0 * max(n_train)), 4) AS bias
+              |FROM cells GROUP BY 1
+              |ORDER BY event_type NULLS FIRST""".stripMargin),
+      doc = "seasonal-naive hourly forecast backtested on the held-out last day: integer-exact cross-multiplied MAE/bias over the full 24h spine"),
+
     // Retention cohorts: users bucketed by first-activity week, counted
     // distinct per (cohort_week, weeks-since-cohort) — the standard
     // product-analytics retention matrix, and the cohort shape used to
@@ -747,6 +795,59 @@ object EventAnalytics extends QueryModule {
         coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"),
         col("last_click_us"))
       .orderBy(col("purchase_id"))
+  }
+
+  /** Seasonal-backtest body behind `evt_seasonal_backtest` (injectable
+    * for specs) — see the query comment for the integer-exact error
+    * arithmetic and the null-safe spine joins. */
+  private[graft] def seasonalBacktest(s: SparkSession, events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("event_type"),
+        expr("ts div 86400000000000").as("day_idx"),
+        expr("(ts div 3600000000000) % 24").as("hour"))
+      .filter(col("day_idx").isNotNull)
+    val lastDay = e.agg(max(col("day_idx")).as("last_day"))
+    val train = e.crossJoin(broadcast(lastDay))
+      .filter(col("day_idx") < col("last_day"))
+    val nTrain = train.agg(countDistinct(col("day_idx")).as("n_train"))
+    val profile = train.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("s_h"))
+    val actual = e.crossJoin(broadcast(lastDay))
+      .filter(col("day_idx") === col("last_day"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("a_h"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(
+        s.range(0, 24).select(col("id").as("hour"))))
+    // <=> on the type key: a NULL event_type is a real spine row
+    // (dirty data) and must MATCH its profile/actual rows — a plain
+    // equi-join would null-extend it while the oracle's IS NOT
+    // DISTINCT FROM joins it
+    val pj = profile.select(col("event_type").as("p_type"),
+      col("hour").as("p_hour"), col("s_h"))
+    val aj = actual.select(col("event_type").as("a_type"),
+      col("hour").as("a_hour"), col("a_h"))
+    spine
+      .join(pj, col("event_type") <=> col("p_type")
+        && col("hour") === col("p_hour"), "left_outer")
+      .join(aj, col("event_type") <=> col("a_type")
+        && col("hour") === col("a_hour"), "left_outer")
+      .crossJoin(broadcast(nTrain))
+      .select(col("event_type"),
+        col("n_train"),
+        coalesce(col("a_h"), lit(0L)).as("a"),
+        coalesce(col("s_h"), lit(0L)).as("sh"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_train")).as("n_train_days"),
+        sum(col("a")).as("actual_events"),
+        sum(abs(col("a") * col("n_train") - col("sh"))).as("abs_num"),
+        sum(col("a") * col("n_train") - col("sh")).as("bias_num"))
+      .select(col("event_type"), col("n_train_days"), col("actual_events"),
+        round(col("abs_num").cast("double")
+          / (lit(24.0) * col("n_train_days").cast("double")), 4).as("mae"),
+        round(col("bias_num").cast("double")
+          / (lit(24.0) * col("n_train_days").cast("double")), 4).as("bias"))
+      .orderBy(col("event_type"))
   }
 
   /** Transition-matrix body behind `evt_transition_matrix` (injectable

@@ -12,6 +12,26 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("seasonal backtest: hand-computed cross-multiplied MAE/bias") {
+    import spark.implicits._
+    val hr = 3600L * 1000000000L
+    val day = 24L * hr
+    // type A: train day0 h0 x2, day1 h0 x4; test day2 h0 x3, h1 x1.
+    // n_train = 2; profile h0 = 6. errors x n: h0 |3*2-6| = 0,
+    // h1 |1*2-0| = 2, other 22 hours 0 → mae = bias = 2/48 = 0.0417
+    val ev = Seq(
+      (1L, 0L, "A"), (2L, 1L, "A"),
+      (3L, day, "A"), (4L, day + 1, "A"), (5L, day + 2, "A"), (6L, day + 3, "A"),
+      (7L, 2 * day, "A"), (8L, 2 * day + 1, "A"), (9L, 2 * day + 2, "A"),
+      (10L, 2 * day + hr, "A"))
+      .toDF("event_id", "ts", "event_type")
+    val out = analytics.EventAnalytics.seasonalBacktest(spark, ev).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4)) == ("A", 2L, 4L, 0.0417, 0.0417), r)
+  }
+
   test("transition matrix: session gap bounds transitions, rows distribute") {
     import spark.implicits._
     val h = 3600L * 1000000000L // ns
