@@ -388,6 +388,36 @@ object TextAnalytics extends QueryModule {
               |FROM inst GROUP BY 1
               |ORDER BY score DESC, phrase LIMIT 20""".stripMargin),
       doc = "RAKE keyphrase extraction: stopword-bounded phrase runs, deg/freq word scores, position-ordered folds, top-20"),
+
+    // Fuzzy title/head matching — edit-distance near-dup detection for
+    // the SHORT-string regime (titles, headers, product names) where
+    // shingle machinery has nothing to grip: normalized 16-char heads,
+    // candidates blocked on the head's 8-char prefix OR suffix (a ≤1
+    // edit in one half leaves the other half byte-identical — the
+    // classic pigeonhole blocking guarantee for distance ≤ 1, best-
+    // effort above), exact levenshtein ≤ 3 on the blocked candidates.
+    // Both engines compute unit-cost edit distance on the same ASCII
+    // heads, so the metric is integer-exact on the differential.
+    "text_fuzzy_match" -> Q(
+      (s, dir) => fuzzyMatch(docs(s, dir)),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    substr(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')),
+             |      1, 16) AS hd
+             |  FROM documents WHERE text IS NOT NULL),
+             |k AS (
+             |  SELECT doc_id, hd, substr(hd, 1, 8) AS pre, substr(hd, 9, 8) AS suf
+             |  FROM h WHERE length(hd) = 16),
+             |cand AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.hd AS h1, b.hd AS h2
+             |  FROM k a JOIN k b ON a.pre = b.pre AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id, a.hd, b.hd
+             |  FROM k a JOIN k b ON a.suf = b.suf AND a.doc_id < b.doc_id)
+             |SELECT d1, d2, CAST(levenshtein(h1, h2) AS BIGINT) AS dist
+             |FROM cand WHERE levenshtein(h1, h2) <= 3
+             |ORDER BY d1, d2""".stripMargin),
+      doc = "edit-distance fuzzy matching for short strings: prefix/suffix pigeonhole blocking (equi-joins), exact levenshtein <= 3 on candidates"),
   )
 
   /** RAKE stopword list (one definition for the Spark filter and the
@@ -396,6 +426,37 @@ object TextAnalytics extends QueryModule {
   private[ext] lazy val RakeStops =
     Seq("the", "a", "an", "and", "of", "to", "in", "is")
   private lazy val dRakeStops = RakeStops.map(w => s"'$w'").mkString(", ")
+
+  /** Fuzzy-match body behind `text_fuzzy_match` (injectable for specs):
+    * 16-char normalized heads, candidates blocked on the head's 8-char
+    * prefix OR suffix (an edit in one half leaves the other half intact
+    * — one block key alone misses those pairs), exact edit distance ≤ 3
+    * on survivors. Heads shorter than 16 chars are excluded — a short
+    * doc's empty suffix key would be a hot blocking bucket (exact dedup
+    * owns that regime). Blocking keys are equi-join columns, never
+    * all-pairs; levenshtein runs only on blocked candidates. */
+  private[ext] def fuzzyMatch(d: DataFrame): DataFrame = {
+    val h = d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")),
+          1, 16).as("hd"))
+      .filter(length(col("hd")) === 16)
+      .withColumn("pre", substring(col("hd"), 1, 8))
+      .withColumn("suf", substring(col("hd"), 9, 8))
+    val a = h.select(col("doc_id").as("d1"), col("hd").as("h1"),
+      col("pre"), col("suf"))
+    val b = h.select(col("doc_id").as("d2"), col("hd").as("h2"),
+      col("pre"), col("suf"))
+    val byPre = a.drop("suf").join(b.drop("suf"), Seq("pre"))
+      .filter(col("d1") < col("d2")).select(col("d1"), col("d2"), col("h1"), col("h2"))
+    val bySuf = a.drop("pre").join(b.drop("pre"), Seq("suf"))
+      .filter(col("d1") < col("d2")).select(col("d1"), col("d2"), col("h1"), col("h2"))
+    byPre.unionByName(bySuf).distinct()
+      .withColumn("dist", levenshtein(col("h1"), col("h2")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
 
   /** RAKE body behind `text_rake_keyphrases` (injectable for specs) —
     * see the query comment for the shape. */

@@ -10,6 +10,25 @@ class ExtSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("fuzzy match: pigeonhole blocking finds single-edit pairs via either half") {
+    import spark.implicits._
+    // 1↔2: edit in the PREFIX half ("helloxdo" vs "helloydo"... actually
+    // differs at pos 6) → found via the SHARED SUFFIX block; 1↔3: edit
+    // in the suffix half → found via the shared prefix block; 4 shares
+    // neither block with 1 (both halves differ) and stays unmatched
+    // even though its true distance is 2 — the documented best-effort
+    // bound above distance 1. 5 is < 16 chars → excluded.
+    val d = Seq(
+      (1L, "hello docs aaaa zz tail"),
+      (2L, "hullo docs aaaa zz tail"),   // prefix-half edit, same suffix
+      (3L, "hello docs abaa zz tail"),   // suffix-half edit, same prefix
+      (4L, "hullo docs abaa zz tail"),   // one edit in EACH half vs 1
+      (5L, "short")).toDF("doc_id", "text")
+    val out = TextAnalytics.fuzzyMatch(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
   test("containment flags a doc-in-doc paste that Jaccard structurally misses") {
     import spark.implicits._
     // doc 1's 2 shingles are a strict prefix of doc 2's 8 → containment
