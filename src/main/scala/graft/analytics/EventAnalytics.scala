@@ -494,6 +494,7 @@ object EventAnalytics extends QueryModule {
               |  round(CAST(sum(a * n_train - sh) AS DOUBLE)
               |    / (24.0e0 * max(n_train)), 4) AS bias
               |FROM cells GROUP BY 1
+              |HAVING max(n_train) > 0
               |ORDER BY event_type NULLS FIRST""".stripMargin),
       doc = "seasonal-naive hourly forecast backtested on the held-out last day: integer-exact cross-multiplied MAE/bias over the full 24h spine"),
 
@@ -842,6 +843,11 @@ object EventAnalytics extends QueryModule {
         sum(col("a")).as("actual_events"),
         sum(abs(col("a") * col("n_train") - col("sh"))).as("abs_num"),
         sum(col("a") * col("n_train") - col("sh")).as("bias_num"))
+      // n_train_days = 0 (a single-day corpus: nothing to train on)
+      // would divide 0/0 → NaN with engine-specific encodings; there is
+      // no backtest without a training window, so the row set is empty
+      // by definition — the oracle states the same n_train > 0 guard
+      .filter(col("n_train_days") > 0)
       .select(col("event_type"), col("n_train_days"), col("actual_events"),
         round(col("abs_num").cast("double")
           / (lit(24.0) * col("n_train_days").cast("double")), 4).as("mae"),

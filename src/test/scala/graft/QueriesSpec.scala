@@ -30,6 +30,11 @@ class QueriesSpec extends SparkSpec {
     val r = out(0)
     assert((r.getString(0), r.getLong(1), r.getLong(2),
       r.getDouble(3), r.getDouble(4)) == ("A", 2L, 4L, 0.0417, 0.0417), r)
+    // a single-day corpus has no training window — empty result, not a
+    // 0/0 NaN row with engine-specific encodings
+    val oneDay = Seq((1L, 0L, "A"), (2L, 1L, "A"))
+      .toDF("event_id", "ts", "event_type")
+    assert(analytics.EventAnalytics.seasonalBacktest(spark, oneDay).isEmpty)
   }
 
   test("transition matrix: session gap bounds transitions, rows distribute") {
