@@ -498,6 +498,85 @@ object EventAnalytics extends QueryModule {
               |ORDER BY event_type NULLS FIRST""".stripMargin),
       doc = "seasonal-naive hourly forecast backtested on the held-out last day: integer-exact cross-multiplied MAE/bias over the full 24h spine"),
 
+    // A/B TEST read-out — the two-proportion z-test every experiment
+    // dashboard runs: deterministic cohort assignment (user_id parity —
+    // the md5-free form of the stratified-sampling discipline; any
+    // hash-derived bucket works the same), per-user conversion =
+    // "ever purchased", pooled-variance z on the cohort rates. The
+    // pipeline is integer (distinct users, converted users per cohort)
+    // until ONE final expression computes rates and z with the same
+    // operation tree on both engines (IEEE sqrt of identical doubles is
+    // identical); significance compares the ROUNDED z against 1.96 so
+    // both engines make the same call at the boundary.
+    "evt_ab_test" -> Q(
+      (s, dir) => {
+        // conversion = "heavy purchaser" (≥ 14 purchase events): on
+        // this fixture every user purchases at least once, so the
+        // naive ever-purchased metric saturates both cohorts at rate
+        // 1.0 and the pooled variance collapses to 0 — precisely the
+        // degenerate case the z guard below also closes structurally
+        val users = ev(s, dir)
+          .filter(col("user_id").isNotNull)
+          .groupBy((col("user_id") % 2).as("grp"), col("user_id"))
+          .agg(when(count(when(col("event_type") === "purchase", 1)) >= 14, 1L)
+            .otherwise(0L).as("conv"))
+        val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+          (col("users_a") + col("users_b")).cast("double")
+        val z = (col("conv_a").cast("double") / col("users_a").cast("double")
+          - col("conv_b").cast("double") / col("users_b").cast("double")) /
+          sqrt(pooled * (lit(1.0) - pooled)
+            * (lit(1.0) / col("users_a").cast("double")
+              + lit(1.0) / col("users_b").cast("double")))
+        users.agg(
+            count(when(col("grp") === 0, 1)).as("users_a"),
+            sum(when(col("grp") === 0, col("conv"))).as("conv_a"),
+            count(when(col("grp") === 1, 1)).as("users_b"),
+            sum(when(col("grp") === 1, col("conv"))).as("conv_b"))
+          .select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+            round(col("conv_a").cast("double") / col("users_a").cast("double"), 4)
+              .as("rate_a"),
+            round(col("conv_b").cast("double") / col("users_b").cast("double"), 4)
+              .as("rate_b"),
+            // all-converted / none-converted pools have zero variance:
+            // the z statistic is UNDEFINED there (0/0), so it is null
+            // by the same CASE on both engines, never an ANSI error
+            round(when(pooled > 0.0 && pooled < 1.0, z), 4).as("z_score"))
+          .withColumn("significant", abs(col("z_score")) > lit(1.96))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id % 2 AS grp, user_id,
+             |    CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+             |      THEN 1 ELSE 0 END AS conv
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+             |c AS (
+             |  SELECT
+             |    count(CASE WHEN grp = 0 THEN 1 END) AS users_a,
+             |    CAST(sum(CASE WHEN grp = 0 THEN conv END) AS BIGINT) AS conv_a,
+             |    count(CASE WHEN grp = 1 THEN 1 END) AS users_b,
+             |    CAST(sum(CASE WHEN grp = 1 THEN conv END) AS BIGINT) AS conv_b
+             |  FROM u),
+             |z AS (
+             |  SELECT *,
+             |    CAST(conv_a + conv_b AS DOUBLE) / CAST(users_a + users_b AS DOUBLE) AS pooled
+             |  FROM c)
+             |SELECT users_a, conv_a, users_b, conv_b,
+             |  round(CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE), 4) AS rate_a,
+             |  round(CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE), 4) AS rate_b,
+             |  round(CASE WHEN pooled > 0.0e0 AND pooled < 1.0e0 THEN
+             |    (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
+             |      - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE))
+             |    / sqrt(pooled * (1.0e0 - pooled)
+             |      * (1.0e0 / CAST(users_a AS DOUBLE) + 1.0e0 / CAST(users_b AS DOUBLE)))
+             |    END, 4) AS z_score,
+             |  abs(round(CASE WHEN pooled > 0.0e0 AND pooled < 1.0e0 THEN
+             |    (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)
+             |      - CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE))
+             |    / sqrt(pooled * (1.0e0 - pooled)
+             |      * (1.0e0 / CAST(users_a AS DOUBLE) + 1.0e0 / CAST(users_b AS DOUBLE)))
+             |    END, 4)) > 1.96e0 AS significant
+             |FROM z""".stripMargin),
+      doc = "two-proportion z-test over parity cohorts: integer counts, one shared float expression tree, significance on the rounded z"),
+
     // Retention cohorts: users bucketed by first-activity week, counted
     // distinct per (cohort_week, weeks-since-cohort) — the standard
     // product-analytics retention matrix, and the cohort shape used to

@@ -645,5 +645,41 @@ object Relational extends QueryModule {
              |  GROUP BY 1)
              |GROUP BY 1 ORDER BY 2 DESC, 1 DESC""".stripMargin),
       doc = "TPC-H Q13 shape: outer join with ON-clause filter (zero-order customers survive) + double aggregation"),
+
+    // TPC-H Q15 shape — argmax BY AGGREGATE: quarterly revenue per
+    // supplier, then the supplier(s) whose revenue EQUALS the maximum
+    // (ties all surface — the view-equality semantics Q15 specifies,
+    // not a LIMIT 1 that would drop co-winners). The revenue aggregate
+    // is decimal-exact so the equality join cannot shear on float
+    // representation; the 1-row max rides in as a broadcast scalar.
+    "rel_top_revenue_supplier" -> Q(
+      (s, dir) => {
+        val rev = lineitem(s, dir)
+          .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+            && col("l_shipdate") < expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .as("rev"))
+        val mx = rev.agg(max(col("rev")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("rev") === col("mx"))
+          .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |        * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE rev = (SELECT max(rev) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin),
+      doc = "TPC-H Q15 shape: decimal-exact argmax-by-aggregate (ties surface, broadcast scalar max)"),
   )
 }
