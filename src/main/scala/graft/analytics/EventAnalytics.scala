@@ -517,7 +517,10 @@ object EventAnalytics extends QueryModule {
         // degenerate case the z guard below also closes structurally
         val users = ev(s, dir)
           .filter(col("user_id").isNotNull)
-          .groupBy((col("user_id") % 2).as("grp"), col("user_id"))
+          // pmod, not %: a negative user_id would hit grp = -1 under
+          // signed remainder and silently fall out of BOTH cohorts —
+          // pmod keeps every non-null user in the experiment population
+          .groupBy(pmod(col("user_id"), lit(2)).as("grp"), col("user_id"))
           .agg(when(count(when(col("event_type") === "purchase", 1)) >= 14, 1L)
             .otherwise(0L).as("conv"))
         val pooled = (col("conv_a") + col("conv_b")).cast("double") /
@@ -544,7 +547,7 @@ object EventAnalytics extends QueryModule {
           .withColumn("significant", abs(col("z_score")) > lit(1.96))
       },
       Some("""WITH u AS (
-             |  SELECT user_id % 2 AS grp, user_id,
+             |  SELECT ((user_id % 2) + 2) % 2 AS grp, user_id,
              |    CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
              |      THEN 1 ELSE 0 END AS conv
              |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),

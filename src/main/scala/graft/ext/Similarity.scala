@@ -2057,6 +2057,10 @@ object Similarity extends QueryModule {
           .select(col("vec_id"), round(
             graft.functions.VectorExpressions.vector_cosine(col("qv"), col("v")),
             4).as("sim"))
+          // explicit-null discipline (as mmrRerank does for rel): a
+          // null/zero-norm embedding has no cosine and must not ride
+          // into the top-20 on engine-specific null ordering
+          .filter(col("sim").isNotNull)
           .orderBy(col("sim").desc, col("vec_id")).limit(20)
           .select(col("vec_id").as("id"),
             row_number().over(wV).cast("long").as("vec_rank"))
@@ -2077,7 +2081,8 @@ object Similarity extends QueryModule {
               |vtop AS (
               |  SELECT vec_id AS id,
               |    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
-              |  FROM (SELECT * FROM vscored ORDER BY sim DESC, vec_id LIMIT 20)),
+              |  FROM (SELECT * FROM vscored WHERE sim IS NOT NULL
+              |        ORDER BY sim DESC, vec_id LIMIT 20)),
               |${TextAnalytics.dBm25Ctes},
               |ltop AS (
               |  SELECT doc_id AS id,

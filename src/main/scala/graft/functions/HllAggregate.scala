@@ -56,18 +56,10 @@ case class HllAggregate(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
-  /** 60-bit md5-prefix hash of the value's canonical rendering (decimal
-    * for integers, raw bytes for strings) — the oracle-shared formula,
-    * one implementation for the whole package ([[Md5Hash.prefix60]]). */
-  private def hash60(v: Any): Long = Md5Hash.prefix60(v match {
-    case s: UTF8String => s.getBytes
-    case other => other.toString.getBytes("UTF-8")
-  })
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = hash60(v)
+      val h = HllAggregate.hash60(v)
       val j = (h >>> wBits).toInt                     // high p bits → bucket
       val w = h & ((1L << wBits) - 1)                 // low wBits bits
       // rank = wBits+1 − bitlen(w); w == 0 → bitlen 0 → rank wBits+1
@@ -77,14 +69,8 @@ case class HllAggregate(
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) {
-      if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
-      i += 1
-    }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    HllAggregate.mergeRegisters(a, b)
 
   override def eval(buf: Array[Byte]): Any =
     HllAggregate.estimate(buf, m, wBits)
@@ -124,15 +110,10 @@ case class HllSketchAggregate(
   override def prettyName: String = "hll_sketch"
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
-  private def hash60(v: Any): Long = Md5Hash.prefix60(v match {
-    case s: UTF8String => s.getBytes
-    case other => other.toString.getBytes("UTF-8")
-  })
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = hash60(v)
+      val h = HllAggregate.hash60(v)
       val j = (h >>> wBits).toInt
       val w = h & ((1L << wBits) - 1)
       val rank = wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
@@ -225,6 +206,16 @@ object HllAggregate {
   /** `hll_union_est(sketchCol)`: merge stored sketches → estimate. */
   def hll_union_est(c: Column, precision: Int = 12): Column =
     Bridge.column(HllUnionAggregate(Bridge.expression(c), precision).toAggregateExpression())
+
+  /** 60-bit md5-prefix hash of the value's canonical rendering (decimal
+    * for integers, raw bytes for strings) — the oracle-shared formula
+    * ([[Md5Hash.prefix60]]). Lives here, next to [[mergeRegisters]] and
+    * [[estimate]], so `hll_distinct`, `hll_sketch`, and the oracle SQL
+    * can never drift on the hash. */
+  private[functions] def hash60(v: Any): Long = Md5Hash.prefix60(v match {
+    case s: UTF8String => s.getBytes
+    case other => other.toString.getBytes("UTF-8")
+  })
 
   /** Register-wise max into `a` (the shared HLL merge). */
   private[functions] def mergeRegisters(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
