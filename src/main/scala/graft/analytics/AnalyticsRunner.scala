@@ -210,8 +210,18 @@ object AnalyticsRunner {
     * materialize them under `outDir` — the full `analytics` subcommand
     * (analytics.rs:7-32) with the schema actually completed. */
   def runAll(spark: SparkSession, fact: DataFrame, anchor: java.sql.Timestamp,
-      outDir: String): Map[String, Long] = {
-    val tables: Seq[(String, DataFrame)] = Seq(
+      outDir: String, blocks: Option[DataFrame] = None): Map[String, Long] = {
+    // fact_program_events / fact_token_transfers (SCHEMA.md:85-154) are
+    // BLOCK-level projections: their typed columns (accounts,
+    // log_messages, balance deltas) exist only in the parsed block, not
+    // in the canonical event's payload — so they materialize only when
+    // the caller still holds the parsed blocks (the ingest path does;
+    // a warehouse-only re-run of the summaries doesn't need them).
+    val typedFacts: Seq[(String, DataFrame)] = blocks.toSeq.flatMap { b =>
+      Seq("fact_program_events" -> graft.ingest.Parse.factProgramEvents(b),
+        "fact_token_transfers" -> graft.ingest.Parse.factTokenTransfers(b))
+    }
+    val tables: Seq[(String, DataFrame)] = typedFacts ++ Seq(
       "analytics_transaction_volume" -> transactionVolume(fact, anchor),
       "analytics_hourly_volume" -> hourlyVolume(fact, anchor),
       "analytics_active_programs" -> activePrograms(fact),

@@ -45,7 +45,7 @@ object Backfill {
          | "meta":{"err":null,"fee":5000,
          |  "preTokenBalances":[{"accountIndex":1,"mint":"mint_${slot % 11}","owner":"wallet_${slot % 50}","uiTokenAmount":{"amount":"100","decimals":6,"uiAmountString":"0.0001"}}],
          |  "postTokenBalances":[{"accountIndex":1,"mint":"mint_${slot % 11}","owner":"wallet_${slot % 50}","uiTokenAmount":{"amount":"250","decimals":6,"uiAmountString":"0.00025"}}],
-         |  "logMessages":["ok"]}},
+         |  "logMessages":["Program log: Transfer","ok"]}},
          |{"transaction":{"signatures":["${sig(1)}"],"message":{
          |  "accountKeys":[{"pubkey":"wallet_${(slot + 1) % 50}"}],
          |  "instructions":[{"programId":"prog_${slot % 5}","accounts":[],"data":"d3"}]}},

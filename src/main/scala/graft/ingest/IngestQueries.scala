@@ -342,6 +342,166 @@ object IngestQueries extends QueryModule {
               |FROM net GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "ref parsers.rs:179-182 pre/post netting (J4, differential re-derive)"),
 
+    // fact_program_events (SCHEMA.md:85-117): the typed instruction
+    // fact, differential over every typed column family — group keys
+    // exercise the log-derived instruction_type / log_pattern_match
+    // (non-null for the logged token branch, null for unlogged txs),
+    // n_distinct_ids pins the canonical id linkage, all_accounts puts a
+    // REAL ARRAY column on the oracle boundary, and data_hex/log-line
+    // counts cover the remaining typed columns. The DuckDB side
+    // re-derives the whole projection from raw JSON, including the
+    // sha256 ids and the hex encoding.
+    "ingest_fact_program_events" -> Q(
+      (s, _) => {
+        val blocks = Parse.parseBlocks(materializedBlocks(s))
+        Parse.factProgramEvents(blocks)
+          .groupBy(col("event_type"), col("instruction_type"),
+            col("log_pattern_match"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("event_id")).as("n_distinct_ids"),
+            countDistinct(col("program_id")).as("n_programs"),
+            countDistinct(col("data_hex")).as("n_data"),
+            sum(coalesce(size(col("log_messages")), lit(0))).as("n_log_lines"),
+            array_sort(array_distinct(flatten(collect_list(col("accounts")))))
+              .as("all_accounts"))
+          .orderBy(col("event_type"), col("instruction_type"),
+            col("log_pattern_match"))
+      },
+      Some(s"""WITH $dTxs,
+              |valid AS (SELECT * FROM sigtxs WHERE sig IS NOT NULL),
+              |txp AS (
+              |  SELECT slot, sig, tx,
+              |    CAST(json_extract(tx, '$$.meta.logMessages') AS VARCHAR[]) AS logs
+              |  FROM valid),
+              |txl AS (
+              |  SELECT slot, sig, tx, coalesce(len(logs), 0) AS n_logs,
+              |    (list_filter(logs, m -> m LIKE 'Program log:%'))[1] AS log_pattern_match
+              |  FROM txp),
+              |ins AS (
+              |  SELECT slot, sig, n_logs, log_pattern_match,
+              |    unnest(CAST(json_extract(tx, '$$.transaction.message.instructions') AS JSON[])) AS i,
+              |    generate_subscripts(CAST(json_extract(tx, '$$.transaction.message.instructions') AS JSON[]), 1) - 1 AS idx
+              |  FROM txl),
+              |pe AS (
+              |  SELECT slot, sig, idx, n_logs, log_pattern_match,
+              |    json_extract_string(i, '$$.programId') AS program_id,
+              |    CASE WHEN json_extract_string(i, '$$.programId') IN ($tokenList)
+              |      THEN '${Schemas.EvTokenInstruction}'
+              |      ELSE '${Schemas.EvProgramInstruction}' END AS event_type,
+              |    CAST(json_extract(i, '$$.accounts') AS VARCHAR[]) AS accounts,
+              |    upper(hex(json_extract_string(i, '$$.data'))) AS data_hex
+              |  FROM ins WHERE json_extract_string(i, '$$.programId') IS NOT NULL),
+              |pe2 AS (
+              |  SELECT *,
+              |    sha256(slot || ':' || sig || ':' || idx || ':' || event_type) AS event_id,
+              |    CASE WHEN event_type = '${Schemas.EvTokenInstruction}'
+              |      THEN lower(regexp_replace(log_pattern_match, '^Program log: ', ''))
+              |    END AS instruction_type
+              |  FROM pe)
+              |SELECT event_type, instruction_type, log_pattern_match,
+              |  count(*) AS n_events,
+              |  count(DISTINCT event_id) AS n_distinct_ids,
+              |  count(DISTINCT program_id) AS n_programs,
+              |  count(DISTINCT data_hex) AS n_data,
+              |  CAST(sum(n_logs) AS BIGINT) AS n_log_lines,
+              |  list_sort(list_distinct(flatten(list(accounts)))) AS all_accounts
+              |FROM pe2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      doc = "fact_program_events typed projection (SCHEMA.md:85-117): log-derived instruction_type, array accounts on the oracle boundary, hex data, sha256 id parity vs full DuckDB JSON re-derivation"),
+
+    // fact_token_transfers (SCHEMA.md:119-154) through the DOCUMENTED
+    // warehouse query shape (SCHEMA.md:346-357: SUM(token_amount) ...
+    // GROUP BY token_mint, from_wallet, to_wallet) — with the normalized
+    // DECIMAL(38,9) amount on the oracle boundary at a pinned scale,
+    // sender resolution from pre/post deltas (from_wallet is null on
+    // this fixture's pure-deposit rows — the n_no_sender column proves
+    // both engines agree on that), and the +10000 id namespace pinned
+    // by n_distinct_ids.
+    "ingest_fact_token_transfers" -> Q(
+      (s, _) => {
+        val blocks = Parse.parseBlocks(materializedBlocks(s))
+        Parse.factTokenTransfers(blocks)
+          .groupBy(col("token_mint"), col("from_wallet"), col("to_wallet"))
+          .agg(count(lit(1)).as("n_transfers"),
+            countDistinct(col("event_id")).as("n_distinct_ids"),
+            countDistinct(col("authority")).as("n_authorities"),
+            sum(col("token_amount")).cast("decimal(38,9)").as("total_amount"),
+            max(col("decimals")).as("max_decimals"),
+            countDistinct(col("raw_amount")).as("n_raw_amounts"))
+          .orderBy(col("token_mint"), col("from_wallet"), col("to_wallet"))
+      },
+      Some(s"""WITH $dTxs,
+              |valid AS (SELECT * FROM sigtxs WHERE sig IS NOT NULL),
+              |auth AS (
+              |  SELECT slot, sig, tx,
+              |    coalesce(
+              |      json_extract_string(tx, '$$.transaction.message.accountKeys[0].pubkey'),
+              |      json_extract_string(tx, '$$.transaction.message.accountKeys[0]')) AS authority
+              |  FROM valid),
+              |pre AS (
+              |  SELECT slot, sig,
+              |    CAST(json_extract(b, '$$.accountIndex') AS INTEGER) AS account_index,
+              |    json_extract_string(b, '$$.mint') AS mint,
+              |    json_extract_string(b, '$$.owner') AS owner,
+              |    CAST(json_extract_string(b, '$$.uiTokenAmount.amount') AS DECIMAL(38,0)) AS amount
+              |  FROM (SELECT slot, sig,
+              |          unnest(CAST(json_extract(tx, '$$.meta.preTokenBalances') AS JSON[])) AS b
+              |        FROM valid)
+              |  WHERE json_extract_string(b, '$$.mint') IS NOT NULL),
+              |post AS (
+              |  SELECT slot, sig,
+              |    CAST(json_extract(b, '$$.accountIndex') AS INTEGER) AS account_index,
+              |    json_extract_string(b, '$$.mint') AS mint,
+              |    json_extract_string(b, '$$.owner') AS owner,
+              |    CAST(json_extract_string(b, '$$.uiTokenAmount.amount') AS DECIMAL(38,0)) AS amount
+              |  FROM (SELECT slot, sig,
+              |          unnest(CAST(json_extract(tx, '$$.meta.postTokenBalances') AS JSON[])) AS b
+              |        FROM valid)
+              |  WHERE json_extract_string(b, '$$.mint') IS NOT NULL),
+              |deltas AS (
+              |  SELECT slot, sig, account_index, mint,
+              |    coalesce(post.owner, pre.owner) AS owner,
+              |    coalesce(post.amount, 0) - coalesce(pre.amount, 0) AS delta
+              |  FROM pre FULL JOIN post USING (slot, sig, account_index, mint)),
+              |senders AS (
+              |  SELECT slot, sig, mint, owner AS from_wallet
+              |  FROM (SELECT *, row_number() OVER (
+              |          PARTITION BY slot, sig, mint
+              |          ORDER BY delta ASC, account_index ASC) AS rn
+              |        FROM deltas WHERE delta < 0)
+              |  WHERE rn = 1),
+              |postx AS (
+              |  SELECT slot, sig, authority,
+              |    unnest(CAST(json_extract(tx, '$$.meta.postTokenBalances') AS JSON[])) AS b,
+              |    generate_subscripts(CAST(json_extract(tx, '$$.meta.postTokenBalances') AS JSON[]), 1) - 1 AS pos
+              |  FROM auth),
+              |tr AS (
+              |  SELECT slot, sig, authority, pos,
+              |    json_extract_string(b, '$$.mint') AS mint,
+              |    json_extract_string(b, '$$.owner') AS owner,
+              |    json_extract_string(b, '$$.uiTokenAmount.amount') AS raw_amount,
+              |    CAST(json_extract(b, '$$.uiTokenAmount.decimals') AS INTEGER) AS decimals
+              |  FROM postx
+              |  WHERE json_extract_string(b, '$$.mint') IS NOT NULL
+              |    AND json_extract_string(b, '$$.owner') IS NOT NULL),
+              |tr2 AS (
+              |  SELECT tr.*, s.from_wallet,
+              |    sha256(tr.slot || ':' || tr.sig || ':' || (tr.pos + 10000)
+              |      || ':' || '${Schemas.EvTokenTransfer}') AS event_id,
+              |    CAST(CAST(tr.raw_amount AS DECIMAL(38,18))
+              |      / CAST('1' || repeat('0', tr.decimals) AS DECIMAL(19,0))
+              |      AS DECIMAL(38,9)) AS token_amount
+              |  FROM tr LEFT JOIN senders s
+              |    ON tr.slot = s.slot AND tr.sig = s.sig AND tr.mint = s.mint)
+              |SELECT mint AS token_mint, from_wallet, owner AS to_wallet,
+              |  count(*) AS n_transfers,
+              |  count(DISTINCT event_id) AS n_distinct_ids,
+              |  count(DISTINCT authority) AS n_authorities,
+              |  CAST(sum(token_amount) AS DECIMAL(38,9)) AS total_amount,
+              |  CAST(max(decimals) AS BIGINT) AS max_decimals,
+              |  count(DISTINCT raw_amount) AS n_raw_amounts
+              |FROM tr2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      doc = "fact_token_transfers typed projection (SCHEMA.md:119-154) via the documented SCHEMA.md:346 query shape: DECIMAL(38,9)-normalized amounts, delta-resolved senders, +10000 id namespace vs full DuckDB re-derivation"),
+
     // fact_telemetry end-to-end (SCHEMA.md:161-188, events.rs:62-72 —
     // the reference's last declared-only schema element): raw telemetry
     // JSON → Parse.parseTelemetry (tolerance + classification + id

@@ -225,6 +225,162 @@ object Parse {
     if (dedup) events.dropDuplicates("event_id") else events
   }
 
+  /** The per-transaction base slice every typed fact projection starts
+    * from: one row per signed transaction with its parsed struct. Same
+    * guards as [[toEvents]] (signature required, parsers.rs:50-52). */
+  private def txBase(blocks: DataFrame): DataFrame =
+    blocks.select(
+      col("slot"),
+      timestamp_seconds(col("b.blockTime")).as("block_time"),
+      explode(col("b.transactions")).as("tx"))
+      .filter(col("tx").isNotNull &&
+        try_element_at(col("tx.transaction.signatures"), lit(1)).isNotNull)
+      .select(col("slot"), col("block_time"),
+        try_element_at(col("tx.transaction.signatures"), lit(1)).as("sig"),
+        col("tx"))
+
+  /** The first `Program log:`-prefixed entry of a transaction's log
+    * messages — SCHEMA.md:105's `log_pattern_match` ("Matched log
+    * pattern (e.g., 'Program log: Transfer')"). Logs live in the
+    * transaction meta, not the instruction (the reference notes exactly
+    * this at parsers.rs:155-157), so the match is per-transaction. */
+  private def logPatternMatch(logs: Column): Column =
+    try_element_at(filter(logs, m => m.startsWith("Program log:")), lit(1))
+
+  /** fact_program_events (docs/SCHEMA.md:85-117): the TYPED instruction
+    * fact the reference declares but its parser never populates beyond
+    * the base fields (ProgramEvent, events.rs:36-45 — instruction_type /
+    * data_hex / log_messages / log_pattern_match all stay None/empty).
+    * One row per instruction event, same deterministic event_id as the
+    * canonical [[toEvents]] row, so typed rows link 1:1 to the event
+    * stream.
+    *
+    * Column semantics (the reference leaves them unspecified; fixed here
+    * so both engines can re-derive them):
+    *  - `accounts` / `data_hex`: typed straight off the instruction
+    *    struct; data_hex is the uppercase hex of the raw data bytes.
+    *  - `log_messages`: the transaction's full meta.logMessages (logs
+    *    are per-transaction on the wire — parsers.rs:155-157).
+    *  - `log_pattern_match`: first `Program log:`-prefixed message.
+    *  - `instruction_type`: SCHEMA.md:102's "e.g. transfer, swap, mint"
+    *    — derived for token-program instructions from the matched log
+    *    pattern's lowercased suffix (`Program log: Transfer` →
+    *    `transfer`); null for non-token programs and unlogged txs.
+    */
+  def factProgramEvents(blocks: DataFrame): DataFrame =
+    txBase(blocks)
+      .select(col("slot"), col("block_time"), col("sig"),
+        col("tx.meta.logMessages").as("log_messages"),
+        logPatternMatch(col("tx.meta.logMessages")).as("log_pattern_match"),
+        // posexplode of a null array yields no rows — exactly the
+        // instruction-less-tx semantics, no coalesce needed
+        posexplode(col("tx.transaction.message.instructions"))
+          .as(Seq("instruction_index", "ins")))
+      // pre-filter positions, filter after the explode: ids must agree
+      // with toEvents' transform-then-filter indices
+      .filter(col("ins.programId").isNotNull)
+      .withColumn("event_type",
+        when(col("ins.programId").isin(TokenPrograms: _*), lit(EvTokenInstruction))
+          .otherwise(lit(EvProgramInstruction)))
+      .select(
+        eventId(col("slot"), col("sig"), col("instruction_index"), col("event_type"))
+          .as("event_id"),
+        col("slot"), col("block_time"), col("sig").as("tx_signature"),
+        col("ins.programId").as("program_id"),
+        col("instruction_index"), col("event_type"),
+        when(col("event_type") === EvTokenInstruction,
+          lower(regexp_replace(col("log_pattern_match"), "^Program log: ", "")))
+          .as("instruction_type"),
+        col("ins.accounts").as("accounts"),
+        upper(hex(col("ins.data"))).as("data_hex"),
+        col("log_messages"), col("log_pattern_match"),
+        to_json(struct(col("ins.programId").as("programId"),
+          col("ins.accounts").as("accounts"), col("ins.data").as("data")))
+          .as("raw_payload"))
+
+  /** fact_token_transfers (docs/SCHEMA.md:119-154): the typed SPL
+    * transfer fact — one row per post-token-balance with a mint and an
+    * owner (`to_wallet` is NOT NULL by schema), normalized decimal
+    * amount, and the sender resolved from the same transaction's
+    * balance DELTAS (the "full implementation would match pre/post
+    * balances" the reference sketches at parsers.rs:179-182).
+    *
+    * Fixed semantics:
+    *  - `token_amount`: raw_amount / 10^decimals as DECIMAL(38,9) —
+    *    exact for decimals ≤ 9 (every SPL mint in practice); null when
+    *    decimals is null.
+    *  - `from_wallet`: owner of the same (tx, mint)'s account whose
+    *    balance DECREASED — the most-negative delta, account_index
+    *    tie-break; null when no account of that mint decreased (pure
+    *    mint/deposit rows).
+    *  - `authority`: the transaction's first signer (fee payer — the
+    *    account that signed the transfer).
+    *  - `program_id`: the token program (parsers.rs:186 pins
+    *    TOKEN_PROGRAM_ID on every transfer event).
+    *  - `event_id`/`instruction_index`: the canonical +10000 transfer
+    *    namespace of [[toEvents]], so typed rows link 1:1.
+    */
+  def factTokenTransfers(blocks: DataFrame): DataFrame = {
+    val base = txBase(blocks)
+
+    def bals(side: String) = base.select(
+      col("slot"), col("sig"),
+      explode(col(s"tx.meta.${side}TokenBalances")).as("bal"))
+      .filter(col("bal.mint").isNotNull)
+      .select(col("slot"), col("sig"),
+        col("bal.accountIndex").as("account_index"),
+        col("bal.mint").as("mint"),
+        col("bal.owner").as(s"${side}_owner"),
+        col("bal.uiTokenAmount.amount").cast("decimal(38,0)").as(s"${side}_amount"))
+
+    // sender resolution: per (tx, mint), the account whose balance
+    // decreased the most is the transfer's source — an equi-join +
+    // bounded window over per-transaction keys (rows per key = token
+    // accounts touched by ONE transaction, inherently small), so the
+    // shape holds at any corpus size
+    val deltas = bals("pre")
+      .join(bals("post"), Seq("slot", "sig", "account_index", "mint"), "full_outer")
+      .select(col("slot"), col("sig"), col("account_index"), col("mint"),
+        coalesce(col("post_owner"), col("pre_owner")).as("owner"),
+        (coalesce(col("post_amount"), lit(0)) - coalesce(col("pre_amount"), lit(0)))
+          .as("delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("slot"), col("sig"), col("mint"))
+      .orderBy(col("delta").asc, col("account_index").asc)
+    val senders = deltas.filter(col("delta") < 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("slot"), col("sig"), col("mint"), col("owner").as("from_wallet"))
+
+    base.select(
+      col("slot"), col("block_time"), col("sig"),
+      walletFromKey(try_element_at(col("tx.transaction.message.accountKeys"), lit(1)))
+        .as("authority"),
+      posexplode(col("tx.meta.postTokenBalances")).as(Seq("pos", "bal")))
+      .filter(col("bal.mint").isNotNull && col("bal.owner").isNotNull)
+      .withColumn("mint", col("bal.mint"))
+      .join(senders, Seq("slot", "sig", "mint"), "left")
+      .select(
+        eventId(col("slot"), col("sig"), col("pos") + 10000, lit(EvTokenTransfer))
+          .as("event_id"),
+        col("slot"), col("block_time"), col("sig").as("tx_signature"),
+        lit(TokenPrograms.head).as("program_id"),
+        (col("pos") + 10000).as("instruction_index"),
+        lit(EvTokenTransfer).as("event_type"),
+        col("mint").as("token_mint"),
+        col("from_wallet"),
+        col("bal.owner").as("to_wallet"),
+        (col("bal.uiTokenAmount.amount").cast("decimal(38,18)") /
+          concat(lit("1"), repeat(lit("0"), col("bal.uiTokenAmount.decimals")))
+            .cast("decimal(19,0)")).cast("decimal(38,9)").as("token_amount"),
+        col("bal.uiTokenAmount.decimals").cast("long").as("decimals"),
+        col("bal.uiTokenAmount.amount").as("raw_amount"),
+        col("authority"),
+        to_json(struct(col("bal.mint").as("mint"),
+          col("bal.owner").as("owner"),
+          col("bal.uiTokenAmount.amount").as("amount"),
+          col("bal.uiTokenAmount.decimals").as("decimals"))).as("raw_payload"))
+  }
+
   /** Token-transfer netting the reference sketches but never implements
     * (parsers.rs:179-182): full-outer join of pre/post balances on
     * (signature, accountIndex, mint) with COALESCE-0 delta (SURVEY.md

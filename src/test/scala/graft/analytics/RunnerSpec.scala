@@ -46,4 +46,32 @@ class RunnerSpec extends SparkSpec {
     val trends = spark.read.parquet(s"$base/analytics/analytics_program_trends")
     assert(trends.select("program_id").distinct().count() <= 10)
   }
+
+  test("runAll with blocks also materializes the typed fact tables") {
+    val base = Files.createTempDirectory("graft_runner_typed").toString
+    Backfill.run(spark, 1L, 51L, workers = 4, s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    val blocks = graft.ingest.Parse.parseBlocks(
+      Backfill.fetchRange(spark, 1L, 51L, workers = 4))
+    val anchor = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val counts = AnalyticsRunner.runAll(spark, fact, anchor,
+      s"$base/analytics", blocks = Some(blocks))
+
+    assert(counts.size == 16)
+    assert(counts("fact_program_events") > 0)
+    assert(counts("fact_token_transfers") > 0)
+    // the typed columns survive the warehouse write with their declared
+    // types (SCHEMA.md:85-154): ARRAY<STRING> accounts/log_messages,
+    // NUMERIC(38,9) token_amount
+    import org.apache.spark.sql.types._
+    val pe = spark.read.parquet(s"$base/analytics/fact_program_events")
+    assert(pe.schema("accounts").dataType.isInstanceOf[ArrayType])
+    assert(pe.schema("log_messages").dataType.isInstanceOf[ArrayType])
+    assert(pe.schema("data_hex").dataType == StringType)
+    val tt = spark.read.parquet(s"$base/analytics/fact_token_transfers")
+    assert(tt.schema("token_amount").dataType == DecimalType(38, 9))
+    // typed rows link 1:1 into the canonical event stream by event_id
+    val linked = tt.join(fact, Seq("event_id")).count()
+    assert(linked == counts("fact_token_transfers"))
+  }
 }

@@ -183,4 +183,83 @@ class ParseSpec extends SparkSpec {
     assert(api.getAs[Long]("latency_ms") == 42L)
     assert(api.getAs[String]("request_id") == "r1")
   }
+
+  // A real two-account SPL transfer: walletS's account 1 drops 150 raw
+  // units, walletR's account 2 gains the same 150, mint has 6 decimals.
+  // Exercises the sender-resolution path the synthetic corpus (pure
+  // deposits, no decreasing account) leaves null.
+  private val transferBlock =
+    """{"blockTime":1704067200,"transactions":[
+      |{"transaction":{"signatures":["sigT"],"message":{
+      |  "accountKeys":["feePayer","TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA"],
+      |  "instructions":[{"programId":"TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA","accounts":["s","r"],"data":"xfer"}]}},
+      | "meta":{"err":null,"fee":5000,
+      |  "preTokenBalances":[
+      |    {"accountIndex":1,"mint":"mintM","owner":"walletS","uiTokenAmount":{"amount":"400","decimals":6,"uiAmountString":"0.0004"}},
+      |    {"accountIndex":2,"mint":"mintM","owner":"walletR","uiTokenAmount":{"amount":"100","decimals":6,"uiAmountString":"0.0001"}}],
+      |  "postTokenBalances":[
+      |    {"accountIndex":1,"mint":"mintM","owner":"walletS","uiTokenAmount":{"amount":"250","decimals":6,"uiAmountString":"0.00025"}},
+      |    {"accountIndex":2,"mint":"mintM","owner":"walletR","uiTokenAmount":{"amount":"250","decimals":6,"uiAmountString":"0.00025"}}],
+      |  "logMessages":["Program log: Transfer","Program consumed"]}}
+      |]}""".stripMargin.replace("\n", "")
+
+  test("factTokenTransfers: typed columns, delta-resolved sender, decimal amount") {
+    val fact = Parse.factTokenTransfers(
+      Parse.parseBlocks(rawDF(20L -> transferBlock)))
+    // schema contract (SCHEMA.md:119-154): NUMERIC normalized amount
+    assert(fact.schema("token_amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 9))
+    val rows = fact.orderBy($"instruction_index").collect()
+    assert(rows.length == 2) // one per post balance with mint+owner
+    val Array(sRow, rRow) = rows
+    // both rows: sender = the account whose balance DECREASED (walletS)
+    assert(sRow.getAs[String]("to_wallet") == "walletS")
+    assert(sRow.getAs[String]("from_wallet") == "walletS")
+    assert(rRow.getAs[String]("to_wallet") == "walletR")
+    assert(rRow.getAs[String]("from_wallet") == "walletS")
+    // normalized decimal: 250 raw / 10^6 = 0.00025, scale 9
+    assert(rRow.getAs[java.math.BigDecimal]("token_amount")
+      .compareTo(new java.math.BigDecimal("0.000250000")) == 0)
+    assert(rRow.getAs[String]("raw_amount") == "250")
+    assert(rRow.getAs[Long]("decimals") == 6L)
+    assert(rRow.getAs[String]("authority") == "feePayer")
+    assert(rRow.getAs[String]("program_id") == TokenPrograms.head)
+    // id linkage: same +10000 namespace as the canonical event stream
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("20:sigT:10001:token_transfer".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rRow.getAs[String]("event_id") == expected)
+    assert(rRow.getAs[Int]("instruction_index") == 10001)
+  }
+
+  test("factProgramEvents: typed instruction columns and log-pattern classification") {
+    val fact = Parse.factProgramEvents(
+      Parse.parseBlocks(rawDF(20L -> transferBlock)))
+    assert(fact.schema("accounts").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true))
+    val r = fact.collect()(0)
+    assert(r.getAs[String]("event_type") == EvTokenInstruction)
+    assert(r.getAs[String]("instruction_type") == "transfer")
+    assert(r.getAs[String]("log_pattern_match") == "Program log: Transfer")
+    assert(r.getSeq[String](r.fieldIndex("accounts")) == Seq("s", "r"))
+    // data "xfer" = 0x78 0x66 0x65 0x72
+    assert(r.getAs[String]("data_hex") == "78666572")
+    assert(r.getSeq[String](r.fieldIndex("log_messages")) ==
+      Seq("Program log: Transfer", "Program consumed"))
+    // id linkage with the canonical instruction event at index 0
+    val canonical = Parse.parse(rawDF(20L -> transferBlock))
+      .filter($"event_type" === EvTokenInstruction)
+      .select("event_id").as[String].head()
+    assert(r.getAs[String]("event_id") == canonical)
+    // a tx with NO 'Program log:' line classifies to null, and the
+    // non-token instruction never gets an instruction_type
+    val basic = Parse.factProgramEvents(
+      Parse.parseBlocks(rawDF(10L -> basicBlock)))
+      .select($"event_type", $"instruction_type", $"log_pattern_match")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(basic == Set(
+      (EvProgramInstruction, null, null),
+      (EvTokenInstruction, null, null)))
+  }
 }
