@@ -574,6 +574,31 @@ object Dedup extends QueryModule {
     } finally retired.foreach(release)
   }
 
+  /** Per-process sink for [[clusterSummary]]'s distributed
+    * materialization (same concurrent-JVM isolation rationale as the
+    * ingest fixtures' paths). */
+  private[ext] val ClusterSummaryPath =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_summary_${ProcessHandle.current().pid()}.parquet"
+
+  /** Connected-component cluster summary over near-dup `pairs`, fully
+    * distributed end to end: the label fixpoint runs inside
+    * [[withComponents]]' loan scope, and the per-cluster (cluster_id,
+    * n_docs) aggregate is materialized to a temp parquet BEFORE the loan
+    * releases its caches — the returned frame is a lazy scan of that
+    * parquet, so the driver never holds a row. (The previous shape
+    * collected the summary to release the loan, which bounded the
+    * operator by the driver's memory at the number-of-clusters scale —
+    * corpus-sized at 100 TB.) */
+  private[ext] def clusterSummary(s: SparkSession, pairs: DataFrame,
+      maxIter: Int): DataFrame = {
+    withComponents(pairs, maxIter) { labels =>
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(ClusterSummaryPath)
+    }
+    s.read.parquet(ClusterSummaryPath)
+  }
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // Exact dedup: hash-groupBy on normalized text (whitespace-collapsed
@@ -758,21 +783,18 @@ object Dedup extends QueryModule {
     // Spark runs the distributed min-label-propagation loop; the oracle
     // replays the same fixpoint with a recursive transitive closure —
     // integer-only, so parity is exact. Output: one row per cluster
-    // (docs appearing in ≥1 pair), with its size — bounded by the
-    // near-dup pair count, so collecting inside the loan is safe.
+    // (docs appearing in ≥1 pair), with its size — materialized
+    // DISTRIBUTED (temp parquet inside the loan scope), never collected:
+    // at corpus scale the number of near-dup clusters is itself
+    // corpus-sized (10⁷–10⁸ rows at 100 TB), so a driver-side array
+    // here would be the one non-distributed step of the whole family.
     "dedup_clusters" -> Q(
       (s, dir) => {
-        import s.implicits._
         val pairs = jaccardPairs(shingleRows(s, dir), 0.5).select(col("d1"), col("d2"))
         // maxIter bounds propagation rounds at the component diameter;
         // 64 covers any plausible near-dup drift chain and still fails
         // loudly (rather than silently mislabeling) past it
-        val summary = withComponents(pairs, maxIter = 64)(
-          _.groupBy(col("label").as("cluster_id"))
-            .agg(count(lit(1)).as("n_docs"))
-            .orderBy(col("cluster_id"))
-            .as[(Long, Long)].collect().toSeq)
-        summary.toDF("cluster_id", "n_docs").orderBy(col("cluster_id"))
+        clusterSummary(s, pairs, maxIter = 64).orderBy(col("cluster_id"))
       },
       Some(s"""WITH RECURSIVE ${dJaccardCtes("jp", 0.5)},
               |edges AS (SELECT d1 AS a, d2 AS b FROM jp

@@ -121,6 +121,27 @@ class DedupProps extends SparkSpec {
       s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  test("clusterSummary stays distributed at 10^4 clusters (no driver array)") {
+    // 10^4 disjoint 2-cliques → 10^4 clusters: the many-cluster regime
+    // where a driver-side summary collect would be corpus-bounded at
+    // scale. The returned frame must be a lazy FILE SCAN of the
+    // loan-scope materialization — not a LocalRelation/LogicalRDD built
+    // from driver rows — and the loan must still release every cache.
+    val pairs = (0L until 10000L).map(i => (2 * i, 2 * i + 1)).toDF("d1", "d2")
+    spark.catalog.clearCache()
+    val summary = Dedup.clusterSummary(spark, pairs, maxIter = 30)
+    val plan = summary.queryExecution.optimizedPlan.collectLeaves()
+    assert(plan.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+      s"summary must scan the distributed materialization, got: $plan")
+    assert(summary.count() == 10000L)
+    assert(summary.filter($"n_docs" =!= 2L).count() == 0L)
+    // min-label convention: cluster_id = even member of each pair
+    assert(summary.filter($"cluster_id" % 2 =!= 0L).count() == 0L)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("connected components agree with union-find ground truth on random graphs") {
     // hook+compress must produce exactly the per-component minimum for
     // ANY topology, not just the planted chains/cycles — random sparse
