@@ -559,6 +559,79 @@ object TrainPrep extends QueryModule {
               |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "unigram LM importance filter (avg token log-prob, ordered folds)"),
 
+    // Model-apply quality scoring (the fastText/DCLM-style pass every
+    // modern pretraining pipeline runs): a LINEAR classifier over hashed
+    // unigram features — hash each token into a 4096-bucket space,
+    // gather the bucket weights, dot with the doc's term frequencies,
+    // squash through a sigmoid. The model here is DISTILLED from the
+    // corpus itself so both engines can re-derive it exactly: weak label
+    // y = [n_tokens ≥ 60] (the length prior), bucket weight = integer
+    // log-odds proxy df_pos − df_neg over distinct containing docs.
+    // Float discipline: the score is INTEGER-EXACT (tf × integer weight,
+    // summed); the only float ops are one exp per doc on an identical
+    // double and the ordered per-source fold of probs (the
+    // prep_lm_filter rules). Scale shape: the model is vocab-bounded
+    // (4096 rows) → broadcast to the scoring join, map-side; the only
+    // corpus-wide shuffles are the per-doc tf and score aggregations.
+    // At production scale the model table is a stored artifact from a
+    // real labeled run — the apply plan is unchanged.
+    "prep_classifier_score" -> Q(
+      (s, dir) => {
+        val tf = docs(s, dir)
+          .select(col("doc_id"), col("source"), explode(expr(tok)).as("w"))
+          .select(col("doc_id"), col("source"),
+            (Dedup.h60(col("w")) % 4096L).as("b"))
+          .groupBy(col("doc_id"), col("source"), col("b"))
+          .agg(count(lit(1)).as("tf"))
+        val lab = docs(s, dir).select(col("doc_id"),
+          (size(expr(tok)) >= 60).cast("long").as("y"))
+        val model = tf.select(col("doc_id"), col("b")).distinct()
+          .join(lab, Seq("doc_id"))
+          .groupBy(col("b"))
+          .agg((sum(col("y")) - sum(lit(1L) - col("y"))).as("w"))
+        val scored = tf.join(broadcast(model), Seq("b"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("tf") * col("w")).as("score"))
+          .select(col("doc_id"), col("source"), col("score"),
+            (lit(1.0) / (lit(1.0) +
+              exp(-col("score").cast("double") / lit(10000.0)))).as("prob"))
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("score") >= 0L, 1)).as("n_kept"),
+            sum(col("score")).as("sum_score"),
+            array_sort(collect_list(struct(col("doc_id"), col("prob")))).as("dp"))
+          .select(col("source"), col("n_docs"), col("n_kept"), col("sum_score"),
+            round(expr("aggregate(dp, CAST(0 AS DOUBLE), (a, q) -> a + q.prob)")
+              / col("n_docs").cast("double"), 4).as("mean_prob"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, source, ${Dedup.dH60("w")} % 4096 AS b,
+              |    count(*) AS tf
+              |  FROM documents, UNNEST($dTok) AS u(w) GROUP BY 1, 2, 3),
+              |lab AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len($dTok) >= 60 THEN 1 ELSE 0 END AS y
+              |  FROM documents),
+              |mdl AS (
+              |  SELECT b, sum(y) - sum(1 - y) AS w
+              |  FROM (SELECT DISTINCT doc_id, b FROM f) d
+              |  JOIN lab USING (doc_id) GROUP BY b),
+              |sc AS (
+              |  SELECT doc_id, source, sum(tf * w) AS score
+              |  FROM f JOIN mdl USING (b) GROUP BY 1, 2),
+              |pr AS (
+              |  SELECT *, 1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 10000.0e0))
+              |    AS prob
+              |  FROM sc)
+              |SELECT source, count(*) AS n_docs,
+              |  count(*) FILTER (WHERE score >= 0) AS n_kept,
+              |  CAST(sum(score) AS BIGINT) AS sum_score,
+              |  round(list_reduce(list_prepend(0.0e0, list(prob ORDER BY doc_id)),
+              |    (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 4) AS mean_prob
+              |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "model-apply quality scoring: broadcast linear classifier over hashed unigram features (integer-exact dot, one sigmoid per doc, ordered mean fold)"),
+
     // Z-order (Morton-curve) layout audit: interleave the bits of the
     // two most-filtered dimensions (user bucket × day) and assign each
     // cell to the file holding its 256-wide ALIGNED z-prefix — a 16×16

@@ -394,4 +394,14 @@ class PlanSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
     assert(p.contains("FullOuter"), p)
   }
+
+  test("classifier score: the model joins broadcast, never shuffled or looped") {
+    val p = planOf("prep_classifier_score")
+    // the 4096-bucket model is vocab-bounded — applying it must be a
+    // map-side broadcast hash join against the corpus tf table; a
+    // shuffle of the corpus on the bucket key (or any nested loop)
+    // would be the 100 TB regression
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
