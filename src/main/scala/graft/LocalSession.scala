@@ -22,6 +22,11 @@ private[graft] object LocalSession {
   def build(appName: String, logLevel: String = "WARN"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // analyzer-phase surface (the lake catalog's read/MERGE rewrites)
+      // can only be injected at build time; the function registry and
+      // optimizer rules the extension also carries are the same ones
+      // register()/registerRewrite() add post-hoc (both are idempotent)
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)

@@ -97,6 +97,56 @@ object LakeQueries extends QueryModule {
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "copy-on-write MERGE (update+delete CDC batch) read back from the committed table"),
 
+    // The SAME merge driven entirely by SQL TEXT (SURVEY §3.1 — the
+    // reference's only IR is SQL): the GraftCatalog resolves
+    // graft.<ns>.<table>, GraftLakeRule rewrites MERGE INTO onto the
+    // engine's commit protocol and the read-back SELECT onto the
+    // snapshot's native parquet plan. Observable state is identical to
+    // lake_merge_upsert, so the oracle is the same relational fold —
+    // making this row a differential test of the SQL BINDING (catalog,
+    // rule, command) on top of the already-gated storage layer.
+    "lake_sql_merge" -> Q(
+      (s, dir) => {
+        val wh = graft.plans.GraftCatalog.ensure(s, s"${System.getProperty(
+          "java.io.tmpdir")}/graft_lake_sql_wh_${ProcessHandle.current().pid()}")
+        val tableRoot = s"$wh/sqlq/orders_merge"
+        val fs = new org.apache.hadoop.fs.Path(tableRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def wipe(): Unit =
+          fs.delete(new org.apache.hadoop.fs.Path(tableRoot), true)
+        try {
+          wipe() // clean slate: the bench replays this query in one JVM
+          val b = base(s, dir)
+          MergeTable.append(s, tableRoot, b, "o_orderkey")
+          cdcBatch(b).createOrReplaceTempView("lake_sql_cdc")
+          s.sql(
+            """MERGE INTO graft.sqlq.orders_merge AS t
+              |USING lake_sql_cdc AS s ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED AND s.deleted THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED AND NOT s.deleted THEN INSERT *""".stripMargin)
+            .collect()
+          val res = summarize(s.sql("SELECT * FROM graft.sqlq.orders_merge"))
+          val rows = new java.util.ArrayList[Row]()
+          res.collect().foreach(rows.add)
+          s.createDataFrame(rows, res.schema)
+        } finally wipe()
+      },
+      Some(s"""WITH upd AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |         o_totalprice + 1.0 AS o_totalprice,
+             |         (o_orderkey % ${2 * KeyMod} = 0) AS deleted
+             |  FROM orders WHERE o_orderkey % $KeyMod = 0),
+             |merged AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+             |  WHERE NOT deleted)
+             |SELECT o_orderstatus AS status, $summaryCols
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "MERGE INTO + SELECT as pure SQL text through the DSv2 catalog: same observable fold as lake_merge_upsert, differential on the SQL binding"),
+
     "lake_time_travel" -> Q(
       (s, dir) => withTable(s, dir) { (v1, _, root) =>
         summarize(MergeTable.snapshot(s, root, asOf = Some(v1)))

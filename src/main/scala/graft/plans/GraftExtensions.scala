@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scan-pushdown restoration for the loader's nanos view of `ts`
     // (pure predicate rewrite, exact integer bounds — safe session-wide)
     e.injectOptimizerRule(_ => NanosFilterRule)
+    // SQL-text surface for the MergeTable lake: swaps GraftCatalog
+    // relations for native parquet snapshot plans and rewrites
+    // MERGE INTO into the engine's commit protocol. Matches only
+    // GraftLakeTable relations — inert for every other plan.
+    e.injectResolutionRule(GraftLakeRule)
   }
 }
 

@@ -7,6 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * testdata's TIMESTAMP(NANOS) events table. */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
+    // same extension surface as LocalSession (lake catalog SQL rules
+    // are build-time-only injections)
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
