@@ -15,6 +15,10 @@ object AnalyticsProps extends Properties("Analytics") {
     p.withMinSuccessfulTests(8)
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    // keep the extension surface identical to SparkSpec: whichever
+    // suite builds the JVM's shared session first must carry the lake
+    // catalog's analyzer rules (build-time-only injection)
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -134,9 +134,43 @@ object RehearsalGen {
         col("props"))
     })
 
+    // TPC-H side (round 14, for FULL-surface rehearsal): the FACT
+    // tables (orders, lineitem) replicate with an order-key stride so
+    // join keys stay consistent; dimension keys (cust/supp/part) keep
+    // their ORIGINAL values — facts grow ~replicas×, dims stay fixed,
+    // exactly the shape a growing warehouse has (and the hot-key
+    // direction that stresses the fact-side joins). Dates shift by r
+    // days modulo a year-ish window so date-bucketed plans see real
+    // spread. Dimensions copy through verbatim.
+    val ordersOut = replicate(Tables.orders(spark, src), { (o, r) =>
+      o.select(
+        (col("o_orderkey") + lit(r * IdStride)).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") * (lit(1.0) + lit(r) / lit(1000.0))).as("o_totalprice"),
+        (col("o_orderdate") + expr(s"INTERVAL '$r' DAY")).as("o_orderdate"),
+        col("o_orderpriority"))
+    })
+    val lineitemOut = replicate(Tables.lineitem(spark, src), { (l, r) =>
+      l.select(
+        (col("l_orderkey") + lit(r * IdStride)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) + lit(r) / lit(1000.0)))
+          .as("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"),
+        (col("l_shipdate") + expr(s"INTERVAL '$r' DAY")).as("l_shipdate"))
+    })
+
     docsOut.repartition(16).write.mode("overwrite").parquet(s"$out/documents.parquet")
     embsOut.repartition(16).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     eventsOut.repartition(16).write.mode("overwrite").parquet(s"$out/events.parquet")
+    ordersOut.repartition(16).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    lineitemOut.repartition(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     println(s"[rehearsal] documents: ${spark.read.parquet(s"$out/documents.parquet").count()}")
     println(s"[rehearsal] embeddings: ${spark.read.parquet(s"$out/embeddings.parquet").count()}")
     println(s"[rehearsal] events: ${spark.read.parquet(s"$out/events.parquet").count()}")

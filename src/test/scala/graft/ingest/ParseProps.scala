@@ -14,6 +14,10 @@ object ParseProps extends Properties("Parse") {
     p.withMinSuccessfulTests(12)
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    // keep the extension surface identical to SparkSpec: whichever
+    // suite builds the JVM's shared session first must carry the lake
+    // catalog's analyzer rules (build-time-only injection)
+    .withExtensions(new graft.plans.GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
