@@ -101,6 +101,57 @@ object TrainPrep extends QueryModule {
           / size(col("pc")).cast("double")).as("avg_lp"))
   }
 
+  /** Per-doc classifier state shared by `prep_classifier_score` and
+    * `prep_classifier_eval`: (doc_id, source, y, score, prob). Tokens
+    * hash into a 4096-bucket space; the vocab-bounded model (weight =
+    * df_pos − df_neg under the weak token-count label) BROADCASTS to
+    * the scoring join; score is integer-exact, prob is the one float
+    * op (a sigmoid on an identical double). */
+  private[ext] def classifierScores(d: DataFrame): DataFrame = {
+    val tf = d.select(col("doc_id"), col("source"), explode(expr(tok)).as("w"))
+      .select(col("doc_id"), col("source"),
+        (Dedup.h60(col("w")) % 4096L).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val lab = d.select(col("doc_id"),
+      (size(expr(tok)) >= 60).cast("long").as("y"))
+    val model = tf.select(col("doc_id"), col("b")).distinct()
+      .join(lab, Seq("doc_id"))
+      .groupBy(col("b"))
+      .agg((sum(col("y")) - sum(lit(1L) - col("y"))).as("w"))
+    tf.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+      .join(lab, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("y"), col("score"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-col("score").cast("double") / lit(10000.0)))).as("prob"))
+  }
+
+  /** DuckDB mirror of [[classifierScores]] (CTEs `f/lab/mdl/sc/pr`;
+    * `pr` carries doc_id, source, y, score, prob). */
+  private[ext] lazy val dClassifierCtes: String =
+    s"""f AS (
+       |  SELECT doc_id, source, ${Dedup.dH60("w")} % 4096 AS b,
+       |    count(*) AS tf
+       |  FROM documents, UNNEST($dTok) AS u(w) GROUP BY 1, 2, 3),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len($dTok) >= 60 THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |mdl AS (
+       |  SELECT b, sum(y) - sum(1 - y) AS w
+       |  FROM (SELECT DISTINCT doc_id, b FROM f) d
+       |  JOIN lab USING (doc_id) GROUP BY b),
+       |sc AS (
+       |  SELECT doc_id, source, sum(tf * w) AS score
+       |  FROM f JOIN mdl USING (b) GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT sc.*, lab.y,
+       |    1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 10000.0e0)) AS prob
+       |  FROM sc JOIN lab USING (doc_id))""".stripMargin
+
+
   override val defs: Seq[(String, Q)] = Seq(
 
     // Benchmark decontamination: flag training documents sharing word
@@ -577,25 +628,7 @@ object TrainPrep extends QueryModule {
     // real labeled run — the apply plan is unchanged.
     "prep_classifier_score" -> Q(
       (s, dir) => {
-        val tf = docs(s, dir)
-          .select(col("doc_id"), col("source"), explode(expr(tok)).as("w"))
-          .select(col("doc_id"), col("source"),
-            (Dedup.h60(col("w")) % 4096L).as("b"))
-          .groupBy(col("doc_id"), col("source"), col("b"))
-          .agg(count(lit(1)).as("tf"))
-        val lab = docs(s, dir).select(col("doc_id"),
-          (size(expr(tok)) >= 60).cast("long").as("y"))
-        val model = tf.select(col("doc_id"), col("b")).distinct()
-          .join(lab, Seq("doc_id"))
-          .groupBy(col("b"))
-          .agg((sum(col("y")) - sum(lit(1L) - col("y"))).as("w"))
-        val scored = tf.join(broadcast(model), Seq("b"))
-          .groupBy(col("doc_id"), col("source"))
-          .agg(sum(col("tf") * col("w")).as("score"))
-          .select(col("doc_id"), col("source"), col("score"),
-            (lit(1.0) / (lit(1.0) +
-              exp(-col("score").cast("double") / lit(10000.0)))).as("prob"))
-        scored.groupBy(col("source"))
+        classifierScores(docs(s, dir)).groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             count(when(col("score") >= 0L, 1)).as("n_kept"),
             sum(col("score")).as("sum_score"),
@@ -605,25 +638,7 @@ object TrainPrep extends QueryModule {
               / col("n_docs").cast("double"), 4).as("mean_prob"))
           .orderBy(col("source"))
       },
-      Some(s"""WITH f AS (
-              |  SELECT doc_id, source, ${Dedup.dH60("w")} % 4096 AS b,
-              |    count(*) AS tf
-              |  FROM documents, UNNEST($dTok) AS u(w) GROUP BY 1, 2, 3),
-              |lab AS (
-              |  SELECT doc_id,
-              |    CASE WHEN len($dTok) >= 60 THEN 1 ELSE 0 END AS y
-              |  FROM documents),
-              |mdl AS (
-              |  SELECT b, sum(y) - sum(1 - y) AS w
-              |  FROM (SELECT DISTINCT doc_id, b FROM f) d
-              |  JOIN lab USING (doc_id) GROUP BY b),
-              |sc AS (
-              |  SELECT doc_id, source, sum(tf * w) AS score
-              |  FROM f JOIN mdl USING (b) GROUP BY 1, 2),
-              |pr AS (
-              |  SELECT *, 1.0e0 / (1.0e0 + exp(-CAST(score AS DOUBLE) / 10000.0e0))
-              |    AS prob
-              |  FROM sc)
+      Some(s"""WITH $dClassifierCtes
               |SELECT source, count(*) AS n_docs,
               |  count(*) FILTER (WHERE score >= 0) AS n_kept,
               |  CAST(sum(score) AS BIGINT) AS sum_score,
@@ -631,6 +646,55 @@ object TrainPrep extends QueryModule {
               |    (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 4) AS mean_prob
               |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "model-apply quality scoring: broadcast linear classifier over hashed unigram features (integer-exact dot, one sigmoid per doc, ordered mean fold)"),
+
+    // Classifier EVAL as a query (the sim_ann_recall_eval pattern for
+    // the quality-scoring path): confusion matrix of the thresholded
+    // score (>= 0 ⟺ prob >= 0.5) against the weak labels, per source,
+    // with precision/recall as ONE final guarded division each —
+    // integer counts end-to-end, so parity is exact. (Training and
+    // eval share the corpus by construction here; the query SHAPE is
+    // the held-out-eval plan a real labeled run uses.)
+    "prep_classifier_eval" -> Q(
+      (s, dir) => {
+        classifierScores(docs(s, dir))
+          .select(col("source"), col("y"),
+            when(col("score") >= 0L, 1L).otherwise(0L).as("pred"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("y") * col("pred")).as("tp"),
+            sum((lit(1L) - col("y")) * col("pred")).as("fp"),
+            sum(col("y") * (lit(1L) - col("pred"))).as("fn"),
+            sum((lit(1L) - col("y")) * (lit(1L) - col("pred"))).as("tn"))
+          .select(col("source"), col("n_docs"), col("tp"), col("fp"),
+            col("fn"), col("tn"),
+            round(when(col("tp") + col("fp") > 0L,
+              col("tp").cast("double") / (col("tp") + col("fp")).cast("double")), 4)
+              .as("precision"),
+            round(when(col("tp") + col("fn") > 0L,
+              col("tp").cast("double") / (col("tp") + col("fn")).cast("double")), 4)
+              .as("recall"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $dClassifierCtes,
+              |cm AS (
+              |  SELECT source, y,
+              |    CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pred
+              |  FROM pr)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(y * pred) AS BIGINT) AS tp,
+              |  CAST(sum((1 - y) * pred) AS BIGINT) AS fp,
+              |  CAST(sum(y * (1 - pred)) AS BIGINT) AS fn,
+              |  CAST(sum((1 - y) * (1 - pred)) AS BIGINT) AS tn,
+              |  round(CASE WHEN sum(y * pred) + sum((1 - y) * pred) > 0
+              |    THEN CAST(sum(y * pred) AS DOUBLE)
+              |      / CAST(sum(y * pred) + sum((1 - y) * pred) AS DOUBLE) END, 4)
+              |    AS precision,
+              |  round(CASE WHEN sum(y * pred) + sum(y * (1 - pred)) > 0
+              |    THEN CAST(sum(y * pred) AS DOUBLE)
+              |      / CAST(sum(y * pred) + sum(y * (1 - pred)) AS DOUBLE) END, 4)
+              |    AS recall
+              |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "classifier eval-as-query: per-source confusion matrix + precision/recall of the thresholded score vs the weak labels (integer counts, guarded final divisions)"),
 
     // Z-order (Morton-curve) layout audit: interleave the bits of the
     // two most-filtered dimensions (user bucket × day) and assign each

@@ -147,6 +147,36 @@ object LakeQueries extends QueryModule {
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "MERGE INTO + SELECT as pure SQL text through the DSv2 catalog: same observable fold as lake_merge_upsert, differential on the SQL binding"),
 
+    // VERSION AS OF as SQL TEXT: the catalog's loadTable(ident, version)
+    // hook + the read rewrite, against the same pre-merge observable
+    // state as lake_time_travel — the differential isolates the SQL
+    // time-travel binding the way lake_sql_merge isolates the MERGE one.
+    "lake_sql_time_travel" -> Q(
+      (s, dir) => {
+        val wh = graft.plans.GraftCatalog.ensure(s, s"${System.getProperty(
+          "java.io.tmpdir")}/graft_lake_sql_wh_${ProcessHandle.current().pid()}")
+        val tableRoot = s"$wh/sqlq/orders_tt"
+        val fs = new org.apache.hadoop.fs.Path(tableRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def wipe(): Unit =
+          fs.delete(new org.apache.hadoop.fs.Path(tableRoot), true)
+        try {
+          wipe()
+          val b = base(s, dir)
+          val v1 = MergeTable.append(s, tableRoot, b, "o_orderkey")
+          MergeTable.merge(s, tableRoot, cdcBatch(b), "o_orderkey",
+            deleteCol = Some("deleted"))
+          val res = summarize(s.sql(
+            s"SELECT * FROM graft.sqlq.orders_tt VERSION AS OF $v1"))
+          val rows = new java.util.ArrayList[Row]()
+          res.collect().foreach(rows.add)
+          s.createDataFrame(rows, res.schema)
+        } finally wipe()
+      },
+      Some(s"""SELECT o_orderstatus AS status, $summaryCols
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SELECT ... VERSION AS OF as pure SQL text through the DSv2 catalog: pre-merge state after the merge committed"),
+
     "lake_time_travel" -> Q(
       (s, dir) => withTable(s, dir) { (v1, _, root) =>
         summarize(MergeTable.snapshot(s, root, asOf = Some(v1)))
