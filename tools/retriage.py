@@ -29,6 +29,7 @@ folded from.
 """
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -130,26 +131,58 @@ def main(argv):
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         print(f"re-running isolated: sbt 'runMain graft.Bench {names}' "
               f"(SPARK_GRAFT_SF_DIR={sf_dir})")
-        subprocess.run(
+        # subset runs deliberately do NOT write bench_last.json (a dev
+        # subset would masquerade as a collapsed query surface), so the
+        # timings must come from the emitted queries_chunk stdout lines
+        proc = subprocess.run(
             ["sbt", "-batch", f"runMain graft.Bench {names}"],
             cwd=REPO, env=env, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        iso = load(last)["queries"]
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        iso = {}
+        for line in proc.stdout.splitlines():
+            i = line.find('{"metric"')
+            if i < 0:
+                continue
+            try:
+                obj = json.loads(line[i:])
+            except json.JSONDecodeError:
+                continue
+            if obj.get("metric") == "queries_chunk":
+                iso.update(obj["queries"])
+        # epoch calibration: the isolated run's canary vs the baseline's
+        # prices the machine's CURRENT speed — a row that is 2.1x raw on
+        # a 1.5x-slow epoch is ~1.4x normalized, not a regression
+        # sbt interleaves the JVM's stderr into its own stdout, so look
+        # in both streams for the canary line
+        m = re.search(r"\[bench\] canary ([0-9.]+) s",
+                      proc.stdout + "\n" + proc.stderr)
+        iso_canary = float(m.group(1)) if m else None
+        base_canary = base.get("canary_sec")
+        epoch = (iso_canary / base_canary
+                 if iso_canary and base_canary and base_canary > 0 else None)
+        verdict["isolated_canary_sec"] = iso_canary
+        verdict["epoch_ratio"] = round(epoch, 3) if epoch else None
+        if epoch:
+            print(f"isolated-run epoch: canary {iso_canary:.3f}s = "
+                  f"{epoch:.2f}x of baseline canary {base_canary:.3f}s")
         if stash:
             shutil.move(stash, last)
         for n, v, b, r in flagged:
             iv = iso.get(n, -1.0)
             ir = iv / b if iv >= 0 else None
-            cleared = ir is not None and ir < threshold
+            nr = (ir / epoch) if (ir is not None and epoch) else ir
+            cleared = nr is not None and nr < threshold
             verdict["flagged"].append({
                 "query": n, "sweep_sec": v, "baseline_sec": b,
                 "sweep_ratio": round(r, 3), "isolated_sec": iv,
                 "isolated_ratio": round(ir, 3) if ir is not None else None,
+                "normalized_ratio": round(nr, 3) if nr is not None else None,
                 "verdict": "cleared" if cleared else "regressed",
             })
             tag = "CLEARED" if cleared else "REGRESSED"
-            print(f"  {n}: isolated {iv:.2f}s = "
-                  f"{ir:.2f}x -> {tag}" if ir is not None
+            print(f"  {n}: isolated {iv:.2f}s = {ir:.2f}x raw"
+                  + (f" / {nr:.2f}x epoch-normalized" if epoch else "")
+                  + f" -> {tag}" if ir is not None
                   else f"  {n}: isolated run FAILED -> REGRESSED")
     elif flagged:
         verdict["flagged"] = [
