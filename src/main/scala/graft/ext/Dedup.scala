@@ -413,7 +413,7 @@ object Dedup extends QueryModule {
     * one (substring width, radix) pair here means a one-character slip
     * can no longer break a single query's parity while the others stay
     * green. */
-  private[ext] def h60(c: Column, hexLen: Int = 15): Column =
+  private[graft] def h60(c: Column, hexLen: Int = 15): Column =
     conv(substring(md5(c), 1, hexLen), 16, 10).cast("long")
   private[ext] def dH60(e: String, hexLen: Int = 15): String =
     s"('0x' || substr(md5($e), 1, $hexLen))::BIGINT"

@@ -22,7 +22,7 @@ object TextAnalytics extends QueryModule {
     * streaming kernel (`Dedup.docBandKeys`), so the three tokenizers
     * cannot drift independently. */
   private[graft] val TokenPattern = "[a-z0-9]+"
-  private[ext] val tokExpr = s"regexp_extract_all(lower(text), '$TokenPattern', 0)"
+  private[graft] val tokExpr = s"regexp_extract_all(lower(text), '$TokenPattern', 0)"
   private[ext] val dTok = s"regexp_extract_all(lower(text), '$TokenPattern')"
   private[ext] val stopPattern = "\\\\b(the|a|an|and|of|to|in|is)\\\\b"
   private[ext] val dStop = "\\b(the|a|an|and|of|to|in|is)\\b"

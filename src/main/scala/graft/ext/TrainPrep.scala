@@ -107,18 +107,33 @@ object TrainPrep extends QueryModule {
     * df_pos − df_neg under the weak token-count label) BROADCASTS to
     * the scoring join; score is integer-exact, prob is the one float
     * op (a sigmoid on an identical double). */
+  /** The classifier's feature-bucket count (the hashed vocab size). */
+  private[graft] val ClassifierBuckets = 4096L
+
+  /** The trained model alone — per-bucket integer weight (b, w): the
+    * vocab-bounded artifact a production run stores and the streaming
+    * scorer folds as a literal. Derivation as in [[classifierScores]]:
+    * weak label y = [n_tokens ≥ 60], w = df_pos − df_neg. */
+  private[graft] def classifierModel(d: DataFrame): DataFrame = {
+    val bocc = d.select(col("doc_id"), explode(expr(tok)).as("w"))
+      .select(col("doc_id"), (Dedup.h60(col("w")) % ClassifierBuckets).as("b"))
+      .distinct()
+    val lab = d.select(col("doc_id"),
+      (size(expr(tok)) >= 60).cast("long").as("y"))
+    bocc.join(lab, Seq("doc_id"))
+      .groupBy(col("b"))
+      .agg((sum(col("y")) - sum(lit(1L) - col("y"))).as("w"))
+  }
+
   private[ext] def classifierScores(d: DataFrame): DataFrame = {
     val tf = d.select(col("doc_id"), col("source"), explode(expr(tok)).as("w"))
       .select(col("doc_id"), col("source"),
-        (Dedup.h60(col("w")) % 4096L).as("b"))
+        (Dedup.h60(col("w")) % ClassifierBuckets).as("b"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("tf"))
     val lab = d.select(col("doc_id"),
       (size(expr(tok)) >= 60).cast("long").as("y"))
-    val model = tf.select(col("doc_id"), col("b")).distinct()
-      .join(lab, Seq("doc_id"))
-      .groupBy(col("b"))
-      .agg((sum(col("y")) - sum(lit(1L) - col("y"))).as("w"))
+    val model = classifierModel(d)
     tf.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf") * col("w")).as("score"))
@@ -130,7 +145,7 @@ object TrainPrep extends QueryModule {
 
   /** DuckDB mirror of [[classifierScores]] (CTEs `f/lab/mdl/sc/pr`;
     * `pr` carries doc_id, source, y, score, prob). */
-  private[ext] lazy val dClassifierCtes: String =
+  private[graft] lazy val dClassifierCtes: String =
     s"""f AS (
        |  SELECT doc_id, source, ${Dedup.dH60("w")} % 4096 AS b,
        |    count(*) AS tf

@@ -854,6 +854,57 @@ object StreamQueries extends QueryModule {
              |ORDER BY d1, d2""".stripMargin),
       doc = "streaming MinHash band dedup across micro-batches; capped per-key state vs rank-capped relational replay"),
 
+    /** STREAMING MODEL-APPLY QUALITY SCORING — the production shape of
+      * `prep_classifier_score`: the vocab-bounded model (4096 integer
+      * bucket weights) is a stored artifact trained batch-side, and the
+      * stream scores each arriving document as PURE MAP work — one
+      * literal-map fold per row (the literal-centroid pattern of
+      * `stream_ivf_assign`), no join, no aggregation, no state. The
+      * per-doc score is the SAME integer Σ tf·w as the batch query:
+      * folding w[bucket(t)] over every token occurrence IS the
+      * tf-weighted dot product, so the differential pins stream ≡ batch
+      * bit-for-bit.
+      *
+      * Differential teeth: a NULL-text and an empty-text document ride
+      * the final micro-batch — both token-less, both must be dropped by
+      * the stream's explicit guard exactly as the batch pipeline's
+      * explode (and the oracle's UNNEST) drops them; any engine that
+      * scored them 0 instead would add rows → red. */
+    "stream_classifier_score" -> Q(
+      (s, dir) => withStreamRun(s, dir) { (staging, ckpt, _) =>
+        import s.implicits._
+        val model = graft.ext.TrainPrep
+          .classifierModel(Tables.documents(s, dir))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        linkChunks(cachedCorpus(s, dir, "documents_scored", "doc_id") {
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("text"))
+        }.dir, staging)
+        val dirty = Seq((-1L, "planted", null.asInstanceOf[String]),
+            (-2L, "planted", ""))
+          .toDF("doc_id", "source", "text")
+          .withColumn("chunk", lit(Chunks.toLong))
+        stageExtras(s, dirty, staging,
+          stagedCache.get((dir, "documents_scored")).baseMs)
+        val wmap = typedlit(model)
+        val toks = expr(graft.ext.TextAnalytics.tokExpr)
+        val scored = chunkStream(s, staging)
+          // token-less docs (null/empty text) leave the population here,
+          // mirroring the batch explode / oracle UNNEST drop
+          .filter(size(toks) >= 1)
+          .select(col("doc_id"), col("source"),
+            aggregate(toks, lit(0L), (acc, t) =>
+              acc + coalesce(element_at(wmap,
+                graft.ext.Dedup.h60(t) % graft.ext.TrainPrep.ClassifierBuckets),
+                lit(0L))).as("score"))
+          .withColumn("kept", col("score") >= 0L)
+        drainToParquet(s, scored, ckpt).orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${graft.ext.TrainPrep.dClassifierCtes}
+             |SELECT doc_id, source, score, score >= 0 AS kept
+             |FROM sc ORDER BY doc_id""".stripMargin),
+      doc = "streaming model-apply scoring: batch-trained 4096-bucket linear model folded as a literal map, map-only per-row integer dot; token-less planted docs dropped identically on both engines"),
+
     /** STREAMING IVF INDEX MAINTENANCE on the hard signal: embeddings
       * arrive in 4 vec_id-ordered micro-batches and are assigned to
       * their max-cosine corpus-label centroid as PURE MAP work (the
