@@ -573,5 +573,67 @@ object ScaleOps extends QueryModule {
              |FROM events GROUP BY 1, 2
              |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
       doc = "equi-width per-type value histogram (bounded group count)"),
+
+    // Histogram-sketch RE-AGGREGATION — the quantile twin of
+    // evt_hll_sketch_rollup: the warehouse stores one tiny (bucket, n)
+    // histogram per day (the daily monitoring artifact), and later
+    // rollups merge SKETCHES ONLY — the weekly quantile read-out below
+    // touches the daily bin rows, never rescans the fact table. Merge
+    // is bin-wise count addition (associative, order-free, partial-agg
+    // friendly), and the approx quantile is the smallest bucket whose
+    // cumulative count crosses the rank — INTEGER arithmetic end to end
+    // (2·cum ≥ N for p50, 10·cum ≥ 9·N for p90), so parity is exact.
+    // Error is bounded by the bin width (50), the classic fixed-bin
+    // trade: at 100 TB the daily artifact is O(bins) per grain cell
+    // regardless of event count. Timeless/valueless rows are
+    // quarantined explicitly (a histogram can neither place nor bin
+    // them) — both engines share the filter.
+    "evt_histogram_rollup" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .groupBy(expr("ts div 86400000000000").as("day"),
+            floor(col("value") / lit(50.0)).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val weekly = daily
+          .groupBy(expr("day div 7").as("week"), col("bucket"))
+          .agg(sum(col("n")).as("n"))
+        val cumW = Window.partitionBy(col("week")).orderBy(col("bucket"))
+        weekly
+          .withColumn("cum", sum(col("n")).over(cumW))
+          .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("week"))))
+          .groupBy(col("week"))
+          .agg(max(col("tot")).as("n_events"),
+            count(lit(1)).as("n_bins"),
+            (min(when(col("cum") * 2 >= col("tot"), col("bucket"))) * 50)
+              .as("p50_lo"),
+            (min(when(col("cum") * 10 >= col("tot") * 9, col("bucket"))) * 50)
+              .as("p90_lo"),
+            (max(col("bucket")) * 50).as("max_lo"))
+          .orderBy(col("week"))
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(floor(value / 50.0e0) AS BIGINT) AS bucket,
+             |    count(*) AS n
+             |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |weekly AS (
+             |  SELECT day // 7 AS week, bucket, CAST(sum(n) AS BIGINT) AS n
+             |  FROM daily GROUP BY 1, 2),
+             |c AS (
+             |  SELECT *,
+             |    sum(n) OVER (PARTITION BY week ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(n) OVER (PARTITION BY week) AS tot
+             |  FROM weekly)
+             |SELECT week, CAST(max(tot) AS BIGINT) AS n_events,
+             |  count(*) AS n_bins,
+             |  min(CASE WHEN cum * 2 >= tot THEN bucket END) * 50 AS p50_lo,
+             |  min(CASE WHEN cum * 10 >= tot * 9 THEN bucket END) * 50 AS p90_lo,
+             |  max(bucket) * 50 AS max_lo
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "histogram-sketch rollup: daily (bucket, n) artifacts merged bins-only into weekly integer-exact approx p50/p90 — the fact table is never rescanned"),
   )
 }

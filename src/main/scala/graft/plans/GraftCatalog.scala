@@ -75,10 +75,18 @@ class GraftCatalog extends TableCatalog {
     GraftLakeTable(rootOf(ident), asOf = None)
   }
 
-  /** `VERSION AS OF <v>` — the DSv2 time-travel hook. */
+  /** `VERSION AS OF <v>` — the DSv2 time-travel hook. The version must
+    * actually be committed: the manifest fold for a FUTURE version
+    * would silently answer with the current state (every commit ≤ v is
+    * every commit), which is not time travel — fail loudly instead. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    GraftLakeTable(rootOf(ident), asOf = Some(version.toLong))
+    val vs = MergeTable.versions(spark, rootOf(ident))
+    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    val v = version.toLong
+    require(vs.contains(v),
+      s"VERSION AS OF $v: table ${rootOf(ident)} has committed versions " +
+        s"${vs.min}..${vs.max} only")
+    GraftLakeTable(rootOf(ident), asOf = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

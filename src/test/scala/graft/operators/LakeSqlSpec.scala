@@ -107,4 +107,39 @@ class LakeSqlSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("catalog surfaces: listTables, missing table, version floor, travel-target merge") {
+    val wh = freshCatalog()
+    MergeTable.append(spark, s"$wh/nsx/ta", Seq((1L, "a")).toDF("k", "s"), "k")
+    MergeTable.append(spark, s"$wh/nsx/tb", Seq((2L, "b")).toDF("k", "s"), "k")
+    val listed = spark.sql("SHOW TABLES IN graft.nsx").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    assert(listed == Set("ta", "tb"))
+
+    // an unknown table must resolve to the standard not-found error,
+    // not an opaque path failure
+    val nf = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.nsx.nope").collect()
+    }
+    assert(nf.getMessage.contains("nope"), nf.getMessage)
+
+    // time travel below the table's first version fails loudly through
+    // the SQL path (MergeTable's version-floor contract)
+    val vf = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.nsx.ta VERSION AS OF 999").collect()
+    }
+    assert(vf.getMessage != null)
+
+    // MERGE INTO a time-travelled snapshot is refused: a pinned version
+    // is not a writable head
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("tt_upd")
+    val tm = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.nsx.ta VERSION AS OF 1 AS t USING tt_upd AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(tm.getMessage != null)
+  }
 }
