@@ -711,6 +711,44 @@ object TrainPrep extends QueryModule {
               |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "classifier eval-as-query: per-source confusion matrix + precision/recall of the thresholded score vs the weak labels (integer counts, guarded final divisions)"),
 
+    // Calibration read-out (reliability diagram as a query): bucket the
+    // sigmoid probabilities into deciles and compare each decile's MEAN
+    // predicted probability against its OBSERVED label rate — the
+    // standard check that a scorer's probabilities mean what they say
+    // before a pipeline thresholds on them. Bucketing floors prob·10
+    // (clamped so prob = 1.0 joins decile 9) on the identical double
+    // both engines computed; counts are integers; the two read-out
+    // columns are one ordered fold + one division each, rounded last.
+    "prep_classifier_calibration" -> Q(
+      (s, dir) => {
+        classifierScores(docs(s, dir))
+          .select(col("doc_id"), col("y"), col("prob"),
+            least(floor(col("prob") * 10).cast("long"), lit(9L)).as("decile"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("y")).as("n_pos"),
+            array_sort(collect_list(struct(col("doc_id"), col("prob")))).as("dp"))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            round(expr("aggregate(dp, CAST(0 AS DOUBLE), (a, q) -> a + q.prob)")
+              / col("n_docs").cast("double"), 4).as("mean_prob"),
+            round(col("n_pos").cast("double") / col("n_docs").cast("double"), 4)
+              .as("pos_rate"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""WITH $dClassifierCtes,
+              |d AS (
+              |  SELECT doc_id, y, prob,
+              |    least(CAST(floor(prob * 10) AS BIGINT), 9) AS decile
+              |  FROM pr)
+              |SELECT decile, count(*) AS n_docs,
+              |  CAST(sum(y) AS BIGINT) AS n_pos,
+              |  round(list_reduce(list_prepend(0.0e0, list(prob ORDER BY doc_id)),
+              |    (a, x) -> a + x) / CAST(count(*) AS DOUBLE), 4) AS mean_prob,
+              |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+              |    AS pos_rate
+              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "classifier calibration: per-decile mean predicted probability vs observed label rate (reliability diagram as a query; ordered folds, rounded last)"),
+
     // Z-order (Morton-curve) layout audit: interleave the bits of the
     // two most-filtered dimensions (user bucket × day) and assign each
     // cell to the file holding its 256-wide ALIGNED z-prefix — a 16×16
