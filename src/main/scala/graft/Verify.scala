@@ -17,8 +17,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // oracle-paired outputs must honor the driver's scalar-only
+        // boundary (see BoundaryContract) — fail the query loudly HERE
+        // rather than red mysteriously at the driver's hash
+        if (SparkEntry.oracleSql.contains(name))
+          BoundaryContract.assertScalar(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -574,11 +574,17 @@ object Dedup extends QueryModule {
     } finally retired.foreach(release)
   }
 
-  /** Per-process sink for [[clusterSummary]]'s distributed
-    * materialization (same concurrent-JVM isolation rationale as the
-    * ingest fixtures' paths). */
-  private[ext] val ClusterSummaryPath =
-    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_summary_${ProcessHandle.current().pid()}.parquet"
+  /** Fresh sink per [[clusterSummary]] call: a fixed per-process path
+    * would let a second call silently invalidate the lazy frame an
+    * earlier call returned (and race concurrent sessions in one JVM).
+    * PID isolates across JVMs; the counter isolates calls within one.
+    * Paths accumulate in tmp for the process lifetime by design — the
+    * returned frame stays a lazy scan, so the backing files must
+    * outlive the call. */
+  private val clusterSummarySeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private[ext] def nextClusterSummaryPath(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_summary_" +
+      s"${ProcessHandle.current().pid()}_${clusterSummarySeq.incrementAndGet()}.parquet"
 
   /** Connected-component cluster summary over near-dup `pairs`, fully
     * distributed end to end: the label fixpoint runs inside
@@ -591,12 +597,13 @@ object Dedup extends QueryModule {
     * corpus-sized at 100 TB.) */
   private[ext] def clusterSummary(s: SparkSession, pairs: DataFrame,
       maxIter: Int): DataFrame = {
+    val path = nextClusterSummaryPath()
     withComponents(pairs, maxIter) { labels =>
       labels.groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
-        .write.mode("overwrite").parquet(ClusterSummaryPath)
+        .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(ClusterSummaryPath)
+    s.read.parquet(path)
   }
 
   override val defs: Seq[(String, Q)] = Seq(

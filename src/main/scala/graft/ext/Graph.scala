@@ -134,15 +134,16 @@ object Graph extends QueryModule {
   def triangleCensus(edgeDf: DataFrame): DataFrame = {
     val e = edgeDf.cache()
     try {
-      val nNodes = e.select(explode(array(col("u"), col("v"))).as("n"))
-        .distinct().count()
-      val nEdges = e.count()
-      // wedges: Σ deg·(deg−1)/2 over nodes (integer-exact); one cache
-      // scan via explode rather than a two-scan union
-      val wedges = e.select(explode(array(col("u"), col("v"))).as("node"))
+      // nodes + wedges from ONE job over the degree frame (a distinct
+      // node IS a degree group, so counting groups replaces a separate
+      // distinct+count action; wedges: Σ deg·(deg−1)/2, integer-exact)
+      val nw = e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("w"))
-        .head().getLong(0)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("w"))
+        .head()
+      val (nNodes, wedges) = (nw.getLong(0), nw.getLong(1))
+      val nEdges = e.count()
       val tri = triangleRows(e).count()
       val spark = edgeDf.sparkSession
       import spark.implicits._

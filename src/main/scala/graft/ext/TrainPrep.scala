@@ -143,6 +143,15 @@ object TrainPrep extends QueryModule {
           exp(-col("score").cast("double") / lit(10000.0)))).as("prob"))
   }
 
+  /** Integer score cutoffs of the sigmoid's decile boundaries: the
+    * smallest integer score with sigmoid(score/10000) ≥ d/10, i.e.
+    * ceil(10000·ln(d/(10−d))) for d = 1..9. Computed ONCE here and
+    * embedded as literals on BOTH engines, so calibration bucketing is
+    * pure integer comparison — no cross-engine `exp` 1-ulp boundary
+    * risk (Java Math.exp vs DuckDB libm need not be bit-identical). */
+  private[ext] val CalibrationCutoffs: Seq[Long] =
+    (1 to 9).map(d => math.ceil(10000.0 * math.log(d / (10.0 - d))).toLong)
+
   /** DuckDB mirror of [[classifierScores]] (CTEs `f/lab/mdl/sc/pr`;
     * `pr` carries doc_id, source, y, score, prob). */
   private[graft] lazy val dClassifierCtes: String =
@@ -715,15 +724,21 @@ object TrainPrep extends QueryModule {
     // sigmoid probabilities into deciles and compare each decile's MEAN
     // predicted probability against its OBSERVED label rate — the
     // standard check that a scorer's probabilities mean what they say
-    // before a pipeline thresholds on them. Bucketing floors prob·10
-    // (clamped so prob = 1.0 joins decile 9) on the identical double
-    // both engines computed; counts are integers; the two read-out
-    // columns are one ordered fold + one division each, rounded last.
+    // before a pipeline thresholds on them. Bucketing is INTEGER-exact:
+    // decile = #{d : score ≥ cutoff_d} over the precomputed integer
+    // score cutoffs of the sigmoid decile boundaries
+    // ([[CalibrationCutoffs]], same literals on both engines) — the
+    // monotone sigmoid makes this ≡ floor(prob·10) clamped to 9, minus
+    // the cross-engine exp boundary risk; counts are integers; the two
+    // read-out columns are one ordered fold + one division each,
+    // rounded last.
     "prep_classifier_calibration" -> Q(
       (s, dir) => {
+        val decile = CalibrationCutoffs
+          .map(c => when(col("score") >= c, 1L).otherwise(0L))
+          .reduce(_ + _)
         classifierScores(docs(s, dir))
-          .select(col("doc_id"), col("y"), col("prob"),
-            least(floor(col("prob") * 10).cast("long"), lit(9L)).as("decile"))
+          .select(col("doc_id"), col("y"), col("prob"), decile.as("decile"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("y")).as("n_pos"),
@@ -738,7 +753,9 @@ object TrainPrep extends QueryModule {
       Some(s"""WITH $dClassifierCtes,
               |d AS (
               |  SELECT doc_id, y, prob,
-              |    least(CAST(floor(prob * 10) AS BIGINT), 9) AS decile
+              |    CAST(${CalibrationCutoffs.map(c =>
+                     s"(CASE WHEN score >= $c THEN 1 ELSE 0 END)")
+                     .mkString(" + ")} AS BIGINT) AS decile
               |  FROM pr)
               |SELECT decile, count(*) AS n_docs,
               |  CAST(sum(y) AS BIGINT) AS n_pos,

@@ -102,27 +102,60 @@ object Backfill {
     * re-runs add exactly the missing events. (A partition-overwrite
     * write would delete previously loaded slots sharing a date
     * partition with the re-run range.) */
-  /** `format` is the warehouse-dispatch axis (warehouse.rs:30-39's
-    * backend factory): any Spark batch file format (parquet, orc, …)
-    * plugs in without touching the pipeline shape. */
+  /** The warehouse-dispatch axis (S13, warehouse.rs:30-39's backend
+    * factory): the backfill pipeline shape is sink-agnostic — a sink
+    * supplies the replay-guard probe and the append. File formats
+    * (parquet, orc, …) and JDBC databases plug in as values. */
+  trait EventSink extends Serializable {
+    /** Current sink rows, or None when the sink does not exist yet. */
+    def readIfAny(spark: SparkSession): Option[DataFrame]
+    def append(events: DataFrame): Unit
+  }
+
+  /** Date-partitioned file sink (parquet, orc, …). */
+  case class FileSink(path: String, format: String = "parquet")
+      extends EventSink {
+    def readIfAny(spark: SparkSession): Option[DataFrame] =
+      readSinkIfAny(spark, path, format)
+    def append(events: DataFrame): Unit =
+      events.write.mode(SaveMode.Append).partitionBy("block_date")
+        .format(format).save(path)
+  }
+
+  /** SQL-database sink — the reference's REAL warehouse (Postgres,
+    * warehouse.rs:41-139) via [[graft.sources.JdbcWarehouse]]. The slot
+    * predicate of the replay guard pushes down to the database's WHERE;
+    * `block_date` rides as a plain column (databases index, files
+    * partition). */
+  case class JdbcSink(warehouse: graft.sources.JdbcWarehouse)
+      extends EventSink {
+    def readIfAny(spark: SparkSession): Option[DataFrame] =
+      warehouse.readIfAny(spark)
+    def append(events: DataFrame): Unit = warehouse.append(events)
+  }
+
+  /** `format` is the file-format leg of the S13 axis; see [[runTo]] for
+    * the sink-generic pipeline (JDBC included). */
   def run(spark: SparkSession, startSlot: Long, endSlot: Long, workers: Int,
       outPath: String, fetcher: BlockFetcher = syntheticBlock,
-      format: String = "parquet", chunkSize: Option[Long] = None): Unit = {
+      format: String = "parquet", chunkSize: Option[Long] = None): Unit =
+    runTo(spark, startSlot, endSlot, workers, FileSink(outPath, format),
+      fetcher, chunkSize)
+
+  def runTo(spark: SparkSession, startSlot: Long, endSlot: Long, workers: Int,
+      sink: EventSink, fetcher: BlockFetcher = syntheticBlock,
+      chunkSize: Option[Long] = None): Unit = {
     val events = Parse.parse(
       fetchRange(spark, startSlot, endSlot, workers, fetcher, chunkSize))
       .withColumn("block_date", to_date(col("block_time")))
-    val toWrite = readSinkIfAny(spark, outPath, format) match {
+    val toWrite = sink.readIfAny(spark) match {
       case Some(existing) => events.join(
         existing.filter(col("slot").between(startSlot, endSlot - 1))
           .select(col("event_id")),
         Seq("event_id"), "left_anti")
       case None => events
     }
-    toWrite.write
-      .mode(SaveMode.Append)
-      .partitionBy("block_date")
-      .format(format)
-      .save(outPath)
+    sink.append(toWrite)
   }
 
   /** Slot-dedup probe (S11/J3, warehouse.rs:287-299): drop slots

@@ -363,7 +363,14 @@ object IngestQueries extends QueryModule {
             countDistinct(col("data_hex")).as("n_data"),
             sum(coalesce(size(col("log_messages")), lit(0))).as("n_log_lines"),
             array_sort(array_distinct(flatten(collect_list(col("accounts")))))
-              .as("all_accounts"))
+              .as("acct_arr"))
+          // the ARRAY logic stays; the BOUNDARY is a string — the
+          // driver comparator hashes scalar cells only (r14 red).
+          // Empty set → NULL (collect_list drops null arrays, DuckDB's
+          // list-of-NULLs flattens to NULL — align on NULL)
+          .withColumn("all_accounts",
+            when(size(col("acct_arr")) > 0, array_join(col("acct_arr"), ",")))
+          .drop("acct_arr")
           .orderBy(col("event_type"), col("instruction_type"),
             col("log_pattern_match"))
       },
@@ -404,7 +411,7 @@ object IngestQueries extends QueryModule {
               |  count(DISTINCT program_id) AS n_programs,
               |  count(DISTINCT data_hex) AS n_data,
               |  CAST(sum(n_logs) AS BIGINT) AS n_log_lines,
-              |  list_sort(list_distinct(flatten(list(accounts)))) AS all_accounts
+              |  array_to_string(list_sort(list_distinct(flatten(list(accounts)))), ',') AS all_accounts
               |FROM pe2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
       doc = "fact_program_events typed projection (SCHEMA.md:85-117): log-derived instruction_type, array accounts on the oracle boundary, hex data, sha256 id parity vs full DuckDB JSON re-derivation"),
 
@@ -424,7 +431,11 @@ object IngestQueries extends QueryModule {
           .agg(count(lit(1)).as("n_transfers"),
             countDistinct(col("event_id")).as("n_distinct_ids"),
             countDistinct(col("authority")).as("n_authorities"),
-            sum(col("token_amount")).cast("decimal(38,9)").as("total_amount"),
+            // DECIMAL(38,9) internally; DOUBLE at the boundary — the
+            // driver's pandas reads Spark decimals as object cells and
+            // DuckDB's as float64, so raw decimals hash-mismatch (r14 red)
+            sum(col("token_amount")).cast("decimal(38,9)").cast("double")
+              .as("total_amount"),
             max(col("decimals")).as("max_decimals"),
             countDistinct(col("raw_amount")).as("n_raw_amounts"))
           .orderBy(col("token_mint"), col("from_wallet"), col("to_wallet"))
@@ -496,7 +507,7 @@ object IngestQueries extends QueryModule {
               |  count(*) AS n_transfers,
               |  count(DISTINCT event_id) AS n_distinct_ids,
               |  count(DISTINCT authority) AS n_authorities,
-              |  CAST(sum(token_amount) AS DECIMAL(38,9)) AS total_amount,
+              |  CAST(CAST(sum(token_amount) AS DECIMAL(38,9)) AS DOUBLE) AS total_amount,
               |  CAST(max(decimals) AS BIGINT) AS max_decimals,
               |  count(DISTINCT raw_amount) AS n_raw_amounts
               |FROM tr2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),

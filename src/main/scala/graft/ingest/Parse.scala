@@ -266,8 +266,18 @@ object Parse {
     *    — derived for token-program instructions from the matched log
     *    pattern's lowercased suffix (`Program log: Transfer` →
     *    `transfer`); null for non-token programs and unlogged txs.
+    *
+    * Replay-safe like [[toEvents]]: overlapping block ranges collapse on
+    * the deterministic event_id (SCHEMA.md's PRIMARY KEY), preserving
+    * the 1:1 canonical-event linkage. `dedup=false` for streaming
+    * callers, same contract as [[toEvents]].
     */
-  def factProgramEvents(blocks: DataFrame): DataFrame =
+  def factProgramEvents(blocks: DataFrame, dedup: Boolean = true): DataFrame = {
+    val fact = factProgramEventsRaw(blocks)
+    if (dedup) fact.dropDuplicates("event_id") else fact
+  }
+
+  private def factProgramEventsRaw(blocks: DataFrame): DataFrame =
     txBase(blocks)
       .select(col("slot"), col("block_time"), col("sig"),
         col("tx.meta.logMessages").as("log_messages"),
@@ -319,8 +329,17 @@ object Parse {
     *    TOKEN_PROGRAM_ID on every transfer event).
     *  - `event_id`/`instruction_index`: the canonical +10000 transfer
     *    namespace of [[toEvents]], so typed rows link 1:1.
+    *
+    * Replay-safe like [[toEvents]]: deduplicated on the deterministic
+    * event_id so overlapping block ranges cannot violate SCHEMA.md's
+    * PRIMARY KEY. `dedup=false` for streaming callers.
     */
-  def factTokenTransfers(blocks: DataFrame): DataFrame = {
+  def factTokenTransfers(blocks: DataFrame, dedup: Boolean = true): DataFrame = {
+    val fact = factTokenTransfersRaw(blocks)
+    if (dedup) fact.dropDuplicates("event_id") else fact
+  }
+
+  private def factTokenTransfersRaw(blocks: DataFrame): DataFrame = {
     val base = txBase(blocks)
 
     def bals(side: String) = base.select(

@@ -82,7 +82,12 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val vs = MergeTable.versions(spark, rootOf(ident))
     if (vs.isEmpty) throw new NoSuchTableException(ident)
-    val v = version.toLong
+    // Spark routes TIMESTAMP AS OF strings through this same hook —
+    // name the integer-version contract instead of leaking a raw
+    // NumberFormatException
+    val v = version.toLongOption.getOrElse(throw new UnsupportedOperationException(
+      s"VERSION AS OF '$version': graft lake versions are integer commit " +
+        "versions (TIMESTAMP AS OF is not supported)"))
     require(vs.contains(v),
       s"VERSION AS OF $v: table ${rootOf(ident)} has committed versions " +
         s"${vs.min}..${vs.max} only")

@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.operators.MergeTable
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, Not}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, Not}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -44,7 +44,13 @@ case class GraftLakeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // which must therefore still be a catalog relation, not an already-
     // swapped parquet plan.
     val afterMerge = plan.transformDown {
+      // fire only when the WHOLE merge is ready: a half-resolved
+      // condition/action (possible mid-fixed-point) must defer to the
+      // next analyzer round, not throw unsupported on a valid shape
       case m: MergeIntoTable if m.sourceTable.resolved &&
+          m.mergeCondition.resolved &&
+          (m.matchedActions ++ m.notMatchedActions ++
+            m.notMatchedBySourceActions).forall(actionReady) &&
           lakeTarget(m.targetTable).isDefined =>
         rewriteMerge(m, lakeTarget(m.targetTable).get)
     }
@@ -88,6 +94,14 @@ case class GraftLakeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"notMatched=${m.notMatchedActions}, " +
         s"notMatchedBySource=${m.notMatchedBySourceActions})")
 
+  /** A merge action is rewrite-ready when it is a star action (stars
+    * are unresolved by definition until expansion — the rewrite handles
+    * both forms) or fully resolved. */
+  private def actionReady(a: Expression): Boolean = a match {
+    case _: UpdateStarAction | _: InsertStarAction => true
+    case other => other.resolved
+  }
+
   private def rewriteMerge(m: MergeIntoTable, table: GraftLakeTable): LogicalPlan = {
     if (table.asOf.isDefined)
       throw new UnsupportedOperationException(
@@ -121,6 +135,12 @@ case class GraftLakeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       assigns.forall {
         case Assignment(k: AttributeReference, v: AttributeReference) =>
           k.name == v.name
+        // Spark's assignment alignment may wrap a same-name source
+        // column in an IDENTITY cast; a type-CHANGING cast stays
+        // unsupported (the engine writes source values verbatim, so
+        // approximating it would corrupt the table)
+        case Assignment(k: AttributeReference, Cast(v: AttributeReference, dt, _, _)) =>
+          k.name == v.name && dt == v.dataType
         case _ => false
       } && assigns.map { case Assignment(k: AttributeReference, _) => k.name }
         .toSet == targetCols

@@ -901,7 +901,8 @@ object StreamQueries extends QueryModule {
         drainToParquet(s, scored, ckpt).orderBy(col("doc_id"))
       },
       Some(s"""WITH ${graft.ext.TrainPrep.dClassifierCtes}
-             |SELECT doc_id, source, score, score >= 0 AS kept
+             |SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+             |  score >= 0 AS kept
              |FROM sc ORDER BY doc_id""".stripMargin),
       doc = "streaming model-apply scoring: batch-trained 4096-bucket linear model folded as a literal map, map-only per-row integer dot; token-less planted docs dropped identically on both engines"),
 

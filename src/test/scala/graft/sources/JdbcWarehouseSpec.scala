@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ingest.Backfill
+import org.apache.spark.sql.functions._
+
+/** The S13 warehouse axis over a REAL SQL database (embedded Derby):
+  * the reference's actual sink is Postgres (warehouse.rs:41-139), so
+  * the axis must be proven beyond file formats — same pipeline, same
+  * replay-guard semantics, a database as the sink value. */
+class JdbcWarehouseSpec extends SparkSpec {
+
+  private def derbyUrl(): String = {
+    val dir = Files.createTempDirectory("graft_derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  test("backfill replay guard holds over a JDBC sink (S13 beyond files)") {
+    val wh = JdbcWarehouse(derbyUrl(), "events")
+    val sink = Backfill.JdbcSink(wh)
+    Backfill.runTo(spark, 1L, 101L, workers = 4, sink)
+    val first = wh.readIfAny(spark).get
+    val n1 = first.count()
+    assert(n1 > 0)
+    // distinct event ids == rows (the upsert key holds in the DB too)
+    assert(first.select("event_id").distinct().count() == n1)
+    // identical replay → no-op (event-level anti-join against the DB,
+    // slot predicate pushed to the database's WHERE)
+    Backfill.runTo(spark, 1L, 101L, workers = 4, sink)
+    assert(wh.readIfAny(spark).get.count() == n1)
+    // overlapping extension adds exactly the new slots' events
+    Backfill.runTo(spark, 50L, 151L, workers = 4, sink)
+    val ext = wh.readIfAny(spark).get
+    assert(ext.count() > n1)
+    assert(ext.select("event_id").distinct().count() == ext.count())
+    import spark.implicits._
+    assert(ext.agg(max($"slot")).as[Long].head() == 150L)
+  }
+
+  test("jdbc upsert = ON CONFLICT DO UPDATE: last-write-wins per key, " +
+      "transactional per partition") {
+    import spark.implicits._
+    // column-precise DDL through the createTableColumnTypes leg of the
+    // axis (a production table pins widths; the dialect default is max)
+    val wh = JdbcWarehouse(derbyUrl(), "kv",
+      createColumnTypes = Some("k VARCHAR(16), payload VARCHAR(64)"))
+    wh.upsert(Seq(("a", 1L, "v1"), ("b", 1L, "v1"))
+      .toDF("k", "version", "payload"), "k", "version")
+    val s1 = wh.readIfAny(spark).get.orderBy("k").collect()
+    assert(s1.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("a", 1L, "v1"), ("b", 1L, "v1")))
+    // replay with a CHANGED payload + a new key: conflicting keys take
+    // the newer version, new keys insert — and a batch carrying BOTH
+    // versions of one key resolves before touching the database
+    wh.upsert(Seq(("a", 2L, "v2"), ("a", 1L, "stale"), ("c", 1L, "v1"))
+      .toDF("k", "version", "payload"), "k", "version")
+    val s2 = wh.readIfAny(spark).get.orderBy("k").collect()
+    assert(s2.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("a", 2L, "v2"), ("b", 1L, "v1"), ("c", 1L, "v1")))
+    // idempotent re-upsert of the same batch → same state
+    wh.upsert(Seq(("a", 2L, "v2")).toDF("k", "version", "payload"),
+      "k", "version")
+    assert(wh.readIfAny(spark).get.count() == 3)
+  }
+
+  test("readIfAny is None for a missing table (first-run probe)") {
+    assert(JdbcWarehouse(derbyUrl(), "nope").readIfAny(spark).isEmpty)
+  }
+}
