@@ -262,4 +262,20 @@ class ParseSpec extends SparkSpec {
       (EvProgramInstruction, null, null),
       (EvTokenInstruction, null, null)))
   }
+
+  test("typed facts are replay-safe: overlapping block ranges collapse " +
+      "on event_id (SCHEMA.md PRIMARY KEY), dedup=false opts out") {
+    // the same block arriving twice (replayed/overlapping backfill)
+    val twice = rawDF(20L -> transferBlock, 20L -> transferBlock)
+    val blocks = Parse.parseBlocks(twice)
+    val pe = Parse.factProgramEvents(blocks)
+    assert(pe.count() == pe.select("event_id").distinct().count())
+    assert(pe.count() ==
+      Parse.factProgramEvents(Parse.parseBlocks(rawDF(20L -> transferBlock))).count())
+    val tt = Parse.factTokenTransfers(blocks)
+    assert(tt.count() == tt.select("event_id").distinct().count())
+    // streaming callers keep the unbounded-state opt-out
+    assert(Parse.factProgramEvents(blocks, dedup = false).count() == 2 * pe.count())
+    assert(Parse.factTokenTransfers(blocks, dedup = false).count() == 2 * tt.count())
+  }
 }
