@@ -3,6 +3,12 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg (dev only): comma-separated query-name subset,
     // for fast differential iteration on a few queries
@@ -17,6 +23,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop any STALE dump first: a query that fails below must read
+      // as "no spark output" downstream, not as its previous run's
+      // passing parquet (which would mask the failure as green)
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try {
         val df = fn(spark, sfDir)
         // oracle-paired outputs must honor the driver's scalar-only

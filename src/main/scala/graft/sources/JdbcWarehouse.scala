@@ -76,6 +76,26 @@ object JdbcWarehouse {
     if (!registered) synchronized {
       if (!registered) { JdbcDialects.registerDialect(DerbyVarcharDialect); registered = true }
     }
+
+  /** SQLStates for "relation/table does not exist" across the dialects
+    * this backend targets: 42X05 (Derby), 42P01 (Postgres), 42S02
+    * (SQL standard / MySQL). */
+  private val TableMissingStates = Set("42X05", "42P01", "42S02")
+
+  /** Walks the cause chain for a table-not-found SQLException. */
+  private[sources] def isTableMissing(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case s: java.sql.SQLException
+            if s.getSQLState != null &&
+              TableMissingStates.contains(s.getSQLState) => return true
+        case _ =>
+      }
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
 }
 
 /** @param createColumnTypes optional `createTableColumnTypes` clause for
@@ -94,14 +114,21 @@ case class JdbcWarehouse(url: String, table: String,
   }
 
   /** The sink's current rows, or None when the table does not exist
-    * yet (first run) — the JDBC twin of `Backfill.readSinkIfAny`. */
+    * yet (first run) — the JDBC twin of `Backfill.readSinkIfAny`.
+    *
+    * ONLY table-absence maps to None: a transient error (connection
+    * blip, lock timeout, permission change) must PROPAGATE — swallowed
+    * into None it would silently disable Backfill's replay guard and
+    * duplicate every replayed event. */
   def readIfAny(spark: SparkSession): Option[DataFrame] =
     try {
       JdbcWarehouse.ensureDialect()
       val df = spark.read.jdbc(url, table, props)
       df.schema // force resolution: a missing table fails HERE
       Some(df)
-    } catch { case _: Exception => None }
+    } catch {
+      case e: Exception if JdbcWarehouse.isTableMissing(e) => None
+    }
 
   /** Parallel batched append (no conflict handling — callers guard with
     * the event-level anti-join, as on the file path). */
@@ -116,7 +143,14 @@ case class JdbcWarehouse(url: String, table: String,
     * last-write-wins resolution in Spark, then per-partition
     * DELETE+INSERT in one transaction each. Creates the table (via an
     * empty append) when absent so first-run and replay share one code
-    * path. */
+    * path.
+    *
+    * NULL keys are pure inserts, exactly like SQL `ON CONFLICT` (no
+    * two NULLs conflict — the [[Upsert.lastWriteWins]] contract): a
+    * replayed batch is idempotent for KEYED rows; null-key rows insert
+    * again, as they would under the reference's `ON CONFLICT
+    * (event_id)` against a nullable key. The reference's PK columns
+    * are NOT NULL, so keyed pipelines never hit this edge. */
   def upsert(batch: DataFrame, key: String, versionCol: String): Unit = {
     JdbcWarehouse.ensureDialect()
     val resolved = Upsert.lastWriteWins(batch, key, versionCol)
@@ -131,10 +165,17 @@ case class JdbcWarehouse(url: String, table: String,
     val deleteSql = s"DELETE FROM $table WHERE ${q(key)} = ?"
     val keyIdx = cols.indexOf(key)
     require(keyIdx >= 0, s"upsert key '$key' not in batch columns $cols")
-    val (u, t) = (url, table) // avoid closing over `this` (serialization)
+    // capture plain values, not `this` (executor-side serialization);
+    // credentials must ride along — a raw url-only connect would fail
+    // against any authenticated database
+    val u = url
+    val (usr, pwd) = (user, password)
     resolved.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val conn = DriverManager.getConnection(u)
+        val cp = new Properties()
+        usr.foreach(cp.setProperty("user", _))
+        pwd.foreach(cp.setProperty("password", _))
+        val conn = DriverManager.getConnection(u, cp)
         try {
           conn.setAutoCommit(false) // one transaction per partition
           val del = conn.prepareStatement(deleteSql)

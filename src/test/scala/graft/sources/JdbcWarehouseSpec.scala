@@ -68,4 +68,21 @@ class JdbcWarehouseSpec extends SparkSpec {
   test("readIfAny is None for a missing table (first-run probe)") {
     assert(JdbcWarehouse(derbyUrl(), "nope").readIfAny(spark).isEmpty)
   }
+
+  test("the replay guard's slot predicate pushes down to the database " +
+      "(the probe stays range-sized server-side at any table size)") {
+    import spark.implicits._
+    val wh = JdbcWarehouse(derbyUrl(), "pushed")
+    wh.append(Seq((1L, "a"), (50L, "b"), (900L, "c")).toDF("slot", "event_id"))
+    val probe = wh.readIfAny(spark).get
+      .filter(col("slot").between(1L, 100L))
+    val physical = probe.queryExecution.executedPlan.toString
+    // the JDBC scan itself must carry the range — not a Spark-side
+    // post-filter over a full-table read
+    assert(physical.contains("PushedFilters"), physical)
+    assert(physical.toLowerCase.contains("slot"), physical)
+    assert(physical.contains("GreaterThanOrEqual") ||
+      physical.contains(">="), physical)
+    assert(probe.count() == 2)
+  }
 }

@@ -67,8 +67,13 @@ def normalize(df):
 def cell_key(v):
     if v is None:
         return (1, "")
-    if isinstance(v, float) and math.isnan(v):
-        return (1, "nan")
+    if isinstance(v, float):
+        if math.isnan(v):
+            return (1, "nan")
+        # sort at the SAME precision values compare at — a last-ulp
+        # cross-engine difference must not reorder rows and misalign
+        # the pairwise zip
+        return (0, f"{round(v, 6):.6f}")
     return (0, str(v))
 
 
