@@ -176,4 +176,49 @@ class IngestSpec extends SparkSpec {
 
     assert(Incremental.slotLag(spark, sink, chainTip = 90L) == 10L)
   }
+
+  test("incremental into a JDBC warehouse: micro-batch upserts converge " +
+      "on replay (incremental.rs:55-96 + warehouse ON CONFLICT shape)") {
+    val base = Files.createTempDirectory("graft_inc_jdbc").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    val wh = graft.sources.JdbcWarehouse(
+      s"jdbc:derby:$base/db;create=true", "events")
+
+    def dropBlocks(name: String, slots: Range): Unit = {
+      val lines = slots.flatMap { s =>
+        Backfill.syntheticBlock(s).map { j =>
+          val esc = j.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""{"slot":$s,"block_json":"$esc"}"""
+        }
+      }
+      Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+
+    dropBlocks("batch1", 1 to 30)
+    val raw1 = spark.readStream
+      .schema(graft.model.Schemas.rawBlockSchema).json(src)
+    Incremental.startFromRawToJdbc(raw1, wh, s"$base/ckpt").awaitTermination()
+    val n1 = wh.readIfAny(spark).get.count()
+    assert(n1 > 0)
+
+    // a FRESH checkpoint forces full reprocessing of the same files —
+    // the database upsert, not the checkpoint, is what converges
+    val raw2 = spark.readStream
+      .schema(graft.model.Schemas.rawBlockSchema).json(src)
+    Incremental.startFromRawToJdbc(raw2, wh, s"$base/ckpt2").awaitTermination()
+    assert(wh.readIfAny(spark).get.count() == n1)
+
+    // new slots through the ORIGINAL checkpoint: only new events land
+    dropBlocks("batch2", 25 to 45)
+    val raw3 = spark.readStream
+      .schema(graft.model.Schemas.rawBlockSchema).json(src)
+    Incremental.startFromRawToJdbc(raw3, wh, s"$base/ckpt").awaitTermination()
+    val after = wh.readIfAny(spark).get
+    assert(after.count() > n1)
+    assert(after.count() == after.select("event_id").distinct().count())
+    import spark.implicits._
+    assert(after.agg(max(col("slot"))).as[Long].head() == 45L)
+  }
 }
