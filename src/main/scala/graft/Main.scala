@@ -17,6 +17,33 @@ object Main {
 
   private def session(): SparkSession = LocalSession.build("graft-etl")
 
+  /** The reference's warehouse selector (config.rs:54-58:
+    * `WAREHOUSE_TYPE` + `WAREHOUSE_CONNECTION`) mapped onto the S13
+    * sink axis: file formats take the CLI's out-path as a directory;
+    * `postgres`/`jdbc` takes `WAREHOUSE_CONNECTION` as the JDBC url
+    * and the out-path as the TABLE name. Deliberate divergence: the
+    * reference defaults to postgres, this engine defaults to parquet —
+    * the lake is the analytic store at scale and the harness drives
+    * file sinks; a database is the opt-in serving sink. */
+  private[graft] def sinkFor(out: String,
+      env: Map[String, String]): ingest.Backfill.EventSink =
+    env.getOrElse("WAREHOUSE_TYPE", "parquet").toLowerCase match {
+      case "parquet" => ingest.Backfill.FileSink(out)
+      case t @ ("orc" | "json") => ingest.Backfill.FileSink(out, t)
+      case "postgres" | "jdbc" =>
+        val conn = env.getOrElse("WAREHOUSE_CONNECTION",
+          usageExit("WAREHOUSE_TYPE=postgres/jdbc requires " +
+            "WAREHOUSE_CONNECTION (a JDBC url; the out argument names " +
+            "the table)"))
+        ingest.Backfill.JdbcSink(sources.JdbcWarehouse(conn, out))
+      case other => usageExit(s"unsupported WAREHOUSE_TYPE '$other' " +
+        "(parquet | orc | json | postgres | jdbc)")
+    }
+
+  private def sinkCount(spark: SparkSession, out: String,
+      env: Map[String, String]): Long =
+    sinkFor(out, env).readIfAny(spark).map(_.count()).getOrElse(0L)
+
   def main(args: Array[String]): Unit = args.toList match {
     // optional trailing arg = etl_checkpoints path: the run is then
     // recorded in_progress/completed/failed and resumable via
@@ -41,23 +68,38 @@ object Main {
       val spark = session()
       rest.headOption match {
         case Some(ckpt) =>
+          // segmented checkpointing commits per-segment FILE writes;
+          // refuse a database sink rather than silently writing parquet
+          if (Set("postgres", "jdbc")
+              .contains(sys.env.getOrElse("WAREHOUSE_TYPE", "parquet").toLowerCase))
+            usageExit("tracked backfill (etl_checkpoints) supports file " +
+              "sinks only; run untracked for a JDBC warehouse")
           ingest.Checkpoints.runTracked(spark, ckpt, s"bf_${start}_$end",
             startL, endL, workersI, out,
             checkpointInterval = segInterval,
             chunkSize = Some(cfg.backfillChunkSize))
         case None =>
-          ingest.Backfill.run(spark, startL, endL, workersI, out,
-            chunkSize = Some(cfg.backfillChunkSize))
+          ingest.Backfill.runTo(spark, startL, endL, workersI,
+            sinkFor(out, sys.env), chunkSize = Some(cfg.backfillChunkSize))
       }
-      println(s"backfill complete: ${spark.read.parquet(out).count()} events")
+      println(s"backfill complete: ${sinkCount(spark, out, sys.env)} events")
       spark.stop()
 
     case "incremental" :: src :: sink :: ckpt :: rest =>
       val intervalSec = rest.headOption
         .map(s => num("incremental", "intervalSec", s)(_.toLong))
       val spark = session()
-      val q = ingest.Incremental.start(spark, src, sink, ckpt,
-        triggerFor(intervalSec, sys.env))
+      val q = sinkFor(sink, sys.env) match {
+        // WAREHOUSE_TYPE=postgres/jdbc: the reference's actual
+        // incremental deployment — micro-batch upserts into the DB
+        case ingest.Backfill.JdbcSink(wh) =>
+          val raw = spark.readStream
+            .schema(model.Schemas.rawBlockSchema).json(src)
+          ingest.Incremental.startFromRawToJdbc(raw, wh, ckpt,
+            triggerFor(intervalSec, sys.env))
+        case _ => ingest.Incremental.start(spark, src, sink, ckpt,
+          triggerFor(intervalSec, sys.env))
+      }
       q.awaitTermination()
       spark.stop()
 
@@ -84,9 +126,13 @@ object Main {
         // incremental.rs:68) becomes the per-trigger slot admission
         .option("maxSlotsPerTrigger", EtlConfig().batchSize)
       val raw = endpoint.fold(raw0)(u => raw0.option("endpoint", u)).load()
-      val q = ingest.Incremental.startFromRaw(raw, sink, ckpt)
+      val q = sinkFor(sink, sys.env) match {
+        case ingest.Backfill.JdbcSink(wh) =>
+          ingest.Incremental.startFromRawToJdbc(raw, wh, ckpt)
+        case _ => ingest.Incremental.startFromRaw(raw, sink, ckpt)
+      }
       q.awaitTermination()
-      println(s"incremental-blocks complete: ${spark.read.parquet(sink).count()} events")
+      println(s"incremental-blocks complete: ${sinkCount(spark, sink, sys.env)} events")
       spark.stop()
 
     case "analytics" :: fact :: out :: rest =>
@@ -343,7 +389,10 @@ object Main {
          |       analytics <fact_path> <out_dir> [anchorTimestamp]
          |       health <fact_path> [chainTipSlot [maxSlotLag]]
          |       queries
-         |       query <name> <sf_dir> [out_parquet]""".stripMargin)
+         |       query <name> <sf_dir> [out_parquet]
+         |env:   WAREHOUSE_TYPE=parquet|orc|json|postgres|jdbc (default parquet);
+         |       postgres/jdbc reads WAREHOUSE_CONNECTION as the JDBC url and
+         |       treats <out>/<sink> as the table name""".stripMargin)
     sys.exit(2)
   }
 }

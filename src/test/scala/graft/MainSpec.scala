@@ -17,6 +17,19 @@ class MainSpec extends AnyFunSuite {
     assert(Main.parseHealthArgs(List("12x")).isLeft)
   }
 
+  test("WAREHOUSE_TYPE selects the sink backend (config.rs:54-58); " +
+      "jdbc reads WAREHOUSE_CONNECTION and treats out as the table") {
+    assert(Main.sinkFor("/w/events", Map.empty) ==
+      ingest.Backfill.FileSink("/w/events", "parquet"))
+    assert(Main.sinkFor("/w/events", Map("WAREHOUSE_TYPE" -> "orc")) ==
+      ingest.Backfill.FileSink("/w/events", "orc"))
+    assert(Main.sinkFor("events",
+      Map("WAREHOUSE_TYPE" -> "Postgres",
+        "WAREHOUSE_CONNECTION" -> "jdbc:derby:/tmp/x")) ==
+      ingest.Backfill.JdbcSink(
+        sources.JdbcWarehouse("jdbc:derby:/tmp/x", "events")))
+  }
+
   test("ETL_MAX_SLOT_LAG drives the health SLO default (config.rs:80-83)") {
     assert(Main.parseHealthArgs(List("5000"), defaultMaxLag = 77L)
       == Right(Some((5000L, 77L))))
