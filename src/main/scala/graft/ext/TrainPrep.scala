@@ -110,6 +110,30 @@ object TrainPrep extends QueryModule {
   /** The classifier's feature-bucket count (the hashed vocab size). */
   private[graft] val ClassifierBuckets = 4096L
 
+  /** Fixture-scale training budget for the token-budget plan — with a
+    * multi-epoch total, the plan's repeat arithmetic is exercised (a
+    * sub-supply budget would make every epochs column < 1 and the
+    * over-repeat flag unreachable). One constant interpolated into
+    * BOTH engines. Overflow headroom: B·toks needs toks < 2^63/B ≈
+    * 4.6e12 tokens per source — far past any single-source fixture. */
+  private[ext] val TokenBudget = 2000000L
+
+  /** The token-budget plan over any documents-shaped frame (see the
+    * `prep_token_budget` entry for semantics): one token-count
+    * aggregate, a 1-row broadcast total, integer-exact targets. */
+  private[ext] def tokenBudgetPlan(d: DataFrame, budget: Long): DataFrame = {
+    val per = d.groupBy(col("source"))
+      .agg(sum(expr(s"size($tok)").cast("long")).as("toks"))
+    val tot = per.agg(sum(col("toks")).as("tot"))
+    per.crossJoin(broadcast(tot)) // 1-row broadcast scalar
+      .withColumn("target_tokens", expr(s"($budget * toks) div tot"))
+      .select(col("source"), col("toks"), col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("toks").cast("double"), 4)
+          .as("epochs"),
+        (col("target_tokens") > lit(4L) * col("toks")).as("over_repeat_cap"))
+      .orderBy(col("source"))
+  }
+
   /** The trained model alone — per-bucket integer weight (b, w): the
     * vocab-bounded artifact a production run stores and the streaming
     * scorer folds as a literal. Derivation as in [[classifierScores]]:
@@ -273,6 +297,34 @@ object TrainPrep extends QueryModule {
              |  FROM documents) WHERE rank <= 100
              |ORDER BY rank""".stripMargin),
       doc = "deterministic weighted sampling (A-Res keys, 1/sqrt(len) weights, top-n)"),
+
+    // Token-budget planning: given a total training budget B and the
+    // per-source token supply, how many tokens each source must
+    // contribute under a proportional mix, and how many PASSES
+    // (epochs) over that source this implies — the repeat-rate readout
+    // a run plan is sized by (sources pushed past the ~4-epoch repeat
+    // cap are flagged for down-weighting or augmentation). All the
+    // decision-bearing columns are INTEGER-exact: target = B·toks div
+    // Σtoks (cross-multiplied, never a float share), and the cap flag
+    // compares target > 4·toks in integer space; the epochs column is
+    // one final division, rounded last. (DuckDB BIGINT `//` truncates
+    // toward zero ≡ floor for these positive operands, matching
+    // Spark's `div`.)
+    "prep_token_budget" -> Q(
+      (s, dir) => tokenBudgetPlan(docs(s, dir), TokenBudget),
+      Some(s"""WITH per AS (
+              |  SELECT source, CAST(sum(len($dTok)) AS BIGINT) AS toks
+              |  FROM documents GROUP BY 1),
+              |t AS (SELECT CAST(sum(toks) AS BIGINT) AS tot FROM per),
+              |a AS (SELECT source, toks,
+              |        CAST(($TokenBudget * toks) // tot AS BIGINT) AS target_tokens
+              |      FROM per, t)
+              |SELECT source, toks, target_tokens,
+              |  round(CAST(target_tokens AS DOUBLE) / CAST(toks AS DOUBLE), 4)
+              |    AS epochs,
+              |  target_tokens > 4 * toks AS over_repeat_cap
+              |FROM a ORDER BY source""".stripMargin),
+      doc = "token-budget plan: integer-exact proportional per-source targets, epoch (repeat) counts, 4-epoch over-repeat flags"),
 
     // Temperature-weighted domain mixing: w_s ∝ sqrt(tokens_s) (α = 0.5
     // resampling — upweights small domains, the standard multi-corpus

@@ -10,6 +10,28 @@ class TrainPrepSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("token budget plan: integer-exact targets, epochs, over-repeat flag") {
+    import spark.implicits._
+    // A: 10 tokens, B: 30 → tot 40
+    val d = Seq(
+      (1L, "A", "w w w w w w w w w w"),
+      (2L, "B", Seq.fill(30)("x").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    // budget 80: A target = 80·10 div 40 = 20 (2 epochs), B = 60 (2) —
+    // neither past the 4-epoch cap
+    val p80 = TrainPrep.tokenBudgetPlan(d, 80L).collect()
+    assert(p80.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getBoolean(4))).toSeq ==
+      Seq(("A", 10L, 20L, 2.0, false), ("B", 30L, 60L, 2.0, false)))
+    // budget 400: A target 100 = 10 epochs → flagged; B 300 = 10 → flagged
+    val p400 = TrainPrep.tokenBudgetPlan(d, 400L).collect()
+    assert(p400.forall(_.getBoolean(4)))
+    // uneven division floors (integer div, both engines): budget 81 →
+    // A = 81·10 div 40 = 20, B = 81·30 div 40 = 60
+    val p81 = TrainPrep.tokenBudgetPlan(d, 81L).collect()
+    assert(p81.map(_.getLong(2)).toSeq == Seq(20L, 60L))
+  }
+
   test("BPE merge pairs: hand-computed frequency-weighted counts") {
     import spark.implicits._
     // vocab: ab ×2, cab ×1, x ×1 (single char: no pairs)
