@@ -68,16 +68,24 @@ object Main {
       val spark = session()
       rest.headOption match {
         case Some(ckpt) =>
-          // segmented checkpointing commits per-segment FILE writes;
-          // refuse a database sink rather than silently writing parquet
-          if (Set("postgres", "jdbc")
-              .contains(sys.env.getOrElse("WAREHOUSE_TYPE", "parquet").toLowerCase))
-            usageExit("tracked backfill (etl_checkpoints) supports file " +
-              "sinks only; run untracked for a JDBC warehouse")
-          ingest.Checkpoints.runTracked(spark, ckpt, s"bf_${start}_$end",
-            startL, endL, workersI, out,
-            checkpointInterval = segInterval,
-            chunkSize = Some(cfg.backfillChunkSize))
+          // the guard and the selector must share ONE parser: matching on
+          // sinkFor (not a re-read of sys.env) means a sink type added
+          // there can never silently bypass this refusal — and the
+          // FileSink's format rides into runTracked, so WAREHOUSE_TYPE=
+          // orc/json is honored (not silently written as parquet)
+          sinkFor(out, sys.env) match {
+            case ingest.Backfill.JdbcSink(_) =>
+              // segmented checkpointing commits per-segment FILE writes;
+              // refuse a database sink rather than silently writing parquet
+              usageExit("tracked backfill (etl_checkpoints) supports file " +
+                "sinks only; run untracked for a JDBC warehouse")
+            case ingest.Backfill.FileSink(path, fmt) =>
+              ingest.Checkpoints.runTracked(spark, ckpt, s"bf_${start}_$end",
+                startL, endL, workersI, path,
+                format = fmt,
+                checkpointInterval = segInterval,
+                chunkSize = Some(cfg.backfillChunkSize))
+          }
         case None =>
           ingest.Backfill.runTo(spark, startL, endL, workersI,
             sinkFor(out, sys.env), chunkSize = Some(cfg.backfillChunkSize))
@@ -97,8 +105,12 @@ object Main {
             .schema(model.Schemas.rawBlockSchema).json(src)
           ingest.Incremental.startFromRawToJdbc(raw, wh, ckpt,
             triggerFor(intervalSec, sys.env))
-        case _ => ingest.Incremental.start(spark, src, sink, ckpt,
-          triggerFor(intervalSec, sys.env))
+        // the FileSink's format threads through to BOTH the guard read
+        // and the append — WAREHOUSE_TYPE=orc/json is honored, and the
+        // terminal sinkCount (which reads via the same sinkFor) agrees
+        case ingest.Backfill.FileSink(path, fmt) =>
+          ingest.Incremental.start(spark, src, path, ckpt,
+            triggerFor(intervalSec, sys.env), fmt)
       }
       q.awaitTermination()
       spark.stop()
@@ -129,7 +141,8 @@ object Main {
       val q = sinkFor(sink, sys.env) match {
         case ingest.Backfill.JdbcSink(wh) =>
           ingest.Incremental.startFromRawToJdbc(raw, wh, ckpt)
-        case _ => ingest.Incremental.startFromRaw(raw, sink, ckpt)
+        case ingest.Backfill.FileSink(path, fmt) =>
+          ingest.Incremental.startFromRaw(raw, path, ckpt, format = fmt)
       }
       q.awaitTermination()
       println(s"incremental-blocks complete: ${sinkCount(spark, sink, sys.env)} events")

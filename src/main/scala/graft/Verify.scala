@@ -4,9 +4,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
+  /** Best-effort recursive delete: `listFiles` can return null on an
+    * I/O error and `delete` can fail on a racy/stale handle — either
+    * must degrade to a LOGGED leftover for this one query, never an
+    * NPE that aborts the remaining queries' dumps. */
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    if (!f.delete() && f.exists())
+      System.err.println(s"[verify] stale path not removed: $f")
   }
 
   def main(args: Array[String]): Unit = {
@@ -23,11 +28,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // drop any STALE dump first: a query that fails below must read
-      // as "no spark output" downstream, not as its previous run's
-      // passing parquet (which would mask the failure as green)
-      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try {
+        // drop any STALE dump first: a query that fails below must read
+        // as "no spark output" downstream, not as its previous run's
+        // passing parquet (which would mask the failure as green).
+        // Inside the try: a delete failure degrades THIS query, not the
+        // whole run — and the overwrite below still replaces the data.
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
         val df = fn(spark, sfDir)
         // oracle-paired outputs must honor the driver's scalar-only
         // boundary (see BoundaryContract) — fail the query loudly HERE

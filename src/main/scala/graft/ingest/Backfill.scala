@@ -106,7 +106,7 @@ object Backfill {
     * factory): the backfill pipeline shape is sink-agnostic — a sink
     * supplies the replay-guard probe and the append. File formats
     * (parquet, orc, …) and JDBC databases plug in as values. */
-  trait EventSink extends Serializable {
+  sealed trait EventSink extends Serializable {
     /** Current sink rows, or None when the sink does not exist yet. */
     def readIfAny(spark: SparkSession): Option[DataFrame]
     def append(events: DataFrame): Unit

@@ -31,19 +31,26 @@ object Incremental {
     */
   def start(spark: SparkSession, srcDir: String, sinkPath: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      format: String = "parquet"): StreamingQuery = {
     val raw = spark.readStream
       .schema(Schemas.rawBlockSchema)
       .json(srcDir)
-    startFromRaw(raw, sinkPath, checkpointDir, trigger)
+    startFromRaw(raw, sinkPath, checkpointDir, trigger, format)
   }
 
   /** The shared pipeline tail for ANY raw block stream (file drop-dir or
     * the DataSource V2 block source): streaming-safe parse (no unbounded
     * dedup state — idempotency is enforced per epoch in foreachBatch),
-    * checkpointed, idempotent date-partitioned append. */
+    * checkpointed, idempotent date-partitioned append.
+    *
+    * @param format file format of the sink (the S13 axis's file leg) —
+    *               BOTH the guard read and the append must speak it, or
+    *               a WAREHOUSE_TYPE=orc run would write parquet that its
+    *               own replay guard then fails to read back. */
   def startFromRaw(raw: DataFrame, sinkPath: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      format: String = "parquet"): StreamingQuery =
     Parse.parse(raw.select(col("slot"), col("block_json")), dedup = false)
       .withColumn("block_date", to_date(col("block_time")))
       .writeStream
@@ -81,13 +88,14 @@ object Incremental {
               val in = col("block_date").isin(realDates.toIndexedSeq: _*)
               if (nullDates.nonEmpty) in || col("block_date").isNull else in
             }
-          val toWrite = Backfill.readSinkIfAny(spark, sinkPath) match {
+          val toWrite = Backfill.readSinkIfAny(spark, sinkPath, format) match {
             case Some(existing) => deduped.join(
               existing.filter(prune).select(col("event_id")),
               Seq("event_id"), "left_anti")
             case None => deduped
           }
-          toWrite.write.mode("append").partitionBy("block_date").parquet(sinkPath)
+          toWrite.write.mode("append").partitionBy("block_date")
+            .format(format).save(sinkPath)
         } finally deduped.unpersist()
         ()
       }

@@ -38,8 +38,9 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * a JDBC warehouse is the serving/metadata-sized sink the reference
   * actually shipped — bounded tables, not the fact corpus. The writer
   * parallelism (= partitions) is therefore the knob that keeps a real
-  * database from being connection-stormed: callers repartition to the
-  * connection budget, mirroring `--workers`.
+  * database from being connection-stormed: [[upsert]] caps itself at
+  * `maxConnections`; [[append]] callers repartition, mirroring
+  * `--workers`.
   */
 object JdbcWarehouse {
 
@@ -101,10 +102,15 @@ object JdbcWarehouse {
 /** @param createColumnTypes optional `createTableColumnTypes` clause for
   *   first-write table creation — for column-precise DDL (e.g.
   *   `"event_id VARCHAR(64)"`) where the dialect default is wider than
-  *   a production table wants. */
+  *   a production table wants.
+  * @param maxConnections upsert's connection budget: each partition of
+  *   the resolved batch opens one DB connection, so [[upsert]] caps the
+  *   partition count at this value — a wide micro-batch (partitions =
+  *   source parallelism) must not connection-storm the database. */
 case class JdbcWarehouse(url: String, table: String,
     user: Option[String] = None, password: Option[String] = None,
-    createColumnTypes: Option[String] = None) {
+    createColumnTypes: Option[String] = None,
+    maxConnections: Int = 8) {
 
   private def props: Properties = {
     val p = new Properties()
@@ -153,7 +159,10 @@ case class JdbcWarehouse(url: String, table: String,
     * are NOT NULL, so keyed pipelines never hit this edge. */
   def upsert(batch: DataFrame, key: String, versionCol: String): Unit = {
     JdbcWarehouse.ensureDialect()
+    // coalesce only ever DECREASES the partition count, so this is a
+    // pure cap: a batch already inside the budget keeps its layout
     val resolved = Upsert.lastWriteWins(batch, key, versionCol)
+      .coalesce(math.max(1, maxConnections))
     if (readIfAny(batch.sparkSession).isEmpty)
       append(resolved.limit(0)) // CREATE TABLE from the schema, no rows
     val cols = resolved.schema.fieldNames.toSeq

@@ -177,6 +177,36 @@ class IngestSpec extends SparkSpec {
     assert(Incremental.slotLag(spark, sink, chainTip = 90L) == 10L)
   }
 
+  test("incremental honors a non-parquet sink format: orc writes are orc, " +
+      "and the replay guard reads them back (WAREHOUSE_TYPE=orc end-to-end)") {
+    val base = Files.createTempDirectory("graft_inc_orc").toString
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    def dropBlocks(name: String, slots: Range): Unit = {
+      val lines = slots.flatMap { s =>
+        Backfill.syntheticBlock(s).map { j =>
+          val esc = j.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""{"slot":$s,"block_json":"$esc"}"""
+        }
+      }
+      Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    dropBlocks("batch1", 1 to 20)
+    Incremental.start(spark, src, sink, ckpt, format = "orc").awaitTermination()
+    val n1 = spark.read.orc(sink).count()
+    assert(n1 > 0)
+    // fresh checkpoint = full replay PLUS new slots: the guard must read
+    // the ORC sink (a parquet-formatted guard read would crash here) and
+    // admit only the new events
+    dropBlocks("batch2", 15 to 30)
+    Incremental.start(spark, src, sink, s"$base/ckpt2", format = "orc")
+      .awaitTermination()
+    val after = spark.read.orc(sink)
+    assert(after.count() == after.select("event_id").distinct().count())
+    assert(after.agg(max(col("slot"))).collect()(0).getLong(0) == 30L)
+  }
+
   test("incremental into a JDBC warehouse: micro-batch upserts converge " +
       "on replay (incremental.rs:55-96 + warehouse ON CONFLICT shape)") {
     val base = Files.createTempDirectory("graft_inc_jdbc").toString

@@ -85,4 +85,30 @@ class JdbcWarehouseSpec extends SparkSpec {
       physical.contains(">="), physical)
     assert(probe.count() == 2)
   }
+
+  test("upsert caps its connection fan-out at maxConnections: a wide " +
+      "micro-batch must not connection-storm the database") {
+    import spark.implicits._
+    val wh = JdbcWarehouse(derbyUrl(), "wide", maxConnections = 2)
+    // 32 input partitions = the storm shape (partitions = source
+    // parallelism); one connection per partition would open 32
+    val batch = (1 to 64).map(i => (s"k$i", 1L, s"v$i"))
+      .toDF("k", "version", "payload").repartition(32)
+    val group = s"upsert-cap-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "upsert connection-cap probe")
+    try wh.upsert(batch, "k", "version")
+    finally spark.sparkContext.clearJobGroup()
+    assert(wh.readIfAny(spark).get.count() == 64)
+    // the write job is the LAST job of the upsert (probe + create-table
+    // jobs precede it); its result stage's task count IS the connection
+    // count — the cap must hold it at maxConnections
+    val tracker = spark.sparkContext.statusTracker
+    val writeJob = tracker.getJobIdsForGroup(group).max
+    val resultStage = tracker.getJobInfo(writeJob).get.stageIds().max
+    val tasks = tracker.getStageInfo(resultStage).get.numTasks()
+    assert(tasks <= 2, s"write stage ran $tasks tasks (connections) > cap 2")
+    // replay converges through the same capped path
+    wh.upsert(batch, "k", "version")
+    assert(wh.readIfAny(spark).get.count() == 64)
+  }
 }
