@@ -55,16 +55,25 @@ object Bench {
     * newest-added queries last — failures as -1.0), then one
     * self-contained trailer with the totals (failures excluded from the
     * total) LAST so a parser taking the final line still gets a valid
-    * summary. */
+    * summary.
+    *
+    * @param chunkCanaries per-chunk CPU canary samples (one [[canary]]
+    *   run right after each chunk's measured pass) — this host's epoch
+    *   swings 1.4–3.4× WITHIN a session, so one sweep-level canary
+    *   cannot price a query measured an epoch away; the chunk canary
+    *   rides into the chunk's own JSON line so a raw ≥2× flag is born
+    *   pre-normalized (tools/retriage.py applies it automatically). */
   private[graft] def emitLines(results: Seq[(String, Double)], sfDir: String,
-      fatal: Boolean = false): Seq[String] = {
+      fatal: Boolean = false,
+      chunkCanaries: Seq[Double] = Nil): Seq[String] = {
     val failed = results.collect { case (name, t) if t < 0 => name }.sorted
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val nChunks = (results.size + ChunkSize - 1) / ChunkSize
     val chunks = results.grouped(ChunkSize).zipWithIndex.map { case (chunk, i) =>
       val qs = chunk.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"queries_chunk","chunk":${i + 1},"n_chunks":$nChunks,"queries":$qs,"sf":"$sfDir"}"""
+      val cc = chunkCanaries.lift(i).fold("")(c => s""""canary_sec":$c,""")
+      s"""{"metric":"queries_chunk","chunk":${i + 1},"n_chunks":$nChunks,$cc"queries":$qs,"sf":"$sfDir"}"""
     }.toSeq
     // the trailer must stay tail-safe even in a mass-failure run, so
     // the errors list is capped; the full failure set is recoverable
@@ -85,12 +94,20 @@ object Bench {
     * it (a dev subset run would masquerade as a collapsed query
     * surface). */
   private[graft] def writeBenchLast(results: Seq[(String, Double)],
-      sfDir: String, fatal: Boolean, canarySec: Double = -1.0): Unit = {
+      sfDir: String, fatal: Boolean, canarySec: Double = -1.0,
+      chunkCanaries: Seq[Double] = Nil): Unit = {
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // chunk_canaries stays BEFORE "queries": parseTimings scans
+    // name:number pairs after the "queries" key, and a bare-number
+    // array there would not match, but keep the artifact unambiguous.
+    // Query i belongs to chunk i / ChunkSize in registration order.
+    val cc =
+      if (chunkCanaries.isEmpty) ""
+      else chunkCanaries.mkString(""""chunk_canaries":[""", ",", "],")
     val json =
-      s"""{"metric":"bench_last","total_sec":$total,"n_queries":${results.size},"fatal":$fatal,"canary_sec":$canarySec,"sf":"$sfDir",
+      s"""{"metric":"bench_last","total_sec":$total,"n_queries":${results.size},"fatal":$fatal,"canary_sec":$canarySec,$cc"sf":"$sfDir",
          |"queries":$qs}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
   }
@@ -264,8 +281,21 @@ object Bench {
     }
     val ratio = epochRatio(Some(canarySec), baseText.flatMap(parseCanary))
     System.err.println(f"[bench] canary $canarySec%.3f s, epoch ratio $ratio%.2fx vs baseline")
-    val firstPass = queries.map { case (name, fn) =>
-      name -> execOne(spark, sfDir, name, fn, fatal) }
+    // measured pass, chunked: one canary sample right AFTER each chunk
+    // prices the epoch the chunk's queries actually ran in (the host
+    // swings 1.4–3.4x within a session — a sweep-level canary cannot
+    // price a query measured half an hour away). ~1 s per chunk on a
+    // warm JVM; the samples ride into the chunk JSON lines and
+    // bench_last.json for retriage's automatic per-chunk normalization.
+    val chunkCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val firstPass = queries.grouped(ChunkSize).toSeq.flatMap { chunk =>
+      val rs = chunk.map { case (name, fn) =>
+        name -> execOne(spark, sfDir, name, fn, fatal) }
+      chunkCanaries += canary(spark)
+      rs
+    }
+    chunkCanaries.zipWithIndex.foreach { case (c, i) =>
+      System.err.println(f"[bench] chunk ${i + 1} canary $c%.3f s") }
     val qmap = queries.toMap
     val baseTimes = baselineTimes(sfDir, baseText)
     val results = remeasureSuspects(firstPass, baseTimes, { name =>
@@ -273,8 +303,9 @@ object Bench {
       System.err.println(f"[bench] re-measured tripwire suspect $name: $t%.2f s")
       t
     }, ratio)
-    emitLines(results, sfDir, fatal.get).foreach(println)
-    if (only.isEmpty) writeBenchLast(results, sfDir, fatal.get, canarySec)
+    emitLines(results, sfDir, fatal.get, chunkCanaries.toSeq).foreach(println)
+    if (only.isEmpty)
+      writeBenchLast(results, sfDir, fatal.get, canarySec, chunkCanaries.toSeq)
     warnRegressions(results, baseTimes, ratio)
     spark.stop()
   }

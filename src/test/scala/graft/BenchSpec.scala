@@ -66,6 +66,36 @@ class BenchSpec extends SparkSpec {
       && c.contains("\"n_chunks\":" + chunks.size)))
   }
 
+  test("per-chunk canaries ride into the chunk lines and bench_last " +
+      "(retriage pre-normalizes raw flags by the epoch each chunk ran in)") {
+    val results = (1 to 45).map(i => f"q_$i%03d" -> 1.0)
+    val canaries = Seq(0.09, 0.21, 0.12) // three chunks, three epochs
+    val lines = Bench.emitLines(results, "/sf", fatal = false, canaries)
+    val chunks = lines.init
+    assert(chunks.size == 3)
+    chunks.zip(canaries).foreach { case (line, c) =>
+      assert(line.contains(s""""canary_sec":$c"""), line)
+    }
+    // every chunk line must stay parseable JSON with the canary in it
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    chunks.zip(canaries).foreach { case (line, c) =>
+      assert(om.readTree(line).get("canary_sec").asDouble() == c)
+    }
+    // a sweep without chunk samples (subset runs, old artifacts) emits
+    // the exact pre-round-16 line shape — no empty field
+    assert(!Bench.emitLines(results, "/sf").head.contains("canary_sec"))
+
+    // bench_last carries the array; parseTimings/parseCanary still read
+    // the same fields they always did (the array sits BEFORE "queries",
+    // where parseTimings' name:number scan never reaches)
+    val txt =
+      s"""{"metric":"bench_last","total_sec":45.0,"n_queries":45,"fatal":false,"canary_sec":0.09,"chunk_canaries":[0.09,0.21,0.12],"sf":"/sf",
+         |"queries":${results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}""".stripMargin
+    assert(Bench.parseCanary(txt).contains(0.09))
+    val (sf, times) = Bench.parseTimings(txt).get
+    assert(sf == "/sf" && times.size == 45 && times("q_001") == 1.0)
+  }
+
   test("regression tripwire: 2x-and-1s rule, sentinels and new queries exempt") {
     val base = Map("a" -> 2.0, "b" -> 0.3, "c" -> 5.0, "gone" -> 1.0)
     val now = Seq(

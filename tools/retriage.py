@@ -43,12 +43,24 @@ def load(path):
     BENCH_r{N}.json wrapper (captured stdout tail with chunked
     queries_chunk lines + a bench_last trailer), normalized to the flat
     shape. The tail's HEAD may be truncated — a clipped first chunk line
-    is skipped, which is exactly why the trailer carries the totals."""
+    is skipped, which is exactly why the trailer carries the totals.
+
+    Also recovers PER-CHUNK canaries (round 16: the sweep samples the
+    CPU canary after every chunk, so each query can be normalized by
+    the epoch it actually ran in) as `chunk_canary_by_query`."""
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
+        by_query = {}
+        ccs = d.get("chunk_canaries") or []
+        if ccs:
+            names = list(d["queries"])  # registration order (Bench emits it)
+            cs = -(-len(names) // len(ccs))  # ceil: Bench.ChunkSize
+            for i, n in enumerate(names):
+                by_query[n] = ccs[min(i // cs, len(ccs) - 1)]
+        d["chunk_canary_by_query"] = by_query
         return d
-    queries, trailer = {}, None
+    queries, trailer, by_query = {}, None, {}
     for line in d.get("tail", "").splitlines():
         i = line.find('{"metric"')
         if i < 0:
@@ -59,6 +71,9 @@ def load(path):
             continue  # head-truncated chunk line
         if obj.get("metric") == "queries_chunk":
             queries.update(obj["queries"])
+            if obj.get("canary_sec"):
+                for n in obj["queries"]:
+                    by_query[n] = obj["canary_sec"]
         elif obj.get("metric") in ("bench_last", "total"):
             trailer = obj
     assert trailer, f"{path}: no bench trailer line found"
@@ -66,6 +81,7 @@ def load(path):
     trailer.setdefault("n_queries", len(queries))
     trailer.setdefault("queries", {})
     trailer["queries"].update(queries)
+    trailer["chunk_canary_by_query"] = by_query
     return trailer
 
 
@@ -88,15 +104,31 @@ def main(argv):
 
     sweep, base = load(sweep_path), load(base_path)
     sq, bq = sweep["queries"], base["queries"]
+    chunk_cc = sweep.get("chunk_canary_by_query") or {}
+    base_canary = base.get("canary_sec")
+
+    # Per-chunk pre-normalization (round 16): when the sweep carries a
+    # canary for the chunk a query ran in, the flag is born NORMALIZED —
+    # a row that reads 2.1x raw inside a 1.5x-slow chunk is ~1.4x in
+    # that chunk's epoch and never enters the isolated-rerun queue.
+    def chunk_epoch(name):
+        cc = chunk_cc.get(name)
+        return (cc / base_canary) if cc and base_canary else None
 
     failures = sorted(n for n, v in sq.items() if v < 0)
-    flagged = []
+    flagged, prenormalized = [], []
     for n, v in sorted(sq.items()):
         if v < 0 or n not in bq or bq[n] <= 0:
             continue
-        ratio = v / bq[n]
-        if ratio >= threshold:
-            flagged.append((n, v, bq[n], ratio))
+        raw = v / bq[n]
+        if raw < threshold:
+            continue
+        ep = chunk_epoch(n)
+        norm = raw / ep if ep else None
+        if norm is not None and norm < threshold:
+            prenormalized.append((n, v, bq[n], raw, ep, norm))
+        else:
+            flagged.append((n, v, bq[n], raw))
 
     declared = sweep.get("n_queries") or len(sq)
     if len(sq) < declared:
@@ -105,9 +137,16 @@ def main(argv):
               f"only the surviving rows; prefer bench_last.json from a local "
               f"sweep for full coverage")
     print(f"sweep: {declared} queries, {len(failures)} failures, "
-          f"{len(flagged)} rows at raw >= {threshold}x of baseline")
+          f"{len(prenormalized)} raw flags cleared by their chunk canary, "
+          f"{len(flagged)} rows still >= {threshold}x after chunk "
+          f"normalization (or with no chunk canary)")
+    for n, v, b, raw, ep, norm in prenormalized:
+        print(f"  {n}: {norm:.2f}x in its chunk's epoch ({ep:.2f}x) -> "
+              f"CLEARED without re-run")
     for n, v, b, r in flagged:
-        print(f"  {n}: sweep {v:.2f}s vs baseline {b:.2f}s = {r:.2f}x")
+        ep = chunk_epoch(n)
+        tag = f" ({r / ep:.2f}x in its chunk's {ep:.2f}x epoch)" if ep else ""
+        print(f"  {n}: sweep {v:.2f}s vs baseline {b:.2f}s = {r:.2f}x{tag}")
     if failures:
         print(f"FAILURES (no timing can clear these): {', '.join(failures)}")
 
@@ -116,6 +155,11 @@ def main(argv):
         "sweep": sweep_path,
         "baseline": base_path,
         "failures": failures,
+        "prenormalized_cleared": [
+            {"query": n, "sweep_sec": v, "baseline_sec": b,
+             "raw_ratio": round(raw, 3), "chunk_epoch": round(ep, 3),
+             "normalized_ratio": round(norm, 3), "verdict": "cleared"}
+            for n, v, b, raw, ep, norm in prenormalized],
         "flagged": [],
     }
     if flagged and not dry:
