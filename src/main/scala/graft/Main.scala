@@ -186,12 +186,15 @@ object Main {
       // a sink that does not exist yet (fresh deployment, backfill not
       // landed) is the SAME healthy-but-behind state as a zero-row one
       // — a monitoring probe needs the JSON verdict, not a
-      // PATH_NOT_FOUND stack trace
-      val tip = try {
-        val row = spark.read.parquet(fact).agg(max(col("slot"))).collect()(0)
-        if (row.isNullAt(0)) -1L else row.getLong(0)
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => -1L
+      // PATH_NOT_FOUND stack trace. The probe goes through sinkFor so
+      // WAREHOUSE_TYPE=orc/json/jdbc health-checks the warehouse the
+      // deployment actually writes (the reference's health reads ITS
+      // configured warehouse, health.rs:22-50), not a parquet guess.
+      val tip = sinkFor(fact, sys.env).readIfAny(spark) match {
+        case Some(sink) =>
+          val row = sink.agg(max(col("slot"))).collect()(0)
+          if (row.isNullAt(0)) -1L else row.getLong(0)
+        case None => -1L
       }
       // chain side of the reference's health (health.rs:12-20: getSlot
       // proves RPC reachability and prices the tip): with no explicit
