@@ -65,7 +65,8 @@ object Bench {
     *   pre-normalized (tools/retriage.py applies it automatically). */
   private[graft] def emitLines(results: Seq[(String, Double)], sfDir: String,
       fatal: Boolean = false,
-      chunkCanaries: Seq[Double] = Nil): Seq[String] = {
+      chunkCanaries: Seq[Double] = Nil,
+      remeasured: Set[String] = Set.empty): Seq[String] = {
     val failed = results.collect { case (name, t) if t < 0 => name }.sorted
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val nChunks = (results.size + ChunkSize - 1) / ChunkSize
@@ -82,8 +83,14 @@ object Bench {
     val errHead = failed.take(20).map("\"" + _ + "\"")
     val errs = (if (failed.size > 20) errHead :+ "\"...\"" else errHead)
       .mkString("[", ",", "]")
+    // remeasured rides in the TRAILER so the tail-captured shape keeps
+    // it; capped for tail-safety like errors — a clipped name simply
+    // falls back to the isolated-rerun path, never a wrong clear
+    val remHead = remeasured.toSeq.sorted.take(20).map("\"" + _ + "\"")
+    val rem = (if (remeasured.size > 20) remHead :+ "\"...\"" else remHead)
+      .mkString("[", ",", "]")
     chunks :+
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs,"fatal":$fatal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs,"remeasured":$rem,"fatal":$fatal,"sf":"$sfDir"}"""
   }
 
   /** The committed full-run artifact: every per-query timing, the
@@ -95,17 +102,25 @@ object Bench {
     * surface). */
   private[graft] def writeBenchLast(results: Seq[(String, Double)],
       sfDir: String, fatal: Boolean, canarySec: Double = -1.0,
-      chunkCanaries: Seq[Double] = Nil): Unit = {
+      chunkCanaries: Seq[Double] = Nil,
+      remeasured: Set[String] = Set.empty): Unit = {
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // chunk_canaries stays BEFORE "queries": parseTimings scans
     // name:number pairs after the "queries" key, and a bare-number
     // array there would not match, but keep the artifact unambiguous.
-    // Query i belongs to chunk i / ChunkSize in registration order.
+    // Query i belongs to chunk i / chunk_size in registration order —
+    // chunk_size is RECORDED (not inferred downstream: ceil(n/chunks)
+    // diverges from the true size whenever the last chunk is short).
+    // remeasured = queries whose emitted time came from a sweep-end
+    // re-run, so their chunk's canary does not price them.
     val cc =
       if (chunkCanaries.isEmpty) ""
-      else chunkCanaries.mkString(""""chunk_canaries":[""", ",", "],")
+      else chunkCanaries.mkString(
+        s""""chunk_size":$ChunkSize,"chunk_canaries":[""", ",", "],") +
+        remeasured.toSeq.sorted.map("\"" + _ + "\"")
+          .mkString(""""remeasured":[""", ",", "],")
     val json =
       s"""{"metric":"bench_last","total_sec":$total,"n_queries":${results.size},"fatal":$fatal,"canary_sec":$canarySec,$cc"sf":"$sfDir",
          |"queries":$qs}""".stripMargin
@@ -220,21 +235,30 @@ object Bench {
     * soon as one re-run clears the wire (a settled noise spike buys
     * back its remaining retries), non-suspects keep their first sample,
     * and a regression-free run costs nothing extra. */
+  /** Also returns the names whose EMITTED time came from a re-run:
+    * those samples were taken at sweep END, not inside their chunk, so
+    * the chunk canary does not price them — the artifact carries the
+    * set and retriage excludes them from per-chunk pre-normalization
+    * (they keep the isolated-rerun path, which prices its own epoch). */
   private[graft] def remeasureSuspects(results: Seq[(String, Double)],
       base: Option[Map[String, Double]],
-      rerun: String => Double, ratio: Double = 1.0): Seq[(String, Double)] =
+      rerun: String => Double, ratio: Double = 1.0)
+      : (Seq[(String, Double)], Set[String]) =
     base match {
-      case None => results
-      case Some(b) => results.map { case (name, t) =>
-        var best = t
-        var budget = RemeasureRuns
-        while (budget > 0 && regressions(Seq(name -> best), b, ratio).nonEmpty) {
-          val r = rerun(name)
-          if (r >= 0.0 && r < best) best = r // sentinel never replaces a sample
-          budget -= 1
+      case None => (results, Set.empty)
+      case Some(b) =>
+        val replaced = scala.collection.mutable.Set.empty[String]
+        val out = results.map { case (name, t) =>
+          var best = t
+          var budget = RemeasureRuns
+          while (budget > 0 && regressions(Seq(name -> best), b, ratio).nonEmpty) {
+            val r = rerun(name)
+            if (r >= 0.0 && r < best) { best = r; replaced += name }
+            budget -= 1
+          }
+          name -> best
         }
-        name -> best
-      }
+        (out, replaced.toSet)
     }
 
   /** Loud 2× tripwire against the committed baseline (if present):
@@ -298,14 +322,16 @@ object Bench {
       System.err.println(f"[bench] chunk ${i + 1} canary $c%.3f s") }
     val qmap = queries.toMap
     val baseTimes = baselineTimes(sfDir, baseText)
-    val results = remeasureSuspects(firstPass, baseTimes, { name =>
+    val (results, remeasured) = remeasureSuspects(firstPass, baseTimes, { name =>
       val t = execOne(spark, sfDir, name, qmap(name), fatal)
       System.err.println(f"[bench] re-measured tripwire suspect $name: $t%.2f s")
       t
     }, ratio)
-    emitLines(results, sfDir, fatal.get, chunkCanaries.toSeq).foreach(println)
+    emitLines(results, sfDir, fatal.get, chunkCanaries.toSeq, remeasured)
+      .foreach(println)
     if (only.isEmpty)
-      writeBenchLast(results, sfDir, fatal.get, canarySec, chunkCanaries.toSeq)
+      writeBenchLast(results, sfDir, fatal.get, canarySec, chunkCanaries.toSeq,
+        remeasured)
     warnRegressions(results, baseTimes, ratio)
     spark.stop()
   }

@@ -190,11 +190,22 @@ object Main {
       // WAREHOUSE_TYPE=orc/json/jdbc health-checks the warehouse the
       // deployment actually writes (the reference's health reads ITS
       // configured warehouse, health.rs:22-50), not a parquet guess.
-      val tip = sinkFor(fact, sys.env).readIfAny(spark) match {
+      // A probe that FAILS on an existing sink (unreachable database,
+      // wrong schema) is a failed check — the reference's warehouse
+      // ping returns Err (health.rs:22-31) — reported as one JSON line
+      // + nonzero exit, never an uncaught stack trace: the verdict
+      // matters most exactly when the warehouse is broken.
+      val tip = try sinkFor(fact, sys.env).readIfAny(spark) match {
         case Some(sink) =>
           val row = sink.agg(max(col("slot"))).collect()(0)
           if (row.isNullAt(0)) -1L else row.getLong(0)
         case None => -1L
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"""{"status":"sink_failed","error":${
+            jsonString(String.valueOf(e.getMessage))}}""")
+          spark.stop()
+          sys.exit(1)
       }
       // chain side of the reference's health (health.rs:12-20: getSlot
       // proves RPC reachability and prices the tip): with no explicit

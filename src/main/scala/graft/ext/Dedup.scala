@@ -170,8 +170,14 @@ object Dedup extends QueryModule {
       left: String, right: String): DataFrame = {
     require(k >= 1, s"maxPairsPerDoc must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    // the scored pair frame fans into THREE consumers (two overflow
+    // probes + the cap chain) whose column renames defeat exchange
+    // reuse — pin it once (lazy localCheckpoint, the module's idiom
+    // for escaping frames; blocks are context-cleaned on GC) so the
+    // expensive candidate join computes once, not three times
+    val pinned = pairs.localCheckpoint(false)
     // docs whose pre-cap candidate supply overflows EITHER side cap
-    def overOn(side: String) = pairs.select(col(side).as("_doc"))
+    def overOn(side: String) = pinned.select(col(side).as("_doc"))
       .groupBy(col("_doc")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > k).select(col("_doc"))
     val overDocs = overOn(left).unionByName(overOn(right)).distinct()
@@ -182,7 +188,7 @@ object Dedup extends QueryModule {
       df.withColumn("_rk", row_number().over(w))
         .filter(col("_rk") <= k).drop("_rk")
     }
-    capSide(capSide(pairs, left, right), right, left)
+    capSide(capSide(pinned, left, right), right, left)
       .join(overDocs.withColumnRenamed("_doc", left)
         .withColumnRenamed("_tr", "_tl"), Seq(left), "left")
       .join(overDocs.withColumnRenamed("_doc", right)

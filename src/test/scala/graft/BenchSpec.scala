@@ -147,24 +147,29 @@ class BenchSpec extends SparkSpec {
     val base = Map("noisy" -> 1.0, "slow" -> 1.0, "fine" -> 1.0)
     val first = Seq("noisy" -> 2.7, "slow" -> 3.0, "fine" -> 1.1)
     var reruns = Map.empty[String, Int].withDefaultValue(0)
-    val out = Bench.remeasureSuspects(first, Some(base), { name =>
+    val (outSeq, replaced) = Bench.remeasureSuspects(first, Some(base), { name =>
       reruns += name -> (reruns(name) + 1)
       if (name == "noisy") 0.9 else 3.1 // noise settles, regression persists
-    }).toMap
+    })
+    val out = outSeq.toMap
     // noisy settles on its FIRST re-run and buys back the rest of its
     // budget; slow trips every sample and exhausts it; fine never re-runs
     assert(reruns == Map("noisy" -> 1, "slow" -> Bench.RemeasureRuns))
     assert(out("fine") == 1.1)
     assert(out("noisy") == 0.9) // best sample recorded → no longer trips
     assert(out("slow") == 3.0)  // real regression survives re-measure
+    // only noisy's EMITTED time came from a re-run — slow kept its
+    // first (in-chunk) sample, so its chunk canary still prices it
+    assert(replaced == Set("noisy"))
     assert(Bench.regressions(out.toSeq.sortBy(_._1), base).map(_._1) == Seq("slow"))
     // no baseline → nothing re-runs
     var n = 0
-    assert(Bench.remeasureSuspects(first, None, { _ => n += 1; 0.0 }) == first)
+    assert(Bench.remeasureSuspects(first, None, { _ => n += 1; 0.0 })
+      == ((first, Set.empty[String])))
     assert(n == 0)
     // a failing re-run (sentinel) never replaces a real sample
     val failed = Bench.remeasureSuspects(Seq("slow" -> 3.0), Some(base), _ => -1.0)
-    assert(failed == Seq("slow" -> 3.0))
+    assert(failed == ((Seq("slow" -> 3.0), Set.empty[String])))
   }
 
   test("parseTimings reads writeBenchLast's artifact format") {

@@ -55,9 +55,17 @@ def load(path):
         ccs = d.get("chunk_canaries") or []
         if ccs:
             names = list(d["queries"])  # registration order (Bench emits it)
-            cs = -(-len(names) // len(ccs))  # ceil: Bench.ChunkSize
+            # chunk size is RECORDED by Bench (chunk_size); the default 20
+            # is Bench.ChunkSize. Never infer ceil(n/chunks): a short last
+            # chunk shifts every boundary query into the wrong epoch.
+            cs = int(d.get("chunk_size") or 20)
             for i, n in enumerate(names):
                 by_query[n] = ccs[min(i // cs, len(ccs) - 1)]
+        # remeasured rows' emitted times came from sweep-END re-runs, so
+        # their chunk's canary does not price them — drop them from the
+        # pre-normalization map (they keep the isolated-rerun path)
+        for n in d.get("remeasured") or []:
+            by_query.pop(n, None)
         d["chunk_canary_by_query"] = by_query
         return d
     queries, trailer, by_query = {}, None, {}
@@ -81,6 +89,14 @@ def load(path):
     trailer.setdefault("n_queries", len(queries))
     trailer.setdefault("queries", {})
     trailer["queries"].update(queries)
+    remeasured = trailer.get("remeasured") or []
+    if "..." in remeasured:
+        # clipped list (tail-safety cap): provenance unknown for the
+        # rest — disable pre-normalization entirely rather than risk
+        # clearing a sweep-end sample against the wrong chunk's epoch
+        by_query = {}
+    for n in remeasured:
+        by_query.pop(n, None)
     trailer["chunk_canary_by_query"] = by_query
     return trailer
 
@@ -112,8 +128,13 @@ def main(argv):
     # a row that reads 2.1x raw inside a 1.5x-slow chunk is ~1.4x in
     # that chunk's epoch and never enters the isolated-rerun queue.
     def chunk_epoch(name):
+        # both sides must be real positive samples: canary_sec:-1.0 is
+        # writeBenchLast's "not measured" sentinel and must neutralize
+        # normalization, never produce a negative epoch that clears
+        # every flag
         cc = chunk_cc.get(name)
-        return (cc / base_canary) if cc and base_canary else None
+        return (cc / base_canary) if (cc and cc > 0 and base_canary
+                                      and base_canary > 0) else None
 
     failures = sorted(n for n, v in sq.items() if v < 0)
     flagged, prenormalized = [], []
