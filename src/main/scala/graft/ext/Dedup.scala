@@ -141,10 +141,28 @@ object Dedup extends QueryModule {
   private[ext] def jaccardPairs(sh: DataFrame, threshold: Double,
       maxDf: Int = DefaultMaxShingleDf,
       maxPairsPerDoc: Option[Int] = None): DataFrame = {
-    val exact = jaccardOnCapped(capShingles(sh, maxDf), threshold)
+    val exact = jaccardOnCapped(capShingles(oneExchange(sh), maxDf), threshold)
     maxPairsPerDoc.fold(exact)(k =>
       capPairsPerDoc(exact, "jaccard", k, "d1", "d2"))
   }
+
+  /** Key the shingle index's FOUR consumers (hot-shingle agg, both
+    * self-join sides, sizes agg) off ONE exchange: an explicit
+    * repartition by `shingle` right after the tokenizer makes every
+    * consumer's subtree share the identical Exchange node, which
+    * ReuseExchange computes once — so the tokenizer regexp + explode +
+    * md5 (the dominant map cost of the whole family) runs ONE corpus
+    * pass instead of one per consumer (guide §2.4 "share one
+    * exchange"; r16 A/B at sf0.1: jaccard 4.8 → 3.2 s, containment
+    * 4.8 → 3.8 s, incremental 2.9 → 2.5 s, interleaved best-of-3).
+    * The join sides needed this exchange anyway (they hash by shingle);
+    * the hot/sizes branches trade their narrow partial-agg shuffles for
+    * reads of already-written exchange blocks — strictly cheaper than
+    * re-tokenizing at any scale. Row-preserving, so results are
+    * untouched; no explicit partition count, so AQE still sizes the
+    * shuffle to the data. */
+  private def oneExchange(sh: DataFrame): DataFrame =
+    sh.repartition(col("shingle"))
 
   /** Bound a scored pair frame to ≤ `k` pairs PER DOCUMENT PER SIDE
     * (≤ 2k total per doc), keeping the highest scores; deterministic
@@ -248,7 +266,7 @@ object Dedup extends QueryModule {
   private[ext] def containmentPairs(sh: DataFrame, threshold: Double,
       maxDf: Int = DefaultMaxShingleDf,
       maxPairsPerDoc: Option[Int] = None): DataFrame = {
-    val capped = capShingles(sh, maxDf)
+    val capped = capShingles(oneExchange(sh), maxDf)
     val a = capped.select(col("doc_id").as("d1"), col("shingle"))
     val b = capped.select(col("doc_id").as("d2"), col("shingle"))
     val commons = a.join(b, Seq("shingle"))
@@ -440,8 +458,14 @@ object Dedup extends QueryModule {
     * gaps-and-islands on the (p1 − p2) diagonal. Split out so specs can
     * plant a verbatim block and assert the exact run boundaries. */
   private[ext] def substringRuns(docsDf: DataFrame, K: Int = 8): DataFrame = {
+    // one-exchange restructure (see [[oneExchange]]): wins feeds the
+    // eligibility agg AND the hash-join probe side — repartitioning by
+    // `h` right after the window hashing makes both consumers share one
+    // Exchange, so the posexplode + md5 pass runs once, and the elig
+    // groupBy(h) needs no second shuffle (r16 A/B: 3.3 → 2.4 s at sf0.1)
     val wins = nGramRowsOf(docsDf, K, outCol = "g", withPos = true)
       .select(col("doc_id"), col("p"), h60(col("g")).as("h"))
+      .repartition(col("h"))
     val elig = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= 8).select(col("h"))
@@ -812,7 +836,12 @@ object Dedup extends QueryModule {
     // scales with |batch|, not |corpus|.
     "dedup_incremental" -> Q(
       (s, dir) => {
-        val sh = capShingles(shingleRows(s, dir), DefaultMaxShingleDf)
+        // oneExchange: sh feeds band-key derivation, both verify join
+        // sides, and the sizes agg — share the tokenizer output through
+        // one shingle-keyed exchange (r16 A/B: 2.9 → 2.5 s at sf0.1;
+        // the doc_id-keyed alternative measured SLOWER, 3.1–3.5 s)
+        val sh = capShingles(
+          shingleRows(s, dir).repartition(col("shingle")), DefaultMaxShingleDf)
         val bands = bandKeysOf(sh)
         val batch = bands.filter(col("doc_id") % 10 === 9)
           .select(col("band_idx"), col("band_key"), col("doc_id").as("new_doc"))
