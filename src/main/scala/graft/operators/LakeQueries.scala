@@ -44,9 +44,13 @@ object LakeQueries extends QueryModule {
       .orderBy(col("status"))
 
   /** Build a throwaway table root, hand it to `build`, materialize the
-    * bounded result as a LocalRelation, clean up. */
+    * bounded result as a LocalRelation, clean up. The root lives under
+    * the shared RAM-backed scratch ([[graft.Scratch]]): these tables
+    * are commit-protocol-heavy (manifest writes, atomic renames, stats
+    * read-backs per version) and none of it outlives the query — the
+    * same harness-medium choice the streaming family already made. */
   private def withRoot(s: SparkSession)(build: String => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-lake")
+    val tmp = java.nio.file.Files.createTempDirectory(graft.Scratch.base, "graft-lake")
     val root = tmp.resolve("orders_tbl").toString
     try {
       val res = build(root)
@@ -107,8 +111,8 @@ object LakeQueries extends QueryModule {
     // rule, command) on top of the already-gated storage layer.
     "lake_sql_merge" -> Q(
       (s, dir) => {
-        val wh = graft.plans.GraftCatalog.ensure(s, s"${System.getProperty(
-          "java.io.tmpdir")}/graft_lake_sql_wh_${ProcessHandle.current().pid()}")
+        val wh = graft.plans.GraftCatalog.ensure(s,
+          s"${graft.Scratch.base}/graft_lake_sql_wh_${ProcessHandle.current().pid()}")
         val tableRoot = s"$wh/sqlq/orders_merge"
         val fs = new org.apache.hadoop.fs.Path(tableRoot)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -153,8 +157,8 @@ object LakeQueries extends QueryModule {
     // time-travel binding the way lake_sql_merge isolates the MERGE one.
     "lake_sql_time_travel" -> Q(
       (s, dir) => {
-        val wh = graft.plans.GraftCatalog.ensure(s, s"${System.getProperty(
-          "java.io.tmpdir")}/graft_lake_sql_wh_${ProcessHandle.current().pid()}")
+        val wh = graft.plans.GraftCatalog.ensure(s,
+          s"${graft.Scratch.base}/graft_lake_sql_wh_${ProcessHandle.current().pid()}")
         val tableRoot = s"$wh/sqlq/orders_tt"
         val fs = new org.apache.hadoop.fs.Path(tableRoot)
           .getFileSystem(s.sparkContext.hadoopConfiguration)

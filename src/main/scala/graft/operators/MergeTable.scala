@@ -727,11 +727,6 @@ object MergeTable {
   private def mergePinned(spark: SparkSession, root: String,
       updates: DataFrame, key: String, deleteCol: Option[String],
       evolveSchema: Boolean): Long = {
-    val dups = updates.filter(col(key).isNotNull)
-      .groupBy(col(key)).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).count()
-    require(dups == 0L, s"merge batch is not unique on '$key'")
-
     val inserts = deleteCol match {
       // SQL MERGE clause semantics: a NULL delete flag does not satisfy
       // `WHEN MATCHED AND deleted THEN DELETE`, so the row falls
@@ -750,14 +745,32 @@ object MergeTable {
     // publish (the lost-update / double-carry write skew a
     // latest-version commit would silently allow).
     val basis = versions(spark, root).lastOption.getOrElse(0L)
-    if (basis == 0L)
+    if (basis == 0L) {
+      // initial commit: no manifest to probe against, so the key-
+      // uniqueness gate runs as its own (one-job) check here; every
+      // later merge gets it for free inside the file-skip probe below
+      val dups = updates.filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).count()
+      require(dups == 0L, s"merge batch is not unique on '$key'")
       return commit(spark, root, inserts, key, removes = Seq.empty, basis, None)
+    }
     val asOfB = Some(basis)
-    val live = liveFiles(spark, root, asOfB)
 
-    // one manifest read serves the column gate, the era-aligned file
-    // reader, and the commit's schema widening
-    val (declared, tblReader) = eraReader(spark, root, asOfB)
+    // ONE manifest fold serves everything this merge needs from the log
+    // — declared schema, column gate, era-aligned reader, file-skip
+    // stats, and the commit's widening. The fold is collected once:
+    // manifest rows are file-count-sized (the same order snapshot()
+    // already collects, and the same rows the broadcast below ships to
+    // every executor anyway), and the previous shape paid TWO separate
+    // parquet reads of the log — one job for declaredSchema, another
+    // under the skipping join — per micro-batch on the streaming-CDC
+    // hot path (guide §1.2: remove passes before tuning inside them).
+    val mRows = manifest(spark, root, asOfB).collect()
+    val declared = mRows.view.filter(_.getString(1) == "schema")
+      .maxByOption(_.getLong(0))
+      .map(r => DataType.fromJson(r.getString(2)).asInstanceOf[StructType])
+    val tblReader = declared.map(spark.read.schema(_)).getOrElse(spark.read)
     val tableCols = declared.map(_.fieldNames.toSet)
       .getOrElse(snapshot(spark, root, asOfB).columns.toSet)
     if (evolveSchema)
@@ -776,16 +789,41 @@ object MergeTable {
     // undecodable stat is treated as overlapping, so pruning errs only
     // toward rewriting more, never toward missing a match). SQL MERGE
     // null semantics: a null update key matches nothing (pure insert).
+    //
+    // The live add-set folds from the already-collected manifest rows
+    // (driver hash-set anti-join, manifest-sized) into a LocalRelation
+    // — the broadcast ships the same bytes it always did, without a
+    // second log read. The probe aggregates per-key counts FIRST, so
+    // the batch-uniqueness gate rides the same job as the skipping
+    // join: max(c) > 1 is the dup signal, collect_set(file) the
+    // touched set — one action where the previous shape ran a
+    // dup-check job plus a skipping job per merge.
     val keyType = updates.schema(key).dataType
-    val stats = live.select(col("file"),
-      statBack(col("min_key"), keyType).as("mn"),
-      statBack(col("max_key"), keyType).as("mx"))
-    val touched = updates.select(col(key)).filter(col(key).isNotNull)
+    val removedF = mRows.view.filter(_.getString(1) == "remove")
+      .map(_.getString(2)).toSet
+    val liveRows = new java.util.ArrayList[Row]()
+    mRows.foreach { r =>
+      if (r.getString(1) == "add" && !removedF(r.getString(2)))
+        liveRows.add(Row(r.getString(2), r.getString(3), r.getString(4)))
+    }
+    val statsSchema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("min_key", StringType, nullable = true),
+      StructField("max_key", StringType, nullable = true)))
+    val stats = spark.createDataFrame(liveRows, statsSchema)
+      .select(col("file"),
+        statBack(col("min_key"), keyType).as("mn"),
+        statBack(col("max_key"), keyType).as("mx"))
+    val probe = updates.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
       .join(broadcast(stats),
         col("mn").isNull || col("mx").isNull ||
-          col(key).between(col("mn"), col("mx")), "inner")
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+          col(key).between(col("mn"), col("mx")), "left")
+      .agg(max(col("c")).as("maxc"), collect_set(col("file")).as("touched"))
+      .head()
+    require(probe.isNullAt(0) || probe.getLong(0) <= 1L,
+      s"merge batch is not unique on '$key'")
+    val touched = probe.getSeq[String](1).sorted.toIndexedSeq
 
     // touched files may span multiple schema eras themselves — the
     // era-aligned reader, not whichever footer is sampled

@@ -60,21 +60,7 @@ object StreamQueries extends QueryModule {
     * files exist, restart-from-checkpoint works); only the medium
     * changes. Both the per-run temp dirs and the corpus cache live here
     * so the hardlink fast path stays same-device. */
-  private lazy val scratchBase: java.nio.file.Path = {
-    // tmpfs is RAM-capped (typically 50% of physical memory), so only
-    // take it with real headroom — a larger-SF run on a constrained box
-    // must degrade to disk latency, not ENOSPC mid-stream. Overridable
-    // for harnesses that know better.
-    val MinShmHeadroom = 8L << 30
-    sys.env.get("GRAFT_STREAM_SCRATCH").map(java.nio.file.Paths.get(_)).getOrElse {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val shmOk = java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm) &&
-        (try java.nio.file.Files.getFileStore(shm).getUsableSpace >= MinShmHeadroom
-         catch { case _: java.io.IOException => false })
-      if (shmOk) shm else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    }
-  }
+  private lazy val scratchBase: java.nio.file.Path = graft.Scratch.base
 
   /** JVM-lifetime scratch root for materialized query results and the
     * staged-corpus cache. The per-run temp dir (staging files,
@@ -310,20 +296,52 @@ object StreamQueries extends QueryModule {
 
   /** Stage every chunk of `staged` (chunk ids 0 until `n`) as ordered
     * single files; the file source then delivers them as `n`
-    * deterministic micro-batches. Pins `staged` for the duration: the
-    * per-chunk filter evaluates it once per file, and without the pin
-    * every chunk write would re-run the full source scan + derivation
-    * (n× the staging cost; also a determinism hazard if a caller ever
-    * staged a nondeterministic frame). */
+    * deterministic micro-batches.
+    *
+    * ONE `partitionBy("chunk")` write instead of the previous persist +
+    * n single-file filtered writes (guide §1.2: remove passes): the
+    * source scan + derivation runs exactly once, with no cache
+    * round-trip, and the n writes collapse into one job.
+    * `repartition(n, col("chunk"))` routes every row of one chunk value
+    * to exactly ONE task (equal values share a hash — collisions can
+    * only merge two chunks into a task, never split one), and the
+    * per-task parquet writer opens one file per partition value, so
+    * each `chunk=c` dir holds exactly one part file (required loudly
+    * below — maxRecordsPerFile-style splitting would break the
+    * 1-file-per-micro-batch delivery contract). The files then move to
+    * their mtime-ordered staging names exactly as before. An EMPTY
+    * chunk (possible on degenerate fixtures — dirty-data runs) writes
+    * no dir; it falls back to the old per-chunk empty write so the
+    * staged file set, and therefore the batch cadence, is unchanged. */
   private def stageChunks(s: SparkSession, staged: DataFrame, staging: String,
       n: Int, baseMs: Long): Unit = {
-    staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      (0 until n).foreach { c =>
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val scratch = s"$staging/.write-chunks"
+    staged.repartition(n, col("chunk"))
+      .write.partitionBy("chunk").parquet(scratch)
+    (0 until n).foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(scratch, s"chunk=$c")
+      val name = f"chunk-$c%04d.parquet"
+      if (fs.exists(dir)) {
+        val parts = fs.listStatus(dir)
+          .map(_.getPath).filter(_.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"chunk $c staged as ${parts.length} files — one-file-per-" +
+            "micro-batch delivery needs exactly one; check writer confs " +
+            "(maxRecordsPerFile) that split partition-value files")
+        val dest = new org.apache.hadoop.fs.Path(staging, name)
+        require(fs.rename(parts.head, dest), s"staging rename failed for $name")
+        fs.setTimes(dest, baseMs + c * 60000L, -1L)
+      } else {
+        // empty chunk: stage an empty single file so delivery cadence
+        // (one micro-batch per chunk) survives degenerate corpora
         writeFileAt(s, staged.filter(col("chunk") === c).drop("chunk"),
-          staging, f"chunk-$c%04d.parquet", baseMs + c * 60000L)
+          staging, name, baseMs + c * 60000L)
       }
-    } finally staged.unpersist()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    ()
   }
 
   /** Open the staged chunk directory as a 1-file-per-trigger stream. */
