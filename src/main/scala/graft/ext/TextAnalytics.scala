@@ -441,17 +441,30 @@ object TextAnalytics extends QueryModule {
         substring(lower(regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")),
           1, 16).as("hd"))
       .filter(length(col("hd")) === 16)
-      .withColumn("pre", substring(col("hd"), 1, 8))
-      .withColumn("suf", substring(col("hd"), 9, 8))
-    val a = h.select(col("doc_id").as("d1"), col("hd").as("h1"),
-      col("pre"), col("suf"))
-    val b = h.select(col("doc_id").as("d2"), col("hd").as("h2"),
-      col("pre"), col("suf"))
-    val byPre = a.drop("suf").join(b.drop("suf"), Seq("pre"))
-      .filter(col("d1") < col("d2")).select(col("d1"), col("d2"), col("h1"), col("h2"))
-    val bySuf = a.drop("pre").join(b.drop("pre"), Seq("suf"))
-      .filter(col("d1") < col("d2")).select(col("d1"), col("d2"), col("h1"), col("h2"))
-    byPre.unionByName(bySuf).distinct()
+    // Both blocking keys (8-char prefix / suffix) ride as ROWS of one
+    // tagged frame behind ONE explicit exchange, instead of two
+    // separate self-joins whose four sides each re-ran the full-text
+    // normalization regexp (the dominant map cost — plans showed 4
+    // document scans × regexp before). The (tag, k) equi-join over the
+    // shared exchange computes the same byPre ∪ bySuf candidate
+    // multiset — tag 'p' rows can only meet tag 'p' rows — and the
+    // pre-existing distinct() folds the union exactly as before, so
+    // the result set is untouched (guide §2.4 "share one exchange";
+    // the r16 dedup family applied the same restructure).
+    val keyed = h.select(col("doc_id"), col("hd"),
+        explode(array(
+          struct(lit("p").as("tag"), substring(col("hd"), 1, 8).as("k")),
+          struct(lit("s").as("tag"), substring(col("hd"), 9, 8).as("k")))).as("bk"))
+      .select(col("doc_id"), col("hd"), col("bk.tag").as("tag"), col("bk.k").as("k"))
+      .repartition(col("tag"), col("k"))
+    val a = keyed.select(col("doc_id").as("d1"), col("hd").as("h1"),
+      col("tag"), col("k"))
+    val b = keyed.select(col("doc_id").as("d2"), col("hd").as("h2"),
+      col("tag"), col("k"))
+    a.join(b, Seq("tag", "k"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2"))
+      .distinct()
       .withColumn("dist", levenshtein(col("h1"), col("h2")).cast("long"))
       .filter(col("dist") <= 3)
       .select(col("d1"), col("d2"), col("dist"))
