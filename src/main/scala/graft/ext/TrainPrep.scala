@@ -138,26 +138,59 @@ object TrainPrep extends QueryModule {
     * vocab-bounded artifact a production run stores and the streaming
     * scorer folds as a literal. Derivation as in [[classifierScores]]:
     * weak label y = [n_tokens ≥ 60], w = df_pos − df_neg. */
-  private[graft] def classifierModel(d: DataFrame): DataFrame = {
-    val bocc = d.select(col("doc_id"), explode(expr(tok)).as("w"))
-      .select(col("doc_id"), (Dedup.h60(col("w")) % ClassifierBuckets).as("b"))
-      .distinct()
-    val lab = d.select(col("doc_id"),
-      (size(expr(tok)) >= 60).cast("long").as("y"))
-    bocc.join(lab, Seq("doc_id"))
+  /** Everything downstream derives from ONE tokenize+explode pass: the
+    * per-(doc, bucket) occurrence counts. The weak label re-derives as
+    * sum(occurrences) ≥ 60 (explode emits exactly size(tokens) rows,
+    * so the sums are identical integers), and the model's distinct
+    * (doc, bucket) pairs are this aggregate's keys — so neither needs
+    * its own pass over the text. Token-less docs drop out of the
+    * explode on BOTH shapes: they never had a bucket row, so they
+    * reached neither the model fold nor the scored output before
+    * either (the oracle's UNNEST drops them the same way). Guide §1.2:
+    * the tokenizer regexp was the dominant map cost and ran 4× (plans
+    * showed 8 scans across the two dump sections); it now runs once. */
+  private def bucketTf(d: DataFrame, withSource: Boolean): DataFrame = {
+    val keys =
+      if (withSource) Seq(col("doc_id"), col("source")) else Seq(col("doc_id"))
+    d.select(keys :+ explode(expr(tok)).as("w"): _*)
+      .select(keys :+ (Dedup.h60(col("w")) % ClassifierBuckets).as("b"): _*)
+      .groupBy(keys :+ col("b"): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** The weak label from the tf aggregate: y = [Σ occurrences ≥ 60]. */
+  private def labOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id"))
+      .agg((sum(col("tf")) >= 60L).cast("long").as("y"))
+
+  /** The model fold from the tf aggregate: per bucket, df_pos − df_neg
+    * over the distinct (doc, bucket) pairs — the aggregate's own keys. */
+  private def modelOf(tf: DataFrame, lab: DataFrame): DataFrame =
+    tf.select(col("doc_id"), col("b")).distinct()
+      .join(lab, Seq("doc_id"))
       .groupBy(col("b"))
       .agg((sum(col("y")) - sum(lit(1L) - col("y"))).as("w"))
+
+  /** The tf aggregate is consumed by 2–3 subtrees; Catalyst's column
+    * pruning specializes each consumer's copy (e.g. collapsing the
+    * model's distinct straight onto the explode), so identical-subtree
+    * exchange reuse can never fire and the tokenizer re-runs per
+    * consumer. A lazy `localCheckpoint` pins ONE materialization —
+    * (doc, bucket) rows, corpus-vocabulary-sized, tiny next to the
+    * text — that every consumer reads back (the [[Dedup]]/[[Graph]]
+    * iterated-frame idiom; the RDD is released by the context cleaner
+    * once the result frame is dropped). */
+  private def pinTf(tf: DataFrame): DataFrame = tf.localCheckpoint(false)
+
+  private[graft] def classifierModel(d: DataFrame): DataFrame = {
+    val tf = pinTf(bucketTf(d, withSource = false))
+    modelOf(tf, labOf(tf))
   }
 
   private[ext] def classifierScores(d: DataFrame): DataFrame = {
-    val tf = d.select(col("doc_id"), col("source"), explode(expr(tok)).as("w"))
-      .select(col("doc_id"), col("source"),
-        (Dedup.h60(col("w")) % ClassifierBuckets).as("b"))
-      .groupBy(col("doc_id"), col("source"), col("b"))
-      .agg(count(lit(1)).as("tf"))
-    val lab = d.select(col("doc_id"),
-      (size(expr(tok)) >= 60).cast("long").as("y"))
-    val model = classifierModel(d)
+    val tf = pinTf(bucketTf(d, withSource = true))
+    val lab = labOf(tf)
+    val model = modelOf(tf, lab)
     tf.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf") * col("w")).as("score"))
