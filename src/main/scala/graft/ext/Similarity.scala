@@ -294,8 +294,11 @@ object Similarity extends QueryModule {
     * path (M·K tiny rows), (m, code) ascending as
     * [[graft.streaming.StreamAnalytics.encodePq]] expects. */
   private[graft] def trainedPqCodebookOf(s: SparkSession, dir: String): Seq[(Int, Int, Array[Double])] =
+    // sub pinned: the training chain reads it three ways (seed slice,
+    // assignment, centroid fold) — see annPqTop
     pqTrainedCodebook(pqSubvectors(
-        emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))))
+        emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v")))
+      .localCheckpoint(false))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .sortBy(c => (c._1, c._2)).toSeq
@@ -450,7 +453,19 @@ object Similarity extends QueryModule {
   private[ext] def neardupLshPairs(e: DataFrame, bits: Int,
       threshold: Double, maxBucket: Int = NeardupMaxBucket,
       probeRadius: Int = 1): DataFrame = {
-    val sk = capBuckets(lshSketches(e, bits), maxBucket)
+    // Two lazy localCheckpoints pin the sketch pipeline's fan-out
+    // (guide §1.2 — the 24-dot sign sketch is the dominant map cost):
+    // capBuckets reads its input twice (sizes agg + thinning join) and
+    // neardupCandidates reads the capped frame four ways (two equal-
+    // bucket sides, two masked-key sides), so unpinned, the sketch
+    // recomputed ~6× per run — and Catalyst's per-consumer pruning
+    // specializes each copy, so exchange reuse cannot fire. Both pins
+    // are (vec_id, table_id, bucket) rows — corpus×tables longs, tiny
+    // next to the vectors; row-identical, so the pair set is untouched.
+    val raw = lshSketches(e, bits)
+      .select(col("vec_id"), col("table_id"), col("bucket"))
+      .localCheckpoint(false)
+    val sk = capBuckets(raw, maxBucket).localCheckpoint(false)
     val cand = neardupCandidates(sk, bits, probeRadius)
     cand
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
@@ -582,7 +597,9 @@ object Similarity extends QueryModule {
     * body). */
   private def annLshTop(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val sk = lshSketches(e)
+    // pinned: probes and the candidate join both read the sketch —
+    // unpinned, the 24-dot sign sketch runs twice (see neardupLshPairs)
+    val sk = lshSketches(e).localCheckpoint(false)
     val probes = sk.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("table_id"),
         explode(array(col("bucket") +:
@@ -719,8 +736,14 @@ object Similarity extends QueryModule {
     * while preserving the memory story. */
   private def annPqTop(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val sub = pqSubvectors(e)
-    val cb = pqTrainedCodebook(sub)
+    // pinned (lazy localCheckpoint): sub feeds the seed codebook, both
+    // assignment passes, and the query slice; cb feeds the encode AND
+    // the ADC lookup tables, and each unpinned use re-ran the whole
+    // one-Lloyd-step training chain (guide §1.2 — remove repeated
+    // passes). Both are row-identical materializations: sub is the M×
+    // subvector fan-out, cb is M·K tiny rows.
+    val sub = pqSubvectors(e).localCheckpoint(false)
+    val cb = pqTrainedCodebook(sub).localCheckpoint(false)
     val codes = pqAssign(sub, cb)
       .select(col("vec_id"), col("m"), col("code_id"))
     val q = sub.filter(col("vec_id") < 8)
@@ -813,7 +836,9 @@ object Similarity extends QueryModule {
     * the standard recall-safe step up from PQ when memory allows. */
   private[ext] def annSq8Top(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val codes = sq8Codes(e)
+    // pinned: the query slice and the scan side both read the codes —
+    // unpinned, the min/max train aggregate + encode ran twice
+    val codes = sq8Codes(e).localCheckpoint(false)
     val q = codes.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("c").as("qc"))
     val cand = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -1487,10 +1512,16 @@ object Similarity extends QueryModule {
         val e = emb(s, dir).select(col("vec_id"), vecD(col("embedding")).as("v"))
         val seeds = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cluster_id"), col("v").as("sv"))
+        // pinned (lazy localCheckpoint): asg feeds the cap pipeline AND
+        // the n_vecs rollup, capped feeds both self-join sides, pairs
+        // feeds the pair count AND the distinct drop count — unpinned,
+        // the 8-cosine argmax assignment recomputed per consumer
         val asg = assignToSeeds(e, seeds)
           .select(col("vec_id"), col("cluster_id"), col("v"))
+          .localCheckpoint(false)
         val capped = cappedClusterMembers(asg, SemDedupMaxMembers)
-        val pairs = semdedupPairs(capped, 0.4)
+          .localCheckpoint(false)
+        val pairs = semdedupPairs(capped, 0.4).localCheckpoint(false)
         val dropped = pairs.distinct()
         asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_vecs"))
           .join(pairs.groupBy(col("cluster_id"))
@@ -1682,8 +1713,12 @@ object Similarity extends QueryModule {
           .select(col("vec_id"), col("cell"),
             vsub(col("v"), col("centroid")).as("v"))
           .cache()
+        // sub/cb pinned like annPqTop: without the pins each consumer
+        // re-ran the subvector fan-out and the full codebook training
+        // over the cached residuals
         val sub = pqSubvectors(resid.select(col("vec_id"), col("v")))
-        val cb = pqTrainedCodebook(sub)
+          .localCheckpoint(false)
+        val cb = pqTrainedCodebook(sub).localCheckpoint(false)
         val codes = pqAssign(sub, cb)
           .select(col("vec_id"), col("m"), col("code_id"))
         val q = base.filter(col("vec_id") < 8)

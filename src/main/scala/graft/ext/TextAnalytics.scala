@@ -514,12 +514,20 @@ object TextAnalytics extends QueryModule {
     * term-score sum folds in term order (the lm-filter discipline) so
     * float addition is engine- and cluster-size-independent. */
   private[ext] def bm25Scores(d: DataFrame, qTerms: Seq[String]): DataFrame = {
+    // lens feeds the corpus totals AND the scoring join; tf feeds the
+    // document frequencies AND the scoring join — unpinned, each
+    // consumer re-ran its tokenizer pass over the full text (4 passes
+    // per call; guide §1.2). Both pins are doc-/term-sized rows, tiny
+    // next to the text; the tokenizer now runs exactly twice (token
+    // count + query-term occurrences).
     val lens = d.select(col("doc_id"),
       expr(s"size($tokExpr)").cast("long").as("dl"))
+      .localCheckpoint(false)
     val corpus = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tdl"))
     val tf = d.select(col("doc_id"), explode(expr(tokExpr)).as("term"))
       .filter(col("term").isin(qTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val termScores = tf
       .join(broadcast(dfreq), Seq("term"))
