@@ -314,13 +314,13 @@ object StreamQueries extends QueryModule {
     * no dir; it falls back to the old per-chunk empty write so the
     * staged file set, and therefore the batch cadence, is unchanged. */
   private def stageChunks(s: SparkSession, staged: DataFrame, staging: String,
-      n: Int, baseMs: Long): Unit = {
+      n: Int, baseMs: Long, from: Int = 0): Unit = {
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val scratch = s"$staging/.write-chunks"
-    staged.repartition(n, col("chunk"))
+    val scratch = s"$staging/.write-chunks-$from"
+    staged.repartition(n - from, col("chunk"))
       .write.partitionBy("chunk").parquet(scratch)
-    (0 until n).foreach { c =>
+    (from until n).foreach { c =>
       val dir = new org.apache.hadoop.fs.Path(scratch, s"chunk=$c")
       val name = f"chunk-$c%04d.parquet"
       if (fs.exists(dir)) {
@@ -1250,11 +1250,11 @@ object StreamQueries extends QueryModule {
         ev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val baseMs = System.currentTimeMillis() - 3600L * 1000
-          // era 1: narrow files (no tier column in the parquet schema)
-          (0 to 1).foreach { c =>
-            writeFileAt(s, ev.filter(col("chunk") === c).drop("chunk", "tier"),
-              staging, f"chunk-$c%04d.parquet", baseMs + c * 60000L)
-          }
+          // era 1: narrow files (no tier column in the parquet schema);
+          // one partitionBy write per era (see stageChunks) instead of
+          // a filtered single-file write per chunk
+          stageChunks(s, ev.filter(col("chunk") <= 1).drop("tier"),
+            staging, n = 2, baseMs, from = 0)
           val narrow = s.read.parquet(staging).schema
           def run(schema: StructType): Unit =
             StreamAnalytics.cdcApply(
@@ -1265,10 +1265,8 @@ object StreamQueries extends QueryModule {
               .awaitTermination()
           run(narrow)
           // era 2: the added column arrives mid-stream; same checkpoint
-          (2 to 3).foreach { c =>
-            writeFileAt(s, ev.filter(col("chunk") === c).drop("chunk"),
-              staging, f"chunk-$c%04d.parquet", baseMs + c * 60000L)
-          }
+          stageChunks(s, ev.filter(col("chunk") >= 2),
+            staging, n = 4, baseMs, from = 2)
           run(StructType(narrow.fields :+ StructField("tier", StringType)))
         } finally { ev.unpersist(); () }
 
