@@ -683,7 +683,7 @@ object MergeTable {
     * semantics. Narrowing and retyping stay refused either way.
     *
     * CALLER CONTRACT for pre-persisted batches: merge evaluates the
-    * batch four times and relies on all four reads seeing ONE
+    * batch three times and relies on all three reads seeing ONE
     * materialization (it persists MEMORY_AND_DISK itself when the
     * batch arrives unpersisted). A caller who persists first keeps
     * their own cache, but a MEMORY_ONLY level is only safe for
@@ -697,8 +697,9 @@ object MergeTable {
   def merge(spark: SparkSession, root: String, updates0: DataFrame,
       key: String, deleteCol: Option[String] = None,
       evolveSchema: Boolean = false): Long = {
-    // Pin the batch: the plan below evaluates it four times (dup check,
-    // file skipping, survivor anti-join, the written union). A
+    // Pin the batch: the plan below evaluates it three times (the
+    // file-skip probe, which also carries the dup check; the survivor
+    // anti-join; the written union). A
     // nondeterministic source (sample, order-dependent dropDuplicates,
     // a re-read of a mutating upstream) evaluated independently could
     // show DIFFERENT keys to the skipping pass and the anti-join —
